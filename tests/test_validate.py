@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+from universal_importer_duckdb_spark.config.schema_compiler import compile_schema
+from universal_importer_duckdb_spark.operators.validate import validate_dataframe
+
+SCHEMA = {
+    "id": {"type": "int", "required": True},
+    "email": {"type": "str", "required": True,
+              "pattern": "^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$"},
+    "salary": {"type": "float", "min": 0},
+    "active": {"type": "bool"},
+}
+
+
+def _df(spark):
+    rows = [
+        ("1", "a@b.com", "100.5", "true", 1),
+        ("2", "bad-email", "50", "false", 2),     # pattern error
+        (None, "c@d.com", "10", "true", 3),       # required error
+        ("xx", "e@f.com", "10", "true", 4),       # int coercion error
+        ("5", "g@h.com", "-3", "true", 5),        # min error
+        ("6", "i@j.com", None, None, 6),          # nulls on optional fields: ok
+    ]
+    return spark.createDataFrame(
+        rows, "id string, email string, salary string, active string, _ingest_ord int"
+    )
+
+
+def test_validate_splits_valid_and_errors(spark):
+    schema = compile_schema(SCHEMA)
+    valid, errors = validate_dataframe(_df(spark), schema, ingest_ord="_ingest_ord")
+    assert sorted(r.id for r in valid.collect()) == [1, 6]
+    errs = {r.row: r.errors for r in errors.collect()}
+    assert set(errs) == {2, 3, 4, 5}
+    assert "email: string should match pattern" in errs[2]
+    assert errs[3] == "id: field required"
+    assert "id: value is not a valid int" in errs[4]
+    assert "salary: value should be >= 0" in errs[5]
+
+
+def test_validate_coerces_types(spark):
+    schema = compile_schema(SCHEMA)
+    valid, _ = validate_dataframe(_df(spark), schema, ingest_ord="_ingest_ord")
+    dtypes = dict(valid.dtypes)
+    assert dtypes["id"] == "bigint"
+    assert dtypes["salary"] == "double"
+    assert dtypes["active"] == "boolean"
+
+
+def test_validate_drops_undeclared_columns(spark):
+    df = spark.createDataFrame([("1", "a@b.com", "zap")], "id string, email string, phone string")
+    schema = compile_schema({"id": {"type": "int"}, "email": {"type": "str"}})
+    valid, _ = validate_dataframe(df, schema)
+    assert valid.columns == ["id", "email"]
+
+
+def test_validate_fillna_patches_before_required_check(spark):
+    df = spark.createDataFrame([("1", None)], "id string, note string")
+    schema = compile_schema({"id": {"type": "int"}, "note": {"type": "str", "required": True}})
+    valid, errors = validate_dataframe(df, schema, fillna={"note": ""})
+    assert valid.count() == 1 and errors.count() == 0
+
+
+def test_validate_errors_keep_raw_values(spark):
+    schema = compile_schema(SCHEMA)
+    _, errors = validate_dataframe(_df(spark), schema, ingest_ord="_ingest_ord")
+    raw = {r.row: r.id for r in errors.collect()}
+    assert raw[4] == "xx"

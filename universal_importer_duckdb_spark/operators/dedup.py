@@ -1,0 +1,104 @@
+"""Composite-key deduplication: ``df -> (kept, duplicates)``.
+
+Covers the reference's ``remove_duplicates_from_stage_table``
+(reference main.py:97-159) with the *declared* first/last semantics:
+the reference's live SQL path always orders by ROWID ascending and so
+keeps the first row even when config says ``last`` (main.py:135,147 —
+documented bug, SURVEY.md §2.3); here ``last`` really keeps the
+highest-ordinal row, matching the reference's dead-but-correct pandas
+path (main.py:199-221).
+
+Modes (reference config.yaml:6):
+- ``first`` / ``last``: keep one row per key group by ingest order;
+- ``exclude_all``: drop every member of any duplicated group
+  (main.py:109-129).
+
+Physical design: one shuffle per composite key — a window over
+``partitionBy(keys)``. Both outputs (kept + duplicates) derive from
+the same windowed intermediate, so Spark computes the shuffle once per
+action branch. For kept-only pipelines at very large scale prefer
+:func:`dedupe_keep_only`, whose ``min_by/max_by`` aggregation form
+enables map-side partial aggregation (smaller shuffle than a full
+window sort when duplicates are common).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RESOLUTIONS = ("first", "last", "exclude_all")
+
+
+def dedupe(
+    df: DataFrame,
+    keys: Sequence[str],
+    resolution: str = "first",
+    order_col: str = "_ingest_ord",
+) -> tuple[DataFrame, DataFrame]:
+    """Return ``(kept, duplicates)`` for one composite key.
+
+    ``order_col`` defines ingest order (the reference's DuckDB ROWID);
+    it must be unique for deterministic first/last picks.
+    """
+    if resolution not in RESOLUTIONS:
+        raise ValueError(f"resolution must be one of {RESOLUTIONS}")
+    if resolution == "exclude_all":
+        w = Window.partitionBy(*keys)
+        counted = df.withColumn("__cnt", F.count(F.lit(1)).over(w))
+        kept = counted.filter(F.col("__cnt") == 1).drop("__cnt")
+        dups = counted.filter(F.col("__cnt") > 1).drop("__cnt")
+        return kept, dups
+    ordering = F.col(order_col).asc() if resolution == "first" else F.col(order_col).desc()
+    w = Window.partitionBy(*keys).orderBy(ordering)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rn") == 1).drop("__rn")
+    dups = ranked.filter(F.col("__rn") > 1).drop("__rn")
+    return kept, dups
+
+
+def dedupe_cascade(
+    df: DataFrame,
+    composite_keys: Sequence[Sequence[str]],
+    resolution: str = "first",
+    order_col: str = "_ingest_ord",
+) -> tuple[DataFrame, DataFrame]:
+    """Sequential multi-key dedup (reference main.py:106,158): each key
+    dedups the output of the previous one; captured duplicates are
+    unioned across keys."""
+    kept = df
+    all_dups: DataFrame | None = None
+    for keys in composite_keys:
+        kept, dups = dedupe(kept, keys, resolution, order_col)
+        all_dups = dups if all_dups is None else all_dups.unionByName(dups)
+    if all_dups is None:
+        all_dups = df.limit(0)
+    return kept, all_dups
+
+
+def dedupe_keep_only(
+    df: DataFrame,
+    keys: Sequence[str],
+    resolution: str = "first",
+    order_col: str = "_ingest_ord",
+) -> DataFrame:
+    """Scale-path variant returning only the kept rows via
+    ``min_by/max_by(struct(*), order)`` aggregation — partial
+    (map-side) aggregation shrinks the shuffle before it happens,
+    unlike the window form which shuffles every row."""
+    if resolution == "exclude_all":
+        return (
+            df.groupBy(*keys)
+            .agg(F.min_by(F.struct(*df.columns), F.col(order_col)).alias("__r"),
+                 F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") == 1)
+            .select("__r.*")
+        )
+    picker = F.min_by if resolution == "first" else F.max_by
+    return (
+        df.groupBy(*keys)
+        .agg(picker(F.struct(*df.columns), F.col(order_col)).alias("__r"))
+        .select("__r.*")
+    )

@@ -1,0 +1,81 @@
+"""Vectorized schema validation: ``df -> (valid, errors)``.
+
+Replaces the reference's per-row Pydantic loop
+(``validate_records_with_pydantic``, reference main.py:56-82) with a
+single pass of column expressions — one whole-stage-codegen stage, no
+Python in the hot path, no shuffle. At 100 TB this is a pure map over
+the scan with filters that Catalyst can push into the source.
+
+Semantics parity with the reference:
+- declared columns only survive (undeclared input columns are dropped,
+  like Pydantic's extra-field ignore — SURVEY.md §1.2);
+- values are coerced leniently to the declared type (Spark ``cast``
+  yields NULL on failure; we detect that as a type error);
+- the errors output carries a 1-based ``row`` ordinal and an
+  ``errors`` string of "; "-joined "field: message" items, matching
+  the reference error-record shape (main.py:73-78, 388-394);
+- optional fillna patch applied before validation (main.py:58-63 —
+  the reference hardcodes 4 column names; here it's a parameter).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from universal_importer_duckdb_spark.config.schema_compiler import (
+    SPARK_CAST,
+    CompiledSchema,
+)
+
+ERRORS_COL = "errors"
+ROW_COL = "row"
+
+
+def validate_dataframe(
+    df: DataFrame,
+    schema: CompiledSchema,
+    fillna: dict[str, Any] | None = None,
+    ingest_ord: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (valid, errors) under the compiled schema.
+
+    ``valid`` has exactly the declared columns, coerced to their
+    declared Spark types (plus ``ingest_ord`` if given). ``errors``
+    has the declared columns as read (uncoerced), plus ``row`` and
+    ``errors`` columns.
+    """
+    available = set(df.columns)
+    # Missing declared columns become NULL (Pydantic would fail them as
+    # missing; the required/type constraints handle that uniformly).
+    selected = [
+        (F.col(c) if c in available else F.lit(None).cast("string")).alias(c)
+        for c in schema.columns
+    ]
+    if ingest_ord and ingest_ord in available:
+        selected.append(F.col(ingest_ord))
+    base = df.select(*selected)
+    if fillna:
+        base = base.na.fill({k: v for k, v in fillna.items() if k in schema.columns})
+
+    msgs = [
+        F.when(c.fail, F.lit(f"{c.field}: {c.message}")) for c in schema.constraints
+    ]
+    err_arr = F.array_compact(F.array(*msgs)) if msgs else F.array().cast("array<string>")
+    flagged = base.withColumn("__errs", err_arr)
+
+    valid = flagged.filter(F.size("__errs") == 0).select(
+        *[F.col(f.name).try_cast(SPARK_CAST[f.type]).alias(f.name) for f in schema.fields],
+        *([F.col(ingest_ord)] if ingest_ord and ingest_ord in available else []),
+    )
+    errors = flagged.filter(F.size("__errs") > 0)
+    if ingest_ord and ingest_ord in available:
+        errors = errors.withColumn(ROW_COL, F.col(ingest_ord).cast("bigint"))
+    else:
+        errors = errors.withColumn(ROW_COL, F.lit(None).cast("bigint"))
+    errors = errors.withColumn(ERRORS_COL, F.concat_ws("; ", "__errs")).select(
+        *schema.columns, ROW_COL, ERRORS_COL
+    )
+    return valid, errors

@@ -1,0 +1,154 @@
+"""The 7-stage pipeline as pure DataFrame lineage (reference
+``main`` driver, main.py:401-505).
+
+Stages: read → schema-validate → (stop gate) → dedup cascade → custom
+rules → projections → export → summary. Each stage returns
+``(kept, rejected)``; nothing is mutated. The post-validation frame is
+cached because dedup, rules, and projections all fan out from it
+(SURVEY.md §4.3.2).
+
+Scale notes: validation is a narrow map (no shuffle); the only
+shuffles are one per dedup composite key. Projections run through
+Spark SQL on the staged view, so config queries get predicate
+pushdown / column pruning / join strategies from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from universal_importer_duckdb_spark.config.loader import load_config, validate_config
+from universal_importer_duckdb_spark.config.schema_compiler import compile_schema
+from universal_importer_duckdb_spark.operators.dedup import dedupe_cascade
+from universal_importer_duckdb_spark.operators.project import create_projections
+from universal_importer_duckdb_spark.operators.rules import execute_custom_validations
+from universal_importer_duckdb_spark.operators.summary import RunSummary
+from universal_importer_duckdb_spark.operators.validate import validate_dataframe
+from universal_importer_duckdb_spark.sources.readers import (
+    INGEST_ORD,
+    read_csv_with_ingest_order,
+)
+from universal_importer_duckdb_spark.sources.writers import export_csv, save_errors
+
+
+@dataclass
+class PipelineResult:
+    entity: str
+    stage: DataFrame | None = None
+    schema_errors: DataFrame | None = None
+    duplicates: DataFrame | None = None
+    custom_issues: list[dict[str, Any]] = field(default_factory=list)
+    projections: dict[str, DataFrame] = field(default_factory=dict)
+    summary: RunSummary | None = None
+
+
+def run_pipeline(
+    spark: SparkSession,
+    config: dict[str, Any],
+    entity: str,
+    source_df: DataFrame | None = None,
+    today: str | None = None,
+    output_dir: str | None = None,
+    fillna: dict[str, Any] | None = None,
+    strict_required: bool = False,
+) -> PipelineResult:
+    """Run the full pipeline for ``entity``.
+
+    ``source_df`` overrides the config ``source`` CSV (must carry an
+    ``_ingest_ord`` column or a unique ordering is derived from it).
+    """
+    details = validate_config(config, entity)
+    settings = details.get("settings", {})
+    schema_cfg = details.get("validations", {}).get("schema", {}).get("fields", {})
+    rules = details.get("validations", {}).get("custom", {}).get("rules", [])
+    schema = compile_schema(schema_cfg, strict_required=strict_required)
+
+    if source_df is None:
+        source_df = read_csv_with_ingest_order(spark, details["source"])
+    result = PipelineResult(entity=entity)
+    summary = RunSummary(entity=entity)
+
+    ingest = INGEST_ORD if INGEST_ORD in source_df.columns else None
+    valid, errors = validate_dataframe(source_df, schema, fillna=fillna, ingest_ord=ingest)
+    result.schema_errors = errors
+    summary.total_records = source_df.count()
+    summary.schema_errors = errors.count()
+
+    # Stop gate: the reference reuses custom_validation_mode for this
+    # decision (main.py:435-439 — setting conflation, kept for parity).
+    mode = settings.get("custom_validation_mode", "skip")
+    if summary.schema_errors > 0 and mode == "stop":
+        raise ValueError(
+            f"Schema validation failed for {summary.schema_errors} rows in '{entity}'"
+        )
+
+    valid = valid.cache()  # fan-out point: dedup + rules + projections reuse it
+    summary.valid_records = valid.count()
+
+    composite_keys = settings.get("unique_composite", []) or []
+    resolution = settings.get("duplicate_resolution", "first")
+    order_col = ingest or INGEST_ORD
+    if composite_keys and order_col in valid.columns:
+        kept, dups = dedupe_cascade(valid, composite_keys, resolution, order_col)
+        summary.duplicates_removed = dups.count()
+    else:
+        kept, dups = valid, valid.limit(0)
+    result.duplicates = dups
+
+    kept, issues = execute_custom_validations(kept, rules, mode=mode, today=today)
+    result.custom_issues = issues
+    summary.custom_validation_errors = sum(
+        issue["invalid"].count() for issue in issues if issue.get("invalid") is not None
+    )
+
+    stage = kept.drop(INGEST_ORD) if INGEST_ORD in kept.columns else kept
+    stage = stage.cache()
+    result.stage = stage
+    stage.createOrReplaceTempView(f"{entity}_stage")
+
+    result.projections = create_projections(
+        spark, entity, stage, details.get("projections", []), schema.columns
+    )
+    for name, df in result.projections.items():
+        summary.projection_counts[name] = df.count()
+    summary.valid_records = stage.count()
+    result.summary = summary
+
+    if output_dir:
+        def _clean(edf: DataFrame) -> DataFrame:
+            return edf.drop(INGEST_ORD) if INGEST_ORD in edf.columns else edf
+
+        export_csv(result.projections, output_dir)
+        save_errors(entity, "schema_validation", errors, output_dir)
+        save_errors(entity, "duplicates", _clean(dups), output_dir)
+        for issue in issues:
+            if issue.get("invalid") is not None:
+                save_errors(entity, f"custom_{issue['field']}", _clean(issue["invalid"]), output_dir)
+    return result
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI mirroring the reference (main.py:402-406):
+    ``python -m universal_importer_duckdb_spark.plans.pipeline <entity>
+    [--config config.yaml] [--output_dir output]``."""
+    from universal_importer_duckdb_spark.session import get_spark
+
+    parser = argparse.ArgumentParser(description="Run the import pipeline for an entity")
+    parser.add_argument("entity")
+    parser.add_argument("--config", default="config.yaml")
+    parser.add_argument("--output_dir", default="output")
+    args = parser.parse_args(argv)
+
+    spark = get_spark(app_name=f"pipeline-{args.entity}")
+    config = load_config(args.config)
+    result = run_pipeline(spark, config, args.entity, output_dir=args.output_dir)
+    print(result.summary.report())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,53 @@
+"""Sources: CSV (the reference's only source, main.py:432) + Parquet,
+with explicit ingest-order stamping.
+
+Spark has no stable implicit row order (the reference leans on DuckDB
+ROWID — main.py:135); ``_ingest_ord`` is stamped once at read time and
+carried through the pipeline for first/last dedup and 1-based error
+``row`` numbers (SURVEY.md §7.3).
+
+Two recipes:
+- ``with_ingest_order(df, order_cols)`` — preferred at scale: the data
+  already has a total order (keys, timestamps); a pure narrow
+  projection, no shuffle, deterministic under any partitioning.
+- ``with_ingest_order(df)`` (no columns) — file order via
+  ``zipWithIndex``: exact CSV row order, but materializes a pass over
+  the data; fine for import-sized inputs, documented cost at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+INGEST_ORD = "_ingest_ord"
+
+
+def with_ingest_order(df: DataFrame, order_cols: Sequence[str] | None = None) -> DataFrame:
+    if order_cols:
+        # Dense 1-based ordinal consistent with ORDER BY order_cols.
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(INGEST_ORD, F.row_number().over(w))
+    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1] + 1))
+    spark = df.sparkSession
+    schema = df.schema.add(INGEST_ORD, "long", False)
+    return spark.createDataFrame(rdd, schema)
+
+
+def read_csv_with_ingest_order(
+    spark: SparkSession,
+    path: str,
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Header CSV read as all-strings (validation casts later, so we
+    keep raw values for faithful error records), then ordinal-stamped."""
+    df = spark.read.option("header", True).option("inferSchema", False).csv(path)
+    return with_ingest_order(df, order_cols)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
