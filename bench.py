@@ -1,0 +1,75 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced with a full action (collect) after a warm-up of
+the session (first Spark job pays JVM/codegen startup; we exclude
+session construction but not per-query planning, which is part of the
+measured engine cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_revenue_by_nation",
+    "top_customers",
+    "rank_customers_by_segment",
+    "dedup_first_lineitem",
+    "dedup_exclude_all_lineitem",
+    "pipeline_flagship",
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "docs_token_stats",
+    "docs_fingerprint_exact_dedup",
+    "docs_ngram_topk_similar",
+    "emb_cosine_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from universal_importer_duckdb_spark import entry_queries as eq
+    from universal_importer_duckdb_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footer caches with a trivial job
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    q = eq.queries()
+    for name in BENCH_QUERIES:
+        fn = q[name]
+        t0 = time.perf_counter()
+        # noop sink forces full distributed computation without the
+        # driver-side row-materialization cost of collect()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

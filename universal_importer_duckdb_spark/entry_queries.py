@@ -1,0 +1,892 @@
+"""The driver-contract query registry: every operator from SURVEY.md §2
+plus the LLM-data-pipeline extensions, each as a (spark_fn, oracle_sql)
+pair. spark_fn(spark, sf_dir) -> DataFrame; oracle_sql is equivalent
+DuckDB SQL over the same parquet views (None → rows-only check).
+
+Cross-engine determinism rules (established empirically against
+DuckDB; see tests/test_oracle_parity.py):
+- float SUMs route through exact DECIMAL arithmetic: cast source
+  doubles to a small-scale decimal (they are 2/4-decimal values),
+  multiply in decimal (exact), SUM (exact), then round(sum, 2) and
+  cast to double. DuckDB's decimal->decimal CAST truncates while
+  Spark's rounds, so the only safe scale reduction is round(), which
+  both engines implement half-away-from-zero.
+- a decimal->double cast is bit-exact on both engines only while the
+  unscaled integer fits in 2^53 — keep scale*magnitude under that.
+- element-wise vector math: cast float arrays to double, per-element
+  products cast to DECIMAL(33,13) (no decimal ties are representable
+  at our magnitudes), exact-sum, cast double.
+- Spark size()/row_number() are INT, DuckDB's are BIGINT — cast the
+  Spark side up.
+- events.parquet uses TIMESTAMP(NANOS): Spark needs
+  spark.sql.legacy.parquet.nanosAsLong=true and sees bigint nanos;
+  DuckDB sees TIMESTAMP_NS, bridged via epoch_ns().
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TODAY = "2026-08-13"  # injected "today" for age_gte determinism
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- deterministic money helpers (see module docstring) ---------------
+
+def _dec(col: str, typ: str = "decimal(15,2)"):
+    return F.col(col).cast(typ)
+
+
+def _one():
+    # built lazily: F.lit needs an active SparkContext at call time
+    return F.lit(1).cast("decimal(5,4)")
+
+
+def _msum(expr, alias: str):
+    """Exact decimal sum -> round 2 -> double (bit-identical in DuckDB
+    as CAST(round(SUM(expr), 2) AS DOUBLE))."""
+    return F.round(F.sum(expr), 2).cast("double").alias(alias)
+
+
+# Deterministic "ingest order" for parquet sources: the full row is
+# the only total order the data guarantees ((l_orderkey, l_linenumber)
+# is NOT unique in the synthetic tables, but complete rows are) —
+# ties then can only occur between identical rows, which cannot change
+# output content. Scale-safe: no shuffle, the ordering rides the
+# dedup window's existing sort (SURVEY.md §7.3).
+_LI_COLS_SQL = ", ".join(LINEITEM_COLS)
+_LI_ORD_ASC = ", ".join(LINEITEM_COLS)
+_LI_ORD_DESC = ", ".join(f"{c} DESC" for c in LINEITEM_COLS)
+
+
+# ======================================================================
+# TPC-H-style analytics (the general SQL surface the reference
+# delegates to DuckDB; here delegated to Catalyst — SURVEY.md §4.2)
+# ======================================================================
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ext, disc, tax = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)"), F.col("l_tax").cast("decimal(9,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _msum(_dec("l_quantity"), "sum_qty"),
+            _msum(ext, "sum_base_price"),
+            _msum(ext * (_one() - disc), "sum_disc_price"),
+            _msum(ext * (_one() - disc) * (_one() + tax), "sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(ext).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(round(SUM(l_quantity::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))*(1::DECIMAL(5,4)+l_tax::DECIMAL(9,4))), 2) AS DOUBLE) AS sum_charge,
+  CAST(SUM(l_quantity::DECIMAL(15,2)) AS DOUBLE)/COUNT(*) AS avg_qty,
+  CAST(SUM(l_extendedprice::DECIMAL(15,2)) AS DOUBLE)/COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_unshipped(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_msum(ext * (_one() - disc), "revenue"))
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_revenue_by_nation(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _msum(ext * (_one() - disc), "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def top_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(_msum(_dec("o_totalprice"), "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+  CAST(round(SUM(o_totalprice::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10
+"""
+
+
+def rank_customers_by_segment(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+RANK_SQL = """
+SELECT c_mktsegment, rk, c_custkey, c_name, c_acctbal FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer) WHERE rk <= 3
+"""
+
+
+def distinct_segments(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def except_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ordc = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.subtract(ordc)
+
+
+EXCEPT_SQL = "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
+
+
+def intersect_multi_status_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def semi_join_open_order_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+
+
+SEMI_SQL = """
+SELECT * FROM customer c WHERE EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+def anti_join_customers_no_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+
+ANTI_SQL = """
+SELECT * FROM customer c WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ======================================================================
+# Reference pipeline surface (SURVEY.md §2.2-2.4) on the driver tables
+# ======================================================================
+
+CUSTOMER_SCHEMA = {
+    "c_custkey": {"type": "int", "required": True},
+    "c_name": {"type": "str", "required": True},
+    "c_nationkey": {"type": "int", "required": True},
+    "c_acctbal": {"type": "float", "min": 0},
+    "c_mktsegment": {
+        "type": "str",
+        "pattern": "^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$",
+    },
+}
+
+
+def _validate_customer(spark, sf_dir):
+    from universal_importer_duckdb_spark.config.schema_compiler import compile_schema
+    from universal_importer_duckdb_spark.operators.validate import validate_dataframe
+
+    cust = _t(spark, sf_dir, "customer")
+    schema = compile_schema(CUSTOMER_SCHEMA)
+    return validate_dataframe(cust, schema)
+
+
+def validate_customer_valid(spark, sf_dir):
+    valid, _ = _validate_customer(spark, sf_dir)
+    return valid
+
+
+VALIDATE_VALID_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL AND c_nationkey IS NOT NULL
+  AND NOT coalesce(c_acctbal < 0, FALSE)
+  AND NOT coalesce(NOT regexp_matches(c_mktsegment, '^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$'), FALSE)
+"""
+
+
+def validate_customer_errors(spark, sf_dir):
+    _, errors = _validate_customer(spark, sf_dir)
+    return errors.select("c_custkey", "errors")
+
+
+VALIDATE_ERRORS_SQL = """
+SELECT c_custkey, concat_ws('; ',
+  CASE WHEN c_custkey IS NULL THEN 'c_custkey: field required' END,
+  CASE WHEN c_name IS NULL THEN 'c_name: field required' END,
+  CASE WHEN c_nationkey IS NULL THEN 'c_nationkey: field required' END,
+  CASE WHEN c_acctbal < 0 THEN 'c_acctbal: value should be >= 0' END,
+  CASE WHEN NOT regexp_matches(c_mktsegment, '^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$')
+       THEN 'c_mktsegment: string should match pattern ''^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$''' END
+  ) AS errors
+FROM customer
+WHERE c_custkey IS NULL OR c_name IS NULL OR c_nationkey IS NULL
+   OR coalesce(c_acctbal < 0, FALSE)
+   OR coalesce(NOT regexp_matches(c_mktsegment, '^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$'), FALSE)
+"""
+
+
+def _dedup(spark, sf_dir, resolution, keys=("l_partkey", "l_suppkey")):
+    from universal_importer_duckdb_spark.operators.dedup import dedupe
+
+    li = _t(spark, sf_dir, "lineitem")
+    kept, dups = dedupe(li, list(keys), resolution, LINEITEM_COLS)
+    return kept.select(*LINEITEM_COLS), dups.select(*LINEITEM_COLS)
+
+
+def dedup_first_lineitem(spark, sf_dir):
+    return _dedup(spark, sf_dir, "first")[0]
+
+
+DEDUP_FIRST_SQL = f"""
+SELECT {_LI_COLS_SQL} FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_ASC}) AS rn FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def dedup_last_lineitem(spark, sf_dir):
+    return _dedup(spark, sf_dir, "last")[0]
+
+
+DEDUP_LAST_SQL = f"""
+SELECT {_LI_COLS_SQL} FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_DESC}) AS rn FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def dedup_exclude_all_lineitem(spark, sf_dir):
+    return _dedup(spark, sf_dir, "exclude_all")[0]
+
+
+DEDUP_EXCLUDE_SQL = f"""
+SELECT {_LI_COLS_SQL} FROM (
+  SELECT *, COUNT(*) OVER (PARTITION BY l_partkey, l_suppkey) AS c FROM lineitem
+) WHERE c = 1
+"""
+
+
+def dedup_duplicates_lineitem(spark, sf_dir):
+    return _dedup(spark, sf_dir, "first")[1]
+
+
+DEDUP_DUPS_SQL = f"""
+SELECT {_LI_COLS_SQL} FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_ASC}) AS rn FROM lineitem
+) WHERE rn > 1
+"""
+
+
+def dedup_cascade_lineitem(spark, sf_dir):
+    from universal_importer_duckdb_spark.operators.dedup import dedupe_cascade
+
+    li = _t(spark, sf_dir, "lineitem")
+    kept, _ = dedupe_cascade(li, [["l_partkey", "l_suppkey"], ["l_orderkey"]], "first", LINEITEM_COLS)
+    return kept.select(*LINEITEM_COLS)
+
+
+DEDUP_CASCADE_SQL = f"""
+WITH k1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_ASC}) AS rn FROM lineitem
+  ) WHERE rn = 1
+)
+SELECT {_LI_COLS_SQL} FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY {_LI_ORD_ASC}) AS rn2 FROM k1
+) WHERE rn2 = 1
+"""
+
+
+AGE_RULES = [{"field": "o_orderdate", "validation": "age_gte", "params": {"min_age": 28}}]
+
+
+def rule_age_gte_skip_orders(spark, sf_dir):
+    from universal_importer_duckdb_spark.operators.rules import execute_custom_validations
+
+    orders = _t(spark, sf_dir, "orders")
+    kept, _ = execute_custom_validations(orders, AGE_RULES, mode="skip", today=TODAY)
+    return kept
+
+
+AGE_SKIP_SQL = f"""
+SELECT * FROM orders
+WHERE NOT coalesce(date_part('year', age(DATE '{TODAY}', CAST(o_orderdate AS DATE))) < 28, FALSE)
+"""
+
+
+def rule_age_gte_invalid_orders(spark, sf_dir):
+    from universal_importer_duckdb_spark.operators.rules import execute_custom_validations
+
+    orders = _t(spark, sf_dir, "orders")
+    _, issues = execute_custom_validations(orders, AGE_RULES, mode="skip", today=TODAY)
+    return issues[0]["invalid"]
+
+
+AGE_INVALID_SQL = f"""
+SELECT * FROM orders
+WHERE date_part('year', age(DATE '{TODAY}', CAST(o_orderdate AS DATE))) < 28
+"""
+
+
+def projection_alias_orders(spark, sf_dir):
+    from universal_importer_duckdb_spark.operators.project import create_projections
+
+    orders = _t(spark, sf_dir, "orders")
+    projections = [
+        {
+            "name": "order_totals",
+            "type": "view",
+            "query": "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders",
+            "aliases": {"o_orderkey": "order_id"},
+        }
+    ]
+    out = create_projections(spark, "orders", orders, projections, orders.columns)
+    return out["order_totals"]
+
+
+PROJECTION_SQL = "SELECT o_orderkey AS order_id, o_totalprice, o_orderpriority FROM orders"
+
+
+LINEITEM_ENTITY_CONFIG = {
+    "transformations_config": {
+        "lineitem": {
+            "source": "(in-memory)",
+            "settings": {
+                "duplicate_resolution": "first",
+                "custom_validation_mode": "skip",
+                "unique_composite": [["l_partkey", "l_suppkey"]],
+            },
+            "validations": {
+                "schema": {
+                    "fields": {
+                        "l_orderkey": {"type": "int", "required": True},
+                        "l_partkey": {"type": "int", "required": True},
+                        "l_suppkey": {"type": "int", "required": True},
+                        "l_linenumber": {"type": "int"},
+                        "l_quantity": {"type": "float", "min": 2},
+                        "l_extendedprice": {"type": "float"},
+                        "l_discount": {"type": "float"},
+                        "l_tax": {"type": "float"},
+                        "l_returnflag": {"type": "str", "pattern": "^(A|N|R)$"},
+                        "l_linestatus": {"type": "str"},
+                        "l_shipdate": {"type": "str"},
+                    }
+                },
+                "custom": {
+                    "rules": [
+                        {
+                            "field": "l_shipdate",
+                            "validation": "age_gte",
+                            "params": {"min_age": 27},
+                        }
+                    ]
+                },
+            },
+        }
+    }
+}
+
+
+def _run_lineitem_pipeline(spark, sf_dir):
+    from universal_importer_duckdb_spark.plans.pipeline import run_pipeline
+
+    li = _t(spark, sf_dir, "lineitem")
+    return run_pipeline(
+        spark, LINEITEM_ENTITY_CONFIG, "lineitem", source_df=li, today=TODAY,
+        order_cols=LINEITEM_COLS,
+    )
+
+
+def pipeline_flagship(spark, sf_dir):
+    """The full reference pipeline in one lineage (SURVEY.md §7.1)."""
+    return _run_lineitem_pipeline(spark, sf_dir).stage
+
+
+PIPELINE_VALID_COND = """
+  l_orderkey IS NOT NULL AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+  AND NOT coalesce(l_quantity < 2, FALSE)
+  AND NOT coalesce(NOT regexp_matches(l_returnflag, '^(A|N|R)$'), FALSE)
+"""
+
+PIPELINE_FLAGSHIP_SQL = f"""
+WITH valid AS (SELECT * FROM lineitem WHERE {PIPELINE_VALID_COND}),
+k1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_ASC}) AS rn FROM valid
+  ) WHERE rn = 1
+)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(l_suppkey AS BIGINT) AS l_suppkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       CAST(l_shipdate AS VARCHAR) AS l_shipdate
+FROM k1
+WHERE NOT coalesce(date_part('year', age(DATE '{TODAY}', CAST(l_shipdate AS DATE))) < 27, FALSE)
+"""
+
+
+def pipeline_summary_lineitem(spark, sf_dir):
+    res = _run_lineitem_pipeline(spark, sf_dir)
+    s = res.summary
+    return spark.createDataFrame(
+        [
+            (
+                s.total_records,
+                s.schema_errors,
+                s.duplicates_removed,
+                s.custom_validation_errors,
+                s.valid_records,
+            )
+        ],
+        "total_records bigint, schema_errors bigint, duplicates_removed bigint, "
+        "custom_errors bigint, final_records bigint",
+    )
+
+
+PIPELINE_SUMMARY_SQL = f"""
+WITH src AS (SELECT * FROM lineitem),
+valid AS (SELECT * FROM src WHERE {PIPELINE_VALID_COND}),
+k1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_ASC}) AS rn FROM valid
+  ) WHERE rn = 1
+),
+fin AS (
+  SELECT * FROM k1
+  WHERE NOT coalesce(date_part('year', age(DATE '{TODAY}', CAST(l_shipdate AS DATE))) < 27, FALSE)
+)
+SELECT
+  (SELECT COUNT(*) FROM src) AS total_records,
+  (SELECT COUNT(*) FROM src) - (SELECT COUNT(*) FROM valid) AS schema_errors,
+  (SELECT COUNT(*) FROM valid) - (SELECT COUNT(*) FROM k1) AS duplicates_removed,
+  (SELECT COUNT(*) FROM k1 WHERE date_part('year', age(DATE '{TODAY}', CAST(l_shipdate AS DATE))) < 27) AS custom_errors,
+  (SELECT COUNT(*) FROM fin) AS final_records
+"""
+
+
+# ======================================================================
+# Events: time-series / sessionization / JSON (batch forms; streaming
+# equivalents live in universal_importer_duckdb_spark.streaming)
+# ======================================================================
+
+_NS_PER_HOUR = 3_600_000_000_000
+_NS_SESSION_GAP = 1_800_000_000_000  # 30 min
+
+
+def events_tumbling_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")  # ts is bigint nanos (nanosAsLong)
+    return (
+        ev.groupBy(
+            F.floor(F.col("ts") / F.lit(_NS_PER_HOUR)).cast("bigint").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _msum(F.col("value").cast("decimal(15,2)"), "sum_value"),
+        )
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT CAST(floor(epoch_ns(ts)/{_NS_PER_HOUR}) AS BIGINT) AS bucket, event_type,
+  COUNT(*) AS n_events,
+  CAST(round(SUM(value::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionization(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    starts = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts") - F.lag("ts").over(w)) > F.lit(_NS_SESSION_GAP)),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_start", starts)
+        .groupBy("user_id")
+        .agg(F.sum("is_start").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SESSION_SQL = f"""
+WITH x AS (
+  SELECT user_id, epoch_ns(ts) AS tns,
+         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events)
+SELECT user_id,
+  CAST(SUM(CASE WHEN prev IS NULL OR tns - prev > {_NS_SESSION_GAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+  COUNT(*) AS n_events
+FROM x GROUP BY user_id
+"""
+
+
+def events_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+JSON_SQL = """
+SELECT event_id, event_type, CAST(props->>'$.k' AS BIGINT) AS k_value FROM events
+"""
+
+
+# ======================================================================
+# Documents: text analysis + dedup (LLM-data-pipeline extensions)
+# ======================================================================
+
+def _tokens(col: str = "text"):
+    return F.split(col, " ")
+
+
+def docs_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+FROM documents
+"""
+
+
+def docs_fingerprint_exact_dedup(spark, sf_dir):
+    """Exact dedup by content fingerprint: keep min doc_id per md5."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fingerprint", F.md5(F.lower("text")))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT md5(lower(text)) AS fingerprint, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def _shingles(col: str):
+    return F.array_distinct(
+        F.expr(f"transform(sequence(1, greatest(length({col})-2, 1)), i -> substring({col}, i, 3))")
+    )
+
+
+def docs_ngram_topk_similar(spark, sf_dir):
+    """Character-3-gram Jaccard top-10 similar to doc 0 — brute-force
+    set-similarity baseline for near-dup detection."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") == 0).select(_shingles("text").alias("qs"))
+    return (
+        docs.filter(F.col("doc_id") > 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            (
+                F.size(F.array_intersect(_shingles("text"), F.col("qs")))
+                / F.size(F.array_union(_shingles("text"), F.col("qs")))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_id")
+        .limit(10)
+    )
+
+
+NGRAM_TOPK_SQL = """
+WITH s AS (
+  SELECT doc_id, list_distinct([substr(text, i, 3) for i in range(1, greatest(length(text)-2, 1)+1)]) AS sh
+  FROM documents),
+q AS (SELECT sh AS qs FROM s WHERE doc_id = 0)
+SELECT doc_id, len(list_intersect(sh, qs)) / len(list_distinct(list_concat(sh, qs))) AS jaccard
+FROM s, q WHERE doc_id > 0 ORDER BY jaccard DESC, doc_id LIMIT 10
+"""
+
+
+def docs_quality_scores(spark, sf_dir):
+    """Heuristic quality signals: alpha/space ratios + mean token length."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        (F.length(F.regexp_replace("text", "[^a-z]", "")) / F.length("text")).alias("alpha_ratio"),
+        (F.length(F.regexp_replace("text", "[^ ]", "")) / F.length("text")).alias("space_ratio"),
+        (
+            (F.length("text") - (F.size(toks) - F.lit(1))) / F.size(toks)
+        ).alias("mean_token_len"),
+    )
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+  length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text) AS alpha_ratio,
+  length(regexp_replace(text, '[^ ]', '', 'g')) / length(text) AS space_ratio,
+  (length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS mean_token_len
+FROM documents
+"""
+
+
+_EN_MARKERS = ("the", "and", "of")
+_NON_EN_MARKERS = ("el", "la", "le", "der", "und")
+
+
+def _eq_lit(value):
+    # single-arg lambda factory: a two-param lambda would make PySpark
+    # pass the array index as the second argument
+    return lambda w: w == F.lit(value)
+
+
+def _marker_hits(markers):
+    toks = _tokens()
+    hits = None
+    for m in markers:
+        h = F.size(F.filter(toks, _eq_lit(m))).cast("bigint")
+        hits = h if hits is None else hits + h
+    return hits
+
+
+def docs_language_id(spark, sf_dir):
+    """Stopword-marker language heuristic (n-gram-free baseline)."""
+    docs = _t(spark, sf_dir, "documents")
+    en = _marker_hits(_EN_MARKERS)
+    non = _marker_hits(_NON_EN_MARKERS)
+    return docs.select(
+        "doc_id",
+        "lang",
+        en.alias("en_hits"),
+        non.alias("non_en_hits"),
+        F.when(en > non, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def _sql_marker_hits(markers):
+    parts = [f"len(list_filter(string_split(text,' '), w -> w = '{m}'))" for m in markers]
+    return " + ".join(parts)
+
+
+LANG_SQL = f"""
+SELECT doc_id, lang,
+  {_sql_marker_hits(_EN_MARKERS)} AS en_hits,
+  {_sql_marker_hits(_NON_EN_MARKERS)} AS non_en_hits,
+  CASE WHEN {_sql_marker_hits(_EN_MARKERS)} > {_sql_marker_hits(_NON_EN_MARKERS)}
+       THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents
+"""
+
+
+# ======================================================================
+# Embeddings: similarity search
+# ======================================================================
+
+_VDEC = "decimal(33,13)"
+
+
+def _vfold(arr):
+    """Exact-decimal sequential fold of a double array -> double.
+    DECIMAL(33,13): no representable decimal ties at |x| < 1e6, and the
+    unscaled sum stays under 2^53 for the final exact cast."""
+    return F.aggregate(
+        arr, F.lit(0).cast(_VDEC), lambda acc, x: (acc + x).cast(_VDEC)
+    ).cast("double")
+
+
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector — the
+    exact baseline for ANN (the LSH-bucketed path is
+    operators/similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q")
+    )
+    v = F.col("embedding").cast("array<double>")
+    dot = _vfold(F.zip_with(v, F.col("q"), lambda x, y: (x * y).cast(_VDEC)))
+    n1 = _vfold(F.transform(v, lambda x: (x * x).cast(_VDEC)))
+    n2 = _vfold(F.transform(F.col("q"), lambda x: (x * x).cast(_VDEC)))
+    return (
+        emb.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", (dot / (F.sqrt(n1) * F.sqrt(n2))).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+pr AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x, unnest(qv) AS y
+       FROM embeddings, q WHERE vec_id > 0),
+s AS (SELECT vec_id, label,
+        CAST(SUM(CAST(x*y AS DECIMAL(33,13))) AS DOUBLE) AS dot,
+        CAST(SUM(CAST(x*x AS DECIMAL(33,13))) AS DOUBLE) AS n1,
+        CAST(SUM(CAST(y*y AS DECIMAL(33,13))) AS DOUBLE) AS n2
+      FROM pr GROUP BY vec_id, label)
+SELECT vec_id, label, dot/(sqrt(n1)*sqrt(n2)) AS cosine
+FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+# ======================================================================
+# Registry
+# ======================================================================
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
+    "q5_revenue_by_nation": (q5_revenue_by_nation, Q5_SQL),
+    "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
+    "rank_customers_by_segment": (rank_customers_by_segment, RANK_SQL),
+    "distinct_segments": (distinct_segments, DISTINCT_SQL),
+    "except_customers_without_orders": (except_customers_without_orders, EXCEPT_SQL),
+    "intersect_multi_status_customers": (intersect_multi_status_customers, INTERSECT_SQL),
+    "semi_join_open_order_customers": (semi_join_open_order_customers, SEMI_SQL),
+    "anti_join_customers_no_orders": (anti_join_customers_no_orders, ANTI_SQL),
+    "validate_customer_valid": (validate_customer_valid, VALIDATE_VALID_SQL),
+    "validate_customer_errors": (validate_customer_errors, VALIDATE_ERRORS_SQL),
+    "dedup_first_lineitem": (dedup_first_lineitem, DEDUP_FIRST_SQL),
+    "dedup_last_lineitem": (dedup_last_lineitem, DEDUP_LAST_SQL),
+    "dedup_exclude_all_lineitem": (dedup_exclude_all_lineitem, DEDUP_EXCLUDE_SQL),
+    "dedup_duplicates_lineitem": (dedup_duplicates_lineitem, DEDUP_DUPS_SQL),
+    "dedup_cascade_lineitem": (dedup_cascade_lineitem, DEDUP_CASCADE_SQL),
+    "rule_age_gte_skip_orders": (rule_age_gte_skip_orders, AGE_SKIP_SQL),
+    "rule_age_gte_invalid_orders": (rule_age_gte_invalid_orders, AGE_INVALID_SQL),
+    "projection_alias_orders": (projection_alias_orders, PROJECTION_SQL),
+    "pipeline_flagship": (pipeline_flagship, PIPELINE_FLAGSHIP_SQL),
+    "pipeline_summary_lineitem": (pipeline_summary_lineitem, PIPELINE_SUMMARY_SQL),
+    "events_tumbling_hourly": (events_tumbling_hourly, TUMBLING_SQL),
+    "events_sessionization": (events_sessionization, SESSION_SQL),
+    "events_json_extract": (events_json_extract, JSON_SQL),
+    "docs_token_stats": (docs_token_stats, TOKEN_STATS_SQL),
+    "docs_fingerprint_exact_dedup": (docs_fingerprint_exact_dedup, FINGERPRINT_SQL),
+    "docs_ngram_topk_similar": (docs_ngram_topk_similar, NGRAM_TOPK_SQL),
+    "docs_quality_scores": (docs_quality_scores, QUALITY_SQL),
+    "docs_language_id": (docs_language_id, LANG_SQL),
+    "emb_cosine_topk": (emb_cosine_topk, COSINE_TOPK_SQL),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -32,16 +32,23 @@ from pyspark.sql import functions as F
 RESOLUTIONS = ("first", "last", "exclude_all")
 
 
+def _order_list(order_col: str | Sequence[str]) -> list[str]:
+    return [order_col] if isinstance(order_col, str) else list(order_col)
+
+
 def dedupe(
     df: DataFrame,
     keys: Sequence[str],
     resolution: str = "first",
-    order_col: str = "_ingest_ord",
+    order_col: str | Sequence[str] = "_ingest_ord",
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(kept, duplicates)`` for one composite key.
 
-    ``order_col`` defines ingest order (the reference's DuckDB ROWID);
-    it must be unique for deterministic first/last picks.
+    ``order_col`` (a column or list of columns) defines ingest order
+    (the reference's DuckDB ROWID); the combination must be unique per
+    distinct row for deterministic first/last picks — ties between
+    fully-identical rows are harmless (either pick yields the same
+    output content).
     """
     if resolution not in RESOLUTIONS:
         raise ValueError(f"resolution must be one of {RESOLUTIONS}")
@@ -51,8 +58,11 @@ def dedupe(
         kept = counted.filter(F.col("__cnt") == 1).drop("__cnt")
         dups = counted.filter(F.col("__cnt") > 1).drop("__cnt")
         return kept, dups
-    ordering = F.col(order_col).asc() if resolution == "first" else F.col(order_col).desc()
-    w = Window.partitionBy(*keys).orderBy(ordering)
+    cols = _order_list(order_col)
+    ordering = [
+        (F.col(c).asc() if resolution == "first" else F.col(c).desc()) for c in cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
     ranked = df.withColumn("__rn", F.row_number().over(w))
     kept = ranked.filter(F.col("__rn") == 1).drop("__rn")
     dups = ranked.filter(F.col("__rn") > 1).drop("__rn")
@@ -63,7 +73,7 @@ def dedupe_cascade(
     df: DataFrame,
     composite_keys: Sequence[Sequence[str]],
     resolution: str = "first",
-    order_col: str = "_ingest_ord",
+    order_col: str | Sequence[str] = "_ingest_ord",
 ) -> tuple[DataFrame, DataFrame]:
     """Sequential multi-key dedup (reference main.py:106,158): each key
     dedups the output of the previous one; captured duplicates are
@@ -82,16 +92,17 @@ def dedupe_keep_only(
     df: DataFrame,
     keys: Sequence[str],
     resolution: str = "first",
-    order_col: str = "_ingest_ord",
+    order_col: str | Sequence[str] = "_ingest_ord",
 ) -> DataFrame:
     """Scale-path variant returning only the kept rows via
     ``min_by/max_by(struct(*), order)`` aggregation — partial
     (map-side) aggregation shrinks the shuffle before it happens,
     unlike the window form which shuffles every row."""
+    ord_struct = F.struct(*[F.col(c) for c in _order_list(order_col)])
     if resolution == "exclude_all":
         return (
             df.groupBy(*keys)
-            .agg(F.min_by(F.struct(*df.columns), F.col(order_col)).alias("__r"),
+            .agg(F.min_by(F.struct(*df.columns), ord_struct).alias("__r"),
                  F.count(F.lit(1)).alias("__c"))
             .filter(F.col("__c") == 1)
             .select("__r.*")
@@ -99,6 +110,6 @@ def dedupe_keep_only(
     picker = F.min_by if resolution == "first" else F.max_by
     return (
         df.groupBy(*keys)
-        .agg(picker(F.struct(*df.columns), F.col(order_col)).alias("__r"))
+        .agg(picker(F.struct(*df.columns), ord_struct).alias("__r"))
         .select("__r.*")
     )

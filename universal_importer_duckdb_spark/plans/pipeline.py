@@ -55,6 +55,7 @@ def run_pipeline(
     output_dir: str | None = None,
     fillna: dict[str, Any] | None = None,
     strict_required: bool = False,
+    order_cols: list[str] | None = None,
 ) -> PipelineResult:
     """Run the full pipeline for ``entity``.
 
@@ -91,10 +92,14 @@ def run_pipeline(
 
     composite_keys = settings.get("unique_composite", []) or []
     resolution = settings.get("duplicate_resolution", "first")
-    order_col = ingest or INGEST_ORD
-    if composite_keys and order_col in valid.columns:
-        kept, dups = dedupe_cascade(valid, composite_keys, resolution, order_col)
-        summary.duplicates_removed = dups.count()
+    order: list[str] = order_cols or [ingest or INGEST_ORD]
+    if composite_keys and all(c in valid.columns for c in order):
+        kept, dups = dedupe_cascade(valid, composite_keys, resolution, order)
+        # cache the kept side (rules + projections + counts fan out of
+        # it); duplicates_removed is derived arithmetically so the dups
+        # branch is only ever computed when exporting error files
+        kept = kept.cache()
+        summary.duplicates_removed = summary.valid_records - kept.count()
     else:
         kept, dups = valid, valid.limit(0)
     result.duplicates = dups

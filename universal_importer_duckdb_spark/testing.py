@@ -1,0 +1,76 @@
+"""DuckDB-as-oracle differential harness (SURVEY.md §5 test plan).
+
+Emulates the driver's t2 check: run a Spark query and its oracle SQL
+on the same parquet tables, then compare row count + column names/
+order-insensitive sorted values. Comparison is EXACT (no tolerance):
+queries are designed for bit-identical floats via exact decimal
+aggregation (see functions/numeric.py), so any drift is a bug.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duckdb_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _sorted_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    projected = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(projected, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+
+def compare(spark_df, con, sql: str, name: str = "?") -> None:
+    """Raise AssertionError with a diff preview on any mismatch."""
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    cur = con.execute(sql)
+    d_cols = [d[0] for d in cur.description]
+    d_rows = [tuple(r) for r in cur.fetchall()]
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"[{name}] column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"[{name}] row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    s_sorted = _sorted_rows(s_cols, s_rows)
+    d_sorted = _sorted_rows(d_cols, d_rows)
+    for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
+        assert a == b, (
+            f"[{name}] first differing row #{i}:\n  spark : {a}\n  duckdb: {b}"
+        )
