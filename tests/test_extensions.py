@@ -1,0 +1,192 @@
+"""Tests for the LLM-data-pipeline extension operators: text dedup
+(minhash/simhash/exact), similarity search, text analysis, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),          # near-dup of 0
+        (2, BASE),                                     # exact dup of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "el rapido zorro marron salta sobre el perro perezoso en el jardin de la casa"),
+        (5, "numbers 123 456 789 000 111 222 333 444 555 666 777 888 999 101 202"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups_identical_content(docs):
+    from universal_importer_duckdb_spark.operators.dedup_text import exact_dedup
+
+    out = {r.kept_doc_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 2 collapse, min id kept
+    assert out[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from universal_importer_duckdb_spark.operators.dedup_text import minhash_lsh_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.7
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_simhash_near_pairs(docs):
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        simhash_64,
+        simhash_near_pairs,
+    )
+
+    fps = {r.doc_id: r.simhash for r in simhash_64(docs).collect()}
+    assert fps[0] == fps[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(docs, max_hamming=16).collect()}
+    assert pairs.get((0, 2)) == 0
+    assert (0, 1) in pairs
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    from universal_importer_duckdb_spark.operators.dedup_text import minhash_signatures
+
+    s1 = {r.doc_id: r.signature for r in minhash_signatures(docs, num_perm=16).collect()}
+    s2 = {r.doc_id: r.signature for r in minhash_signatures(docs.repartition(3), num_perm=16).collect()}
+    assert s1 == s2
+    assert all(len(sig) == 16 for sig in s1.values())
+
+
+def test_cosine_topk_exact(spark):
+    from universal_importer_duckdb_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = [r.vec_id for r in cosine_topk(df, [1.0, 0.0, 0.0], k=2).collect()]
+    assert got == [1, 2]
+
+
+def test_lsh_ann_recall_on_testdata(spark, sf_dir):
+    from universal_importer_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    qv = [float(x) for x in qv]
+    rest = emb.filter(F.col("vec_id") > 0)
+    exact = [r.vec_id for r in cosine_topk(rest, qv, k=10).collect()]
+    approx = [r.vec_id for r in lsh_ann_topk(rest, qv, k=10, n_planes=6, max_probe_hamming=2).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5  # multi-probe LSH should recover most of top-10
+
+
+def test_embedding_near_pairs_finds_planted_duplicate(spark):
+    from universal_importer_duckdb_spark.operators.similarity import embedding_near_pairs
+
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    rows = [(1, base), (2, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id bigint, embedding array<float>"
+    )
+    pairs = {(r.id_a, r.id_b): r.cosine for r in embedding_near_pairs(df, 0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+
+
+def test_quality_filter_and_signals(docs):
+    from universal_importer_duckdb_spark.operators.text_analysis import quality_filter
+
+    kept, rejected = quality_filter(docs, min_tokens=5, max_digit_ratio=0.2)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    rej_ids = {r.doc_id for r in rejected.collect()}
+    assert 5 in rej_ids  # digit-heavy doc rejected
+    assert 0 in kept_ids
+    assert kept_ids | rej_ids == {0, 1, 2, 3, 4, 5}
+
+
+def test_language_scores_argmax(docs):
+    from universal_importer_duckdb_spark.operators.text_analysis import language_scores
+
+    preds = {r.doc_id: r.pred_lang for r in language_scores(docs).collect()}
+    assert preds[0] == "en"
+    assert preds[4] == "es"
+
+
+def test_bpe_ish_token_count(spark):
+    from universal_importer_duckdb_spark.operators.text_analysis import bpe_ish_token_count
+
+    df = spark.createDataFrame([("hello world",), ("internationalization",)], "text string")
+    counts = [r.n for r in df.select(bpe_ish_token_count("text").alias("n")).collect()]
+    # hello(1+floor(5/4)=2) + world(2) = 4; internationalization: 1+floor(20/4)=6
+    assert counts == [4, 6]
+
+
+def test_rolling_fingerprint_robust_to_distant_edit(spark):
+    from universal_importer_duckdb_spark.operators.text_analysis import content_fingerprints
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a + " omega"  # tail edit: rolling min-window fingerprint often survives
+    df = spark.createDataFrame([(1, a), (2, b), (3, "unrelated words entirely here")],
+                               "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in content_fingerprints(df).collect()}
+    assert rows[1].md5_fingerprint != rows[2].md5_fingerprint
+    # bottom-k sketches of near-identical docs overlap heavily...
+    assert len(set(rows[1].rolling_fingerprint) & set(rows[2].rolling_fingerprint)) >= 2
+    # ...and unrelated docs share nothing
+    assert not set(rows[1].rolling_fingerprint) & set(rows[3].rolling_fingerprint)
+
+
+def test_multimodal_image_features(spark):
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        extract_image_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG fake bytes here")), (2, bytearray(b"\xff\xd8JPEG other bytes"))],
+        "item_id bigint, payload binary",
+    )
+    media = attach_media_column(df, "payload", "image/png", "item_id")
+    feats = extract_image_features(media)
+    rows = {r.item_id: r for r in feats.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_bytes == 20
+    assert rows[1].width >= 16 and 0 <= rows[1].mean_luma <= 1
+    # determinism across partitionings
+    feats2 = {r.item_id: r.width for r in extract_image_features(media.repartition(2)).collect()}
+    assert feats2 == {k: v.width for k, v in rows.items()}
+
+
+def test_multimodal_frame_sampling(spark):
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"x" * 10000))], "item_id bigint, payload binary")
+    media = attach_media_column(df, "payload", "video/mp4", "item_id")
+    frames = sample_frames(media, every_n_bytes=4096)
+    assert frames.count() == 2  # floor(10000/4096) = 2 offsets (0, 1)

@@ -39,4 +39,15 @@ def test_queries_oracle_keys_subset():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 30
+    assert len(q) >= 40
+
+
+ROWS_ONLY = sorted(n for n, (_, sql) in eq.REGISTRY.items() if sql is None)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    fn, _ = eq.REGISTRY[name]
+    df = fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

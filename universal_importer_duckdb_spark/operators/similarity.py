@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk         — exact brute-force top-k vs a query vector (the
+                        correctness baseline; O(n·d) scan, no shuffle
+                        beyond the final top-k)
+- lsh_ann_topk        — random-hyperplane LSH bucket filter + exact
+                        re-rank (the 100 TB path: the scan touches only
+                        candidate buckets; bucket key is precomputable
+                        and partition-prunable when stored)
+- embedding_near_pairs — all-pairs cosine near-dup via shared-bucket
+                        join (never O(n²))
+
+Hyperplanes are generated from a seeded PRNG on the driver (tiny:
+n_planes × dim floats) and broadcast as literal arrays; bucket
+signatures are computed with JVM higher-order functions — no UDFs.
+
+Determinism: exact scores route per-element products through
+DECIMAL(33,13) (see entry_queries module docstring) so results are
+reproducible bit-for-bit across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(33,13)"
+
+
+def _fold_dec(arr):
+    return F.aggregate(
+        arr, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
+    ).cast("double")
+
+
+def dot_product(a, b):
+    return _fold_dec(F.zip_with(a, b, lambda x, y: (x * y).cast(_DEC)))
+
+
+def norm2(a):
+    return F.sqrt(_fold_dec(F.transform(a, lambda x: (x * x).cast(_DEC))))
+
+
+def cosine(a, b):
+    return dot_product(a, b) / (norm2(a) * norm2(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(F.col(id_col), cosine(v, q).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def bucket_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit signature: bit p set iff dot(v, plane_p) > 0. Plain
+    double arithmetic — the signature is a partition/cluster key, not
+    a score, so cross-engine exactness is not required."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = v.cast("array<double>")
+    bits = []
+    for p, plane in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, pl, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+        )
+        bits.append(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    max_probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to vectors whose
+    bucket signature is within ``max_probe_hamming`` bits of the
+    query's (multi-probe LSH). Recall/cost dial: 0 probes scans ~n/2^p
+    of the data."""
+    dim = len(query_vec)
+    planes = _hyperplanes(n_planes, dim, seed)
+    sig = bucket_signature(vec_col, planes)
+
+    # query signature computed on the driver (tiny)
+    qsig = 0
+    for p, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, plane)) > 0:
+            qsig |= 1 << p
+    bucketed = df.withColumn("bucket", sig)
+    cand = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qsig))) <= max_probe_hamming
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    cosine_threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 10,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: bucket on the full signature,
+    join within buckets, verify exact cosine. Recall is bounded by the
+    probability that near vectors share all sign bits — raise recall
+    by lowering n_planes or running multiple seeded repetitions."""
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(n_planes, dim, seed)
+    b = df.withColumn("bucket", bucket_signature(vec_col, planes))
+    sized = b.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    left = sized.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    right = sized.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+        .distinct()
+    )

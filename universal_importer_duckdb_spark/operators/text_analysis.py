@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting. All pure
+column expressions (whole-stage codegen; zero UDFs), reusable on any
+DataFrame with a text column. The oracle-checked query forms in
+entry_queries.py are thin wrappers over these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal stopword marker sets per language (expandable; deterministic).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "une"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+
+def tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col) -> Column:
+    """A BPE-approximating token estimate: word-pieces split on
+    non-alphanumerics plus length/4 continuation pieces (the standard
+    ~4-chars-per-token heuristic), without any model file."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(c, "[^a-zA-Z0-9]+")
+    pieces = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.when(F.length(w) == 0, 0).otherwise(
+            F.lit(1) + F.floor(F.length(w) / 4)
+        ).cast("bigint"),
+    )
+    return pieces
+
+
+def marker_hits(col, markers: tuple[str, ...]) -> Column:
+    toks = tokens(col)
+    total = None
+    for m in markers:
+        h = F.size(F.filter(toks, (lambda mm: (lambda w: w == F.lit(mm)))(m))).cast("bigint")
+        total = h if total is None else total + h
+    return total
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds one ``score_{lang}`` column per language (marker hits per
+    token) and a ``pred_lang`` argmax column."""
+    out = df
+    toks = token_count(text_col)
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(
+            f"score_{lang}", marker_hits(text_col, markers) / toks
+        )
+    best = None
+    for lang in LANG_MARKERS:
+        score = F.col(f"score_{lang}")
+        if best is None:
+            best = F.struct(score.alias("s"), F.lit(lang).alias("l"))
+        else:
+            best = F.when(score > best["s"], F.struct(score.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
+    return out.withColumn("pred_lang", best["l"])
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard quality-filter signals (Gopher/C4-style heuristics):
+    length, token stats, alpha/digit/punct ratios, stopword ratio,
+    repetition (unique-token ratio)."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("bigint")
+    return df.select(
+        "*",
+        F.length(c).alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        (F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.length(c)).alias("q_alpha_ratio"),
+        (F.length(F.regexp_replace(c, "[^0-9]", "")) / F.length(c)).alias("q_digit_ratio"),
+        (F.length(F.regexp_replace(c, "[^.,;:!?]", "")) / F.length(c)).alias("q_punct_ratio"),
+        (F.size(F.array_distinct(toks)) / n_tok).alias("q_unique_token_ratio"),
+        (marker_hits(text_col, LANG_MARKERS["en"]) / n_tok).alias("q_stopword_ratio"),
+        ((F.length(c) - (n_tok - F.lit(1))) / n_tok).alias("q_mean_token_len"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    min_alpha_ratio: float = 0.5,
+    max_digit_ratio: float = 0.3,
+    min_unique_token_ratio: float = 0.1,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, rejected) split on the quality signals — same
+    error-as-data shape as the schema validator (SURVEY.md §7.3)."""
+    scored = quality_signals(df, text_col)
+    ok = (
+        (F.col("q_n_tokens") >= min_tokens)
+        & (F.col("q_alpha_ratio") >= min_alpha_ratio)
+        & (F.col("q_digit_ratio") <= max_digit_ratio)
+        & (F.col("q_unique_token_ratio") >= min_unique_token_ratio)
+    )
+    return scored.filter(ok), scored.filter(~ok)
+
+
+def rolling_fingerprint(col, window: int = 8, k: int = 4) -> Column:
+    """Winnowing-style document sketch: the k smallest xxhash64 values
+    over rolling token windows — robust to local edits (a bounded edit
+    disturbs at most ``window`` of the hashes), unlike whole-text md5.
+    Compare sketches by overlap (bottom-k MinHash estimates Jaccard)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0)))
+    win_hashes = F.transform(
+        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    )
+    return F.slice(F.array_sort(F.array_distinct(win_hashes)), 1, k)
+
+
+def content_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.col(text_col))).alias("md5_fingerprint"),
+        rolling_fingerprint(text_col).alias("rolling_fingerprint"),
+    )

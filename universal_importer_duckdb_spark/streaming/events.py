@@ -1,0 +1,133 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference has no streaming at all (SURVEY.md §2.9); these are the
+Spark-native streaming analogs of its batch stages, built from
+readStream → watermark → windowed/stateful ops → writeStream:
+
+- stream_events            — file-streaming source over the parquet dir
+- tumbling_counts          — watermarked tumbling-window counts/sums
+- sliding_counts           — overlapping windows
+- session_counts           — session_window aggregation (gap-based)
+- dedup_within_watermark   — streaming analog of the reference's D1
+                             dedup: dropDuplicatesWithinWatermark
+- run_available_now        — test/driver helper: drain the source with
+                             availableNow into a memory sink
+
+Late data: the watermark bounds state (events later than the watermark
+delay are dropped from aggregations) — this is what makes the state
+store survive unbounded streams; batch has no equivalent concern.
+
+events.parquet carries TIMESTAMP(NANOS); with
+spark.sql.legacy.parquet.nanosAsLong the raw column is bigint nanos,
+converted here to a proper timestamp via timestamp_micros(ns/1000)
+(microsecond truncation) so event-time semantics work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    # integer DIV: double division loses precision at 1e18 ns
+    return df.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/")
+    )
+    return _with_event_time(raw.filter(F.col("event_id").isNotNull()))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(15,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user (stateful; watermark bounds
+    open-session state)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming analog of the reference's first-wins dedup (D1/D2):
+    keeps the first event per event_id seen within the watermark
+    horizon; state for old keys is reclaimed as the watermark advances
+    — the only way streaming dedup stays bounded on an infinite
+    stream."""
+    return events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain all available input (availableNow trigger) into an
+    in-memory table and return it as a batch DataFrame — used by tests
+    and the driver smoke path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
