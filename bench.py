@@ -47,8 +47,12 @@ def main() -> int:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM + parquet footer caches with a trivial job
+    # warm the JVM (codegen paths) and the parquet footer metadata —
+    # a real cluster amortizes both across the session
     spark.range(1000).count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
 
     timings: dict[str, float] = {}
     q = eq.queries()

@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.0)],
+        "id bigint, name string, score double",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_parquet_roundtrip(spark, sample, tmp_path):
+    from universal_importer_duckdb_spark.sources import read_parquet, write_parquet
+
+    p = str(tmp_path / "t.parquet")
+    write_parquet(sample, p)
+    assert _rows(read_parquet(spark, p)) == _rows(sample)
+
+
+def test_parquet_partitioned_writes_directories(spark, sample, tmp_path):
+    import os
+
+    from universal_importer_duckdb_spark.sources import write_parquet
+
+    p = str(tmp_path / "part.parquet")
+    write_parquet(sample, p, partition_by=["id"])
+    assert any(d.startswith("id=") for d in os.listdir(p))
+
+
+def test_json_roundtrip(spark, sample, tmp_path):
+    from universal_importer_duckdb_spark.sources.readers import read_json
+    from universal_importer_duckdb_spark.sources.writers import write_json
+
+    p = str(tmp_path / "t.json")
+    write_json(sample, p)
+    got = read_json(spark, p, schema="id bigint, name string, score double")
+    assert _rows(got) == _rows(sample)
+
+
+def test_orc_roundtrip(spark, sample, tmp_path):
+    from universal_importer_duckdb_spark.sources.readers import read_orc
+    from universal_importer_duckdb_spark.sources.writers import write_orc
+
+    p = str(tmp_path / "t.orc")
+    write_orc(sample, p)
+    assert _rows(read_orc(spark, p)) == _rows(sample)
+
+
+def test_read_source_dispatch(spark, sample, tmp_path):
+    from universal_importer_duckdb_spark.sources.readers import read_source
+    from universal_importer_duckdb_spark.sources.writers import write_parquet
+
+    p = str(tmp_path / "d.parquet")
+    write_parquet(sample, p)
+    assert read_source(spark, p).count() == 3
+    with pytest.raises(ValueError, match="Unsupported source format"):
+        read_source(spark, "file.xyz")
+
+
+def test_csv_ingest_order_preserves_file_order(spark, tmp_path):
+    from universal_importer_duckdb_spark.sources.readers import read_csv_with_ingest_order
+
+    p = tmp_path / "rows.csv"
+    p.write_text("name\n" + "\n".join(f"row{i}" for i in range(20)) + "\n")
+    df = read_csv_with_ingest_order(spark, str(p))
+    got = {r.name: r._ingest_ord for r in df.collect()}
+    assert got == {f"row{i}": i + 1 for i in range(20)}

@@ -1044,3 +1044,63 @@ REGISTRY.update({
     "stream_tumbling_hourly": (stream_tumbling_hourly, None),
     "stream_dedup_within_watermark": (stream_dedup_within_watermark, None),
 })
+
+
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP subtotals (region, nation, grand total) — grouping-set
+    aggregation the reference lacks entirely (SURVEY.md §2.5 ABSENT)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            _msum(_dec("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name,
+  CAST(round(SUM(o_totalprice::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def sql_passthrough_revenue(spark, sf_dir):
+    """Arbitrary config-style SQL through spark.sql over entity-named
+    temp views — the reference's projection-SQL entry path
+    (SURVEY.md §3.2) with full Spark SQL power."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        SELECT c_mktsegment,
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """)
+
+
+SQL_PASSTHROUGH_SQL = """
+SELECT c_mktsegment,
+  CAST(round(SUM(o_totalprice::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+REGISTRY.update({
+    "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
+    "sql_passthrough_revenue": (sql_passthrough_revenue, SQL_PASSTHROUGH_SQL),
+})

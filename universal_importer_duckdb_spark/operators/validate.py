@@ -32,6 +32,7 @@ from universal_importer_duckdb_spark.config.schema_compiler import (
 
 ERRORS_COL = "errors"
 ROW_COL = "row"
+FLAG_COL = "__errs"
 
 
 def validate_dataframe(
@@ -39,7 +40,8 @@ def validate_dataframe(
     schema: CompiledSchema,
     fillna: dict[str, Any] | None = None,
     ingest_ord: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    return_flagged: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Split ``df`` into (valid, errors) under the compiled schema.
 
     ``valid`` has exactly the declared columns, coerced to their
@@ -64,18 +66,20 @@ def validate_dataframe(
         F.when(c.fail, F.lit(f"{c.field}: {c.message}")) for c in schema.constraints
     ]
     err_arr = F.array_compact(F.array(*msgs)) if msgs else F.array().cast("array<string>")
-    flagged = base.withColumn("__errs", err_arr)
+    flagged = base.withColumn(FLAG_COL, err_arr)
 
-    valid = flagged.filter(F.size("__errs") == 0).select(
+    valid = flagged.filter(F.size(FLAG_COL) == 0).select(
         *[F.col(f.name).try_cast(SPARK_CAST[f.type]).alias(f.name) for f in schema.fields],
         *([F.col(ingest_ord)] if ingest_ord and ingest_ord in available else []),
     )
-    errors = flagged.filter(F.size("__errs") > 0)
+    errors = flagged.filter(F.size(FLAG_COL) > 0)
     if ingest_ord and ingest_ord in available:
         errors = errors.withColumn(ROW_COL, F.col(ingest_ord).cast("bigint"))
     else:
         errors = errors.withColumn(ROW_COL, F.lit(None).cast("bigint"))
-    errors = errors.withColumn(ERRORS_COL, F.concat_ws("; ", "__errs")).select(
+    errors = errors.withColumn(ERRORS_COL, F.concat_ws("; ", FLAG_COL)).select(
         *schema.columns, ROW_COL, ERRORS_COL
     )
+    if return_flagged:
+        return valid, errors, flagged
     return valid, errors

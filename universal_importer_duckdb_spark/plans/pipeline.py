@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from universal_importer_duckdb_spark.config.loader import load_config, validate_config
 from universal_importer_duckdb_spark.config.schema_compiler import compile_schema
@@ -74,10 +75,22 @@ def run_pipeline(
     summary = RunSummary(entity=entity)
 
     ingest = INGEST_ORD if INGEST_ORD in source_df.columns else None
-    valid, errors = validate_dataframe(source_df, schema, fillna=fillna, ingest_ord=ingest)
+    valid, errors, flagged = validate_dataframe(
+        source_df, schema, fillna=fillna, ingest_ord=ingest, return_flagged=True
+    )
     result.schema_errors = errors
-    summary.total_records = source_df.count()
-    summary.schema_errors = errors.count()
+    # Action economy: ONE aggregation pass yields total + error counts
+    # (valid is not cached — it is consumed exactly once, by the dedup
+    # window; caching it costs more than the one recomputation).
+    from universal_importer_duckdb_spark.operators.validate import FLAG_COL
+
+    crow = flagged.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.count_if(F.size(FLAG_COL) > 0).alias("e"),
+    ).collect()[0]
+    summary.total_records = crow.t
+    summary.schema_errors = crow.e
+    summary.valid_records = crow.t - crow.e
 
     # Stop gate: the reference reuses custom_validation_mode for this
     # decision (main.py:435-439 — setting conflation, kept for parity).
@@ -86,9 +99,6 @@ def run_pipeline(
         raise ValueError(
             f"Schema validation failed for {summary.schema_errors} rows in '{entity}'"
         )
-
-    valid = valid.cache()  # fan-out point: dedup + rules + projections reuse it
-    summary.valid_records = valid.count()
 
     composite_keys = settings.get("unique_composite", []) or []
     resolution = settings.get("duplicate_resolution", "first")
@@ -101,9 +111,11 @@ def run_pipeline(
         kept = kept.cache()
         summary.duplicates_removed = summary.valid_records - kept.count()
     else:
-        kept, dups = valid, valid.limit(0)
+        kept, dups = valid.cache(), valid.limit(0)
+        summary.duplicates_removed = 0
     result.duplicates = dups
 
+    kept_count = summary.valid_records - summary.duplicates_removed
     kept, issues = execute_custom_validations(kept, rules, mode=mode, today=today)
     result.custom_issues = issues
     summary.custom_validation_errors = sum(
@@ -120,7 +132,12 @@ def run_pipeline(
     )
     for name, df in result.projections.items():
         summary.projection_counts[name] = df.count()
-    summary.valid_records = stage.count()
+    # final record count: skip mode removed exactly the per-rule invalid
+    # rows (null-predicate rows are kept, matching the reference's
+    # DELETE semantics), so no extra scan is needed
+    summary.valid_records = kept_count - (
+        summary.custom_validation_errors if mode == "skip" else 0
+    )
     result.summary = summary
 
     if output_dir:

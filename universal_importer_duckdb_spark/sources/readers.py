@@ -51,3 +51,35 @@ def read_csv_with_ingest_order(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source (schema string recommended at scale — schema
+    inference is a full extra pass over the data)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+FORMAT_READERS = {
+    "csv": read_csv_with_ingest_order,
+    "parquet": read_parquet,
+    "json": read_json,
+    "orc": read_orc,
+}
+
+
+def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Format-dispatched read; format inferred from the extension when
+    not given (the config `source` key stays a bare path, as in the
+    reference)."""
+    if fmt is None:
+        fmt = path.rsplit(".", 1)[-1].lower()
+    if fmt not in FORMAT_READERS:
+        raise ValueError(f"Unsupported source format '{fmt}'")
+    return FORMAT_READERS[fmt](spark, path)

@@ -56,3 +56,13 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return path
+
+
+def write_json(df: DataFrame, path: str) -> str:
+    df.write.mode("overwrite").json(path)
+    return path
+
+
+def write_orc(df: DataFrame, path: str) -> str:
+    df.write.mode("overwrite").orc(path)
+    return path
