@@ -1,0 +1,76 @@
+"""Plan-quality regression tests: the physical plans behind the
+headline queries must keep predicate pushdown, column pruning, and
+broadcast joins (the properties that matter at 100 TB) — `.explain`
+as a test, per SURVEY.md's scale mandate."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from universal_importer_duckdb_spark import entry_queries as eq
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(eq.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the scan must not read the join keys
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q3_broadcasts_dimension_join(spark, sf_dir):
+    plan = _plan(eq.q3_top_unshipped(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(eq.q5_revenue_by_nation(spark, sf_dir))
+    # customer/nation/region joins all broadcast; no shuffle-side
+    # sort-merge join should appear for the dimension chain
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_dedup_single_exchange(spark, sf_dir):
+    import re
+
+    plan = _plan(eq.dedup_first_lineitem(spark, sf_dir))
+    # exactly one shuffle (the window partition keys); Spark also
+    # applies WindowGroupLimit BEFORE the exchange (map-side top-1 per
+    # key), which is precisely the 100 TB-friendly shape
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1
+    assert "Window" in plan
+    assert plan.index("WindowGroupLimit") < plan.index("Exchange")
+
+
+def test_validate_is_shuffle_free(spark, sf_dir):
+    plan = _plan(eq.validate_customer_valid(spark, sf_dir))
+    assert "Exchange" not in plan  # narrow map over the scan
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    semi = _plan(eq.semi_join_open_order_customers(spark, sf_dir))
+    anti = _plan(eq.anti_join_customers_no_orders(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "q3_top_unshipped", "top_customers"]
+)
+def test_no_cartesian_products_in_join_queries(spark, sf_dir, name):
+    fn, _ = eq.REGISTRY[name]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan

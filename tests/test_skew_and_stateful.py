@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salted_join_equals_plain_join(spark):
+    from universal_importer_duckdb_spark.functions.skew import salted_join
+
+    # skewed left: key 1 dominates
+    left = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, 900), (3, 901)], "k int, v int"
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k int, name string")
+    plain = left.join(right, "k").select("k", "v", "name")
+    salted = salted_join(left, right, ["k"], salt=4).select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from universal_importer_duckdb_spark.functions.skew import salted_join
+
+    left = spark.createDataFrame([(1, 1), (9, 2)], "k int, v int")
+    right = spark.createDataFrame([(1, "a")], "k int, name string")
+    out = salted_join(left, right, ["k"], salt=4, how="left")
+    rows = {r.k: r.name for r in out.collect()}
+    assert rows == {1: "a", 9: None}
+
+
+def test_salted_count_distinct_matches_exact(spark, sf_dir):
+    from universal_importer_duckdb_spark.functions.skew import salted_count_distinct
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {
+        r.o_orderstatus: r.n
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    salted = {
+        r.o_orderstatus: r.n_distinct_o_custkey
+        for r in salted_count_distinct(orders, "o_orderstatus", "o_custkey").collect()
+    }
+    assert salted == exact
+
+
+def test_stateful_running_user_stats(spark, sf_dir):
+    from universal_importer_duckdb_spark.streaming.events import (
+        run_available_now,
+        stream_events,
+    )
+    from universal_importer_duckdb_spark.streaming.stateful import running_user_stats
+
+    stream = stream_events(spark, sf_dir)
+    got = run_available_now(
+        running_user_stats(stream), "t_stateful", output_mode="update"
+    )
+    # with availableNow the final update per user equals the batch totals
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    )
+    expected = {r.user_id: (r.n, float(r.tv)) for r in batch.collect()}
+    # memory sink in update mode may hold one row per micro-batch per
+    # user; the max n_events row is the final state
+    from collections import defaultdict
+
+    final: dict = defaultdict(lambda: (0, 0.0))
+    for r in got.collect():
+        if r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    assert dict(final) == expected

@@ -1104,3 +1104,103 @@ REGISTRY.update({
     "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
     "sql_passthrough_revenue": (sql_passthrough_revenue, SQL_PASSTHROUGH_SQL),
 })
+
+
+def q12_priority_shipmode(spark, sf_dir):
+    """Conditional aggregation (TPC-H q12 shape): urgent vs other
+    order counts per linestatus."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """Outer-join distribution (TPC-H q13 shape): how many customers
+    have k orders, including k = 0."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H q17 shape), decorrelated as a
+    per-part aggregate join: lineitems below 20%% of their part's
+    average quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_per_part), li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            _msum(_dec("l_extendedprice"), "total_price"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH a AS (
+  SELECT l_partkey AS ap_partkey,
+         CAST(SUM(l_quantity::DECIMAL(15,2)) AS DOUBLE)/COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(round(SUM(l_extendedprice::DECIMAL(15,2)), 2) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_small
+FROM lineitem JOIN a ON l_partkey = ap_partkey
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def like_filter_parts(spark, sf_dir):
+    """String pattern scan: LIKE with leading/trailing wildcards plus a
+    conjunction filter — the shape whose pushdown matters at scale."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").like("%widget%") & (F.col("p_size") >= 10)
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+LIKE_SQL = """
+SELECT p_partkey, p_name, p_brand, p_size FROM part
+WHERE p_name LIKE '%widget%' AND p_size >= 10
+"""
+
+
+REGISTRY.update({
+    "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "like_filter_parts": (like_filter_parts, LIKE_SQL),
+})
