@@ -22,7 +22,9 @@ def _plan(df) -> str:
 
 def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
     plan = _plan(eq.q1_pricing_summary(spark, sf_dir))
-    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # (no IsNotNull here: constraint propagation is disabled — see
+    # session.py; the user filter itself still reaches the scan)
+    assert "LessThanOrEqual(l_shipdate,1998-09-02" in plan
     # projection pruning: the scan must not read the join keys
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_orderkey" not in read_schema

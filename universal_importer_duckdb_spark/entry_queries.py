@@ -1204,3 +1204,105 @@ REGISTRY.update({
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "like_filter_parts": (like_filter_parts, LIKE_SQL),
 })
+
+
+def rolling_customer_spend(spark, sf_dir):
+    """Explicit window frame (ROWS BETWEEN): 3-order rolling spend per
+    customer in order-date order — frame specs the reference lacks
+    (SURVEY.md §2.6 ABSENT)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(_dec("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("rolling_spend_3"),
+    )
+
+
+ROLLING_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(round(SUM(o_totalprice::DECIMAL(15,2)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_spend_3
+FROM orders
+"""
+
+
+def monthly_revenue(spark, sf_dir):
+    """date_trunc time-bucketing of order revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            # DuckDB's date_trunc('month', ts) yields DATE; match it
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(
+            _msum(_dec("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+MONTHLY_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+  CAST(round(SUM(o_totalprice::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def union_all_key_space(spark, sf_dir):
+    """UNION ALL with source tagging (set op the reference only
+    approximates with client-side concat — SURVEY.md §2.7)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.lit("customer").alias("src")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.lit("supplier").alias("src")
+    )
+    return cust.unionByName(supp).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"), F.max("key").alias("max_key")
+    )
+
+
+UNION_SQL = """
+SELECT src, COUNT(*) AS n, MAX(key) AS max_key FROM (
+  SELECT c_custkey AS key, 'customer' AS src FROM customer
+  UNION ALL
+  SELECT s_suppkey AS key, 'supplier' AS src FROM supplier
+) GROUP BY src
+"""
+
+
+def in_subquery_sql(spark, sf_dir):
+    """IN (subquery) through the SQL surface — Catalyst rewrites it to
+    a semi join (the reference's dedup membership-test shape,
+    main.py:112-117)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """)
+
+
+IN_SUBQUERY_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+"""
+
+
+REGISTRY.update({
+    "rolling_customer_spend": (rolling_customer_spend, ROLLING_SQL),
+    "monthly_revenue": (monthly_revenue, MONTHLY_SQL),
+    "union_all_key_space": (union_all_key_space, UNION_SQL),
+    "in_subquery_sql": (in_subquery_sql, IN_SUBQUERY_SQL),
+})

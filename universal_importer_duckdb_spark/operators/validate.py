@@ -62,24 +62,32 @@ def validate_dataframe(
     if fillna:
         base = base.na.fill({k: v for k, v in fillna.items() if k in schema.columns})
 
+    # NOTE: no array/higher-order functions here on purpose — an
+    # array_compact over dozens of nested CASE WHEN trees triggers
+    # quadratic expression re-canonicalization in Catalyst (heap
+    # blowup at ~60 constraints). A flat boolean OR chain + concat_ws
+    # (which skips NULLs) expresses the same semantics as plain trees.
+    fail_flags = [F.coalesce(c.fail, F.lit(False)) for c in schema.constraints]
+    has_err = fail_flags[0] if fail_flags else F.lit(False)
+    for f_ in fail_flags[1:]:
+        has_err = has_err | f_
     msgs = [
         F.when(c.fail, F.lit(f"{c.field}: {c.message}")) for c in schema.constraints
     ]
-    err_arr = F.array_compact(F.array(*msgs)) if msgs else F.array().cast("array<string>")
-    flagged = base.withColumn(FLAG_COL, err_arr)
+    flagged = base.withColumn(FLAG_COL, has_err)
 
-    valid = flagged.filter(F.size(FLAG_COL) == 0).select(
+    valid = flagged.filter(~F.col(FLAG_COL)).select(
         *[F.col(f.name).try_cast(SPARK_CAST[f.type]).alias(f.name) for f in schema.fields],
         *([F.col(ingest_ord)] if ingest_ord and ingest_ord in available else []),
     )
-    errors = flagged.filter(F.size(FLAG_COL) > 0)
+    errors = flagged.filter(F.col(FLAG_COL))
     if ingest_ord and ingest_ord in available:
         errors = errors.withColumn(ROW_COL, F.col(ingest_ord).cast("bigint"))
     else:
         errors = errors.withColumn(ROW_COL, F.lit(None).cast("bigint"))
-    errors = errors.withColumn(ERRORS_COL, F.concat_ws("; ", FLAG_COL)).select(
-        *schema.columns, ROW_COL, ERRORS_COL
-    )
+    errors = errors.withColumn(
+        ERRORS_COL, F.concat_ws("; ", *msgs) if msgs else F.lit("")
+    ).select(*schema.columns, ROW_COL, ERRORS_COL)
     if return_flagged:
         return valid, errors, flagged
     return valid, errors

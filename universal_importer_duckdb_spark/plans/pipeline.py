@@ -86,7 +86,7 @@ def run_pipeline(
 
     crow = flagged.agg(
         F.count(F.lit(1)).alias("t"),
-        F.count_if(F.size(FLAG_COL) > 0).alias("e"),
+        F.count_if(F.col(FLAG_COL)).alias("e"),
     ).collect()[0]
     summary.total_records = crow.t
     summary.schema_errors = crow.e

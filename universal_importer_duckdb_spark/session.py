@@ -20,6 +20,11 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # driver memory must reach the JVM launcher BEFORE the gateway
+    # starts — a builder config is silently ignored in local mode
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -33,6 +38,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # constraint propagation is combinatorial over wide validation
+        # predicates (60-term OR chains x 24 aliased casts -> driver
+        # OOM); the inference it buys is marginal for these plans
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -48,6 +57,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.constraintPropagation.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)
