@@ -43,6 +43,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # wide validation predicates blow up constraint propagation
+    # (see session.py); guard any externally-built session too
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

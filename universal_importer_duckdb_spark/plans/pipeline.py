@@ -165,9 +165,21 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--output_dir", default="output")
     args = parser.parse_args(argv)
 
-    spark = get_spark(app_name=f"pipeline-{args.entity}")
-    config = load_config(args.config)
-    result = run_pipeline(spark, config, args.entity, output_dir=args.output_dir)
+    # typed error handling mirroring the reference's except blocks
+    # (reference main.py:496-505: print and exit, no traceback)
+    try:
+        spark = get_spark(app_name=f"pipeline-{args.entity}")
+        config = load_config(args.config)
+        result = run_pipeline(spark, config, args.entity, output_dir=args.output_dir)
+    except FileNotFoundError as e:
+        print(f"File not found: {e}")
+        return 1
+    except KeyError as e:
+        print(f"Configuration error: {e}")
+        return 1
+    except ValueError as e:
+        print(f"Validation error: {e}")
+        return 1
     print(result.summary.report())
     return 0
 
