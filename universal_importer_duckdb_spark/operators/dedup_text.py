@@ -69,11 +69,15 @@ def minhash_signatures(
         # PySpark pass the array index as the second argument
         return lambda s: F.xxhash64(F.lit(i), s)
 
-    sh = shingles(text_col, shingle_n)
+    # materialize shingles as a real column FIRST: inlining the shingle
+    # expression into each of the num_perm array_min terms would
+    # re-evaluate the (quadratic array_distinct) shingle build
+    # num_perm times per row (measured 30x slowdown)
+    with_sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("__sh"))
     sig = F.array(
-        *[F.array_min(F.transform(sh, perm_hash(i))) for i in range(num_perm)]
+        *[F.array_min(F.transform(F.col("__sh"), perm_hash(i))) for i in range(num_perm)]
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return with_sh.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -85,17 +89,25 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 50,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash, verified with exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
 
     bands must divide num_perm; rows-per-band r = num_perm//bands sets
     the S-curve threshold ≈ (1/bands)^(1/r).
+
+    ``cache_intermediate`` persists the signature/shingle frames that
+    feed both sides of the self-joins (signatures are num_perm*8 bytes
+    per doc — tiny; shingle sets are corpus-sized, trade memory for
+    the recompute on the verify join).
     """
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    if cache_intermediate:
+        sigs = sigs.cache()
 
     banded = sigs.select(
         id_col,
@@ -126,6 +138,8 @@ def minhash_lsh_pairs(
     )
 
     sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    if cache_intermediate:
+        sh = sh.cache()
     verified = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
