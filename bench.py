@@ -23,6 +23,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q9_profit_by_nation_year",
+    "q18_large_orders",
     "top_customers",
     "rank_customers_by_segment",
     "dedup_first_lineitem",

@@ -76,3 +76,44 @@ def test_no_cartesian_products_in_join_queries(spark, sf_dir, name):
     fn, _ = eq.REGISTRY[name]
     plan = _plan(fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q6_all_filters_pushed_and_pruned(spark, sf_dir):
+    plan = _plan(eq.q6_forecast_revenue(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    # all five predicates reach the parquet scan
+    for frag in [
+        "GreaterThanOrEqual(l_shipdate,1996-01-01",
+        "LessThan(l_shipdate,1997-01-01",
+        "GreaterThanOrEqual(l_discount,0.02)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ]:
+        assert frag in pushed
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema  # 4-column scan of a 11-col table
+    assert "l_tax" not in read_schema
+
+
+def test_q9_star_joins_all_broadcast(spark, sf_dir):
+    plan = _plan(eq.q9_profit_by_nation_year(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan  # fact table never shuffled for a join
+
+
+def test_q4_exists_is_broadcast_semi_join(spark, sf_dir):
+    plan = _plan(eq.q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_top_k_avoids_global_sort(spark, sf_dir):
+    plan = _plan(eq.q18_large_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
+
+
+def test_q22_scalar_threshold_is_broadcast(spark, sf_dir):
+    plan = _plan(eq.q22_idle_rich_customers(spark, sf_dir))
+    # 1-row aggregate joined via broadcast nested loop, never cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

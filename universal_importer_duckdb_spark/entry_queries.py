@@ -1309,3 +1309,456 @@ REGISTRY.update({
     "union_all_key_space": (union_all_key_space, UNION_SQL),
     "in_subquery_sql": (in_subquery_sql, IN_SUBQUERY_SQL),
 })
+
+
+# ======================================================================
+# TPC-H breadth batch 2: q4/q6/q7/q9/q10/q14/q15/q16/q18/q19/q22
+# shapes (adapted to the synthetic tables: no partsupp, no
+# l_commitdate/l_receiptdate), plus CUBE and pivot
+# ======================================================================
+
+def q4_order_priority(spark, sf_dir):
+    """EXISTS with a cross-side inequality (q4 shape, adapted: lineitem
+    shipped after its order date stands in for commit/receipt lag)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """Single-scan filtered aggregate (q6): the shape where predicate
+    pushdown to the parquet reader is the whole game at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_msum(ext * disc, "revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*l_discount::DECIMAL(9,4)), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """Two-nation shipping volume by year (q7): the same dimension
+    table broadcast twice under different roles."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(_msum(ext * (_one() - disc), "revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       date_part('year', l_shipdate) AS l_year,
+       CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q9_profit_by_nation_year(spark, sf_dir):
+    """Profit rollup (q9 shape; p_retailprice*quantity stands in for
+    the absent partsupp supplycost)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    cost = _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(_msum(ext * (_one() - disc) - cost, "sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, date_part('year', l_shipdate) AS o_year,
+  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))
+              - p_retailprice::DECIMAL(15,2)*l_quantity::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """Top-20 customers by returned-item revenue (q10)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_msum(ext * (_one() - disc), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """Promotion revenue share (q14): conditional sum over a broadcast
+    part join; double division of two exact decimals is bit-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    rev = ext * (_one() - disc)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(5,4)"))).cast("double")
+    total = F.sum(rev).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0) * promo / total).alias("promo_revenue_pct"))
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))
+    ELSE 0::DECIMAL(5,4) END) AS DOUBLE)
+  / CAST(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """Suppliers achieving the maximum quarterly revenue (q15): scalar
+    MAX subquery joined back on exact equality (exact because both
+    sides derive from the same exact-decimal rounding)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_msum(ext * (_one() - disc), "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q16_supplier_part_count(spark, sf_dir):
+    """COUNT(DISTINCT) per part attribute (q16 shape, supplier keys
+    taken from lineitem in lieu of partsupp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+GROUP BY 1, 2, 3
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """Large-volume orders (q18): HAVING on a grouped sum, joined back
+    to orders and customers."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_okey"))
+        .agg(_msum(_dec("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == F.col("big_okey"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey AS big_okey,
+        CAST(round(SUM(l_quantity::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum_qty > 250) ON o_orderkey = big_okey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """Disjunction of conjunctive brand/size/quantity ranges (q19):
+    the OR-of-ANDs predicate Catalyst must not lose under pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(_msum(ext * (_one() - disc), "revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+Q19_SQL = """
+SELECT CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle_rich_customers(spark, sf_dir):
+    """Customers above the global positive-balance average with no
+    orders (q22 shape): scalar-average subquery + anti join, grouped
+    by market segment. The average routes through an exact decimal sum
+    so the threshold is bit-identical across engines."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _msum(_dec("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  CAST(round(SUM(c_acctbal::DECIMAL(15,2)), 2) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(c_acctbal::DECIMAL(15,2)) AS DOUBLE)/COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def cheapest_supplier_per_part(spark, sf_dir):
+    """Per-group argmin (q2 shape, lineitem unit price in lieu of
+    partsupp supplycost): window min with full-row tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "unit_price", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", unit)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "unit_price")
+    )
+
+
+CHEAPEST_SQL = """
+SELECT l_partkey, l_suppkey, unit_price FROM (
+  SELECT l_partkey, l_suppkey, l_extendedprice/l_quantity AS unit_price,
+    row_number() OVER (PARTITION BY l_partkey
+      ORDER BY l_extendedprice/l_quantity, l_suppkey, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def cube_revenue(spark, sf_dir):
+    """CUBE over (region, nation): all grouping-set combinations
+    (complements rollup_revenue)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .cube("r_name", "n_name")
+        .agg(
+            _msum(_dec("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT r_name, n_name,
+  CAST(round(SUM(o_totalprice::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, n_name)
+"""
+
+
+def pivot_status_by_segment(spark, sf_dir):
+    """Pivot order statuses into columns per market segment — Spark's
+    pivot() surfaced with a CASE-sum oracle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "c_mktsegment",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT c_mktsegment,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+REGISTRY.update({
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_part_count": (q16_supplier_part_count, Q16_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
+    "cheapest_supplier_per_part": (cheapest_supplier_per_part, CHEAPEST_SQL),
+    "cube_revenue": (cube_revenue, CUBE_SQL),
+    "pivot_status_by_segment": (pivot_status_by_segment, PIVOT_SQL),
+})
