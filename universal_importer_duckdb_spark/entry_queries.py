@@ -1746,7 +1746,88 @@ GROUP BY c_mktsegment
 """
 
 
+# ======================================================================
+# Temporal joins: as-of and interval range join (operators/temporal.py)
+# ======================================================================
+
+def events_asof_last_click(spark, sf_dir):
+    """For each purchase, the user's most recent click at-or-before it
+    (as-of backward join) — one shuffle on user_id via the
+    union+window formulation, matching DuckDB ASOF JOIN semantics."""
+    from universal_importer_duckdb_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        right_value_cols=["event_id", "ts", "value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.col("asof_event_id").alias("click_event_id"),
+        F.expr("asof_ts DIV 1000").alias("click_ts_us"),
+        F.col("asof_value").alias("click_value"),
+    )
+
+
+ASOF_SQL = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.event_id AS click_event_id, epoch_us(c.ts) AS click_ts_us,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+_NS_5MIN = 300_000_000_000
+
+
+def events_range_join_error_windows(spark, sf_dir):
+    """Clicks falling inside the 5-minute window after each error
+    event, counted per incident (interval range join bucketized to an
+    equi shuffle join — fan-out <= 2 bucket copies per interval)."""
+    from universal_importer_duckdb_spark.operators.temporal import range_join_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    pairs = range_join_pairs(
+        clicks, errors, on="user_id", point_ts="ts",
+        interval_start="ts", interval_len=_NS_5MIN,
+    )
+    counts = pairs.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return (
+        errors.select("incident_id")
+        .join(counts, "incident_id", "left")
+        .na.fill({"n_clicks": 0})
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id AS incident_id, count(c.event_id) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 5 MINUTE
+GROUP BY 1
+"""
+
+
 REGISTRY.update({
+    "events_asof_last_click": (events_asof_last_click, ASOF_SQL),
+    "events_range_join_error_windows": (events_range_join_error_windows, RANGE_JOIN_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
