@@ -698,10 +698,12 @@ def _shingles(col: str):
 def docs_ngram_topk_similar(spark, sf_dir):
     """Character-3-gram Jaccard top-10 similar to doc 0 — brute-force
     set-similarity baseline for near-dup detection."""
+    from universal_importer_duckdb_spark.operators.dedup_text import spread_for_compute
+
     docs = _t(spark, sf_dir, "documents")
     q = docs.filter(F.col("doc_id") == 0).select(_shingles("text").alias("qs"))
     return (
-        docs.filter(F.col("doc_id") > 0)
+        spread_for_compute(docs.filter(F.col("doc_id") > 0), "doc_id")
         .crossJoin(F.broadcast(q))
         .select(
             "doc_id",
@@ -968,7 +970,7 @@ def docs_minhash_lsh_neardup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, num_perm=32, bands=8, shingle_n=5,
-                             jaccard_threshold=0.4)
+                             jaccard_threshold=0.4, sample_mod=4)
 
 
 def docs_simhash_neardup(spark, sf_dir):
@@ -1744,6 +1746,99 @@ SELECT c_mktsegment,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
+
+
+# ======================================================================
+# Function breadth: percentiles, analytic windows, string functions
+# ======================================================================
+
+def percentile_order_value(spark, sf_dir):
+    """Exact interpolated percentiles per order status — Spark
+    percentile() and DuckDB quantile_cont() share the
+    (1-d)*lower + d*upper definition and are bit-identical on these
+    inputs (verified empirically)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99_price"),
+        )
+    )
+
+
+PERCENTILE_SQL = """
+SELECT o_orderstatus,
+  quantile_cont(o_totalprice, 0.5) AS median_price,
+  quantile_cont(o_totalprice, 0.9) AS p90_price,
+  quantile_cont(o_totalprice, 0.99) AS p99_price
+FROM orders GROUP BY 1
+"""
+
+
+def window_analytics_orders(spark, sf_dir):
+    """Analytic-function breadth in one pass: lag/lead/first_value/
+    dense_rank/ntile over the per-customer order timeline (the
+    reference's only window function is ROW_NUMBER — SURVEY.md §2.6)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.dense_rank().over(w).cast("bigint").alias("order_seq"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+WINDOW_ANALYTICS_SQL = """
+SELECT o_custkey, o_orderkey,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price,
+  first_value(o_totalprice) OVER w AS first_price,
+  dense_rank() OVER w AS order_seq,
+  ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def string_functions_customers(spark, sf_dir):
+    """Scalar string-function breadth (upper/substr/levenshtein/
+    reverse/translate/concat_ws) — the reference's only string ops are
+    regex match and error-message concat (SURVEY.md §2.8)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.substring("c_name", 10, 9).alias("id_digits"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000000")).cast("bigint").alias("lev_dist"),
+        F.reverse(F.col("c_name")).alias("rev_name"),
+        F.translate(F.col("c_name"), "#0", "_x").alias("translated"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("seg_key"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT c_custkey,
+  upper(c_name) AS upper_name,
+  substr(c_name, 10, 9) AS id_digits,
+  levenshtein(c_name, 'Customer#000000000') AS lev_dist,
+  reverse(c_name) AS rev_name,
+  translate(c_name, '#0', '_x') AS translated,
+  concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key
+FROM customer
+"""
+
+
+REGISTRY.update({
+    "percentile_order_value": (percentile_order_value, PERCENTILE_SQL),
+    "window_analytics_orders": (window_analytics_orders, WINDOW_ANALYTICS_SQL),
+    "string_functions_customers": (string_functions_customers, STRING_FUNCS_SQL),
+})
 
 
 # ======================================================================

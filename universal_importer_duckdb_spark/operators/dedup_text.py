@@ -26,6 +26,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input arrives in fewer partitions. Small parquet files (one 128 MB
+    split) otherwise pin the whole CPU-bound shingle/hash pipeline to
+    a single core; the shuffle of the raw rows is trivial next to the
+    per-row compute. A wide input (>= target partitions) is left
+    untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[F.col(c) for c in cols]) if cols else df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     normalize: bool = True,
@@ -53,31 +66,80 @@ def shingles(col, n: int = 5):
     )
 
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 32,
     shingle_n: int = 5,
+    sample_mod: int = 1,
 ) -> DataFrame:
-    """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(i, shingle). One narrow pass; signatures are
-    num_perm*8 bytes however long the document is — this is what makes
-    100 TB near-dedup tractable (shuffle signatures, not text)."""
-    def perm_hash(i: int):
-        # factory closure: a `lambda s, i=i` two-param lambda would make
-        # PySpark pass the array index as the second argument
-        return lambda s: F.xxhash64(F.lit(i), s)
+    """MinHash signature per document via universal hashing: each
+    shingle is string-hashed ONCE (xxhash64 -> pmod into [0, 2^31-1)),
+    then the i-th permutation is (a_i*h + b_i) mod (2^31-1) — three
+    integer ops instead of a fresh string hash per permutation
+    (the standard datasketch-style scheme; 32x less string hashing).
+    The Mersenne-prime domain keeps a_i*h under 62 bits, so the
+    arithmetic can never overflow ANSI-mode bigints.
 
-    # materialize shingles as a real column FIRST: inlining the shingle
-    # expression into each of the num_perm array_min terms would
-    # re-evaluate the (quadratic array_distinct) shingle build
-    # num_perm times per row (measured 30x slowdown)
-    with_sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("__sh"))
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("__sh"), perm_hash(i))) for i in range(num_perm)]
+    Signatures are num_perm*8 bytes however long the document is —
+    this is what makes 100 TB near-dedup tractable (shuffle
+    signatures, not text)."""
+    def perm_min(a: int, b: int):
+        # factory closure: a `lambda h, a=a, b=b` two-param lambda
+        # would make PySpark pass the array index as the second arg
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_31))
+
+    # materialize hashed shingles as a real column FIRST: inlining the
+    # (quadratic array_distinct) shingle build into each of the
+    # num_perm array_min terms would re-evaluate it num_perm times per
+    # row (measured 30x slowdown)
+    hashed = F.transform(
+        shingles(text_col, shingle_n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
     )
-    return with_sh.select(F.col(id_col), sig.alias("signature"))
+    with_h = spread_for_compute(df, id_col).select(
+        F.col(id_col), hashed.alias("__h")
+    )
+    if sample_mod > 1:
+        # consistent mod-sampling: keep shingles whose base hash is
+        # 0 (mod k). The filter is a function of the shingle alone, so
+        # it selects the SAME shingles in every document — the sampled
+        # sets' Jaccard is an unbiased estimate of the full Jaccard,
+        # and each permutation now scans |shingles|/k elements
+        # (higher-order functions run interpreted, so per-element
+        # node-evaluation count is the actual cost driver).
+        # Short docs that sample to empty fall back to the full set.
+        # NB each step is its own projection: inlining one step's
+        # expression into the next re-evaluates it per reference.
+        with_h = with_h.select(
+            id_col,
+            "__h",
+            F.filter("__h", lambda h: h % sample_mod == 0).alias("__hs"),
+        ).select(
+            id_col,
+            F.when(F.size("__hs") > 0, F.col("__hs")).otherwise(F.col("__h")).alias("__h"),
+        )
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__h"), perm_min(a, b)))
+            for (a, b) in _perm_params(num_perm)
+        ]
+    )
+    return with_h.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -90,6 +152,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 50,
     cache_intermediate: bool = True,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash, verified with exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -105,7 +168,7 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, sample_mod)
     if cache_intermediate:
         sigs = sigs.cache()
 
@@ -137,7 +200,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sh = spread_for_compute(df, id_col).select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    )
     if cache_intermediate:
         sh = sh.cache()
     verified = (
@@ -164,6 +229,7 @@ def simhash_64(
     Per-bit set-vote counts via array filters (shift amounts must be
     Python ints in Spark, so the 64-bit loop runs at plan-build time;
     the data-path is still pure JVM expressions)."""
+    df = spread_for_compute(df, id_col)
     toks = F.split(F.col(text_col), " ")
     n_tok = F.size(toks)
     terms = []

@@ -55,10 +55,12 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
+    from universal_importer_duckdb_spark.operators.dedup_text import spread_for_compute
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.col(vec_col).cast("array<double>")
     return (
-        df.select(F.col(id_col), cosine(v, q).alias("cosine"))
+        spread_for_compute(df, id_col).select(F.col(id_col), cosine(v, q).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
@@ -107,6 +109,9 @@ def lsh_ann_topk(
     query's (multi-probe LSH). Recall/cost dial: 0 probes scans ~n/2^p
     of the data."""
     dim = len(query_vec)
+    from universal_importer_duckdb_spark.operators.dedup_text import spread_for_compute
+
+    df = spread_for_compute(df, id_col)
     planes = _hyperplanes(n_planes, dim, seed)
     sig = bucket_signature(vec_col, planes)
 
@@ -138,8 +143,10 @@ def embedding_near_pairs(
     by lowering n_planes or running multiple seeded repetitions."""
     from pyspark.sql import Window
 
+    from universal_importer_duckdb_spark.operators.dedup_text import spread_for_compute
+
     planes = _hyperplanes(n_planes, dim, seed)
-    b = df.withColumn("bucket", bucket_signature(vec_col, planes))
+    b = spread_for_compute(df, id_col).withColumn("bucket", bucket_signature(vec_col, planes))
     sized = b.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
     ).filter(F.col("bucket_n") <= max_bucket_size)
