@@ -498,19 +498,21 @@ LINEITEM_ENTITY_CONFIG = {
 }
 
 
-def _run_lineitem_pipeline(spark, sf_dir):
+def _run_lineitem_pipeline(spark, sf_dir, compute_summary=True):
     from universal_importer_duckdb_spark.plans.pipeline import run_pipeline
 
     li = _t(spark, sf_dir, "lineitem")
     return run_pipeline(
         spark, LINEITEM_ENTITY_CONFIG, "lineitem", source_df=li, today=TODAY,
-        order_cols=LINEITEM_COLS,
+        order_cols=LINEITEM_COLS, compute_summary=compute_summary,
     )
 
 
 def pipeline_flagship(spark, sf_dir):
-    """The full reference pipeline in one lineage (SURVEY.md §7.1)."""
-    return _run_lineitem_pipeline(spark, sf_dir).stage
+    """The full reference pipeline in one lineage (SURVEY.md §7.1).
+    compute_summary=False: the stage frame is the only output, so the
+    whole pipeline is a single declarative plan — zero count actions."""
+    return _run_lineitem_pipeline(spark, sf_dir, compute_summary=False).stage
 
 
 PIPELINE_VALID_COND = """

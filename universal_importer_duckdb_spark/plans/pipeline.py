@@ -57,11 +57,18 @@ def run_pipeline(
     fillna: dict[str, Any] | None = None,
     strict_required: bool = False,
     order_cols: list[str] | None = None,
+    compute_summary: bool = True,
 ) -> PipelineResult:
     """Run the full pipeline for ``entity``.
 
     ``source_df`` overrides the config ``source`` CSV (must carry an
     ``_ingest_ord`` column or a unique ordering is derived from it).
+
+    ``compute_summary=False`` skips every counting action and the
+    fan-out caches, leaving ``result.summary`` None — the whole run
+    then declares ONE lineage with zero Spark jobs, for callers that
+    only consume ``result.stage``/``result.projections`` (the stop
+    gate still runs its one count when mode is 'stop').
     """
     details = validate_config(config, entity)
     settings = details.get("settings", {})
@@ -84,20 +91,27 @@ def run_pipeline(
     # window; caching it costs more than the one recomputation).
     from universal_importer_duckdb_spark.operators.validate import FLAG_COL
 
-    crow = flagged.agg(
-        F.count(F.lit(1)).alias("t"),
-        F.count_if(F.col(FLAG_COL)).alias("e"),
-    ).collect()[0]
-    summary.total_records = crow.t
-    summary.schema_errors = crow.e
-    summary.valid_records = crow.t - crow.e
+    mode = settings.get("custom_validation_mode", "skip")
+    if compute_summary:
+        crow = flagged.agg(
+            F.count(F.lit(1)).alias("t"),
+            F.count_if(F.col(FLAG_COL)).alias("e"),
+        ).collect()[0]
+        summary.total_records = crow.t
+        summary.schema_errors = crow.e
+        summary.valid_records = crow.t - crow.e
+        n_schema_errors = crow.e
+    elif mode == "stop":
+        # summary skipped, but the gate still needs this one count
+        n_schema_errors = errors.count()
+    else:
+        n_schema_errors = 0
 
     # Stop gate: the reference reuses custom_validation_mode for this
     # decision (main.py:435-439 — setting conflation, kept for parity).
-    mode = settings.get("custom_validation_mode", "skip")
-    if summary.schema_errors > 0 and mode == "stop":
+    if n_schema_errors > 0 and mode == "stop":
         raise ValueError(
-            f"Schema validation failed for {summary.schema_errors} rows in '{entity}'"
+            f"Schema validation failed for {n_schema_errors} rows in '{entity}'"
         )
 
     composite_keys = settings.get("unique_composite", []) or []
@@ -105,40 +119,44 @@ def run_pipeline(
     order: list[str] = order_cols or [ingest or INGEST_ORD]
     if composite_keys and all(c in valid.columns for c in order):
         kept, dups = dedupe_cascade(valid, composite_keys, resolution, order)
-        # cache the kept side (rules + projections + counts fan out of
-        # it); duplicates_removed is derived arithmetically so the dups
-        # branch is only ever computed when exporting error files
-        kept = kept.cache()
-        summary.duplicates_removed = summary.valid_records - kept.count()
+        if compute_summary:
+            # cache the kept side (rules + projections + counts fan out
+            # of it); duplicates_removed is derived arithmetically so
+            # the dups branch is only computed when exporting errors
+            kept = kept.cache()
+            summary.duplicates_removed = summary.valid_records - kept.count()
     else:
-        kept, dups = valid.cache(), valid.limit(0)
+        kept, dups = (valid.cache() if compute_summary else valid), valid.limit(0)
         summary.duplicates_removed = 0
     result.duplicates = dups
 
     kept_count = summary.valid_records - summary.duplicates_removed
     kept, issues = execute_custom_validations(kept, rules, mode=mode, today=today)
     result.custom_issues = issues
-    summary.custom_validation_errors = sum(
-        issue["invalid"].count() for issue in issues if issue.get("invalid") is not None
-    )
+    if compute_summary:
+        summary.custom_validation_errors = sum(
+            issue["invalid"].count() for issue in issues if issue.get("invalid") is not None
+        )
 
     stage = kept.drop(INGEST_ORD) if INGEST_ORD in kept.columns else kept
-    stage = stage.cache()
+    if compute_summary:
+        stage = stage.cache()
     result.stage = stage
     stage.createOrReplaceTempView(f"{entity}_stage")
 
     result.projections = create_projections(
         spark, entity, stage, details.get("projections", []), schema.columns
     )
-    for name, df in result.projections.items():
-        summary.projection_counts[name] = df.count()
-    # final record count: skip mode removed exactly the per-rule invalid
-    # rows (null-predicate rows are kept, matching the reference's
-    # DELETE semantics), so no extra scan is needed
-    summary.valid_records = kept_count - (
-        summary.custom_validation_errors if mode == "skip" else 0
-    )
-    result.summary = summary
+    if compute_summary:
+        for name, df in result.projections.items():
+            summary.projection_counts[name] = df.count()
+        # final record count: skip mode removed exactly the per-rule
+        # invalid rows (null-predicate rows are kept, matching the
+        # reference's DELETE semantics), so no extra scan is needed
+        summary.valid_records = kept_count - (
+            summary.custom_validation_errors if mode == "skip" else 0
+        )
+        result.summary = summary
 
     if output_dir:
         def _clean(edf: DataFrame) -> DataFrame:
