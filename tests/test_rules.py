@@ -53,3 +53,43 @@ def test_registered_rule_runs(spark):
         df, [{"field": "id", "validation": "positive", "params": {}}], mode="skip"
     )
     assert [r.id for r in kept.collect()] == [1]
+
+
+def test_range_between_rule(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 50.0), (3, 500.0), (4, None)],
+                               "id int, v double")
+    kept, issues = execute_custom_validations(
+        df, [{"field": "v", "validation": "range_between",
+              "params": {"min": 10, "max": 100}}], mode="skip")
+    # null predicate rows are kept (reference DELETE semantics)
+    assert sorted(r.id for r in kept.collect()) == [2, 4]
+    assert sorted(r.id for r in issues[0]["invalid"].collect()) == [1, 3]
+
+
+def test_regex_match_rule(spark):
+    df = spark.createDataFrame([(1, "AB-1"), (2, "XY-2"), (3, "AB9")],
+                               "id int, code string")
+    kept, _ = execute_custom_validations(
+        df, [{"field": "code", "validation": "regex_match",
+              "params": {"pattern": "^AB-"}}], mode="skip")
+    assert sorted(r.id for r in kept.collect()) == [1]
+
+
+def test_value_in_set_rule(spark):
+    df = spark.createDataFrame([(1, "F"), (2, "O"), (3, "Z")], "id int, s string")
+    kept, _ = execute_custom_validations(
+        df, [{"field": "s", "validation": "value_in_set",
+              "params": {"allowed": ["F", "O"]}}], mode="skip")
+    assert sorted(r.id for r in kept.collect()) == [1, 2]
+
+
+def test_referential_check_splits_orphans(spark):
+    from universal_importer_duckdb_spark.operators.rules import referential_check
+
+    facts = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "id int, fk int")
+    dim = spark.createDataFrame([(10,), (20,), (30,)], "pk int")
+    referenced, orphans = referential_check(facts, dim, ["fk"], ["pk"])
+    assert sorted(r.id for r in referenced.collect()) == [1, 2]
+    assert sorted(r.id for r in orphans.collect()) == [3]
+    # split is a partition of the input
+    assert referenced.count() + orphans.count() == facts.count()

@@ -1844,6 +1844,80 @@ REGISTRY.update({
 
 
 # ======================================================================
+# Rule-engine breadth (range/regex/set rules), referential integrity,
+# and skew-safe aggregation
+# ======================================================================
+
+MULTI_RULES = [
+    {"field": "o_totalprice", "validation": "range_between",
+     "params": {"min": 1000, "max": 500000}},
+    {"field": "o_orderpriority", "validation": "regex_match",
+     "params": {"pattern": "^[1-3]-"}},
+    {"field": "o_orderstatus", "validation": "value_in_set",
+     "params": {"allowed": ["F", "O"]}},
+]
+
+
+def rule_multi_skip_orders(spark, sf_dir):
+    """Three rule types applied sequentially in skip mode — the
+    pluggable-registry generalization of the reference's single
+    age_gte rule (SURVEY.md §2.4)."""
+    from universal_importer_duckdb_spark.operators.rules import execute_custom_validations
+
+    orders = _t(spark, sf_dir, "orders")
+    kept, _ = execute_custom_validations(orders, MULTI_RULES, mode="skip")
+    return kept
+
+
+RULE_MULTI_SQL = """
+SELECT * FROM orders
+WHERE NOT coalesce(o_totalprice < 1000 OR o_totalprice > 500000, FALSE)
+  AND NOT coalesce(NOT regexp_matches(o_orderpriority, '^[1-3]-'), FALSE)
+  AND NOT coalesce(o_orderstatus NOT IN ('F', 'O'), FALSE)
+"""
+
+
+def fk_orphan_orders(spark, sf_dir):
+    """Referential-integrity check as data: orders whose o_custkey has
+    no matching customer (broadcast anti join)."""
+    from universal_importer_duckdb_spark.operators.rules import referential_check
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    _, orphans = referential_check(orders, cust, ["o_custkey"], ["c_custkey"])
+    return orphans.select("o_orderkey", "o_custkey")
+
+
+FK_ORPHAN_SQL = """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def salted_distinct_suppliers(spark, sf_dir):
+    """count(DISTINCT) via two-stage salted partial aggregation — the
+    skew-safe formulation (functions/skew.py) proven equivalent to the
+    plain COUNT(DISTINCT) oracle."""
+    from universal_importer_duckdb_spark.functions.skew import salted_count_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_count_distinct(li, "l_returnflag", "l_suppkey", salt=8)
+
+
+SALTED_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct_l_suppkey
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+REGISTRY.update({
+    "rule_multi_skip_orders": (rule_multi_skip_orders, RULE_MULTI_SQL),
+    "fk_orphan_orders": (fk_orphan_orders, FK_ORPHAN_SQL),
+    "salted_distinct_suppliers": (salted_distinct_suppliers, SALTED_DISTINCT_SQL),
+})
+
+
+# ======================================================================
 # Temporal joins: as-of and interval range join (operators/temporal.py)
 # ======================================================================
 

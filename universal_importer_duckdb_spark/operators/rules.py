@@ -42,14 +42,65 @@ def _age_gte_fail(field: str, params: dict[str, Any], today: str) -> Column:
     return age_years(F.col(field), F.lit(today)) < F.lit(min_age)
 
 
+def _range_between_fail(field: str, params: dict[str, Any], today: str) -> Column:
+    """Fail when the value lies outside [min, max] (either bound
+    optional)."""
+    c = F.col(field)
+    fail = F.lit(False)
+    if "min" in params:
+        fail = fail | (c < F.lit(params["min"]))
+    if "max" in params:
+        fail = fail | (c > F.lit(params["max"]))
+    return fail
+
+
+def _regex_match_fail(field: str, params: dict[str, Any], today: str) -> Column:
+    """Fail when the value does not match the (anchored) pattern."""
+    return ~F.col(field).rlike(params["pattern"])
+
+
+def _value_in_set_fail(field: str, params: dict[str, Any], today: str) -> Column:
+    """Fail when the value is outside the allowed literal set (small
+    sets only — an isin literal list, evaluated JVM-side; use
+    referential_check for table-sized domains)."""
+    return ~F.col(field).isin(list(params["allowed"]))
+
+
 # rule name -> (field, params, today_iso) -> failure Column
 RULE_REGISTRY: dict[str, Callable[[str, dict[str, Any], str], Column]] = {
     "age_gte": _age_gte_fail,
+    "range_between": _range_between_fail,
+    "regex_match": _regex_match_fail,
+    "value_in_set": _value_in_set_fail,
 }
 
 
 def register_rule(name: str, builder: Callable[[str, dict[str, Any], str], Column]) -> None:
     RULE_REGISTRY[name] = builder
+
+
+def referential_check(
+    df: DataFrame,
+    lookup: DataFrame,
+    fk_cols: list[str],
+    pk_cols: list[str] | None = None,
+    broadcast_lookup: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Foreign-key integrity as data: split ``df`` into
+    (referenced, orphans) by semi/anti join against ``lookup``'s keys
+    — the table-sized analog of value_in_set. The lookup side is
+    projected to its key columns and broadcast by default (dimension
+    tables); pass broadcast_lookup=False to let the planner shuffle
+    when the lookup is fact-sized."""
+    pk_cols = pk_cols or fk_cols
+    keys = lookup.select(
+        *[F.col(p).alias(f) for p, f in zip(pk_cols, fk_cols)]
+    ).distinct()
+    if broadcast_lookup:
+        keys = F.broadcast(keys)
+    referenced = df.join(keys, fk_cols, "left_semi")
+    orphans = df.join(keys, fk_cols, "left_anti")
+    return referenced, orphans
 
 
 def execute_custom_validations(
