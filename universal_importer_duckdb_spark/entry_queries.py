@@ -1039,6 +1039,66 @@ def stream_dedup_within_watermark(spark, sf_dir):
     )
 
 
+def multimodal_image_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: wrap bytes (documents text as a
+    stand-in payload) into the canonical media struct, then
+    Arrow-batched mapInPandas feature extraction (decode stubbed —
+    codec libs absent here; schemas/batch shapes are real)."""
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    media = attach_media_column(
+        docs.withColumn("payload", F.encode("text", "utf-8")),
+        "payload", "image/fake", "doc_id",
+    )
+    return extract_image_features(media)
+
+
+def stream_sliding_halfhour(spark, sf_dir):
+    """Overlapping sliding windows (1h window / 30m slide) over the
+    event stream (rows-only: windows are a streaming-native shape)."""
+    from universal_importer_duckdb_spark.streaming import events as se
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir)
+    return se.run_available_now(
+        se.sliding_counts(stream), f"q_stream_sliding_{_STREAM_COUNTER[0]}",
+        output_mode="complete",
+    )
+
+
+def stream_session_windows(spark, sf_dir):
+    """Gap-based session_window aggregation per user — the streaming
+    analog of events_sessionization (which carries the batch oracle
+    for session semantics)."""
+    from universal_importer_duckdb_spark.streaming import events as se
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir)
+    return se.run_available_now(
+        se.session_counts(stream), f"q_stream_session_{_STREAM_COUNTER[0]}",
+        output_mode="complete",
+    )
+
+
+def stream_running_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user totals across micro-batches — per-key mutable state
+    beyond built-in windows."""
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.stateful import running_user_stats
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir)
+    return se.run_available_now(
+        running_user_stats(stream), f"q_stream_stateful_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+
+
 REGISTRY.update({
     "docs_quality_filter_ids": (docs_quality_filter_ids, QUALITY_FILTER_SQL),
     "docs_bpe_token_count": (docs_bpe_token_count, BPE_SQL),
@@ -1050,6 +1110,10 @@ REGISTRY.update({
     "emb_near_dup_pairs": (emb_near_dup_pairs, None),
     "stream_tumbling_hourly": (stream_tumbling_hourly, None),
     "stream_dedup_within_watermark": (stream_dedup_within_watermark, None),
+    "stream_sliding_halfhour": (stream_sliding_halfhour, None),
+    "stream_session_windows": (stream_session_windows, None),
+    "stream_running_user_stats": (stream_running_user_stats, None),
+    "multimodal_image_features": (multimodal_image_features, None),
 })
 
 
