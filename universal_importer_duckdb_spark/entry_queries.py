@@ -2078,3 +2078,192 @@ REGISTRY.update({
     "cube_revenue": (cube_revenue, CUBE_SQL),
     "pivot_status_by_segment": (pivot_status_by_segment, PIVOT_SQL),
 })
+
+
+# --- TPC-H breadth batch 3: q8 / q11 / q20 / q21 analogs --------------
+# The synthetic schema has no partsupp table and no commit/receipt
+# dates, so q11/q20/q21 are re-expressed on the available columns with
+# the same query SHAPE (scalar-subquery threshold, grouped-HAVING
+# semi-join, correlated EXISTS/NOT-EXISTS).
+
+
+def q8_market_share(spark, sf_dir):
+    """National market share (q8): share of NATION_3-supplied revenue
+    among PROMO parts sold to ASIA customers, by order year. Numerator
+    and denominator are exact decimal sums cast to double; their
+    division is then bit-stable across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    vol = ext * (_one() - disc)
+    n_s = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n_c = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rkey"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("c_rkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT date_part('year', o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n_s.n_name = 'NATION_3'
+           THEN l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4)) END) AS DOUBLE)
+     / CAST(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+JOIN region ON n_c.n_regionkey = r_regionkey AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q11_important_parts(spark, sf_dir):
+    """Important-stock analog (q11, lineitem as the partsupp
+    surrogate): parts whose NATION_5-supplied revenue exceeds 0.1% of
+    the national total. The threshold comparison runs entirely in
+    exact decimal (value*1000 > total) — a double comparison would be
+    at the mercy of summation order on a borderline part."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    src = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    v = src.groupBy("l_partkey").agg(
+        F.sum(ext * (_one() - disc)).cast("decimal(18,6)").alias("__vdec")
+    )
+    total = v.agg(F.sum("__vdec").cast("decimal(22,6)").alias("__total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("__vdec") * F.lit(1000).cast("decimal(4,0)") > F.col("__total"))
+        .select("l_partkey", F.round(F.col("__vdec"), 2).cast("double").alias("part_value"))
+    )
+
+
+Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))) AS DECIMAL(18,6)) AS vdec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(round(vdec, 2) AS DOUBLE) AS part_value
+FROM v
+WHERE vdec * 1000::DECIMAL(4,0) > (SELECT CAST(SUM(vdec) AS DECIMAL(22,6)) FROM v)
+"""
+
+
+def q20_heavy_shippers(spark, sf_dir):
+    """Heavy-shipper analog (q20 shape): suppliers whose 1998 shipped
+    quantity of SMALL-type parts exceeds 50 — grouped-HAVING subquery
+    consumed via left-semi join. HAVING compares exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part.filter(F.col("p_type") == "SMALL")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > F.lit(50).cast("decimal(15,2)"))
+    )
+    return supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity::DECIMAL(15,2)) > 50::DECIMAL(15,2)
+)
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """Sole-blame analog (q21 shape, no receipt/commit dates in the
+    synthetic schema): per supplier, count returned lines ('R') on
+    finalized multi-supplier orders where no OTHER supplier had a
+    return. The correlated EXISTS / NOT EXISTS pair is evaluated as
+    ONE per-order aggregate (distinct suppliers, distinct R-suppliers)
+    joined back — one shuffle of (orderkey, suppkey) instead of two
+    self-join shuffles of the full table; 'no other R supplier' ⇔ the
+    order's distinct-R-supplier count is exactly 1 (it includes me)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.size(F.collect_set("l_suppkey")).alias("__n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
+        ).alias("__n_r_supp"),
+    )
+    cand = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(F.col("o_orderstatus") == "F"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_r_supp") == 1))
+    )
+    return (
+        cand.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+) AND NOT EXISTS (
+  SELECT 1 FROM lineitem l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    AND l3.l_returnflag = 'R'
+)
+GROUP BY s_name
+"""
+
+
+REGISTRY.update({
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q20_heavy_shippers": (q20_heavy_shippers, Q20_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+})

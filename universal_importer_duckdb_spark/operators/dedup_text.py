@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,6 +39,50 @@ def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, *[F.col(c) for c in cols]) if cols else df.repartition(target)
     return df
+
+
+def bucket_pairs(
+    df: DataFrame,
+    bucket_cols,
+    id_col: str,
+    max_bucket_size: int,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs ``(id_a < id_b)`` of rows sharing a
+    bucket: ONE groupBy shuffle + in-bucket combination expansion,
+    instead of window-count + self-join + distinct (three shuffles of
+    the full bucketed table). Degenerate buckets above
+    ``max_bucket_size`` are dropped the way production LSH pipelines
+    drop stop-shingles. With ``payload_col`` each side's payload rides
+    along as ``payload_a`` / ``payload_b`` so the verify step needs no
+    join back."""
+    fields = [F.col(id_col).alias("id")]
+    if payload_col:
+        fields.append(F.col(payload_col).alias("payload"))
+    buckets = (
+        df.groupBy(*bucket_cols)
+        .agg(F.collect_list(F.struct(*fields)).alias("items"))
+        .filter((F.size("items") >= 2) & (F.size("items") <= max_bucket_size))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size("items")),
+                lambda y: F.struct(
+                    F.when(x["id"] < y["id"], x).otherwise(y).alias("a"),
+                    F.when(x["id"] < y["id"], y).otherwise(x).alias("b"),
+                ),
+            ),
+        )
+    )
+    cols = [F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b")]
+    if payload_col:
+        cols += [
+            F.col("p.a.payload").alias("payload_a"),
+            F.col("p.b.payload").alias("payload_b"),
+        ]
+    return buckets.select(F.explode(pair_expr).alias("p")).select(*cols).distinct()
 
 
 def exact_dedup(
@@ -226,32 +270,10 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    # candidates: same (band, bucket); degenerate buckets capped.
-    # One groupBy shuffle + in-bucket combination expansion, instead of
-    # window-count + self-join + distinct (three shuffles of the full
-    # banded table) — at scale the banded table is corpus×bands rows,
-    # so shuffling it once is the difference that matters.
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    # candidates: same (band, bucket); degenerate buckets capped — at
+    # scale the banded table is corpus×bands rows, so shuffling it
+    # once (bucket_pairs) is the difference that matters.
+    cand = bucket_pairs(banded, ["band", "bucket"], id_col, max_bucket_size)
 
     sh = spread_for_compute(df, id_col).select(
         F.col(id_col), shingles(text_col, shingle_n).alias("sh")
@@ -334,15 +356,12 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk", "cc.key")
-    sized = chunks.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("chunk", "key"))
-    ).filter(F.col("bucket_n") <= max_bucket_size)
-    a = sized.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "key")
-    b = sized.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "key")
     return (
-        a.join(b, ["chunk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
-        .distinct()
+        bucket_pairs(chunks, ["chunk", "key"], id_col, max_bucket_size, "simhash")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("payload_a").bitwiseXOR(F.col("payload_b"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -141,29 +141,22 @@ def embedding_near_pairs(
     join within buckets, verify exact cosine. Recall is bounded by the
     probability that near vectors share all sign bits — raise recall
     by lowering n_planes or running multiple seeded repetitions."""
-    from pyspark.sql import Window
-
-    from universal_importer_duckdb_spark.operators.dedup_text import spread_for_compute
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        bucket_pairs,
+        spread_for_compute,
+    )
 
     planes = _hyperplanes(n_planes, dim, seed)
     b = spread_for_compute(df, id_col).withColumn("bucket", bucket_signature(vec_col, planes))
-    sized = b.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-    ).filter(F.col("bucket_n") <= max_bucket_size)
-    left = sized.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
-    )
-    right = sized.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
-    )
     return (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        bucket_pairs(b, ["bucket"], id_col, max_bucket_size, vec_col)
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")).alias("cosine"),
+            cosine(
+                F.col("payload_a").cast("array<double>"),
+                F.col("payload_b").cast("array<double>"),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= cosine_threshold)
-        .distinct()
     )
