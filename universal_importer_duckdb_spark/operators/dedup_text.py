@@ -22,6 +22,8 @@ buckets the way production LSH pipelines drop stop-shingles.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -236,6 +238,7 @@ def minhash_lsh_pairs(
     cache_intermediate: bool = True,
     sample_mod: int = 1,
     impl: str = "pandas",
+    presift_sigma: float = 3.0,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash, verified with exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -247,6 +250,18 @@ def minhash_lsh_pairs(
     feed both sides of the self-joins (signatures are num_perm*8 bytes
     per doc — tiny; shingle sets are corpus-sized, trade memory for
     the recompute on the verify join).
+
+    ``presift_sigma``: before the exact-Jaccard verify, estimate each
+    candidate pair's Jaccard from its (already-computed, tiny)
+    signatures — the fraction of equal components — and drop pairs
+    whose estimate is more than this many standard deviations
+    (σ = sqrt(j(1-j)/num_perm)) below the threshold. Single-band
+    chance collisions sit near r/num_perm and are eliminated without
+    ever touching their shingle sets; a true-positive pair at exactly
+    the threshold survives with P ≈ Φ(sigma) (99.87% at 3σ). The
+    exact verify — the only stage that shuffles corpus-sized shingle
+    arrays — then runs on the survivors alone, and only THEIR
+    documents are shingled at all (left-semi pushdown). 0 disables.
     """
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
@@ -275,7 +290,32 @@ def minhash_lsh_pairs(
     # once (bucket_pairs) is the difference that matters.
     cand = bucket_pairs(banded, ["band", "bucket"], id_col, max_bucket_size)
 
-    sh = spread_for_compute(df, id_col).select(
+    if presift_sigma > 0:
+        cutoff = jaccard_threshold - presift_sigma * math.sqrt(
+            jaccard_threshold * (1.0 - jaccard_threshold) / num_perm
+        )
+        if cutoff > 0:
+            est = F.size(
+                F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda m: m)
+            ) / F.lit(float(num_perm))
+            cand = (
+                cand.join(sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("__sa")), "id_a")
+                .join(sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("__sb")), "id_b")
+                .filter(est >= cutoff)
+                .select("id_a", "id_b")
+            )
+    if cache_intermediate:
+        cand = cand.cache()
+
+    # shingle ONLY documents that appear in a surviving pair — at scale
+    # the corpus is orders of magnitude larger than the candidate set,
+    # and shingle sets are the one corpus-sized intermediate here.
+    need_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = spread_for_compute(df.join(need_ids, [id_col], "left_semi"), id_col).select(
         F.col(id_col), shingles(text_col, shingle_n).alias("sh")
     )
     if cache_intermediate:
