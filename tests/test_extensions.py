@@ -98,6 +98,26 @@ def test_lsh_ann_recall_on_testdata(spark, sf_dir):
     assert overlap >= 5  # multi-probe LSH should recover most of top-10
 
 
+def test_ivf_ann_recall_and_determinism(spark, sf_dir):
+    from universal_importer_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    rest = emb.filter(F.col("vec_id") > 0)
+    exact = [r.vec_id for r in cosine_topk(rest, qv, k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(rest, qv, k=10, n_list=16, nprobe=4).collect()]
+    assert len(set(exact) & set(approx)) >= 5
+    # nprobe = n_list degenerates to the exact scan
+    full = [r.vec_id for r in ivf_topk(rest, qv, k=10, n_list=8, nprobe=8).collect()]
+    assert full == exact
+    # seeded training + hash-ordered sample => bit-stable repeat
+    again = [r.vec_id for r in ivf_topk(rest, qv, k=10, n_list=16, nprobe=4).collect()]
+    assert approx == again
+
+
 def test_embedding_near_pairs_finds_planted_duplicate(spark):
     from universal_importer_duckdb_spark.operators.similarity import embedding_near_pairs
 

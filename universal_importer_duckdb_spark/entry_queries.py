@@ -1084,6 +1084,16 @@ def stream_session_windows(spark, sf_dir):
     )
 
 
+def emb_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbours: spherical-k-means lists +
+    probe-list pruning + exact re-rank (clustered-index alternative to
+    emb_ann_lsh_topk; rows-only — approximation has no SQL oracle)."""
+    from universal_importer_duckdb_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_list=16, nprobe=4)
+
+
 def stream_running_user_stats(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): running
     per-user totals across micro-batches — per-key mutable state
@@ -1107,6 +1117,7 @@ REGISTRY.update({
     "docs_simhash_neardup": (docs_simhash_neardup, None),
     "docs_rolling_sketch": (docs_rolling_sketch, None),
     "emb_ann_lsh_topk": (emb_ann_lsh_topk, None),
+    "emb_ivf_topk": (emb_ivf_topk, None),
     "emb_near_dup_pairs": (emb_near_dup_pairs, None),
     "stream_tumbling_hourly": (stream_tumbling_hourly, None),
     "stream_dedup_within_watermark": (stream_dedup_within_watermark, None),
