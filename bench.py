@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "docs_quality_filter_ids",
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
+    "emb_ivf_topk",
 ]
 
 
