@@ -2272,7 +2272,60 @@ GROUP BY s_name
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """Min-cost supplier per part (q2 shape; lineitem supply totals
+    stand in for the absent partsupp supplycost): for every LARGE
+    part, the supplier(s) whose exact-decimal total supplied value is
+    the part's minimum, with supplier/nation detail. The correlated
+    scalar-min subquery is a window min over the per-(part, supplier)
+    aggregate — the agg output (|parts|×|suppliers| rows max) is tiny
+    relative to lineitem, so the second shuffle repartitions an
+    already-reduced frame; ties all surface, matching SQL semantics."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    per = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "LARGE")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.sum(ext * (_one() - disc)).cast("decimal(22,6)").alias("__cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        per.withColumn("__min", F.min("__cost").over(w))
+        .filter(F.col("__cost") == F.col("__min"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.col("n_name").alias("supp_nation"),
+            F.round(F.col("__cost"), 2).cast("double").alias("supply_value"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH per AS (
+  SELECT p_partkey, p_brand, l_suppkey,
+         CAST(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))) AS DECIMAL(22,6)) AS cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+  GROUP BY 1, 2, 3
+)
+SELECT p_partkey, p_brand, s_name, n_name AS supp_nation,
+       CAST(round(cost, 2) AS DOUBLE) AS supply_value
+FROM per
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE cost = (SELECT MIN(cost) FROM per p2 WHERE p2.p_partkey = per.p_partkey)
+"""
+
+
 REGISTRY.update({
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q20_heavy_shippers": (q20_heavy_shippers, Q20_SQL),
