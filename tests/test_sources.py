@@ -71,3 +71,40 @@ def test_csv_ingest_order_preserves_file_order(spark, tmp_path):
     df = read_csv_with_ingest_order(spark, str(p))
     got = {r.name: r._ingest_ord for r in df.collect()}
     assert got == {f"row{i}": i + 1 for i in range(20)}
+
+
+def test_text_reader_lines_and_whole(spark, tmp_path):
+    from universal_importer_duckdb_spark.sources.readers import read_text
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta\n")
+    (d / "b.txt").write_text("gamma\n")
+    lines = sorted(r.value for r in read_text(spark, str(d)).collect())
+    assert lines == ["alpha", "beta", "gamma"]
+    wholes = sorted(r.value for r in read_text(spark, str(d), whole=True).collect())
+    assert wholes == ["alpha\nbeta\n", "gamma\n"]
+
+
+def test_binary_files_feed_multimodal_features(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        extract_image_features,
+    )
+    from universal_importer_duckdb_spark.sources.readers import read_binary_files
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "x.img").write_bytes(b"\x00\x01\x02" * 100)
+    (d / "y.img").write_bytes(b"\xff" * 37)
+    (d / "skip.dat").write_bytes(b"nope")
+    raw = read_binary_files(spark, str(d), glob="*.img")
+    assert set(raw.columns) == {"path", "modificationTime", "length", "content"}
+    with_id = raw.withColumn("item_id", F.xxhash64("path"))
+    feats = extract_image_features(
+        attach_media_column(with_id, "content", "image", "item_id")
+    )
+    rows = feats.collect()
+    assert len(rows) == 2 and {r.n_bytes for r in rows} == {300, 37}

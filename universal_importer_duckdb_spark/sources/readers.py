@@ -66,11 +66,38 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_text(
+    spark: SparkSession, path: str, whole: bool = False, line_sep: str | None = None
+) -> DataFrame:
+    """Plain-text source: one row per line (``value`` string), or one
+    row per file with ``whole=True`` (document-corpus ingestion — each
+    file becomes one document; Spark still parallelizes across
+    files)."""
+    # NB: must be the text() kwarg — .option("wholetext", ...) is
+    # silently ignored by the text source
+    return spark.read.text(path, wholetext=whole, lineSep=line_sep)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source for multimodal ingestion: one row per file
+    with (path, modificationTime, length, content binary) — the raw
+    bytes feed operators/multimodal.py feature extraction. At scale,
+    pair with ``pathGlobFilter`` so pruning happens at file-listing
+    time, before any byte is read."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 FORMAT_READERS = {
     "csv": read_csv_with_ingest_order,
     "parquet": read_parquet,
     "json": read_json,
     "orc": read_orc,
+    "txt": read_text,
 }
 
 
