@@ -117,3 +117,32 @@ def test_q22_scalar_threshold_is_broadcast(spark, sf_dir):
     # 1-row aggregate joined via broadcast nested loop, never cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q2_two_shuffles_window_after_agg(spark, sf_dir):
+    import re
+
+    plan = _plan(eq.q2_min_cost_supplier(spark, sf_dir))
+    # one shuffle for the (part, supplier) aggregate, one to
+    # repartition the reduced frame for the per-part window min; all
+    # dimension joins broadcast
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_semi_join_broadcasts_aggregated_side(spark, sf_dir):
+    plan = _plan(eq.q20_heavy_shippers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_single_pass_no_self_join_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(eq.q21_waiting_suppliers(spark, sf_dir))
+    # the EXISTS/NOT-EXISTS pair is one per-order aggregate, not two
+    # lineitem self-joins: exactly the agg shuffle + final groupBy
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 2
+    assert "Cartesian" not in plan

@@ -2207,7 +2207,9 @@ def q20_heavy_shippers(spark, sf_dir):
         .agg(F.sum(_dec("l_quantity")).alias("__q"))
         .filter(F.col("__q") > F.lit(50).cast("decimal(15,2)"))
     )
-    return supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
+    # heavy is post-aggregation keyed by supplier — at most |supplier|
+    # rows at any scale, so the semi join is always broadcastable
+    return supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name"
     )
 
