@@ -108,3 +108,18 @@ def test_binary_files_feed_multimodal_features(spark, tmp_path):
     )
     rows = feats.collect()
     assert len(rows) == 2 and {r.n_bytes for r in rows} == {300, 37}
+
+
+def test_ingest_order_by_columns_is_parallel_rank(spark):
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.sources.readers import with_ingest_order
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("payload")
+    ).repartition(8)
+    out = with_ingest_order(df, ["k"])
+    rows = out.orderBy("k").collect()
+    # dense 1-based ordinal == rank by the order columns
+    assert [r._ingest_ord for r in rows] == list(range(1, 1001))
+    assert [r.k for r in rows] == sorted(r.k for r in rows)

@@ -7,9 +7,13 @@ carried through the pipeline for first/last dedup and 1-based error
 ``row`` numbers (SURVEY.md §7.3).
 
 Two recipes:
-- ``with_ingest_order(df, order_cols)`` — preferred at scale: the data
-  already has a total order (keys, timestamps); a pure narrow
-  projection, no shuffle, deterministic under any partitioning.
+- ``with_ingest_order(df, order_cols)`` — the data has a total order
+  (keys, timestamps): range-partition on those columns, sort within
+  partitions, stamp with per-partition offsets. Parallel at every
+  step — a plain ``row_number() OVER (ORDER BY ...)`` would funnel
+  the whole table through ONE task. (Prefer skipping the ordinal
+  entirely where possible: dedup and rules accept ``order_cols``
+  directly, see plans/pipeline.py.)
 - ``with_ingest_order(df)`` (no columns) — file order via
   ``zipWithIndex``: exact CSV row order, but materializes a pass over
   the data; fine for import-sized inputs, documented cost at scale.
@@ -27,11 +31,14 @@ INGEST_ORD = "_ingest_ord"
 
 def with_ingest_order(df: DataFrame, order_cols: Sequence[str] | None = None) -> DataFrame:
     if order_cols:
-        # Dense 1-based ordinal consistent with ORDER BY order_cols.
-        from pyspark.sql import Window
-
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
-        return df.withColumn(INGEST_ORD, F.row_number().over(w))
+        # Dense 1-based ordinal consistent with ORDER BY order_cols —
+        # computed in parallel: range-partitioning puts globally-ordered
+        # key ranges in partition order, the local sort orders within,
+        # and zipWithIndex adds cumulative per-partition offsets (one
+        # extra count job, no single-partition window sort).
+        df = df.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(
+            *[F.col(c) for c in order_cols]
+        )
     rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1] + 1))
     spark = df.sparkSession
     schema = df.schema.add(INGEST_ORD, "long", False)
