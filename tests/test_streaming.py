@@ -77,3 +77,30 @@ def test_sliding_counts_runs(events_stream):
         sliding_counts(events_stream), "t_sliding", output_mode="complete"
     )
     assert got.count() > 0
+
+
+def test_click_purchase_join_horizon_boundary(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.streaming.events import click_purchase_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, kind, minutes, user=1):
+        return (eid, user, kind, 10.0, t0 + dt.timedelta(minutes=minutes))
+
+    df = spark.createDataFrame(
+        [
+            ev(1, "click", 0),
+            ev(2, "purchase", 30),      # within 1h of click 1 -> attributed
+            ev(3, "purchase", 61),      # beyond 1h -> NOT attributed
+            ev(4, "click", 0, user=2),  # other user's click never matches
+        ],
+        "event_id bigint, user_id bigint, event_type string, value double, event_time timestamp",
+    )
+    # watermark is a no-op on a batch frame; the join predicate is the
+    # same lineage the stream runs
+    got = {(r.click_id, r.purchase_id) for r in click_purchase_join(df).collect()}
+    assert got == {(1, 2)}

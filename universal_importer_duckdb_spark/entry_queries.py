@@ -1084,6 +1084,32 @@ def stream_session_windows(spark, sf_dir):
     )
 
 
+def stream_click_purchase_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (click→purchase
+    attribution). The availableNow drain processes the single source
+    file in one micro-batch, so the inner join emits the complete
+    batch-equivalent result — which is why this streaming query CAN
+    carry a SQL oracle."""
+    from universal_importer_duckdb_spark.streaming import events as se
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir)
+    return se.run_available_now(
+        se.click_purchase_join(stream), f"q_stream_cpjoin_{_STREAM_COUNTER[0]}"
+    )
+
+
+STREAM_CP_JOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       p.value AS purchase_value,
+       epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 def emb_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbours: spherical-k-means lists +
     probe-list pruning + exact re-rank (clustered-index alternative to
@@ -1124,6 +1150,7 @@ REGISTRY.update({
     "stream_sliding_halfhour": (stream_sliding_halfhour, None),
     "stream_session_windows": (stream_session_windows, None),
     "stream_running_user_stats": (stream_running_user_stats, None),
+    "stream_click_purchase_join": (stream_click_purchase_join, STREAM_CP_JOIN_SQL),
     "multimodal_image_features": (multimodal_image_features, None),
 })
 

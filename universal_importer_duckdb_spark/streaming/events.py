@@ -116,6 +116,50 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def click_purchase_join(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    attribute each purchase to every click by the same user in the
+    preceding ``horizon``. Watermarks on BOTH sides plus the range
+    bound are what let Spark expire join state — a click older than
+    (watermark + horizon) can never match a future purchase, so its
+    state-store entry is dropped; without both bounds the join state
+    grows without limit on an unbounded stream."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (F.col("purchase_time") <= F.col("click_time") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+        F.unix_micros("click_time").alias("click_us"),
+        F.unix_micros("purchase_time").alias("purchase_us"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
