@@ -81,6 +81,10 @@ def main() -> int:
     for name in BENCH_QUERIES:
         fn = q[name]
         best = float("inf")
+        # drop previous queries' cached frames: accumulated storage
+        # memory otherwise evicts this query's own intermediates
+        # mid-measurement (observed 3x swings on the cache-heavy ops)
+        spark.catalog.clearCache()
         for _ in range(runs):
             t0 = time.perf_counter()
             # noop sink forces full distributed computation without the
