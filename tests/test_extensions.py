@@ -210,3 +210,31 @@ def test_multimodal_frame_sampling(spark):
     media = attach_media_column(df, "payload", "video/mp4", "item_id")
     frames = sample_frames(media, every_n_bytes=4096)
     assert frames.count() == 2  # floor(10000/4096) = 2 offsets (0, 1)
+
+
+def test_bucket_pairs_matches_naive_self_join(spark):
+    import random
+
+    from universal_importer_duckdb_spark.operators.dedup_text import bucket_pairs
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(8), 100 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, b int, payload bigint")
+
+    got = {
+        (r.id_a, r.id_b, r.payload_a, r.payload_b)
+        for r in bucket_pairs(df, ["b"], "id", max_bucket_size=1000, payload_col="payload").collect()
+    }
+    naive = {
+        (i, j, 100 + i, 100 + j)
+        for (i, bi, _) in rows
+        for (j, bj, _) in rows
+        if i < j and bi == bj
+    }
+    assert got == naive
+    # bucket-size cap drops oversized buckets entirely
+    sizes = {}
+    for _, b, _ in rows:
+        sizes[b] = sizes.get(b, 0) + 1
+    expected = sum(1 for s in sizes.values() if s == 2)
+    assert bucket_pairs(df, ["b"], "id", max_bucket_size=2).count() == expected
