@@ -39,6 +39,9 @@ LINEITEM_COLS = [
 ]
 
 
+_SCAN_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,7 +49,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # wide validation predicates blow up constraint propagation
     # (see session.py); guard any externally-built session too
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # memoize the scan per (session, path): repeated file-listing +
+    # footer schema reads otherwise tax every query with fixed driver
+    # latency (DataFrames are immutable plans, so sharing is safe)
+    key = (id(spark), f"{sf_dir}/{name}.parquet")
+    df = _SCAN_MEMO.get(key)
+    if df is None:
+        df = _SCAN_MEMO[key] = spark.read.parquet(key[1])
+    return df
 
 
 # --- deterministic money helpers (see module docstring) ---------------
