@@ -985,6 +985,53 @@ def docs_minhash_lsh_neardup(spark, sf_dir):
                              jaccard_threshold=0.4, sample_mod=4)
 
 
+def docs_corpus_prep(spark, sf_dir):
+    """End-to-end training-corpus prep as ONE declarative lineage:
+    quality-filter → exact dedup (min doc_id per normalized-content
+    md5, map-side partial agg) → corpus-level token totals. The whole
+    chain is a single Catalyst plan — narrow quality predicates fused
+    into the scan, one shuffle for the dedup agg, one for the final
+    global agg — demonstrating that pipeline *composition* adds no
+    extra passes over the data."""
+    from universal_importer_duckdb_spark.operators.text_analysis import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    kept, _ = quality_filter(docs, min_tokens=10, min_alpha_ratio=0.5,
+                             max_digit_ratio=0.3, min_unique_token_ratio=0.1)
+    deduped = (
+        kept.withColumn("__fp", F.md5(F.lower("text")))
+        .groupBy("__fp")
+        .agg(F.min_by("text", "doc_id").alias("text"))
+    )
+    toks = F.split(F.col("text"), " ")
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+        F.sum(F.size(F.array_distinct(toks))).cast("bigint").alias("total_unique_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+CORPUS_PREP_SQL = """
+WITH sig AS (
+  SELECT doc_id, text,
+    len(string_split(text, ' ')) AS n_tokens,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_ratio,
+    len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio
+  FROM documents),
+q AS (
+  SELECT doc_id, text FROM sig
+  WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3 AND uniq_ratio >= 0.1),
+d AS (SELECT arg_min(text, doc_id) AS text FROM q GROUP BY md5(lower(text)))
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_unique_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM d
+"""
+
+
 def docs_simhash_neardup(spark, sf_dir):
     from universal_importer_duckdb_spark.operators.dedup_text import simhash_near_pairs
 
@@ -1149,6 +1196,7 @@ REGISTRY.update({
     "docs_quality_filter_ids": (docs_quality_filter_ids, QUALITY_FILTER_SQL),
     "docs_bpe_token_count": (docs_bpe_token_count, BPE_SQL),
     "events_dedup_first_by_key": (events_dedup_first_by_key, EVENTS_DEDUP_SQL),
+    "docs_corpus_prep": (docs_corpus_prep, CORPUS_PREP_SQL),
     "docs_minhash_lsh_neardup": (docs_minhash_lsh_neardup, None),
     "docs_simhash_neardup": (docs_simhash_neardup, None),
     "docs_rolling_sketch": (docs_rolling_sketch, None),
