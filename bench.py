@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "docs_token_stats",
     "docs_fingerprint_exact_dedup",
     "docs_ngram_topk_similar",
+    "docs_corpus_prep",
     "docs_minhash_lsh_neardup",
     "docs_quality_filter_ids",
     "emb_cosine_topk",
