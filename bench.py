@@ -77,7 +77,7 @@ def main() -> int:
     # contaminated by transient neighbor noise (observed 3-10x
     # outliers on identical plans). Min is the standard estimator for
     # "what the code costs" under one-sided noise.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = q[name]
