@@ -113,23 +113,45 @@ def quality_filter(
     return scored.filter(ok), scored.filter(~ok)
 
 
-def rolling_fingerprint(col, window: int = 8, k: int = 4) -> Column:
-    """Winnowing-style document sketch: the k smallest xxhash64 values
-    over rolling token windows — robust to local edits (a bounded edit
+def rolling_fingerprint(col, window: int = 8, k: int = 4, hasher=None) -> Column:
+    """Winnowing-style document sketch: the k smallest hash values over
+    rolling token windows — robust to local edits (a bounded edit
     disturbs at most ``window`` of the hashes), unlike whole-text md5.
-    Compare sketches by overlap (bottom-k MinHash estimates Jaccard)."""
+    Compare sketches by overlap (bottom-k MinHash estimates Jaccard).
+
+    ``hasher`` defaults to ``F.xxhash64`` (fastest, JVM-native); pass
+    ``F.md5`` for a cross-engine-reproducible sketch (md5 hex strings
+    sort identically in any engine — used by the oracle-checked query
+    form)."""
+    hasher = hasher or F.xxhash64
     toks = tokens(col)
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0)))
     win_hashes = F.transform(
-        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+        starts, lambda i: hasher(F.concat_ws(" ", F.slice(toks, i + 1, window)))
     )
     return F.slice(F.array_sort(F.array_distinct(win_hashes)), 1, k)
 
 
-def content_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def content_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document fingerprints: whole-text md5 plus the rolling
+    window sketch. With ``portable=True`` the sketch uses md5 and is
+    serialized to a comma-joined scalar string — sortable/hashable by
+    any downstream consumer (the driver's canonicalizer chokes on
+    array columns) and reproducible bit-exactly in other engines."""
+    if portable:
+        sketch = F.array_join(
+            rolling_fingerprint(text_col, hasher=F.md5), ","
+        ).alias("rolling_sketch")
+    else:
+        sketch = rolling_fingerprint(text_col).alias("rolling_fingerprint")
     return df.select(
         F.col(id_col),
         F.md5(F.lower(F.col(text_col))).alias("md5_fingerprint"),
-        rolling_fingerprint(text_col).alias("rolling_fingerprint"),
+        sketch,
     )
