@@ -135,7 +135,7 @@ def q3_top_unshipped(spark, sf_dir):
     ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_msum(ext * (_one() - disc), "revenue"))
         .select(
@@ -169,7 +169,7 @@ def q5_revenue_by_nation(spark, sf_dir):
     ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -198,7 +198,7 @@ def top_customers(spark, sf_dir):
     return (
         orders.groupBy("o_custkey")
         .agg(_msum(_dec("o_totalprice"), "revenue"), F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select("c_custkey", "c_name", "revenue", "n_orders")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
@@ -1381,7 +1381,7 @@ def rollup_revenue(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
@@ -1489,7 +1489,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(avg_per_part), li.l_partkey == F.col("ap_partkey"))
+        li.join(avg_per_part, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg(
             _msum(_dec("l_extendedprice"), "total_price"),
@@ -1712,8 +1712,8 @@ def q7_volume_shipping(spark, sf_dir):
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -1751,8 +1751,8 @@ def q9_profit_by_nation_year(spark, sf_dir):
     ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
     cost = _dec("p_retailprice") * _dec("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -1782,7 +1782,7 @@ def q10_returned_items(spark, sf_dir):
     ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_msum(ext * (_one() - disc), "revenue"))
@@ -1816,7 +1816,7 @@ def q14_promo_revenue(spark, sf_dir):
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(5,4)"))).cast("double")
     total = F.sum(rev).cast("double")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg((F.lit(100.0) * promo / total).alias("promo_revenue_pct"))
     )
 
@@ -1848,7 +1848,7 @@ def q15_top_supplier(spark, sf_dir):
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -1874,7 +1874,7 @@ def q16_supplier_part_count(spark, sf_dir):
         (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1901,7 +1901,7 @@ def q18_large_orders(spark, sf_dir):
     )
     return (
         orders.join(big, orders.o_orderkey == F.col("big_okey"))
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
@@ -1932,7 +1932,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(pred)
         .agg(_msum(ext * (_one() - disc), "revenue"), F.count(F.lit(1)).alias("n_rows"))
     )
@@ -2018,7 +2018,7 @@ def cube_revenue(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .cube("r_name", "n_name")
@@ -2046,7 +2046,7 @@ def pivot_status_by_segment(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
@@ -2199,12 +2199,16 @@ WHERE NOT coalesce(o_totalprice < 1000 OR o_totalprice > 500000, FALSE)
 
 def fk_orphan_orders(spark, sf_dir):
     """Referential-integrity check as data: orders whose o_custkey has
-    no matching customer (broadcast anti join)."""
+    no matching customer. customer scales with SF, so the lookup is
+    NOT hint-broadcast — AQE picks broadcast while it fits and falls
+    back to a shuffled anti join at scale."""
     from universal_importer_duckdb_spark.operators.rules import referential_check
 
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    _, orphans = referential_check(orders, cust, ["o_custkey"], ["c_custkey"])
+    _, orphans = referential_check(
+        orders, cust, ["o_custkey"], ["c_custkey"], broadcast_lookup=False
+    )
     return orphans.select("o_orderkey", "o_custkey")
 
 
@@ -2361,10 +2365,10 @@ def q8_market_share(spark, sf_dir):
     n_c = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rkey"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(part.filter(F.col("p_type") == "PROMO"), li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("c_rkey") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
@@ -2405,7 +2409,7 @@ def q11_important_parts(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
     src = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
               F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -2447,14 +2451,14 @@ def q20_heavy_shippers(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(part.filter(F.col("p_type") == "SMALL")), li.l_partkey == F.col("p_partkey"))
+        .join(part.filter(F.col("p_type") == "SMALL"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("__q"))
         .filter(F.col("__q") > F.lit(50).cast("decimal(15,2)"))
     )
     # heavy is post-aggregation keyed by supplier — at most |supplier|
     # rows at any scale, so the semi join is always broadcastable
-    return supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
+    return supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name"
     )
 
@@ -2496,7 +2500,7 @@ def q21_waiting_suppliers(spark, sf_dir):
         .filter((F.col("__n_supp") >= 2) & (F.col("__n_r_supp") == 1))
     )
     return (
-        cand.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        cand.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -2536,7 +2540,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
     per = (
-        li.join(F.broadcast(part.filter(F.col("p_type") == "LARGE")),
+        li.join(part.filter(F.col("p_type") == "LARGE"),
                 li.l_partkey == F.col("p_partkey"))
         .groupBy("p_partkey", "p_brand", "l_suppkey")
         .agg(F.sum(ext * (_one() - disc)).cast("decimal(22,6)").alias("__cost"))
@@ -2545,7 +2549,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     return (
         per.withColumn("__min", F.min("__cost").over(w))
         .filter(F.col("__cost") == F.col("__min"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "p_partkey", "p_brand", "s_name",
