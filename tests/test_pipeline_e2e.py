@@ -151,3 +151,48 @@ def test_stop_mode_on_schema_errors_raises(spark, tmp_path):
     ent["settings"]["custom_validation_mode"] = "stop"
     with pytest.raises(ValueError, match="Schema validation failed"):
         run_pipeline(spark, cfg, "employees", today="2026-08-13")
+
+
+def test_caller_frame_without_ingest_ord_still_dedups(spark, tmp_path):
+    """unique_composite configured + caller-supplied source_df with no
+    _ingest_ord and no order_cols: an ingest order is derived so dedup
+    ALWAYS runs (silently skipping it would leak duplicates into every
+    projection — the reference always dedups)."""
+    import copy
+
+    from universal_importer_duckdb_spark.plans.pipeline import run_pipeline
+    from universal_importer_duckdb_spark.sources.readers import (
+        read_csv_with_ingest_order,
+    )
+
+    src = tmp_path / "employees.csv"
+    src.write_text(CSV)
+    # a frame WITHOUT the stamp (drop it after a normal read)
+    df = read_csv_with_ingest_order(spark, str(src)).drop("_ingest_ord")
+    cfg = copy.deepcopy(CONFIG)
+    cfg["transformations_config"]["employees"]["source"] = str(src)
+    result = run_pipeline(
+        spark, cfg, "employees", source_df=df, today="2026-08-13"
+    )
+    assert result.summary.duplicates_removed == 2
+    assert result.stage.count() == 7
+
+
+def test_missing_explicit_order_cols_raise(spark, tmp_path):
+    import copy
+
+    from universal_importer_duckdb_spark.plans.pipeline import run_pipeline
+    from universal_importer_duckdb_spark.sources.readers import (
+        read_csv_with_ingest_order,
+    )
+
+    src = tmp_path / "employees.csv"
+    src.write_text(CSV)
+    df = read_csv_with_ingest_order(spark, str(src)).drop("_ingest_ord")
+    cfg = copy.deepcopy(CONFIG)
+    cfg["transformations_config"]["employees"]["source"] = str(src)
+    with pytest.raises(ValueError, match="order columns"):
+        run_pipeline(
+            spark, cfg, "employees", source_df=df,
+            order_cols=["no_such_column"], today="2026-08-13",
+        )

@@ -32,6 +32,7 @@ from universal_importer_duckdb_spark.operators.validate import validate_datafram
 from universal_importer_duckdb_spark.sources.readers import (
     INGEST_ORD,
     read_csv_with_ingest_order,
+    with_ingest_order,
 )
 from universal_importer_duckdb_spark.sources.writers import export_csv, save_errors
 
@@ -117,7 +118,21 @@ def run_pipeline(
     composite_keys = settings.get("unique_composite", []) or []
     resolution = settings.get("duplicate_resolution", "first")
     order: list[str] = order_cols or [ingest or INGEST_ORD]
-    if composite_keys and all(c in valid.columns for c in order):
+    if composite_keys:
+        missing = [c for c in order if c not in valid.columns]
+        if missing and order_cols:
+            # caller named ordering columns that don't exist — never
+            # silently skip dedup (a data-correctness trap)
+            raise ValueError(
+                f"unique_composite dedup for '{entity}' needs order columns "
+                f"{missing} that are absent from the frame"
+            )
+        if missing:
+            # caller-supplied source_df without _ingest_ord and no
+            # order_cols: derive an ingest order (JVM-side stamp) so
+            # dedup ALWAYS runs when configured, as in the reference
+            valid = with_ingest_order(valid)
+            order = [INGEST_ORD]
         kept, dups = dedupe_cascade(valid, composite_keys, resolution, order)
         if compute_summary:
             # cache the kept side (rules + projections + counts fan out

@@ -14,16 +14,20 @@ Two recipes:
   the whole table through ONE task. (Prefer skipping the ordinal
   entirely where possible: dedup and rules accept ``order_cols``
   directly, see plans/pipeline.py.)
-- ``with_ingest_order(df)`` (no columns) — file order via
-  ``zipWithIndex``: exact CSV row order, but materializes a pass over
-  the data; fine for import-sized inputs, documented cost at scale.
+- ``with_ingest_order(df)`` (no columns) — file order, stamped
+  entirely JVM-side: ``spark_partition_id`` + the per-partition-
+  consecutive counter inside ``monotonically_increasing_id``, plus a
+  broadcast join against cumulative per-partition offsets (one small
+  count job over #partitions rows). No ``df.rdd``, no Python pickle
+  round-trip of the data — the whole stamp stays in whole-stage
+  codegen.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 INGEST_ORD = "_ingest_ord"
@@ -34,15 +38,47 @@ def with_ingest_order(df: DataFrame, order_cols: Sequence[str] | None = None) ->
         # Dense 1-based ordinal consistent with ORDER BY order_cols —
         # computed in parallel: range-partitioning puts globally-ordered
         # key ranges in partition order, the local sort orders within,
-        # and zipWithIndex adds cumulative per-partition offsets (one
-        # extra count job, no single-partition window sort).
+        # and per-partition offsets complete the global ordinal (one
+        # extra metadata-sized count job, no single-partition window
+        # sort).
         df = df.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(
             *[F.col(c) for c in order_cols]
         )
-    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1] + 1))
-    spark = df.sparkSession
-    schema = df.schema.add(INGEST_ORD, "long", False)
-    return spark.createDataFrame(rdd, schema)
+    # monotonically_increasing_id = (partition_id << 33) + consecutive
+    # row counter, so (mid - min(mid) per partition) is the local row
+    # index — computed without any window over the data.
+    stamped = df.select(
+        "*",
+        F.spark_partition_id().alias("__ord_pid"),
+        F.monotonically_increasing_id().alias("__ord_mid"),
+    )
+    if order_cols:
+        # The range exchange re-samples boundaries per job; pin one
+        # materialization so the offsets pass and the stamping join
+        # see identical partition contents.
+        stamped = stamped.persist()
+    stats = stamped.groupBy("__ord_pid").agg(
+        F.count(F.lit(1)).alias("__ord_n"),
+        F.min("__ord_mid").alias("__ord_base"),
+    )
+    # #partitions rows: the single-partition window here is over
+    # metadata, not data.
+    w = Window.orderBy("__ord_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        "__ord_pid",
+        "__ord_base",
+        F.coalesce(F.sum("__ord_n").over(w), F.lit(0)).alias("__ord_off"),
+    )
+    return (
+        stamped.join(F.broadcast(offsets), "__ord_pid")
+        .withColumn(
+            INGEST_ORD,
+            (F.col("__ord_mid") - F.col("__ord_base") + F.col("__ord_off") + F.lit(1)).cast(
+                "long"
+            ),
+        )
+        .drop("__ord_pid", "__ord_mid", "__ord_base", "__ord_off")
+    )
 
 
 def read_csv_with_ingest_order(
