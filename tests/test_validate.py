@@ -66,3 +66,32 @@ def test_validate_errors_keep_raw_values(spark):
     _, errors = validate_dataframe(_df(spark), schema, ingest_ord="_ingest_ord")
     raw = {r.row: r.id for r in errors.collect()}
     assert raw[4] == "xx"
+
+
+def test_apply_defaults_substitutes_before_constraints(spark):
+    """Config `default` key: ignored by default (reference parity,
+    main.py:40-52), honored when compile_schema(apply_defaults=True) —
+    a NULL required-with-default field takes the default instead of
+    failing required."""
+    schema_cfg = {
+        "id": {"type": "int", "required": True},
+        "dept": {"type": "str", "required": True, "default": "unassigned"},
+        "score": {"type": "float", "default": 1.5},
+    }
+    rows = [("1", "eng", "9.9", 1), ("2", None, None, 2), (None, None, "3.0", 3)]
+    df = spark.createDataFrame(rows, "id string, dept string, score string, _ingest_ord int")
+
+    # Reference behavior: default parsed but never applied.
+    ignored = compile_schema(schema_cfg)
+    valid, errors = validate_dataframe(df, ignored, ingest_ord="_ingest_ord")
+    errs = {r.row: r.errors for r in errors.collect()}
+    assert "dept: field required" in errs[2]
+
+    # Opt-in behavior: defaults fill NULLs before any constraint runs.
+    applied = compile_schema(schema_cfg, apply_defaults=True)
+    valid, errors = validate_dataframe(df, applied, ingest_ord="_ingest_ord")
+    got = {r.id: (r.dept, r.score) for r in valid.collect()}
+    assert got == {1: ("eng", 9.9), 2: ("unassigned", 1.5)}
+    # id has no default, so row 3 still fails required.
+    errs = {r.row: r.errors for r in errors.collect()}
+    assert errs == {3: "id: field required"}

@@ -92,6 +92,7 @@ class CompiledSchema:
     struct: T.StructType
     fields: list[FieldSpec]
     constraints: list[Constraint] = dc_field(default_factory=list)
+    apply_defaults: bool = False
 
     @property
     def columns(self) -> list[str]:
@@ -108,8 +109,17 @@ def _typed(fs: FieldSpec) -> Column:
 def compile_schema(
     fields_config: dict[str, dict[str, Any]],
     strict_required: bool = False,
+    apply_defaults: bool = False,
 ) -> CompiledSchema:
-    """fields_config is the ``validations.schema.fields`` mapping."""
+    """fields_config is the ``validations.schema.fields`` mapping.
+
+    ``apply_defaults=True`` makes ``operators.validate`` substitute a
+    field's declared ``default`` for NULL/missing raw values before any
+    constraint is evaluated (so a required field with a default never
+    fails required). Default ``False`` reproduces the reference, which
+    parses ``default`` but never applies it (main.py:40-52,
+    config.yaml:39).
+    """
     specs = [FieldSpec.from_dict(name, spec or {}) for name, spec in fields_config.items()]
     struct = T.StructType(
         [
@@ -117,6 +127,17 @@ def compile_schema(
             for fs in specs
         ]
     )
+    return CompiledSchema(
+        struct=struct,
+        fields=specs,
+        constraints=_compile_constraints(specs, strict_required),
+        apply_defaults=apply_defaults,
+    )
+
+
+def _compile_constraints(
+    specs: list[FieldSpec], strict_required: bool
+) -> list[Constraint]:
     constraints: list[Constraint] = []
     for fs in specs:
         col = F.col(fs.name)
@@ -154,4 +175,4 @@ def compile_schema(
                     f"value should be >= {fs.min}",
                 )
             )
-    return CompiledSchema(struct=struct, fields=specs, constraints=constraints)
+    return constraints

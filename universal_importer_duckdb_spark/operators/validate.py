@@ -61,6 +61,24 @@ def validate_dataframe(
     base = df.select(*selected)
     if fillna:
         base = base.na.fill({k: v for k, v in fillna.items() if k in schema.columns})
+    if schema.apply_defaults:
+        # Substitute declared defaults for NULL/missing raw values
+        # before any constraint sees them (config `default` key —
+        # parsed-but-ignored by the reference; opt-in here via
+        # compile_schema(apply_defaults=True)). The literal is cast to
+        # the column's CURRENT (raw) type so the coercion constraints
+        # downstream treat it exactly like a supplied value.
+        base = base.select(
+            *[
+                F.coalesce(
+                    F.col(fs.name), F.lit(fs.default).cast(base.schema[fs.name].dataType)
+                ).alias(fs.name)
+                if fs.default is not None
+                else F.col(fs.name)
+                for fs in schema.fields
+            ],
+            *[c for c in base.columns if c not in schema.columns],
+        )
 
     # NOTE: no array/higher-order functions here on purpose — an
     # array_compact over dozens of nested CASE WHEN trees triggers
