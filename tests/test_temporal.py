@@ -133,3 +133,20 @@ def test_asof_plan_has_single_shuffle(frames):
     assert "Join" not in plan
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) == 1
+
+
+def test_asof_null_in_matched_row_stays_null(spark):
+    """A NULL value column in the MATCHED right row must come through
+    as NULL — not backfilled from an older right row — and multiple
+    value columns must all come from the same matched row (they travel
+    as one struct through a single last(ignorenulls=True))."""
+    left = spark.createDataFrame(
+        [(1, 150, "x"), (1, 250, "y")], "k bigint, ts bigint, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0, "old"), (1, 200, None, None)],
+        "k bigint, ts bigint, v double, s string",
+    )
+    out = asof_join(left, right, on="k", ts_col="ts", right_value_cols=["v", "s"])
+    got = {r.tag: (r.asof_v, r.asof_s) for r in out.collect()}
+    assert got == {"x": (1.0, "old"), "y": (None, None)}

@@ -23,6 +23,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -41,24 +42,33 @@ def asof_join(
     row, so it is visible to it.
 
     right_value_cols are carried onto the left rows as
-    `asof_<name>` (NULL when no right row precedes).
+    `asof_<name>` (NULL when no right row precedes). All value columns
+    come from the SAME matched right row — they travel as one struct
+    through a single ``last(ignorenulls=True)``, so a NULL in one value
+    column of the matched row stays NULL instead of being backfilled
+    from an older right row (DuckDB ASOF semantics).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
 
     lcols = left.columns
+    rstruct = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_value_cols]
+    )
     tagged_r = right.select(
         F.col(on).alias(on),
         F.col(ts_col).alias(ts_col),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"asof_{c}") for c in right_value_cols],
+        # Non-null struct per right row (even if every field is null) —
+        # the ignorenulls window skips left rows, never right rows.
+        F.struct(*[F.col(c).alias(c) for c in right_value_cols]).alias("__rv"),
         *[F.lit(None).alias(f"__l_{c}") for c in lcols if c not in (on, ts_col)],
     )
     tagged_l = left.select(
         F.col(on).alias(on),
         F.col(ts_col).alias(ts_col),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}") for c in right_value_cols],
+        F.lit(None).cast(rstruct).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols if c not in (on, ts_col)],
     )
     unioned = tagged_r.unionByName(tagged_l)
@@ -80,10 +90,17 @@ def asof_join(
         on,
         ts_col,
         "__side",
-        *[F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in right_value_cols],
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
         *[F.col(f"__l_{c}") for c in lcols if c not in (on, ts_col)],
     )
-    out = carried.filter(F.col("__side") == 1).drop("__side")
+    out = (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            "*",
+            *[F.col("__rv")[c].alias(f"asof_{c}") for c in right_value_cols],
+        )
+        .drop("__side", "__rv")
+    )
     renames = {f"__l_{c}": c for c in lcols if c not in (on, ts_col)}
     return out.withColumnsRenamed(renames)
 
