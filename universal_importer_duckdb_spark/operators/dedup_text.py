@@ -38,9 +38,19 @@ def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
     per-row compute. A wide input (>= target partitions) is left
     untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, *[F.col(c) for c in cols]) if cols else df.repartition(target)
-    return df
+    # Partition-count estimate WITHOUT df.rdd (which forces a full
+    # logical->RDD physical translation per call — measurable fixed
+    # driver latency on every query that touches this helper). File
+    # count of the leaf scans is the right proxy for "arrives in few
+    # splits": non-file-backed frames report 0 and get spread, wide
+    # file-backed inputs are left untouched.
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in cols]) if cols else df.repartition(target)
 
 
 def bucket_pairs(
@@ -102,16 +112,20 @@ def exact_dedup(
     )
 
 
-def shingles(col, n: int = 5):
-    """Distinct character n-grams of a string column (JVM higher-order
-    functions — no UDF)."""
+def shingles(col, n: int = 5, distinct: bool = False):
+    """Character n-grams of a string column (JVM higher-order
+    functions — no UDF). NOT deduplicated by default: every consumer
+    here is set-semantic anyway (MinHash min over a multiset equals
+    min over its set; ``array_intersect``/``array_union`` dedupe
+    internally), and interpreted ``array_distinct`` is O(n²) per row —
+    it was the single largest cost of the signature stage. Pass
+    ``distinct=True`` if you need the actual set."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
-            lambda i: c.substr(i, F.lit(n)),
-        )
+    out = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(n)),
     )
+    return F.array_distinct(out) if distinct else out
 
 
 _MERSENNE_31 = (1 << 31) - 1
@@ -127,26 +141,54 @@ def _perm_params(num_perm: int, seed: int = 7):
     ]
 
 
-def _perm_min_pandas_udf(num_perm: int, seed: int = 7):
+def _perm_min_pandas_udf(num_perm: int, seed: int = 7, sample_mod: int = 1):
     """Arrow-batched permutation-min: given the JVM-hashed shingle
-    array, compute all num_perm (a*h+b) mod p minima in one numpy
-    broadcast per row. a, h < 2^31 so a*h+b < 2^62+2^31 — exact in
-    int64, identical to the JVM expression path bit-for-bit."""
+    array, compute all num_perm (a*h+b) mod p minima. a, h < 2^31 so
+    a*h+b < 2^62+2^31 — exact in int64, identical to the JVM
+    expression path bit-for-bit.
+
+    Vectorized ACROSS the batch, not per row: all rows' hashes are
+    concatenated into one flat vector, each permutation is one
+    (a*flat+b) % p pass, and per-row minima come from
+    ``np.minimum.reduceat`` at the row offsets — num_perm vectorized
+    passes per batch instead of one numpy broadcast per row.
+
+    ``sample_mod > 1`` applies the consistent mod-sampling here (keep
+    hashes ≡ 0 mod k, fall back to the full set when a short doc
+    samples to empty) — same semantics as the interpreted
+    ``F.filter`` projection the expr path uses, without two extra
+    interpreted passes over the array column."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     params = _perm_params(num_perm, seed)
-    A = np.array([p[0] for p in params], dtype=np.int64)[:, None]
-    B = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    A = np.array([p[0] for p in params], dtype=np.int64)
+    B = np.array([p[1] for p in params], dtype=np.int64)
 
     @pandas_udf("array<bigint>")
     def sig(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
+        out: list = [None] * len(hs)
+        keep_idx: list[int] = []
+        arrays: list[np.ndarray] = []
+        for i, h in enumerate(hs):
             if h is None or len(h) == 0:
-                out.append(None)
                 continue
-            hv = np.asarray(h, dtype=np.int64)[None, :]
-            out.append(((A * hv + B) % _MERSENNE_31).min(axis=1))
+            hv = np.asarray(h, dtype=np.int64)
+            if sample_mod > 1:
+                s = hv[hv % sample_mod == 0]
+                if s.size:
+                    hv = s
+            keep_idx.append(i)
+            arrays.append(hv)
+        if not keep_idx:
+            return pd.Series(out)
+        flat = np.concatenate(arrays)
+        offs = np.zeros(len(arrays), dtype=np.intp)
+        np.cumsum([a.size for a in arrays[:-1]], out=offs[1:])
+        res = np.empty((len(arrays), num_perm), dtype=np.int64)
+        for p in range(num_perm):
+            res[:, p] = np.minimum.reduceat((A[p] * flat + B[p]) % _MERSENNE_31, offs)
+        for j, i in enumerate(keep_idx):
+            out[i] = res[j]
         return pd.Series(out)
 
     return sig
@@ -195,6 +237,11 @@ def minhash_signatures(
     with_h = spread_for_compute(df, id_col).select(
         F.col(id_col), hashed.alias("__h")
     )
+    if impl == "pandas":
+        # sampling folded into the Arrow kernel — no interpreted
+        # filter/fallback projections over the array column
+        sig_udf = _perm_min_pandas_udf(num_perm, sample_mod=sample_mod)
+        return with_h.select(F.col(id_col), sig_udf("__h").alias("signature"))
     if sample_mod > 1:
         # consistent mod-sampling: keep shingles whose base hash is
         # 0 (mod k). The filter is a function of the shingle alone, so
@@ -214,9 +261,6 @@ def minhash_signatures(
             id_col,
             F.when(F.size("__hs") > 0, F.col("__hs")).otherwise(F.col("__h")).alias("__h"),
         )
-    if impl == "pandas":
-        sig_udf = _perm_min_pandas_udf(num_perm)
-        return with_h.select(F.col(id_col), sig_udf("__h").alias("signature"))
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("__h"), perm_min(a, b)))
@@ -315,8 +359,15 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # Verify on HASHED shingles: exact set-Jaccard is preserved
+    # (xxhash64 collisions among a few hundred shingles are ~2^-50),
+    # while array_intersect/array_union compare bigints instead of
+    # n-char strings — measurably cheaper in the interpreted
+    # higher-order evaluator, and the shuffled verify payload is 8
+    # bytes per shingle regardless of shingle_n.
     sh = spread_for_compute(df.join(need_ids, [id_col], "left_semi"), id_col).select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+        F.col(id_col),
+        F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias("sh"),
     )
     if cache_intermediate:
         sh = sh.cache()
