@@ -1,0 +1,91 @@
+"""fixed_point_agg must be bit-identical to the decimal-sum oracle,
+including negative values and exact .5 rounding boundaries."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from universal_importer_duckdb_spark.functions.fixed_point import (
+    FixedSum,
+    fixed_point_agg,
+    scaled,
+)
+
+
+@pytest.fixture(scope="module")
+def mixed_df(spark):
+    # values engineered to hit: negatives, exact .5 halves at the
+    # round boundary, and magnitudes near the scaled-int64 comfort zone
+    rows = [
+        ("a", 1.005, 0.04),
+        ("a", -1.005, 0.04),
+        ("a", 2.345, 0.10),
+        ("b", -99999.99, 0.00),
+        ("b", 99999.98, 0.05),
+        ("b", 0.125, 0.08),
+        ("c", -0.125, 0.02),
+        ("c", 1234567.89, 0.07),
+    ]
+    return spark.createDataFrame(rows, "g string, price double, disc double")
+
+
+def _oracle(rows, sql):
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["g", "price", "disc"]))
+    return con.execute(sql).fetchall()
+
+
+def test_fixed_point_matches_decimal_oracle(spark, mixed_df):
+    p2 = scaled("price", 2)
+    disc_f4 = F.lit(10**4).cast("bigint") - scaled("disc", 4, 5)
+    out = fixed_point_agg(
+        mixed_df,
+        ["g"],
+        sums=[
+            FixedSum("s_price", p2, 2),
+            FixedSum("s_disc", p2 * disc_f4, 6),
+        ],
+        avgs=[("avg_price", "s_price")],
+        count_alias="n",
+    )
+    got = {r["g"]: r.asDict() for r in out.collect()}
+
+    rows = [tuple(r) for r in mixed_df.collect()]
+    want = _oracle(
+        rows,
+        """
+        SELECT g,
+          CAST(round(SUM(price::DECIMAL(12,2)), 2) AS DOUBLE) AS s_price,
+          CAST(round(SUM(price::DECIMAL(12,2) * (1::DECIMAL(5,4) - disc::DECIMAL(5,4))), 2) AS DOUBLE) AS s_disc,
+          CAST(SUM(price::DECIMAL(12,2)) AS DOUBLE)/COUNT(*) AS avg_price,
+          COUNT(*) AS n
+        FROM t GROUP BY g
+        """,
+    )
+    assert len(want) == len(got)
+    for g, s_price, s_disc, avg_price, n in want:
+        row = got[g]
+        assert row["s_price"] == s_price, (g, row["s_price"], s_price)
+        assert row["s_disc"] == s_disc, (g, row["s_disc"], s_disc)
+        assert row["avg_price"] == avg_price
+        assert row["n"] == n
+
+
+def test_fixed_point_single_exchange(spark, mixed_df):
+    out = fixed_point_agg(
+        mixed_df, ["g"], sums=[FixedSum("s", scaled("price", 2), 2)]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_fixed_point_extra_aggs_passthrough(spark, mixed_df):
+    out = fixed_point_agg(
+        mixed_df,
+        ["g"],
+        sums=[FixedSum("s", scaled("price", 2), 2)],
+        extra_aggs=[F.max("disc").alias("max_disc")],
+    )
+    assert set(out.columns) == {"g", "s", "max_disc"}
+    got = {r["g"]: r["max_disc"] for r in out.collect()}
+    assert got["a"] == 0.10

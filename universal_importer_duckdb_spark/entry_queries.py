@@ -30,6 +30,12 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from universal_importer_duckdb_spark.functions.fixed_point import (
+    FixedSum,
+    fixed_point_agg,
+    scaled,
+)
+
 TODAY = "2026-08-13"  # injected "today" for age_gte determinism
 
 LINEITEM_COLS = [
@@ -76,6 +82,28 @@ def _msum(expr, alias: str):
     return F.round(F.sum(expr), 2).cast("double").alias(alias)
 
 
+# scaled-int64 forms of the same measures (functions/fixed_point.py):
+# identical values, but the hot sum stays in long arithmetic instead
+# of BigDecimal. k = implied decimals.
+
+def _fx_ext2():
+    return scaled("l_extendedprice", 2)
+
+
+def _fx_disc_f4():
+    # (1 - l_discount) with 4 implied decimals
+    return F.lit(10**4).cast("bigint") - scaled("l_discount", 4, 5)
+
+
+def _fx_tax_f4():
+    return F.lit(10**4).cast("bigint") + scaled("l_tax", 4, 5)
+
+
+def _fx_revenue():
+    # l_extendedprice*(1-l_discount), k=6
+    return _fx_ext2() * _fx_disc_f4()
+
+
 # Deterministic "ingest order" for parquet sources: the full row is
 # the only total order the data guarantees ((l_orderkey, l_linenumber)
 # is NOT unique in the synthetic tables, but complete rows are) —
@@ -93,20 +121,29 @@ _LI_ORD_DESC = ", ".join(f"{c} DESC" for c in LINEITEM_COLS)
 # ======================================================================
 
 def q1_pricing_summary(spark, sf_dir):
+    """Exact fixed-point aggregation (functions/fixed_point.py): the
+    measures are scaled int64 per row, chunk-summed long-side in one
+    exchange — bit-identical to the decimal oracle, ~3x cheaper than
+    BigDecimal sum buffers."""
     li = _t(spark, sf_dir, "lineitem")
-    ext, disc, tax = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)"), F.col("l_tax").cast("decimal(9,4)")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _msum(_dec("l_quantity"), "sum_qty"),
-            _msum(ext, "sum_base_price"),
-            _msum(ext * (_one() - disc), "sum_disc_price"),
-            _msum(ext * (_one() - disc) * (_one() + tax), "sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(ext).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    flt = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty2 = scaled("l_quantity", 2)
+    ext2 = _fx_ext2()
+    disc_f4 = _fx_disc_f4()
+    tax_f4 = _fx_tax_f4()
+    return fixed_point_agg(
+        flt,
+        ["l_returnflag", "l_linestatus"],
+        sums=[
+            FixedSum("sum_qty", qty2, 2),
+            FixedSum("sum_base_price", ext2, 2),
+            FixedSum("sum_disc_price", ext2 * disc_f4, 6),
+            FixedSum("sum_charge", ext2 * disc_f4 * tax_f4, 10),
+        ],
+        avgs=[("avg_qty", "sum_qty"), ("avg_price", "sum_base_price")],
+        count_alias="count_order",
     )
 
 
@@ -132,12 +169,15 @@ def q3_top_unshipped(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_msum(ext * (_one() - disc), "revenue"))
+        fixed_point_agg(
+            joined,
+            ["l_orderkey", "o_orderdate", "o_orderpriority"],
+            sums=[FixedSum("revenue", _fx_revenue(), 6)],
+        )
         .select(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -166,17 +206,17 @@ def q5_revenue_by_nation(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
-    return (
+    joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            _msum(ext * (_one() - disc), "revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
+    )
+    return fixed_point_agg(
+        joined,
+        ["r_name", "n_name"],
+        sums=[FixedSum("revenue", _fx_revenue(), 6)],
+        count_alias="n_lineitems",
     )
 
 
@@ -196,8 +236,12 @@ def top_customers(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.groupBy("o_custkey")
-        .agg(_msum(_dec("o_totalprice"), "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        fixed_point_agg(
+            orders.select("o_custkey", "o_totalprice"),
+            ["o_custkey"],
+            sums=[FixedSum("revenue", scaled("o_totalprice", 2), 2)],
+            count_alias="n_orders",
+        )
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select("c_custkey", "c_name", "revenue", "n_orders")
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -1671,15 +1715,17 @@ def q6_forecast_revenue(spark, sf_dir):
     """Single-scan filtered aggregate (q6): the shape where predicate
     pushdown to the parquet reader is the whole game at scale."""
     li = _t(spark, sf_dir, "lineitem")
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & F.col("l_discount").between(0.02, 0.06)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(_msum(ext * disc, "revenue"), F.count(F.lit(1)).alias("n_rows"))
+    flt = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return fixed_point_agg(
+        flt,
+        [],
+        sums=[FixedSum("revenue", _fx_ext2() * scaled("l_discount", 4, 5), 6)],
+        count_alias="n_rows",
     )
 
 
@@ -1748,17 +1794,20 @@ def q9_profit_by_nation_year(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier")
     part = _t(spark, sf_dir, "part")
     nation = _t(spark, sf_dir, "nation")
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
-    cost = _dec("p_retailprice") * _dec("l_quantity")
-    return (
+    # cost = retailprice(2dp) * quantity(2dp): k=4, lifted to k=6 so
+    # the subtraction shares the revenue scale
+    cost6 = scaled("p_retailprice", 2) * scaled("l_quantity", 2) * F.lit(100).cast("bigint")
+    joined = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("l_shipdate").cast("bigint").alias("o_year"),
-        )
-        .agg(_msum(ext * (_one() - disc) - cost, "sum_profit"))
+        .withColumn("nation", F.col("n_name"))
+        .withColumn("o_year", F.year("l_shipdate").cast("bigint"))
+    )
+    return fixed_point_agg(
+        joined,
+        ["nation", "o_year"],
+        sums=[FixedSum("sum_profit", _fx_revenue() - cost6, 6)],
     )
 
 
@@ -1894,11 +1943,11 @@ def q18_large_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    big = (
-        li.groupBy(F.col("l_orderkey").alias("big_okey"))
-        .agg(_msum(_dec("l_quantity"), "sum_qty"))
-        .filter(F.col("sum_qty") > 250)
-    )
+    big = fixed_point_agg(
+        li.select(F.col("l_orderkey").alias("big_okey"), "l_quantity"),
+        ["big_okey"],
+        sums=[FixedSum("sum_qty", scaled("l_quantity", 2), 2)],
+    ).filter(F.col("sum_qty") > 250)
     return (
         orders.join(big, orders.o_orderkey == F.col("big_okey"))
         .join(cust, orders.o_custkey == cust.c_custkey)
