@@ -63,13 +63,20 @@ def test_dedup_single_exchange(spark, sf_dir):
     import re
 
     plan = _plan(eq.dedup_first_lineitem(spark, sf_dir))
-    # exactly one shuffle (the window partition keys); Spark also
-    # applies WindowGroupLimit BEFORE the exchange (map-side top-1 per
-    # key), which is precisely the 100 TB-friendly shape
+    # exactly one shuffle (hash-partitioned on the dedup keys); the
+    # kept-only path is a min_by aggregation, so a partial HashAggregate
+    # runs BEFORE the exchange (map-side combine) — the 100 TB shape
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) == 1
-    assert "Window" in plan
-    assert plan.index("WindowGroupLimit") < plan.index("Exchange")
+    assert "partial_min_by" in plan  # map-side combine before shuffle
+    assert plan.index("Aggregate") < plan.index("Exchange")
+
+    # the duplicates-capturing form stays on the window lineage with a
+    # map-side WindowGroupLimit ahead of its single exchange
+    wplan = _plan(eq.dedup_duplicates_lineitem(spark, sf_dir))
+    wexchanges = re.findall(r"^\(\d+\) Exchange", wplan, flags=re.M)
+    assert len(wexchanges) == 1
+    assert "Window" in wplan
 
 
 def test_validate_is_shuffle_free(spark, sf_dir):

@@ -398,8 +398,17 @@ def _dedup(spark, sf_dir, resolution, keys=("l_partkey", "l_suppkey")):
     return kept.select(*LINEITEM_COLS), dups.select(*LINEITEM_COLS)
 
 
+def _dedup_kept(spark, sf_dir, resolution, keys=("l_partkey", "l_suppkey")):
+    # kept-rows-only consumers take the min_by/max_by aggregation form
+    # (hash agg + map-side partial, no per-group sort)
+    from universal_importer_duckdb_spark.operators.dedup import dedupe_keep_only
+
+    li = _t(spark, sf_dir, "lineitem")
+    return dedupe_keep_only(li, list(keys), resolution, LINEITEM_COLS).select(*LINEITEM_COLS)
+
+
 def dedup_first_lineitem(spark, sf_dir):
-    return _dedup(spark, sf_dir, "first")[0]
+    return _dedup_kept(spark, sf_dir, "first")
 
 
 DEDUP_FIRST_SQL = f"""
@@ -410,7 +419,7 @@ SELECT {_LI_COLS_SQL} FROM (
 
 
 def dedup_last_lineitem(spark, sf_dir):
-    return _dedup(spark, sf_dir, "last")[0]
+    return _dedup_kept(spark, sf_dir, "last")
 
 
 DEDUP_LAST_SQL = f"""
@@ -421,7 +430,7 @@ SELECT {_LI_COLS_SQL} FROM (
 
 
 def dedup_exclude_all_lineitem(spark, sf_dir):
-    return _dedup(spark, sf_dir, "exclude_all")[0]
+    return _dedup_kept(spark, sf_dir, "exclude_all")
 
 
 DEDUP_EXCLUDE_SQL = f"""
@@ -443,10 +452,12 @@ SELECT {_LI_COLS_SQL} FROM (
 
 
 def dedup_cascade_lineitem(spark, sf_dir):
-    from universal_importer_duckdb_spark.operators.dedup import dedupe_cascade
+    from universal_importer_duckdb_spark.operators.dedup import dedupe_cascade_keep_only
 
     li = _t(spark, sf_dir, "lineitem")
-    kept, _ = dedupe_cascade(li, [["l_partkey", "l_suppkey"], ["l_orderkey"]], "first", LINEITEM_COLS)
+    kept = dedupe_cascade_keep_only(
+        li, [["l_partkey", "l_suppkey"], ["l_orderkey"]], "first", LINEITEM_COLS
+    )
     return kept.select(*LINEITEM_COLS)
 
 
