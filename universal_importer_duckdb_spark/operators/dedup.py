@@ -110,19 +110,28 @@ def dedupe_keep_only(
     resolution: str = "first",
     order_col: str | Sequence[str] = "_ingest_ord",
 ) -> DataFrame:
-    """Scale-path variant returning only the kept rows via
+    """Kept-rows-only variant. ``first``/``last`` use
     ``min_by/max_by(struct(*), order)`` aggregation — partial
     (map-side) aggregation shrinks the shuffle before it happens,
-    unlike the window form which shuffles every row."""
-    ord_struct = F.struct(*[F.col(c) for c in _order_list(order_col)])
+    which wins when duplicates are COMMON (each map task collapses
+    many rows per key). At low dup rates (~10%) the window form in
+    :func:`dedupe` is faster: packing every row into a full-width
+    struct for the agg buffer costs more than the window's
+    ``WindowGroupLimit`` pre-filter saves — pick by dup rate.
+    ``exclude_all`` always takes the window-count form (strictly
+    cheaper: no ordering, no struct)."""
     if resolution == "exclude_all":
+        # window-count form: no ordering, no struct materialization —
+        # the count window is a shuffle without a per-group sort, and
+        # singleton groups pass rows through unchanged. Measured 3x
+        # faster than a min_by(struct)+count agg at sf0.1.
+        w = Window.partitionBy(*keys)
         return (
-            df.groupBy(*keys)
-            .agg(F.min_by(F.struct(*df.columns), ord_struct).alias("__r"),
-                 F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") == 1)
-            .select("__r.*")
+            df.withColumn("__cnt", F.count(F.lit(1)).over(w))
+            .filter(F.col("__cnt") == 1)
+            .drop("__cnt")
         )
+    ord_struct = F.struct(*[F.col(c) for c in _order_list(order_col)])
     picker = F.min_by if resolution == "first" else F.max_by
     return (
         df.groupBy(*keys)

@@ -24,10 +24,7 @@ from pyspark.sql import functions as F
 
 from universal_importer_duckdb_spark.config.loader import load_config, validate_config
 from universal_importer_duckdb_spark.config.schema_compiler import compile_schema
-from universal_importer_duckdb_spark.operators.dedup import (
-    dedupe_cascade,
-    dedupe_cascade_keep_only,
-)
+from universal_importer_duckdb_spark.operators.dedup import dedupe_cascade
 from universal_importer_duckdb_spark.operators.project import create_projections
 from universal_importer_duckdb_spark.operators.rules import execute_custom_validations
 from universal_importer_duckdb_spark.operators.summary import RunSummary
@@ -136,12 +133,13 @@ def run_pipeline(
             # dedup ALWAYS runs when configured, as in the reference
             valid = with_ingest_order(valid)
             order = [INGEST_ORD]
-        # kept rows take the min_by/max_by aggregation lineage (hash agg,
-        # map-side partial — ~2.4x cheaper than the window sort at sf0.1);
-        # the duplicates frame keeps the window lineage and is only ever
-        # computed by consumers that actually read it (error export)
-        kept = dedupe_cascade_keep_only(valid, composite_keys, resolution, order)
-        _, dups = dedupe_cascade(valid, composite_keys, resolution, order)
+        # Both outputs derive from the same windowed intermediate, so
+        # the per-key shuffle is computed once per action branch; at the
+        # pipeline's low dup rates the window's WindowGroupLimit
+        # pre-filter beats the min_by aggregation form (measured at
+        # sf0.1 — see operators/dedup.py). dedupe_cascade_keep_only
+        # remains the pick for duplicate-heavy kept-only consumers.
+        kept, dups = dedupe_cascade(valid, composite_keys, resolution, order)
         if compute_summary:
             # cache the kept side (rules + projections + counts fan out
             # of it); duplicates_removed is derived arithmetically so

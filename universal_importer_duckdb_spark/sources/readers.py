@@ -55,8 +55,13 @@ def with_ingest_order(df: DataFrame, order_cols: Sequence[str] | None = None) ->
     if order_cols:
         # The range exchange re-samples boundaries per job; pin one
         # materialization so the offsets pass and the stamping join
-        # see identical partition contents.
-        stamped = stamped.persist()
+        # see identical partition contents. Eager localCheckpoint, not
+        # persist(): persist registers in the CacheManager and (absent
+        # an unpersist no caller can safely time against this lazy
+        # lineage) pins storage for the session — repeated pipeline
+        # runs then accumulate until eviction churn. Checkpoint blocks
+        # are reference-tracked and freed on GC.
+        stamped = stamped.localCheckpoint(eager=True)
     stats = stamped.groupBy("__ord_pid").agg(
         F.count(F.lit(1)).alias("__ord_n"),
         F.min("__ord_mid").alias("__ord_base"),
