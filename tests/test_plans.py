@@ -64,12 +64,25 @@ def test_dedup_single_exchange(spark, sf_dir):
 
     plan = _plan(eq.dedup_first_lineitem(spark, sf_dir))
     # exactly one shuffle (hash-partitioned on the dedup keys); the
-    # kept-only path is a min_by aggregation, so a partial HashAggregate
-    # runs BEFORE the exchange (map-side combine) — the 100 TB shape
+    # kept-only path uses the window form (measured faster at lineitem's
+    # ~12% dup rate), whose 100 TB shape is a map-side WindowGroupLimit
+    # (per-partition rank<=1 pre-filter) BEFORE the single exchange
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) == 1
-    assert "partial_min_by" in plan  # map-side combine before shuffle
-    assert plan.index("Aggregate") < plan.index("Exchange")
+    assert "WindowGroupLimit" in plan  # map-side pre-filter before shuffle
+    assert plan.index("WindowGroupLimit") < plan.index("Exchange")
+
+    # the agg form (dedupe_keep_only) keeps its map-side partial min_by
+    # combine — the right shape for duplicate-heavy inputs
+    from universal_importer_duckdb_spark.operators.dedup import dedupe_keep_only
+
+    li = eq._t(spark, sf_dir, "lineitem")
+    aplan = _plan(
+        dedupe_keep_only(li, ["l_partkey", "l_suppkey"], "first", eq.LINEITEM_COLS)
+    )
+    aexchanges = re.findall(r"^\(\d+\) Exchange", aplan, flags=re.M)
+    assert len(aexchanges) == 1
+    assert "partial_min_by" in aplan  # map-side combine before shuffle
 
     # the duplicates-capturing form stays on the window lineage with a
     # map-side WindowGroupLimit ahead of its single exchange

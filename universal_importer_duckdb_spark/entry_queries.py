@@ -29,6 +29,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from universal_importer_duckdb_spark.functions.fixed_point import (
     FixedSum,
@@ -59,9 +60,10 @@ def _tune_once(spark: SparkSession) -> None:
     # wide validation predicates blow up constraint propagation
     # (see session.py); guard any externally-built session too
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    # events.parquet carries TIMESTAMP(NANOS); read as bigint nanos
-    # everywhere (harmless for tables without nanos columns, and must
-    # be set before the events scan is memoized)
+    # if events.parquet ever carries TIMESTAMP(NANOS) (older testdata
+    # generations did), read it as bigint nanos instead of erroring;
+    # harmless for µs-typed columns (the current generation), and must
+    # be set before the events scan is memoized
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _TUNED_SESSIONS.add(id(spark))
 
@@ -74,7 +76,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), f"{sf_dir}/{name}.parquet")
     df = _SCAN_MEMO.get(key)
     if df is None:
-        df = _SCAN_MEMO[key] = spark.read.parquet(key[1])
+        df = spark.read.parquet(key[1])
+        if name == "events":
+            # Normalize ts to bigint epoch-nanos regardless of how the
+            # parquet stores it: timestamp[us] (current testdata) reads
+            # as TIMESTAMP_NTZ and is converted here; TIMESTAMP(NANOS)
+            # (older generations) already arrives as bigint nanos via
+            # nanosAsLong and passes through untouched. Every downstream
+            # consumer (tumbling/session buckets, as-of/range joins)
+            # does integer ns arithmetic on this column.
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+                df = df.withColumn(
+                    "ts",
+                    (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                        "bigint"
+                    ),
+                )
+        _SCAN_MEMO[key] = df
     return df
 
 

@@ -17,10 +17,10 @@ Late data: the watermark bounds state (events later than the watermark
 delay are dropped from aggregations) — this is what makes the state
 store survive unbounded streams; batch has no equivalent concern.
 
-events.parquet carries TIMESTAMP(NANOS); with
-spark.sql.legacy.parquet.nanosAsLong the raw column is bigint nanos,
-converted here to a proper timestamp via timestamp_micros(ns/1000)
-(microsecond truncation) so event-time semantics work.
+events.parquet stores ts as timestamp[us] (no timezone); it reads as
+TIMESTAMP_NTZ and is cast to a session-timezone (UTC) timestamp here
+so watermarks/windows get proper event-time semantics with no
+precision loss.
 """
 
 from __future__ import annotations
@@ -29,21 +29,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    # integer DIV: double division loses precision at 1e18 ns
-    return df.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # NTZ -> TIMESTAMP is exact under the UTC session timezone
+    return df.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source needs a directory; glob-filter so only
+    # events.parquet is listed (not the other tables in the sf dir)
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
         .load(f"{sf_dir}/")
     )
     return _with_event_time(raw.filter(F.col("event_id").isNotNull()))
