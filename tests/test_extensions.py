@@ -118,6 +118,19 @@ def test_ivf_ann_recall_and_determinism(spark, sf_dir):
     assert approx == again
 
 
+def test_emb_ivf_topk_recall_column_pin(spark, sf_dir):
+    """The registry entry's self-audit column: every seeded run on this
+    data yields the same recall vs the exact top-10 (0.5 at sf0.001 and
+    sf0.01 — ≈ nprobe/n_list on i.i.d. gaussian embeddings, where the
+    true top-k is spread uniformly over lists)."""
+    from universal_importer_duckdb_spark import entry_queries as eq
+
+    rows = eq.emb_ivf_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.recall_at_k == 0.5 for r in rows)
+    assert sum(r.in_exact_topk for r in rows) == 5
+
+
 def test_embedding_near_pairs_finds_planted_duplicate(spark):
     from universal_importer_duckdb_spark.operators.similarity import embedding_near_pairs
 
