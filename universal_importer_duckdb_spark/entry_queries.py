@@ -1066,14 +1066,91 @@ SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us FROM (
 
 
 def docs_minhash_lsh_neardup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (rows-only: xxhash64 is
-    Spark-native; the exact-Jaccard variant docs_ngram_topk_similar
-    carries the oracle for set-similarity semantics)."""
+    """MinHash+LSH near-dup pairs in portable mode: shingles hashed
+    with md5_28 (reproducible in DuckDB, unlike xxhash64) and band
+    buckets keyed on raw signature component tuples, so the ENTIRE
+    pipeline — shingle→hash→sample→32 permutations→8-band bucketing→
+    bucket-size cap→σ-presift→exact-Jaccard verify — is replayed
+    bit-for-bit by the SQL oracle below. The xxhash64 scale path is
+    the operator default and keeps its own differential tests."""
     from universal_importer_duckdb_spark.operators.dedup_text import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, num_perm=32, bands=8, shingle_n=5,
-                             jaccard_threshold=0.4, sample_mod=4)
+                             jaccard_threshold=0.4, sample_mod=4,
+                             hasher="md5_28", portable_buckets=True)
+
+
+def _minhash_lsh_sql(num_perm: int = 32, bands: int = 8, shingle_n: int = 5,
+                     threshold: float = 0.4, sample_mod: int = 4,
+                     max_bucket_size: int = 50, presift_sigma: float = 3.0) -> str:
+    """DuckDB replica of the portable minhash_lsh_pairs: identical
+    md5_28 shingle hashing, identical seeded permutation params,
+    identical banding/cap/presift/verify arithmetic."""
+    import math as _math
+
+    from universal_importer_duckdb_spark.operators.dedup_text import _perm_params
+
+    r = num_perm // bands
+    params = _perm_params(num_perm)
+    h28 = lambda s: f"('0x'||substr(md5({s}),1,7))::BIGINT"  # noqa: E731
+    sig_terms = ",\n    ".join(
+        f"list_min(list_transform(hs, h -> (({a}*h+{b})%2147483647)))"
+        for (a, b) in params
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {cs} FROM sigs".format(
+            b=b,
+            cs=", ".join(f"sig[{b * r + j + 1}] AS c{j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    ckey = ", ".join(["band"] + [f"c{j}" for j in range(r)])
+    cutoff = threshold - presift_sigma * _math.sqrt(
+        threshold * (1.0 - threshold) / num_perm
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(text)-{shingle_n - 1}, 1)+1),
+                   i -> {h28(f"substr(text, i, {shingle_n})")}) AS hfull
+  FROM documents),
+hs AS (
+  SELECT doc_id, hfull,
+    CASE WHEN len(list_filter(hfull, x -> x % {sample_mod} = 0)) > 0
+         THEN list_filter(hfull, x -> x % {sample_mod} = 0) ELSE hfull END AS hs
+  FROM h),
+sigs AS (
+  SELECT doc_id, [
+    {sig_terms}
+  ] AS sig FROM hs),
+bands AS (
+  {band_selects}),
+grp AS (SELECT {ckey}, COUNT(*) AS cnt FROM bands GROUP BY {ckey}),
+ok AS (SELECT {ckey} FROM grp WHERE cnt BETWEEN 2 AND {max_bucket_size}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING ({ckey}) JOIN ok USING ({ckey})
+  WHERE a.doc_id < b.doc_id),
+pres AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sigs sa ON sa.doc_id = cand.id_a
+  JOIN sigs sb ON sb.doc_id = cand.id_b
+  WHERE len(list_filter(range(1, {num_perm + 1}), i -> sa.sig[i] = sb.sig[i]))
+        / {float(num_perm)!r} >= {cutoff!r}),
+shd AS (
+  SELECT doc_id, list_distinct(hfull) AS s, len(list_distinct(hfull)) AS n
+  FROM h),
+ver AS (
+  SELECT id_a, id_b, len(list_intersect(va.s, vb.s)) AS inter,
+         va.n AS na, vb.n AS nb
+  FROM pres JOIN shd va ON va.doc_id = id_a JOIN shd vb ON vb.doc_id = id_b)
+SELECT id_a, id_b, inter/(na+nb-inter) AS jaccard
+FROM ver WHERE inter/(na+nb-inter) >= {threshold!r}
+"""
+
+
+MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
 def docs_corpus_prep(spark, sf_dir):
@@ -1124,10 +1201,64 @@ FROM d
 
 
 def docs_simhash_neardup(spark, sf_dir):
-    from universal_importer_duckdb_spark.operators.dedup_text import simhash_near_pairs
+    """SimHash near-dup pairs in portable mode (md5-half token hashes,
+    fingerprint as two 32-bit ints) so the whole pipeline — token
+    hash→64 bit votes→4×16-bit chunk banding→bucket cap→hamming
+    verify — replays bit-for-bit in the SQL oracle. The xxhash64
+    single-int64 simhash_64 stays the operator default for scale."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        simhash_near_pairs_portable,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=8)
+    return simhash_near_pairs_portable(docs, max_hamming=8)
+
+
+def _simhash_sql(max_hamming: int = 8, max_bucket_size: int = 200) -> str:
+    """DuckDB replica of simhash_near_pairs_portable."""
+    def fp_terms(arr: str) -> str:
+        return "\n     + ".join(
+            f"(CASE WHEN 2*len(list_filter({arr}, h -> (h>>{b})&1 = 1)) > n"
+            f" THEN {1 << b} ELSE 0 END)"
+            for b in range(32)
+        )
+
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, fp_lo, fp_hi, {c} AS chunk, ({src}>>{sh})&65535 AS bkey FROM fp"
+        for c, (src, sh) in enumerate(
+            [("fp_lo", 0), ("fp_lo", 16), ("fp_hi", 0), ("fp_hi", 16)]
+        )
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+hh AS (
+  SELECT doc_id, len(toks) AS n,
+    list_transform(toks, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS hi,
+    list_transform(toks, t -> ('0x'||substr(md5(t),9,8))::BIGINT) AS lo
+  FROM t),
+fp AS (
+  SELECT doc_id,
+    {fp_terms("lo")} AS fp_lo,
+    {fp_terms("hi")} AS fp_hi
+  FROM hh),
+chunks AS (
+  {chunk_rows}),
+grp AS (SELECT chunk, bkey, COUNT(*) AS cnt FROM chunks GROUP BY chunk, bkey),
+ok AS (SELECT chunk, bkey FROM grp WHERE cnt BETWEEN 2 AND {max_bucket_size}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.fp_lo AS ala, a.fp_hi AS aha, b.fp_lo AS bla, b.fp_hi AS bha
+  FROM chunks a JOIN chunks b USING (chunk, bkey) JOIN ok USING (chunk, bkey)
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+         bit_count(xor(ala, bla)) + bit_count(xor(aha, bha)) AS hamming
+  FROM cand)
+WHERE hamming <= {max_hamming}
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
 
 
 def docs_rolling_sketch(spark, sf_dir):
@@ -1509,8 +1640,8 @@ REGISTRY.update({
     "docs_bpe_token_count": (docs_bpe_token_count, BPE_SQL),
     "events_dedup_first_by_key": (events_dedup_first_by_key, EVENTS_DEDUP_SQL),
     "docs_corpus_prep": (docs_corpus_prep, CORPUS_PREP_SQL),
-    "docs_minhash_lsh_neardup": (docs_minhash_lsh_neardup, None),
-    "docs_simhash_neardup": (docs_simhash_neardup, None),
+    "docs_minhash_lsh_neardup": (docs_minhash_lsh_neardup, MINHASH_LSH_SQL),
+    "docs_simhash_neardup": (docs_simhash_neardup, SIMHASH_SQL),
     "docs_rolling_sketch": (docs_rolling_sketch, ROLLING_SKETCH_SQL),
     "emb_ann_lsh_topk": (emb_ann_lsh_topk, EMB_ANN_LSH_SQL),
     "emb_ivf_topk": (emb_ivf_topk, None),

@@ -131,6 +131,26 @@ def shingles(col, n: int = 5, distinct: bool = False):
 _MERSENNE_31 = (1 << 31) - 1
 
 
+def shingle_hash(hasher: str = "xxhash64"):
+    """Shingle-string -> int hash expression factory.
+
+    - "xxhash64": Spark-native, fastest (the scale default); pmod into
+      the Mersenne domain for the permutation arithmetic.
+    - "md5_28": first 7 hex chars of md5 as a 28-bit int — bit-exactly
+      reproducible in DuckDB as ``('0x'||substr(md5(s),1,7))::BIGINT``,
+      which is what makes a full cross-engine SQL oracle for the LSH
+      pipeline possible (DuckDB has no xxhash64). 28 bits keep
+      a*h+b < 2^59: overflow-free int64 in both engines.
+    """
+    if hasher == "xxhash64":
+        return lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))
+    if hasher == "md5_28":
+        return lambda s: F.conv(
+            F.substring(F.md5(s.cast("binary")), 1, 7), 16, 10
+        ).cast("bigint")
+    raise ValueError(f"unknown hasher: {hasher}")
+
+
 def _perm_params(num_perm: int, seed: int = 7):
     import random
 
@@ -202,6 +222,7 @@ def minhash_signatures(
     shingle_n: int = 5,
     sample_mod: int = 1,
     impl: str = "pandas",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document via universal hashing: each
     shingle is string-hashed ONCE (xxhash64 -> pmod into [0, 2^31-1)),
@@ -230,10 +251,7 @@ def minhash_signatures(
     # (quadratic array_distinct) shingle build into each of the
     # num_perm array_min terms would re-evaluate it num_perm times per
     # row (measured 30x slowdown)
-    hashed = F.transform(
-        shingles(text_col, shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
-    )
+    hashed = F.transform(shingles(text_col, shingle_n), shingle_hash(hasher))
     with_h = spread_for_compute(df, id_col).select(
         F.col(id_col), hashed.alias("__h")
     )
@@ -283,9 +301,17 @@ def minhash_lsh_pairs(
     sample_mod: int = 1,
     impl: str = "pandas",
     presift_sigma: float = 3.0,
+    hasher: str = "xxhash64",
+    portable_buckets: bool = False,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash, verified with exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``hasher="md5_28"`` + ``portable_buckets=True`` makes every stage
+    bit-reproducible in DuckDB SQL (band buckets keyed on the raw
+    signature component tuple instead of their xxhash64), enabling a
+    full cross-engine oracle; the default keeps the cheaper
+    Spark-native hashing for the scale path. Semantics are identical.
 
     bands must divide num_perm; rows-per-band r = num_perm//bands sets
     the S-curve threshold ≈ (1/bands)^(1/r).
@@ -310,29 +336,42 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, sample_mod, impl)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_n, sample_mod, impl, hasher
+    )
     if cache_intermediate:
         sigs = sigs.cache()
+
+    if portable_buckets:
+        # raw component tuple as the bucket key (groupable in any
+        # engine); at scale the xxhash64 form below shrinks the
+        # shuffled key to 8 bytes, which is why it stays the default
+        bucket_fields = lambda b: [  # noqa: E731
+            F.col("signature")[b * r + j].alias(f"c{j}") for j in range(r)
+        ]
+        bucket_cols = ["band"] + [f"c{j}" for j in range(r)]
+    else:
+        bucket_fields = lambda b: [  # noqa: E731
+            F.xxhash64(*[F.col("signature")[b * r + j] for j in range(r)]).alias("bucket")
+        ]
+        bucket_cols = ["band", "bucket"]
 
     banded = sigs.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("signature")[b * r + j] for j in range(r)]).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), *bucket_fields(b))
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, *[f"bb.{c}" for c in bucket_cols])
 
     # candidates: same (band, bucket); degenerate buckets capped — at
     # scale the banded table is corpus×bands rows, so shuffling it
     # once (bucket_pairs) is the difference that matters.
-    cand = bucket_pairs(banded, ["band", "bucket"], id_col, max_bucket_size)
+    cand = bucket_pairs(banded, bucket_cols, id_col, max_bucket_size)
 
     if presift_sigma > 0:
         cutoff = jaccard_threshold - presift_sigma * math.sqrt(
@@ -368,10 +407,19 @@ def minhash_lsh_pairs(
     # The per-doc array is pre-deduplicated and each side's set size
     # rides along, so the per-pair work is ONE array_intersect —
     # |A∪B| = |A|+|B|-|A∩B| replaces the (larger) array_union pass.
+    # xxhash64 for verify even when the signature hasher is md5_28:
+    # full-width hashing makes collisions ~2^-50 instead of ~2^-29.
+    # EXCEPT in portable mode, where the oracle must replay the exact
+    # same hashed sets — there the md5_28 sets themselves are the
+    # cross-engine ground truth (any collision affects both engines
+    # identically, so the comparison stays bit-exact).
+    verify_hash = (
+        shingle_hash(hasher) if hasher != "xxhash64" else (lambda s: F.xxhash64(s))
+    )
     sh = spread_for_compute(df.join(need_ids, [id_col], "left_semi"), id_col).select(
         F.col(id_col),
         F.array_distinct(
-            F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+            F.transform(shingles(text_col, shingle_n), verify_hash)
         ).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
     if cache_intermediate:
@@ -427,6 +475,100 @@ def simhash_64(
     for t in terms[1:]:
         fp = fp + t
     return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_32x2_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Portable SimHash: the 64-bit fingerprint as TWO 32-bit halves
+    (fp_lo, fp_hi), with per-token bit sources taken from md5 hex
+    halves — ``('0x'||substr(md5(t),1,8))::BIGINT`` is reproducible in
+    DuckDB, which a xxhash64-based fingerprint is not. Splitting into
+    halves keeps every intermediate in non-negative int32 range, so no
+    cross-engine signed-overflow semantics are ever in play. The
+    per-token hash arrays are materialized once; the 64 bit-vote
+    filters then scan bigint arrays (no re-hashing per bit)."""
+    toks = F.split(F.col(text_col), " ")
+
+    def half(start: int):
+        return lambda t: F.conv(
+            F.substring(F.md5(t.cast("binary")), start, 8), 16, 10
+        ).cast("bigint")
+
+    base = spread_for_compute(df, id_col).select(
+        F.col(id_col),
+        F.size(toks).alias("__n"),
+        F.transform(toks, half(1)).alias("__hi"),
+        F.transform(toks, half(9)).alias("__lo"),
+    )
+
+    def fingerprint(arr: str):
+        terms = []
+        # factory closure: a `lambda h, b=b` two-param lambda would
+        # make PySpark pass the array index as the second arg; and
+        # mask-AND instead of shiftright, which rejects lambda vars
+        def make_bit_set(b: int):
+            mask = 1 << b
+            return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+        for b in range(32):
+            votes = F.size(F.filter(F.col(arr), make_bit_set(b)))
+            terms.append(
+                F.when(votes * 2 > F.col("__n"), F.lit(1 << b).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+            )
+        fp = terms[0]
+        for t in terms[1:]:
+            fp = fp + t
+        return fp
+
+    return base.select(
+        F.col(id_col),
+        fingerprint("__lo").alias("fp_lo"),
+        fingerprint("__hi").alias("fp_hi"),
+    )
+
+
+def simhash_near_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """simhash_near_pairs on the portable two-half fingerprint: band
+    into four 16-bit chunks (two per half), bucket-join, verify with
+    bit_count(xor) summed over the halves. Bit-reproducible in DuckDB
+    — see the generated oracle in entry_queries._simhash_sql."""
+    fp = simhash_32x2_portable(df, text_col, id_col)
+    chunk_key = [
+        (F.shiftrightunsigned(F.col("fp_lo"), 0) if c == 0 else
+         F.shiftrightunsigned(F.col("fp_lo"), 16) if c == 1 else
+         F.shiftrightunsigned(F.col("fp_hi"), 0) if c == 2 else
+         F.shiftrightunsigned(F.col("fp_hi"), 16)).bitwiseAND(F.lit(0xFFFF))
+        for c in range(4)
+    ]
+    chunks = fp.select(
+        id_col,
+        F.struct("fp_lo", "fp_hi").alias("fps"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk"), chunk_key[c].alias("bkey"))
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "fps", "cc.chunk", "cc.bkey")
+    ham = (
+        F.bit_count(F.col("payload_a.fp_lo").bitwiseXOR(F.col("payload_b.fp_lo")))
+        + F.bit_count(F.col("payload_a.fp_hi").bitwiseXOR(F.col("payload_b.fp_hi")))
+    )
+    return (
+        bucket_pairs(chunks, ["chunk", "bkey"], id_col, max_bucket_size, "fps")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash_near_pairs(
