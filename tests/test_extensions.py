@@ -192,25 +192,107 @@ def test_rolling_fingerprint_robust_to_distant_edit(spark):
     assert not set(rows[1].rolling_fingerprint) & set(rows[3].rolling_fingerprint)
 
 
-def test_multimodal_image_features(spark):
+def test_png_roundtrip_all_decoder_filters():
+    """Decoder handles every PNG filter type; encoder's Up-filtered
+    output must reconstruct the exact pixels (and therefore sum)."""
+    import struct
+    import zlib
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    rows = [[(7 * x + 13 * y) % 256 for x in range(23)] for y in range(9)]
+    expected = sum(sum(r) for r in rows)
+    for ft in (0, 2):
+        d = decode_png(encode_png_gray(23, 9, rows, filter_type=ft))
+        assert (d["width"], d["height"], d["luma_sum"]) == (23, 9, expected)
+
+    # hand-build Sub/Average/Paeth-filtered scanlines for the decoder
+    def build(filter_rows: list[tuple[int, list[int]]], w: int, h: int) -> bytes:
+        raw = bytearray()
+        for ft, line in filter_rows:
+            raw.append(ft)
+            raw.extend(line)
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        return (sig + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    # pixels row0 = [10, 20, 30]; row1 = [15, 25, 35] expressed with
+    # Sub then Paeth filters; row2 = [20, 30, 40] with Average
+    png = build(
+        [
+            (1, [10, 10, 10]),            # Sub: 10, 10+10, 20+10
+            (4, [5, 5, 5]),               # Paeth(left, up, ul)
+            (3, [(20 - 7) & 0xFF, (30 - ((20 + 25) >> 1)) & 0xFF,
+                 (40 - ((30 + 35) >> 1)) & 0xFF]),  # Average
+        ],
+        3, 3,
+    )
+    d = decode_png(png)
+    assert d["luma_sum"] == sum([10, 20, 30, 15, 25, 35, 20, 30, 40])
+
+
+def test_wav_roundtrip():
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = [100, -100, 250, -250] * 50
+    d = decode_wav(encode_wav_pcm16(16000, 2, samples))
+    assert d["sample_rate"] == 16000
+    assert d["n_channels"] == 2
+    assert d["n_samples"] == 100  # frames = samples / channels
+    assert d["duration_s"] == 100 / 16000
+    assert d["sumsq"] == sum(s * s for s in samples)
+
+
+def test_multimodal_image_features_real_decode(spark):
     from universal_importer_duckdb_spark.operators.multimodal import (
         attach_media_column,
+        encode_png_gray,
         extract_image_features,
     )
 
+    png1 = encode_png_gray(16, 4, [[y] * 16 for y in (10, 20, 30, 40)])
+    png2 = encode_png_gray(8, 8, [[255] * 8] * 8)
     df = spark.createDataFrame(
-        [(1, bytearray(b"\x89PNG fake bytes here")), (2, bytearray(b"\xff\xd8JPEG other bytes"))],
+        [(1, bytearray(png1)), (2, bytearray(png2))],
         "item_id bigint, payload binary",
     )
     media = attach_media_column(df, "payload", "image/png", "item_id")
-    feats = extract_image_features(media)
-    rows = {r.item_id: r for r in feats.collect()}
-    assert set(rows) == {1, 2}
-    assert rows[1].n_bytes == 20
-    assert rows[1].width >= 16 and 0 <= rows[1].mean_luma <= 1
+    rows = {r.item_id: r for r in extract_image_features(media).collect()}
+    assert (rows[1].width, rows[1].height) == (16, 4)
+    assert rows[1].luma_sum == 16 * (10 + 20 + 30 + 40)
+    assert rows[2].mean_luma == 1.0
     # determinism across partitionings
-    feats2 = {r.item_id: r.width for r in extract_image_features(media.repartition(2)).collect()}
-    assert feats2 == {k: v.width for k, v in rows.items()}
+    again = {r.item_id: r.luma_sum
+             for r in extract_image_features(media.repartition(2)).collect()}
+    assert again == {k: v.luma_sum for k, v in rows.items()}
+
+
+def test_decode_media_dispatch_and_stub():
+    import pytest as _pytest
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_media,
+        encode_png_gray,
+        encode_wav_pcm16,
+    )
+
+    assert decode_media(encode_png_gray(8, 2, [[0] * 8] * 2))["kind"] == "image"
+    assert decode_media(encode_wav_pcm16(8000, 1, [5] * 10))["kind"] == "audio"
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff JPEG bytes", "image/jpeg")
 
 
 def test_multimodal_frame_sampling(spark):

@@ -95,19 +95,23 @@ def test_binary_files_feed_multimodal_features(spark, tmp_path):
     )
     from universal_importer_duckdb_spark.sources.readers import read_binary_files
 
+    from universal_importer_duckdb_spark.operators.multimodal import encode_png_gray
+
     d = tmp_path / "blobs"
     d.mkdir()
-    (d / "x.img").write_bytes(b"\x00\x01\x02" * 100)
-    (d / "y.img").write_bytes(b"\xff" * 37)
+    (d / "x.img").write_bytes(encode_png_gray(12, 3, [[9] * 12] * 3))
+    (d / "y.img").write_bytes(encode_png_gray(5, 7, [[200] * 5] * 7))
     (d / "skip.dat").write_bytes(b"nope")
     raw = read_binary_files(spark, str(d), glob="*.img")
     assert set(raw.columns) == {"path", "modificationTime", "length", "content"}
     with_id = raw.withColumn("item_id", F.xxhash64("path"))
     feats = extract_image_features(
-        attach_media_column(with_id, "content", "image", "item_id")
+        attach_media_column(with_id, "content", "image/png", "item_id")
     )
     rows = feats.collect()
-    assert len(rows) == 2 and {r.n_bytes for r in rows} == {300, 37}
+    assert len(rows) == 2
+    assert {(r.width, r.height) for r in rows} == {(12, 3), (5, 7)}
+    assert {r.luma_sum for r in rows} == {12 * 3 * 9, 5 * 7 * 200}
 
 
 def test_ingest_order_by_columns_is_parallel_rank(spark):

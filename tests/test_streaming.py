@@ -16,11 +16,10 @@ def events_stream(spark, sf_dir):
 
 @pytest.fixture(scope="module")
 def events_batch(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ts is timestamp[us] (no tz); cast to session-tz timestamp exactly
+    # as streaming/events.py does
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
-    )
+    return df.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def test_tumbling_counts_match_batch(events_stream, events_batch):

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -65,6 +66,13 @@ def _tune_once(spark: SparkSession) -> None:
     # harmless for µs-typed columns (the current generation), and must
     # be set before the events scan is memoized
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # local-data split sizing (see session.py for the 100 TB guidance)
+    import os as _os
+
+    mpb = int(_os.environ.get("SPARK_GRAFT_MAX_PARTITION_MB", "16")) * 1024 * 1024
+    adv = int(_os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_MB", "16")) * 1024 * 1024
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(adv))
     _TUNED_SESSIONS.add(id(spark))
 
 
@@ -918,23 +926,19 @@ def _vfold(arr):
 
 
 def emb_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 vs the vec_id=0 query vector — the
-    exact baseline for ANN (the LSH-bucketed path is
-    operators/similarity.py)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").cast("array<double>").alias("q")
+    """Exact cosine top-10 vs the vec_id=0 query vector — the exact
+    baseline for ANN. Two-phase: an Arrow-batched double-precision
+    matmul scan selects 4k candidates, then the DECIMAL(33,13) fold
+    re-ranks only those — bit-identical output to the one-phase exact
+    scan (same oracle), with the per-element decimal cost cut from the
+    corpus to 40 rows (see cosine_topk_two_phase)."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        cosine_topk_two_phase,
     )
-    v = F.col("embedding").cast("array<double>")
-    dot = _vfold(F.zip_with(v, F.col("q"), lambda x, y: (x * y).cast(_VDEC)))
-    n1 = _vfold(F.transform(v, lambda x: (x * x).cast(_VDEC)))
-    n2 = _vfold(F.transform(F.col("q"), lambda x: (x * x).cast(_VDEC)))
-    return (
-        emb.filter(F.col("vec_id") > 0)
-        .crossJoin(F.broadcast(qv))
-        .select("vec_id", "label", (dot / (F.sqrt(n1) * F.sqrt(n2))).alias("cosine"))
-        .orderBy(F.desc("cosine"), "vec_id")
-        .limit(10)
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    return cosine_topk_two_phase(
+        emb, _query_vec(spark, sf_dir), k=10, extra_cols=("label",)
     )
 
 
@@ -1290,10 +1294,19 @@ FROM w
 """
 
 
+_QUERY_VEC_MEMO: dict[tuple[int, str], list[float]] = {}
+
+
 def _query_vec(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
-    return [float(x) for x in row.embedding]
+    # memoized per (session, sf): the 1-row collect is bounded but
+    # costs a full Spark job, and four registry queries need it
+    key = (id(spark), sf_dir)
+    qv = _QUERY_VEC_MEMO.get(key)
+    if qv is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+        qv = _QUERY_VEC_MEMO[key] = [float(x) for x in row.embedding]
+    return qv
 
 
 def emb_ann_lsh_topk(spark, sf_dir):
@@ -1462,21 +1475,94 @@ FROM events WHERE event_id IS NOT NULL
 
 
 def multimodal_image_features(spark, sf_dir):
-    """Multimodal plumbing end-to-end: wrap bytes (documents text as a
-    stand-in payload) into the canonical media struct, then
-    Arrow-batched mapInPandas feature extraction (decode stubbed —
-    codec libs absent here; schemas/batch shapes are real)."""
+    """Multimodal image path end-to-end with REAL decoding: synthesize
+    a valid PNG per document (dims and a per-row gray gradient derived
+    from doc_id; Up-filtered scanlines, so decode must actually
+    unfilter), wrap in the canonical media struct, then Arrow-batched
+    mapInPandas decode (signature+IHDR parse, zlib inflate, unfilter,
+    exact pixel sum). The oracle recomputes width/height/luma from the
+    same doc_id arithmetic — any decoder drift (wrong dims, bad
+    unfilter, off-by-one scanline) breaks the hash match."""
     from universal_importer_duckdb_spark.operators.multimodal import (
         attach_media_column,
+        encode_png_gray,
         extract_image_features,
     )
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    @F.pandas_udf("binary")
+    def synth_png(ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in ids:
+            w = 8 + int(doc_id) % 32
+            h = 8 + (int(doc_id) // 32) % 32
+            rows = [[(int(doc_id) + r) % 256] * w for r in range(h)]
+            out.append(encode_png_gray(w, h, rows))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = attach_media_column(
-        docs.withColumn("payload", F.encode("text", "utf-8")),
-        "payload", "image/fake", "doc_id",
+        docs.withColumn("payload", synth_png("doc_id")),
+        "payload", "image/png", "doc_id",
     )
     return extract_image_features(media)
+
+
+MULTIMODAL_IMAGE_SQL = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 32 AS width, 8 + (doc_id // 32) % 32 AS height
+  FROM documents WHERE doc_id < 200),
+r AS (SELECT doc_id, width, height, unnest(range(0, height)) AS rr FROM d),
+s AS (SELECT doc_id, width, height,
+             CAST(SUM(((doc_id + rr) % 256) * width) AS BIGINT) AS luma_sum
+      FROM r GROUP BY doc_id, width, height)
+SELECT doc_id AS item_id, 'image/png' AS media_type, width, height, luma_sum,
+       luma_sum / (width * height * 255) AS mean_luma
+FROM s
+"""
+
+
+def multimodal_audio_features(spark, sf_dir):
+    """Multimodal audio path end-to-end with REAL decoding: synthesize
+    a valid PCM16 WAV per document (rate/length/amplitude derived from
+    doc_id), then mapInPandas RIFF-chunk decode with an exact integer
+    sum of squares for RMS. Constant amplitude A makes rms == A as an
+    exact double in both engines (A² and its mean are integers below
+    2^53, and IEEE sqrt is correctly rounded)."""
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        encode_wav_pcm16,
+        extract_audio_features,
+    )
+
+    @F.pandas_udf("binary")
+    def synth_wav(ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in ids:
+            i = int(doc_id)
+            rate = 8000 * (1 + i % 4)
+            n = 64 + i % 128
+            amp = 100 + (i % 500) * 50
+            out.append(encode_wav_pcm16(rate, 1, [amp] * n))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_media_column(
+        docs.withColumn("payload", synth_wav("doc_id")),
+        "payload", "audio/wav", "doc_id",
+    )
+    return extract_audio_features(media)
+
+
+MULTIMODAL_AUDIO_SQL = """
+WITH d AS (
+  SELECT doc_id, 8000 * (1 + doc_id % 4) AS sample_rate,
+         64 + doc_id % 128 AS n, 100 + (doc_id % 500) * 50 AS a
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id AS item_id, 'audio/wav' AS media_type, sample_rate,
+       1 AS n_channels, CAST(n AS BIGINT) AS n_samples,
+       n / sample_rate AS duration_s, sqrt((a * a * n) / n) AS rms
+FROM d
+"""
 
 
 def stream_sliding_halfhour(spark, sf_dir):
@@ -1589,12 +1675,15 @@ def emb_ivf_topk(spark, sf_dir):
     synthetic i.i.d.-gaussian embeddings the true top-k is spread
     uniformly over lists, so recall ≈ nprobe/n_list by construction —
     the deterministic seeded value is pinned in tests/test_extensions.py."""
-    from universal_importer_duckdb_spark.operators.similarity import cosine_topk, ivf_topk
+    from universal_importer_duckdb_spark.operators.similarity import (
+        cosine_topk_two_phase,
+        ivf_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
     qv = _query_vec(spark, sf_dir)
     approx = ivf_topk(emb, qv, k=10, n_list=16, nprobe=4)
-    exact_ids = cosine_topk(emb, qv, k=10).select("vec_id")
+    exact_ids = cosine_topk_two_phase(emb, qv, k=10).select("vec_id")
     flagged = approx.join(
         F.broadcast(exact_ids.withColumn("__hit", F.lit(1))), "vec_id", "left"
     ).select(
@@ -1652,7 +1741,8 @@ REGISTRY.update({
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
     "stream_running_user_stats": (stream_running_user_stats, STREAM_STATEFUL_SQL),
     "stream_click_purchase_join": (stream_click_purchase_join, STREAM_CP_JOIN_SQL),
-    "multimodal_image_features": (multimodal_image_features, None),
+    "multimodal_image_features": (multimodal_image_features, MULTIMODAL_IMAGE_SQL),
+    "multimodal_audio_features": (multimodal_audio_features, MULTIMODAL_AUDIO_SQL),
 })
 
 

@@ -9,17 +9,30 @@ mapInPandas stages, never through a shuffle).
                   meta map<string,string>
 
 Decode/feature stages run as Arrow-batched ``mapInPandas`` (the
-correct Spark shape for per-item Python libraries: one
-python-worker round trip per batch, not per row). The actual codec
-calls are STUBBED — image/audio libraries are not in this container —
-behind ``_decode_stub``, which produces deterministic fake features
-from the bytes so the plumbing (schemas, batch shapes, partitioning)
-is real and tested; swap ``_decode_stub`` for PIL/librosa/av calls in
-a real deployment.
+correct Spark shape for per-item Python libraries: one python-worker
+round trip per batch, not per row). Decoding is REAL for the two
+container formats a pure-Python stdlib implementation can cover
+end-to-end:
+
+- PNG  — signature + IHDR parse, zlib IDAT inflate, scanline
+  unfiltering (all five filter types), 8-bit gray/RGB/RGBA; yields
+  true (width, height) and an exact integer pixel sum for mean luma.
+- WAV  — RIFF/fmt/data chunk walk, PCM16 samples; yields true
+  (sample_rate, channels, duration) and an exact sum of squares for
+  RMS.
+
+Formats needing codec libraries (JPEG, MP3, H.264, ...) raise
+``NotImplementedError`` from :func:`decode_media` — swap that branch
+for PIL/soundfile/av calls in a real deployment. The matching
+encoders (:func:`encode_png_gray`, :func:`encode_wav_pcm16`) exist so
+tests and queries can synthesize REAL payloads and verify the decode
+round-trip bit-for-bit.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,15 +49,219 @@ MEDIA_STRUCT = T.StructType(
 )
 
 IMAGE_FEATURES_SCHEMA = (
-    "item_id bigint, media_type string, n_bytes bigint, "
-    "width int, height int, mean_luma double"
+    "item_id bigint, media_type string, width int, height int, "
+    "luma_sum bigint, mean_luma double"
 )
 
 AUDIO_FEATURES_SCHEMA = (
-    "item_id bigint, media_type string, n_bytes bigint, "
-    "duration_s double, sample_rate int, rms double"
+    "item_id bigint, media_type string, sample_rate int, n_channels int, "
+    "n_samples bigint, duration_s double, rms double"
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ======================================================================
+# PNG: pure-Python encode/decode (8-bit gray / RGB / RGBA)
+# ======================================================================
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(width: int, height: int, rows: list[list[int]],
+                    filter_type: int = 2) -> bytes:
+    """Minimal valid grayscale 8-bit PNG. ``rows`` is height lists of
+    width pixel values (0-255). ``filter_type`` 0 (None) or 2 (Up) is
+    applied to every scanline after the first (the first is always 0),
+    so a decoder must actually unfilter to recover the pixels."""
+    if len(rows) != height or any(len(r) != width for r in rows):
+        raise ValueError("rows shape must be height x width")
+    raw = bytearray()
+    prev = [0] * width
+    for i, row in enumerate(rows):
+        ft = 0 if i == 0 else filter_type
+        raw.append(ft)
+        if ft == 0:
+            raw.extend(row)
+        elif ft == 2:  # Up: delta vs the row above, mod 256
+            raw.extend((c - p) & 0xFF for c, p in zip(row, prev))
+        else:
+            raise ValueError("encoder supports filter types 0 and 2")
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> dict:
+    """Parse + fully decode a non-interlaced 8-bit gray/RGB/RGBA PNG.
+    Returns width, height, n_channels, and the exact integer sum of
+    all pixel samples (``luma_sum``) — kept as an int so downstream
+    statistics can stay bit-reproducible."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    prev = bytearray(stride)
+    total = 0
+    for y in range(height):
+        off = y * (stride + 1)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                ul = prev[x - channels] if x >= channels else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        total += sum(line)
+        prev = line
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": channels,
+        "luma_sum": total,
+    }
+
+
+# ======================================================================
+# WAV: pure-Python encode/decode (PCM16)
+# ======================================================================
+
+def encode_wav_pcm16(sample_rate: int, channels: int,
+                     samples: list[int]) -> bytes:
+    """Minimal valid RIFF/WAVE with one PCM16 data chunk. ``samples``
+    are interleaved int16 values."""
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_wav(data: bytes) -> dict:
+    """Chunk-walk a RIFF/WAVE file; PCM16 only. Returns rate/channels/
+    counts plus the exact integer sum of squared samples so RMS stays
+    bit-reproducible."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF header)")
+    pos = 12
+    rate = channels = bits = None
+    frames = None
+    sumsq = 0
+    n_samples = 0
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV supported")
+        elif tag == b"data":
+            n_samples = len(body) // 2
+            frames = struct.unpack(f"<{n_samples}h", body[: n_samples * 2])
+            for s in frames:
+                sumsq += s * s
+    if rate is None or frames is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n_frames = n_samples // channels
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "n_samples": n_frames,
+        "duration_s": n_frames / rate,
+        "sumsq": sumsq,
+        "rms": (sumsq / n_samples) ** 0.5 if n_samples else 0.0,
+    }
+
+
+def decode_media(data: bytes, media_type: str | None = None) -> dict:
+    """Sniff + decode. PNG and WAV decode for real (pure Python);
+    anything else needs a codec library that is not in this
+    environment — swap this branch for PIL/soundfile/av in a real
+    deployment."""
+    if data is None:
+        raise ValueError("no payload")
+    if data.startswith(_PNG_SIG):
+        return {"kind": "image", **decode_png(data)}
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return {"kind": "audio", **decode_wav(data)}
+    raise NotImplementedError(
+        f"no pure-Python codec for media_type={media_type!r}; "
+        "plug in PIL/soundfile/av here"
+    )
+
+
+# ======================================================================
+# Spark operators
+# ======================================================================
 
 def attach_media_column(
     df: DataFrame, bytes_col: str, media_type: str, id_col: str
@@ -60,45 +277,27 @@ def attach_media_column(
     )
 
 
-def _decode_stub(data: bytes) -> dict:
-    """Deterministic fake decode. REAL deployments replace this with
-    PIL.Image.open / soundfile.read etc. Raises for None payloads the
-    way a codec would."""
-    if data is None:
-        raise NotImplementedError("no payload; real codec would raise here")
-    n = len(data)
-    h = 0
-    for b in data[:64]:
-        h = (h * 131 + b) % 1_000_003
-    return {
-        "n_bytes": n,
-        "width": 16 + h % 1024,
-        "height": 16 + (h // 7) % 1024,
-        "mean_luma": (h % 256) / 255.0,
-        "duration_s": n / 32000.0,
-        "sample_rate": 16000,
-        "rms": (h % 1000) / 1000.0,
-    }
-
-
 def extract_image_features(df: DataFrame) -> DataFrame:
-    """mapInPandas image decode → (dims, luma). Input needs columns
-    (item_id, media struct)."""
+    """mapInPandas image decode → (dims, exact luma sum, mean luma).
+    Input needs columns (item_id, media struct). ``mean_luma`` is one
+    double division of exact ints (luma_sum / (pixels*255)), so it is
+    bit-identical to any engine computing the same ints."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
                 media = r["media"]
-                feats = _decode_stub(media["data"])
+                d = decode_png(bytes(media["data"]))
+                denom = d["width"] * d["height"] * d["n_channels"] * 255
                 rows.append(
                     {
                         "item_id": r["item_id"],
                         "media_type": media["media_type"],
-                        "n_bytes": feats["n_bytes"],
-                        "width": feats["width"],
-                        "height": feats["height"],
-                        "mean_luma": feats["mean_luma"],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "luma_sum": d["luma_sum"],
+                        "mean_luma": d["luma_sum"] / denom,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -107,20 +306,23 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas WAV decode → (rate, channels, duration, RMS)."""
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
                 media = r["media"]
-                feats = _decode_stub(media["data"])
+                d = decode_wav(bytes(media["data"]))
                 rows.append(
                     {
                         "item_id": r["item_id"],
                         "media_type": media["media_type"],
-                        "n_bytes": feats["n_bytes"],
-                        "duration_s": feats["duration_s"],
-                        "sample_rate": feats["sample_rate"],
-                        "rms": feats["rms"],
+                        "sample_rate": d["sample_rate"],
+                        "n_channels": d["n_channels"],
+                        "n_samples": d["n_samples"],
+                        "duration_s": d["duration_s"],
+                        "rms": d["rms"],
                     }
                 )
             yield pd.DataFrame(rows)
@@ -131,7 +333,8 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 def sample_frames(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per
     sampled offset (explode — the one acceptable row-multiplying step,
-    bounded by payload size / stride). Decode per frame stays stubbed."""
+    bounded by payload size / stride). Decode per frame stays behind
+    decode_media (no pure-Python video codec)."""
     return df.select(
         "item_id",
         F.explode(

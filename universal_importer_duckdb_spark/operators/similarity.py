@@ -56,13 +56,61 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact cosine top-k against a literal query vector."""
-    from universal_importer_duckdb_spark.operators.dedup_text import spread_for_compute
-
+    """Exact cosine top-k against a literal query vector. Used as the
+    re-rank stage after a candidate filter (ANN paths) — it inherits
+    the input's partitioning rather than forcing one (a repartition of
+    an already-filtered candidate frame costs more than it buys; for
+    full-corpus scans prefer cosine_topk_two_phase)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.col(vec_col).cast("array<double>")
     return (
-        spread_for_compute(df, id_col).select(F.col(id_col), cosine(v, q).alias("cosine"))
+        df.select(F.col(id_col), cosine(v, q).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def cosine_topk_two_phase(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    overfetch: int = 4,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact cosine top-k in two phases: an Arrow-batched numpy
+    double-precision scan SELECTS the top ``k*overfetch`` candidates
+    (one matmul per batch — the cheapest possible full scan), then the
+    exact DECIMAL(33,13) fold re-ranks only those candidates, so the
+    output is bit-identical to the one-phase exact scan while the
+    per-element decimal arithmetic touches k*overfetch rows instead of
+    the corpus. Sound because double-vs-decimal cosine differences are
+    ~1e-13 relative while the rank-k to rank-k*overfetch score gap is
+    orders of magnitude larger; the selection score is never emitted.
+    At 100 TB the double scan is the part you'd push to a SIMD kernel
+    or GPU; the exact re-rank cost stays O(k). No forced repartition:
+    phase-1 parallelism comes from file splits (a shuffle of every
+    vector would dwarf the matmul it feeds at any scale)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def dcos(batch: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in batch])
+        dots = M @ q
+        norms = np.linalg.norm(M, axis=1) * np.linalg.norm(q)
+        return pd.Series(dots / np.maximum(norms, 1e-300))
+
+    cand = (
+        df.select(id_col, *extra_cols, vec_col, dcos(F.col(vec_col)).alias("__dscore"))
+        .orderBy(F.desc("__dscore"), id_col)
+        .limit(k * overfetch)
+        .drop("__dscore")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        cand.select(F.col(id_col), *extra_cols, cosine(v, qlit).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )

@@ -37,6 +37,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Split/partition sizing for SMALL per-node data volumes: the
+        # defaults (128 MB splits, 64 MB post-shuffle advisory) collapse
+        # a few-hundred-MB local dataset to ~3 tasks, starving 32 cores
+        # on every scan-bound stage (measured −12% total bench).
+        # On a real cluster at 100 TB, export SPARK_GRAFT_MAX_PARTITION_MB=128
+        # and SPARK_GRAFT_ADVISORY_PARTITION_MB=64 — per-task sizes, not
+        # cluster-wide knobs, so bigger is right when data >> cores.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            str(int(os.environ.get("SPARK_GRAFT_MAX_PARTITION_MB", "16")) * 1024 * 1024),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(int(os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_MB", "16")) * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # constraint propagation is combinatorial over wide validation
         # predicates (60-term OR chains x 24 aliased casts -> driver
@@ -52,12 +67,16 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs to a session we did not build
     (the driver hands us one in ``__spark_entry__.entry``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    mpb = int(os.environ.get("SPARK_GRAFT_MAX_PARTITION_MB", "16")) * 1024 * 1024
+    adv = int(os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_MB", "16")) * 1024 * 1024
     for k, v in (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.constraintPropagation.enabled", "false"),
+        ("spark.sql.files.maxPartitionBytes", str(mpb)),
+        ("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(adv)),
     ):
         try:
             spark.conf.set(k, v)
