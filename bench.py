@@ -38,10 +38,13 @@ BENCH_QUERIES = [
     "docs_ngram_topk_similar",
     "docs_corpus_prep",
     "docs_minhash_lsh_neardup",
+    "docs_simhash_neardup",
     "docs_quality_filter_ids",
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
     "emb_ivf_topk",
+    "multimodal_image_features",
+    "multimodal_audio_features",
 ]
 
 
@@ -77,7 +80,9 @@ def main() -> int:
     # contaminated by transient neighbor noise (observed 3-10x
     # outliers on identical plans). Min is the standard estimator for
     # "what the code costs" under one-sided noise.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # 5 runs: q-level swings of ±0.3 s at 3 runs drowned real changes
+    # (round-3 verdict item 7)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = q[name]

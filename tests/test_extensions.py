@@ -192,6 +192,21 @@ def test_rolling_fingerprint_robust_to_distant_edit(spark):
     assert not set(rows[1].rolling_fingerprint) & set(rows[3].rolling_fingerprint)
 
 
+def test_simhash_portable_pandas_matches_expr(spark, sf_dir):
+    """The Arrow-batched numpy fingerprint kernel must be bit-identical
+    to the pure-expression path (same md5-half bit votes)."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        simhash_32x2_portable,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    a = {r.doc_id: (r.fp_lo, r.fp_hi)
+         for r in simhash_32x2_portable(docs, impl="pandas").collect()}
+    b = {r.doc_id: (r.fp_lo, r.fp_hi)
+         for r in simhash_32x2_portable(docs, impl="expr").collect()}
+    assert a == b and len(a) > 0
+
+
 def test_png_roundtrip_all_decoder_filters():
     """Decoder handles every PNG filter type; encoder's Up-filtered
     output must reconstruct the exact pixels (and therefore sum)."""
