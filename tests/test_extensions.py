@@ -348,3 +348,47 @@ def test_bucket_pairs_matches_naive_self_join(spark):
         sizes[b] = sizes.get(b, 0) + 1
     expected = sum(1 for s in sizes.values() if s == 2)
     assert bucket_pairs(df, ["b"], "id", max_bucket_size=2).count() == expected
+
+
+def test_neardup_clusters_chain_and_singletons(spark):
+    """A-B, B-C chain must collapse into ONE cluster (pairwise 'keep
+    one per pair' would keep two of the three); D stays its own."""
+    from universal_importer_duckdb_spark.operators.dedup_text import neardup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint")
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11)], "doc_id bigint")
+    rows = {r.doc_id: r for r in neardup_clusters(pairs, ids).collect()}
+    assert {d: r.cluster_id for d, r in rows.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 4, 10: 10, 11: 10,
+    }
+    assert [d for d, r in sorted(rows.items()) if r.is_kept] == [1, 4, 10]
+
+
+def test_chunk_documents_shapes(spark):
+    from universal_importer_duckdb_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10)), (2, " ".join(["w"] * 32)),
+         (3, " ".join(["w"] * 33)), (4, " ".join(["w"] * 100))],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.start_token, r.chunk_tokens)
+        for r in chunk_documents(df, chunk_size=32, stride=24).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 10),
+        (2, 0, 0, 32),
+        (3, 0, 0, 32), (3, 1, 24, 9),
+        (4, 0, 0, 32), (4, 1, 24, 32), (4, 2, 48, 32), (4, 3, 72, 28),
+    ]
+
+
+def test_vocabulary_topk_tie_break(spark):
+    from universal_importer_duckdb_spark.operators.text_analysis import vocabulary_topk
+
+    df = spark.createDataFrame(
+        [(1, "b a b a c"), (2, "C A")], "doc_id bigint, text string"
+    )
+    rows = [(r.token, r.n) for r in vocabulary_topk(df, k=2).collect()]
+    assert rows == [("a", 3), ("b", 2)]  # 'c' ties 'b'? no: a=3, b=2, c=2 -> b before c

@@ -1724,8 +1724,86 @@ FROM events GROUP BY user_id
 """
 
 
+def docs_neardup_clusters(spark, sf_dir):
+    """Near-dup PAIRS resolved into CLUSTERS (connected components by
+    min-label propagation) — the step that makes pairwise similarity
+    an actual dedup decision: keep exactly one doc per component.
+    Iterative (BSP rounds to the fixed point), but the fixed point
+    itself — min reachable doc_id — is declarative, so the oracle
+    replays it exactly with a recursive-CTE closure over the same
+    portable-minhash pair list."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_perm=32, bands=8, shingle_n=5,
+                              jaccard_threshold=0.4, sample_mod=4,
+                              hasher="md5_28", portable_buckets=True)
+    return neardup_clusters(pairs, docs.select("doc_id"))
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM ({MINHASH_LSH_SQL}) mh),
+e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m
+)
+SELECT n AS doc_id, MIN(m) AS cluster_id, MIN(m) = n AS is_kept
+FROM reach GROUP BY n
+"""
+
+
+def docs_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-20 tokens by frequency (tokenizer
+    vocabulary-building primitive; k below the corpus vocabulary size
+    so the top-k truncation and tie-breaks are actually exercised).
+    One explode + one hash-aggregate with map-side combine +
+    per-partition top-k merge."""
+    from universal_importer_duckdb_spark.operators.text_analysis import vocabulary_topk
+
+    return vocabulary_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
+VOCAB_TOPK_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def docs_chunk_for_training(spark, sf_dir):
+    """Fixed-size token windows with overlap (32-token chunks, stride
+    24 — sized so the 10-99-token synthetic docs genuinely multi-chunk)
+    — the shaping step before LLM training/embedding. Shape-only
+    output (doc, chunk_idx, start, len): pure integer arithmetic plus
+    one bounded explode, narrow at any corpus size."""
+    from universal_importer_duckdb_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_size=32, stride=24)
+
+
+CHUNK_SQL = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+c AS (SELECT doc_id, n, 1 + (greatest(n - 32, 0) + 23) // 24 AS k FROM t)
+SELECT doc_id, CAST(u AS BIGINT) AS chunk_idx,
+       CAST(u * 24 AS BIGINT) AS start_token,
+       CAST(least(32, n - u * 24) AS BIGINT) AS chunk_tokens
+FROM c, unnest(range(0, k)) AS t2(u)
+"""
+
+
 REGISTRY.update({
     "docs_quality_filter_ids": (docs_quality_filter_ids, QUALITY_FILTER_SQL),
+    "docs_neardup_clusters": (docs_neardup_clusters, NEARDUP_CLUSTERS_SQL),
+    "docs_vocab_topk": (docs_vocab_topk, VOCAB_TOPK_SQL),
+    "docs_chunk_for_training": (docs_chunk_for_training, CHUNK_SQL),
     "docs_bpe_token_count": (docs_bpe_token_count, BPE_SQL),
     "events_dedup_first_by_key": (events_dedup_first_by_key, EVENTS_DEDUP_SQL),
     "docs_corpus_prep": (docs_corpus_prep, CORPUS_PREP_SQL),
@@ -2994,7 +3072,8 @@ _NEVER_DRIVER_CHECKED = (
     "q11_important_parts", "q20_heavy_shippers", "q21_waiting_suppliers",
     "docs_minhash_lsh_neardup", "docs_simhash_neardup",
     "emb_ann_lsh_topk", "multimodal_image_features",
-    "multimodal_audio_features",
+    "multimodal_audio_features", "docs_neardup_clusters",
+    "docs_vocab_topk", "docs_chunk_for_training",
 )
 
 

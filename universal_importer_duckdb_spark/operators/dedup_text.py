@@ -652,3 +652,72 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS — the step that turns
+    pairwise similarity into an actual dedup decision (drop all but
+    one doc per connected component). Pairs alone under-dedup: if
+    A~B and B~C but A!~C, keeping "one per pair" keeps two of the
+    three.
+
+    Connected components by iterative min-label propagation (the
+    HashMin BSP algorithm): every node starts labeled with its own id;
+    each round takes the min of its label and its neighbors' labels;
+    at the fixed point every node carries the MINIMUM id reachable
+    from it, which is iteration-order independent — the reason a
+    declarative oracle (recursive-CTE closure) can check this exactly.
+
+    Scale: each round is one join + one groupBy on the EDGE list
+    (O(|E|) shuffle, not corpus-sized), and rounds needed equal the
+    component diameter — near-dup graphs are overwhelmingly tiny stars
+    and chains, so this converges in a handful of rounds. Labels are
+    eagerly localCheckpointed per round to keep the plan linear in
+    rounds (not exponential). For adversarial graphs with huge
+    diameters, swap in alternating-star contraction (Kiveris et al.);
+    the interface stays the same.
+
+    Returns (id_col, cluster_id, is_kept): every id keeps a row;
+    singletons are their own cluster; ``is_kept`` marks the cluster
+    representative (min id)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = ids.select(F.col(id_col).alias("n"), F.col(id_col).alias("lab"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.d == labels.n)
+            .groupBy("s")
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.n == nbr_min.s, "left")
+            .select(
+                F.col("n"),
+                F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), F.col("a.n") == F.col("b.n"))
+            .filter(F.col("a.lab") != F.col("b.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("n").alias(id_col),
+        F.col("lab").alias("cluster_id"),
+        (F.col("n") == F.col("lab")).alias("is_kept"),
+    )

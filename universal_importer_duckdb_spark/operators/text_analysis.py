@@ -155,3 +155,71 @@ def content_fingerprints(
         F.md5(F.lower(F.col(text_col))).alias("md5_fingerprint"),
         sketch,
     )
+
+
+def vocabulary_topk(
+    df: DataFrame, k: int = 50, text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-level vocabulary: top-k tokens by frequency. The
+    tokenizer's vocabulary-building primitive — one explode, one
+    hash-aggregate (map-side combine collapses each partition to its
+    distinct tokens before the shuffle), one per-partition top-k merge
+    (TakeOrderedAndProject — no global sort). Ties break
+    lexicographically so the result is deterministic."""
+    c = F.col(text_col)
+    tok = F.explode(tokens(F.lower(c) if lowercase else c)).alias("token")
+    return (
+        df.select(tok)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    (chunk_size - stride tokens), the standard shaping step before LLM
+    training/embedding. Emits (id, chunk_idx, start_token,
+    chunk_tokens) — pure per-row integer arithmetic plus one bounded
+    explode (ceil(n/stride) rows per doc), so it stays a narrow map at
+    any corpus size. The token slices themselves are a `slice(tokens,
+    start+1, chunk_tokens)` away when materializing text chunks; the
+    shape-only form keeps the output engine-checkable."""
+    if stride <= 0 or chunk_size < stride:
+        raise ValueError("need 0 < stride <= chunk_size")
+    n = token_count(text_col)
+    n_chunks = (
+        F.lit(1)
+        + F.expr(
+            f"(greatest(size(split({text_col}, ' ')) - {chunk_size}, 0)"
+            f" + {stride - 1}) DIV {stride}"
+        )
+    ).cast("int")
+    start = (F.col("chunk_idx") * stride).cast("bigint")
+    return (
+        df.select(F.col(id_col), n.alias("__n"), n_chunks.alias("__k"))
+        .select(
+            id_col,
+            "__n",
+            F.posexplode(F.sequence(F.lit(0), F.col("__k") - 1)).alias(
+                "chunk_idx", "__discard"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            start.alias("start_token"),
+            F.least(F.lit(chunk_size).cast("bigint"), F.col("__n") - start).alias(
+                "chunk_tokens"
+            ),
+        )
+    )
