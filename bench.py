@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "emb_ivf_topk",
     "multimodal_image_features",
     "multimodal_audio_features",
+    "docs_neardup_clusters",
+    "docs_vocab_topk",
+    "docs_chunk_for_training",
 ]
 
 

@@ -190,3 +190,26 @@ def test_q21_single_pass_no_self_join_shuffle(spark, sf_dir):
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) == 2
     assert "Cartesian" not in plan
+
+
+def test_vocab_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(eq.docs_vocab_topk(spark, sf_dir))
+    # per-partition top-k + merge, never a full sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_chunk_documents_is_narrow(spark, sf_dir):
+    plan = _plan(eq.docs_chunk_for_training(spark, sf_dir))
+    assert "Exchange" not in plan  # pure map + bounded explode over the scan
+
+
+def test_two_phase_cosine_shape(spark, sf_dir):
+    plan = _plan(eq.emb_cosine_topk(spark, sf_dir))
+    # phase 1 is one Arrow-batched python eval over the scan; both the
+    # candidate selection and the exact re-rank are per-partition
+    # top-k merges (TakeOrderedAndProject) — the whole query runs with
+    # ZERO exchanges
+    assert "ArrowEvalPython" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
