@@ -673,10 +673,14 @@ def neardup_clusters(
     from it, which is iteration-order independent — the reason a
     declarative oracle (recursive-CTE closure) can check this exactly.
 
-    Scale: each round is one join + one groupBy on the EDGE list
-    (O(|E|) shuffle, not corpus-sized), and rounds needed equal the
-    component diameter — near-dup graphs are overwhelmingly tiny stars
-    and chains, so this converges in a handful of rounds. Labels are
+    Scale: the iteration runs ONLY over edge endpoints — a node with
+    no near-dup pair can never change its label, so the corpus-sized
+    frame is touched exactly twice (an anti-join to emit singletons,
+    once, at the end). Each round is one join + one groupBy on the
+    EDGE list (O(|E|), and near-dup pair lists are orders of magnitude
+    smaller than the corpus), and rounds needed equal the component
+    diameter — near-dup graphs are overwhelmingly tiny stars and
+    chains, so this converges in a handful of rounds. Labels are
     eagerly localCheckpointed per round to keep the plan linear in
     rounds (not exponential). For adversarial graphs with huge
     diameters, swap in alternating-star contraction (Kiveris et al.);
@@ -685,39 +689,74 @@ def neardup_clusters(
     Returns (id_col, cluster_id, is_kept): every id keeps a row;
     singletons are their own cluster; ``is_kept`` marks the cluster
     representative (min id)."""
+    # materialize the pair list ONCE before symmetrizing: the union
+    # references `pairs` twice, and without this barrier the entire
+    # upstream candidate pipeline (e.g. MinHash banding + verify) is
+    # evaluated once per orientation
+    p0 = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
-        .unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+        p0.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .unionByName(p0.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = ids.select(F.col(id_col).alias("n"), F.col(id_col).alias("lab"))
-    labels = labels.localCheckpoint(eager=True)
+    # Size the BSP working set from the MEASURED edge count (a count on
+    # the materialized checkpoint is free): the checkpoint inherits the
+    # upstream shuffle's partitioning (64 near-empty partitions here),
+    # and without this every round schedules dozens of empty tasks —
+    # pure overhead locally, and still wasteful on a cluster when the
+    # pair list is small. ~100k edges per partition, capped at the
+    # session's parallelism.
+    n_edges = edges.count()
+    target = max(1, min(
+        edges.sparkSession.sparkContext.defaultParallelism,
+        -(-n_edges // 100_000),
+    ))
+    edges = edges.coalesce(target).localCheckpoint(eager=True)
+    # active subgraph: only edge endpoints can ever change label
+    labels = (
+        edges.select(F.col("s").alias("n")).distinct()
+        .select("n", F.col("n").alias("lab"))
+        .coalesce(target)
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.d == labels.n)
             .groupBy("s")
             .agg(F.min("lab").alias("nbr_lab"))
         )
-        new_labels = (
+        # the convergence flag rides along in the same materialization
+        # (one checkpoint job + one cheap count over it per round — no
+        # old-vs-new re-join)
+        stepped = (
             labels.join(nbr_min, labels.n == nbr_min.s, "left")
             .select(
                 F.col("n"),
-                F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
+                F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias(
+                    "new_lab"
+                ),
+                (F.coalesce("nbr_lab", F.col("lab")) < F.col("lab")).alias("chg"),
             )
+            .coalesce(target)
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), F.col("a.n") == F.col("b.n"))
-            .filter(F.col("a.lab") != F.col("b.lab"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("chg").count()
+        labels = stepped.select("n", F.col("new_lab").alias("lab"))
         if changed == 0:
             break
-    return labels.select(
+    clustered = labels.select(
         F.col("n").alias(id_col),
         F.col("lab").alias("cluster_id"),
         (F.col("n") == F.col("lab")).alias("is_kept"),
     )
+    singletons = (
+        ids.select(F.col(id_col))
+        .join(labels.select(F.col("n").alias(id_col)), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(True).alias("is_kept"),
+        )
+    )
+    return clustered.unionByName(singletons)
