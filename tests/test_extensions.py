@@ -392,3 +392,20 @@ def test_vocabulary_topk_tie_break(spark):
     )
     rows = [(r.token, r.n) for r in vocabulary_topk(df, k=2).collect()]
     assert rows == [("a", 3), ("b", 2)]  # 'c' ties 'b'? no: a=3, b=2, c=2 -> b before c
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from universal_importer_duckdb_spark.operators.text_analysis import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io twice c.d+x@e.org, url https://x.y/z ssn 123-45-6789 ip 10.0.0.1"),
+         (2, "clean text only")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert rows[1].n_email == 2 and rows[1].n_url == 1
+    assert rows[1].n_ssn == 1 and rows[1].n_ip == 1
+    assert "<EMAIL>" in rows[1].clean_text and "@" not in rows[1].clean_text
+    assert "123-45" not in rows[1].clean_text and "10.0.0.1" not in rows[1].clean_text
+    assert rows[2].clean_text == "clean text only"
+    assert rows[2].n_email == rows[2].n_url == rows[2].n_ssn == rows[2].n_ip == 0

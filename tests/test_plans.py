@@ -213,3 +213,8 @@ def test_two_phase_cosine_shape(spark, sf_dir):
     assert "ArrowEvalPython" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_pii_scrub_is_narrow(spark, sf_dir):
+    plan = _plan(eq.docs_pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan  # redaction is a pure map over the scan

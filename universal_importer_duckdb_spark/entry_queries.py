@@ -1799,9 +1799,57 @@ FROM c, unnest(range(0, k)) AS t2(u)
 """
 
 
+def docs_pii_scrub(spark, sf_dir):
+    """PII redaction + per-type counts. The synthetic corpus carries no
+    PII, so a deterministic per-doc suffix (doc_id-derived email/URL/
+    SSN-shaped spans) is appended first — the scrub then has real work
+    on every row and the oracle checks replacement AND counting
+    machinery non-vacuously."""
+    from universal_importer_duckdb_spark.operators.text_analysis import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+            F.lit(" https://site"), F.col("doc_id"), F.lit(".example/x"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" ssn 123-45-"),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded)
+
+
+PII_SCRUB_SQL = """
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com'
+              || ' https://site' || doc_id || '.example/x'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    'https?://[^ ]+', '<URL>', 'g'),
+    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ip
+FROM seeded
+"""
+
+
 REGISTRY.update({
     "docs_quality_filter_ids": (docs_quality_filter_ids, QUALITY_FILTER_SQL),
     "docs_neardup_clusters": (docs_neardup_clusters, NEARDUP_CLUSTERS_SQL),
+    "docs_pii_scrub": (docs_pii_scrub, PII_SCRUB_SQL),
     "docs_vocab_topk": (docs_vocab_topk, VOCAB_TOPK_SQL),
     "docs_chunk_for_training": (docs_chunk_for_training, CHUNK_SQL),
     "docs_bpe_token_count": (docs_bpe_token_count, BPE_SQL),
@@ -3073,7 +3121,7 @@ _NEVER_DRIVER_CHECKED = (
     "docs_minhash_lsh_neardup", "docs_simhash_neardup",
     "emb_ann_lsh_topk", "multimodal_image_features",
     "multimodal_audio_features", "docs_neardup_clusters",
-    "docs_vocab_topk", "docs_chunk_for_training",
+    "docs_vocab_topk", "docs_chunk_for_training", "docs_pii_scrub",
 )
 
 

@@ -223,3 +223,38 @@ def chunk_documents(
             ),
         )
     )
+
+
+# Conservative character-class patterns chosen for cross-engine
+# (java.util.regex vs RE2) semantic agreement: no backreferences, no
+# lookaround, no engine-specific classes.
+DEFAULT_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: tuple[tuple[str, str, str], ...] = DEFAULT_PII_PATTERNS,
+) -> DataFrame:
+    """Redact PII-shaped spans (training corpora must not memorize
+    emails/SSNs/IPs) and count per-type hits. Pure column expressions
+    — a narrow map over the scan at any scale. Counts are taken on the
+    ORIGINAL text per pattern; replacements apply sequentially in
+    pattern order, so overlapping categories (an email inside a URL)
+    resolve deterministically and identically in any engine running
+    the same sequence."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in patterns
+    ]
+    clean = c
+    for _name, pat, repl in patterns:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
