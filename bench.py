@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "docs_neardup_clusters",
     "docs_vocab_topk",
     "docs_chunk_for_training",
+    "docs_pii_scrub",
 ]
 
 
