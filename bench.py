@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "docs_vocab_topk",
     "docs_chunk_for_training",
     "docs_pii_scrub",
+    "docs_training_pipeline",
 ]
 
 

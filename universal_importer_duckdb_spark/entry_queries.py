@@ -1087,10 +1087,13 @@ def docs_minhash_lsh_neardup(spark, sf_dir):
 
 def _minhash_lsh_sql(num_perm: int = 32, bands: int = 8, shingle_n: int = 5,
                      threshold: float = 0.4, sample_mod: int = 4,
-                     max_bucket_size: int = 50, presift_sigma: float = 3.0) -> str:
+                     max_bucket_size: int = 50, presift_sigma: float = 3.0,
+                     src: str = "documents") -> str:
     """DuckDB replica of the portable minhash_lsh_pairs: identical
     md5_28 shingle hashing, identical seeded permutation params,
-    identical banding/cap/presift/verify arithmetic."""
+    identical banding/cap/presift/verify arithmetic. ``src`` names the
+    relation/CTE supplying (doc_id, text) — lets composed pipelines
+    run the same replay on a filtered subset."""
     import math as _math
 
     from universal_importer_duckdb_spark.operators.dedup_text import _perm_params
@@ -1118,7 +1121,7 @@ WITH h AS (
   SELECT doc_id,
     list_transform(range(1, greatest(length(text)-{shingle_n - 1}, 1)+1),
                    i -> {h28(f"substr(text, i, {shingle_n})")}) AS hfull
-  FROM documents),
+  FROM {src}),
 hs AS (
   SELECT doc_id, hfull,
     CASE WHEN len(list_filter(hfull, x -> x % {sample_mod} = 0)) > 0
@@ -1846,10 +1849,103 @@ FROM seeded
 """
 
 
+def docs_training_pipeline(spark, sf_dir):
+    """The full LLM training-corpus pipeline composed end-to-end:
+    quality filter → exact content dedup (min doc_id per normalized
+    md5) → near-dup CLUSTER dedup (portable MinHash pairs → connected
+    components → keep one representative per component) → fixed-size
+    token chunking. Returns the one-row corpus funnel — every count
+    depends on every upstream stage being exactly right, so the single
+    oracle row certifies the whole composition. Stage-level scale
+    shapes are each operator's own (narrow quality map, one dedup agg
+    shuffle, bucketed LSH, edge-sized BSP rounds, narrow chunking)."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        chunk_documents,
+        quality_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept, _ = quality_filter(docs, min_tokens=10, min_alpha_ratio=0.5,
+                             max_digit_ratio=0.3, min_unique_token_ratio=0.1)
+    exact = (
+        kept.withColumn("__fp", F.md5(F.lower("text")))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.min_by("text", "doc_id").alias("text"))
+        .drop("__fp")
+    )
+    pairs = minhash_lsh_pairs(exact, num_perm=32, bands=8, shingle_n=5,
+                              jaccard_threshold=0.4, sample_mod=4,
+                              hasher="md5_28", portable_buckets=True)
+    clusters = neardup_clusters(pairs, exact.select("doc_id"))
+    surv = exact.join(clusters.filter("is_kept").select("doc_id"), "doc_id", "left_semi")
+    chunks = chunk_documents(surv, chunk_size=32, stride=24)
+
+    def one(df, *aggs):
+        return F.broadcast(df.agg(*aggs))
+
+    return (
+        one(docs, F.count(F.lit(1)).alias("n_docs_in"))
+        .crossJoin(one(kept, F.count(F.lit(1)).alias("n_after_quality")))
+        .crossJoin(one(exact, F.count(F.lit(1)).alias("n_after_exact")))
+        .crossJoin(one(surv, F.count(F.lit(1)).alias("n_after_neardup")))
+        .crossJoin(
+            one(
+                chunks,
+                F.count(F.lit(1)).alias("total_chunks"),
+                F.sum("chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
+            )
+        )
+    )
+
+
+TRAINING_PIPELINE_SQL = f"""
+WITH RECURSIVE
+sigq AS (
+  SELECT doc_id, text,
+    len(string_split(text, ' ')) AS n_tokens,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_ratio,
+    len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio
+  FROM documents),
+q AS (
+  SELECT doc_id, text FROM sigq
+  WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3 AND uniq_ratio >= 0.1),
+d AS (
+  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM q GROUP BY md5(lower(text))),
+p AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(src="d")}) mh),
+e AS (SELECT id_a AS s, id_b AS dd FROM p UNION SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT r.n, e.dd FROM reach r JOIN e ON e.s = r.m),
+lab AS (SELECT n, MIN(m) AS cluster_id FROM reach GROUP BY n),
+surv AS (
+  SELECT d.doc_id, d.text FROM d JOIN lab ON d.doc_id = lab.n
+  WHERE lab.cluster_id = d.doc_id),
+ct AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM surv),
+ck AS (SELECT doc_id, n, 1 + (greatest(n - 32, 0) + 23) // 24 AS k FROM ct),
+ch AS (SELECT doc_id, least(32, n - u * 24) AS chunk_tokens
+       FROM ck, unnest(range(0, k)) AS t2(u))
+SELECT
+  (SELECT COUNT(*) FROM documents) AS n_docs_in,
+  (SELECT COUNT(*) FROM q) AS n_after_quality,
+  (SELECT COUNT(*) FROM d) AS n_after_exact,
+  (SELECT COUNT(*) FROM surv) AS n_after_neardup,
+  (SELECT COUNT(*) FROM ch) AS total_chunks,
+  (SELECT CAST(SUM(chunk_tokens) AS BIGINT) FROM ch) AS total_chunk_tokens
+"""
+
+
 REGISTRY.update({
     "docs_quality_filter_ids": (docs_quality_filter_ids, QUALITY_FILTER_SQL),
     "docs_neardup_clusters": (docs_neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "docs_pii_scrub": (docs_pii_scrub, PII_SCRUB_SQL),
+    "docs_training_pipeline": (docs_training_pipeline, TRAINING_PIPELINE_SQL),
     "docs_vocab_topk": (docs_vocab_topk, VOCAB_TOPK_SQL),
     "docs_chunk_for_training": (docs_chunk_for_training, CHUNK_SQL),
     "docs_bpe_token_count": (docs_bpe_token_count, BPE_SQL),
@@ -3122,6 +3218,7 @@ _NEVER_DRIVER_CHECKED = (
     "emb_ann_lsh_topk", "multimodal_image_features",
     "multimodal_audio_features", "docs_neardup_clusters",
     "docs_vocab_topk", "docs_chunk_for_training", "docs_pii_scrub",
+    "docs_training_pipeline",
 )
 
 
