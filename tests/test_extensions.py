@@ -409,3 +409,118 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "123-45" not in rows[1].clean_text and "10.0.0.1" not in rows[1].clean_text
     assert rows[2].clean_text == "clean text only"
     assert rows[2].n_email == rows[2].n_url == rows[2].n_ssn == rows[2].n_ip == 0
+
+
+def test_neardup_clusters_long_chain_pointer_jumping(spark):
+    """A 40-node path has diameter 39: plain 1-hop HashMin would need
+    39 rounds, pointer jumping converges in O(log d). max_iters=12
+    both proves the shortcutting works and guards the non-convergence
+    error path stays silent on healthy inputs."""
+    from universal_importer_duckdb_spark.operators.dedup_text import neardup_clusters
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    rows = neardup_clusters(pairs, ids, max_iters=12).collect()
+    assert all(r.cluster_id == 0 for r in rows)
+    assert sum(r.is_kept for r in rows) == 1
+
+
+def test_neardup_clusters_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from universal_importer_duckdb_spark.operators.dedup_text import neardup_clusters
+
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(pairs, ids, max_iters=2)
+
+
+def test_png_wav_roundtrip_properties():
+    """Property test (pure Python, no Spark): random dims/pixels and
+    random PCM16 payloads must round-trip exactly through the codecs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png_gray,
+        encode_wav_pcm16,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 48),
+        h=st.integers(1, 48),
+        seed=st.integers(0, 2**31),
+        ft=st.sampled_from([0, 2]),
+    )
+    def png_prop(w, h, seed, ft):
+        import random
+
+        rng = random.Random(seed)
+        rows = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        d = decode_png(encode_png_gray(w, h, rows, filter_type=ft))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["luma_sum"] == sum(map(sum, rows))
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 44100]),
+        ch=st.integers(1, 2),
+        seed=st.integers(0, 2**31),
+        n=st.integers(1, 400),
+    )
+    def wav_prop(rate, ch, seed, n):
+        import random
+
+        rng = random.Random(seed)
+        samples = [rng.randrange(-32768, 32768) for _ in range(n * ch)]
+        d = decode_wav(encode_wav_pcm16(rate, ch, samples))
+        assert d["sample_rate"] == rate and d["n_channels"] == ch
+        assert d["n_samples"] == n
+        assert d["sumsq"] == sum(s * s for s in samples)
+
+    png_prop()
+    wav_prop()
+
+
+def test_chunk_documents_invariants_random_corpus(spark):
+    """Chunks must tile each document exactly: starts advance by the
+    stride, the last chunk ends at n, every chunk is non-empty and at
+    most chunk_size, and consecutive chunks overlap by size-stride."""
+    import random
+
+    from universal_importer_duckdb_spark.operators.text_analysis import chunk_documents
+
+    rng = random.Random(11)
+    rows = [(i, " ".join(["w"] * rng.randint(1, 300))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    n_by_doc = {i: t.count(" ") + 1 for i, t in rows}
+    for size, stride in ((32, 24), (50, 50), (128, 96)):
+        got = {}
+        for r in chunk_documents(df, chunk_size=size, stride=stride).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.start_token, r.chunk_tokens)
+            )
+        for doc_id, chunks in got.items():
+            n = n_by_doc[doc_id]
+            chunks.sort()
+            for j, (idx, start, ln) in enumerate(chunks):
+                assert idx == j and start == j * stride
+                assert 0 < ln <= size
+                if j < len(chunks) - 1:
+                    assert ln == size  # only the final chunk may be short
+            last_idx, last_start, last_len = chunks[-1]
+            assert last_start + last_len == n  # tiles to exactly n tokens
+            # no chunk fully contained in the previous one
+            assert all(s + l > ps + pl for (_, ps, pl), (_, s, l)
+                       in zip(chunks, chunks[1:]))
+        assert set(got) == set(n_by_doc)

@@ -720,23 +720,38 @@ def neardup_clusters(
         .coalesce(target)
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.d == labels.n)
             .groupBy("s")
             .agg(F.min("lab").alias("nbr_lab"))
         )
-        # the convergence flag rides along in the same materialization
-        # (one checkpoint job + one cheap count over it per round — no
-        # old-vs-new re-join)
+        hashed = labels.join(nbr_min, labels.n == nbr_min.s, "left").select(
+            F.col("n"),
+            F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
+        )
+        # pointer jumping (lab := lab[lab]): plain HashMin moves a
+        # label ONE hop per round, so a path component of diameter d
+        # needs d rounds; shortcutting through the current label makes
+        # the distance-to-root roughly halve per round — O(log d)
+        # rounds total, so max_iters=25 covers any real graph instead
+        # of silently mislabeling chains longer than max_iters
+        lut = hashed.select(F.col("n").alias("__ln"), F.col("lab").alias("__ll"))
         stepped = (
-            labels.join(nbr_min, labels.n == nbr_min.s, "left")
+            hashed.join(lut, hashed.lab == lut.__ln, "left")
             .select(
-                F.col("n"),
-                F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias(
-                    "new_lab"
-                ),
-                (F.coalesce("nbr_lab", F.col("lab")) < F.col("lab")).alias("chg"),
+                "n",
+                F.least(F.col("lab"), F.coalesce("__ll", F.col("lab"))).alias("new_lab"),
+            )
+            # convergence flag rides along in the same materialization
+            # (one checkpoint job + one cheap count over it per round)
+            .join(labels.select(F.col("n").alias("__on"), F.col("lab").alias("__ol")),
+                  F.col("n") == F.col("__on"))
+            .select(
+                "n",
+                F.col("new_lab"),
+                (F.col("new_lab") < F.col("__ol")).alias("chg"),
             )
             .coalesce(target)
             .localCheckpoint(eager=True)
@@ -744,7 +759,14 @@ def neardup_clusters(
         changed = stepped.filter("chg").count()
         labels = stepped.select("n", F.col("new_lab").alias("lab"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # wrong clusters are a silent data-correctness trap; refuse
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} rounds "
+            "(pathological component diameter?); raise max_iters"
+        )
     clustered = labels.select(
         F.col("n").alias(id_col),
         F.col("lab").alias("cluster_id"),
