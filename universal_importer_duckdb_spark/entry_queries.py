@@ -1871,17 +1871,24 @@ def docs_training_pipeline(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     kept, _ = quality_filter(docs, min_tokens=10, min_alpha_ratio=0.5,
                              max_digit_ratio=0.3, min_unique_token_ratio=0.1)
+    # the deduped frame fans out five ways (pair generation, cluster
+    # ids, survivor join, two funnel counts) — cache it, and the
+    # survivor frame (chunking + count), per the pipeline's
+    # cache-the-fan-out doctrine (plans/pipeline.py)
     exact = (
         kept.withColumn("__fp", F.md5(F.lower("text")))
         .groupBy("__fp")
         .agg(F.min("doc_id").alias("doc_id"), F.min_by("text", "doc_id").alias("text"))
         .drop("__fp")
+        .cache()
     )
     pairs = minhash_lsh_pairs(exact, num_perm=32, bands=8, shingle_n=5,
                               jaccard_threshold=0.4, sample_mod=4,
                               hasher="md5_28", portable_buckets=True)
     clusters = neardup_clusters(pairs, exact.select("doc_id"))
-    surv = exact.join(clusters.filter("is_kept").select("doc_id"), "doc_id", "left_semi")
+    surv = exact.join(
+        clusters.filter("is_kept").select("doc_id"), "doc_id", "left_semi"
+    ).cache()
     chunks = chunk_documents(surv, chunk_size=32, stride=24)
 
     def one(df, *aggs):
