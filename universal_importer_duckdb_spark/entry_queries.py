@@ -1237,7 +1237,8 @@ def _simhash_sql(max_hamming: int = 8, max_bucket_size: int = 200) -> str:
         )
     )
     return f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+           FROM documents),
 hh AS (
   SELECT doc_id, len(toks) AS n,
     list_transform(toks, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS hi,
@@ -1783,9 +1784,11 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 def docs_chunk_for_training(spark, sf_dir):
     """Fixed-size token windows with overlap (32-token chunks, stride
     24 — sized so the 10-99-token synthetic docs genuinely multi-chunk)
-    — the shaping step before LLM training/embedding. Shape-only
-    output (doc, chunk_idx, start, len): pure integer arithmetic plus
-    one bounded explode, narrow at any corpus size."""
+    — the shaping step before LLM training/embedding. Emits the shape
+    (doc, chunk_idx, start, len) AND the materialized ``chunk_text``
+    slice — the actual training example a downstream tokenizer
+    consumes. Pure integer arithmetic plus one bounded explode and a
+    per-chunk token-array slice: narrow at any corpus size."""
     from universal_importer_duckdb_spark.operators.text_analysis import chunk_documents
 
     return chunk_documents(_t(spark, sf_dir, "documents"),
@@ -1793,11 +1796,15 @@ def docs_chunk_for_training(spark, sf_dir):
 
 
 CHUNK_SQL = """
-WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
-c AS (SELECT doc_id, n, 1 + (greatest(n - 32, 0) + 23) // 24 AS k FROM t)
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks, len(toks) AS n,
+             1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS k FROM t)
 SELECT doc_id, CAST(u AS BIGINT) AS chunk_idx,
        CAST(u * 24 AS BIGINT) AS start_token,
-       CAST(least(32, n - u * 24) AS BIGINT) AS chunk_tokens
+       CAST(least(32, n - u * 24) AS BIGINT) AS chunk_tokens,
+       array_to_string(list_slice(toks, u * 24 + 1,
+                                  u * 24 + least(32, n - u * 24)), ' ')
+         AS chunk_text
 FROM c, unnest(range(0, k)) AS t2(u)
 """
 

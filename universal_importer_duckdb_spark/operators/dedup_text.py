@@ -530,7 +530,10 @@ def simhash_32x2_portable(
             F.col(id_col), fp_udf(F.col(text_col)).alias("__fp")
         ).select(id_col, "__fp.fp_lo", "__fp.fp_hi")
 
-    toks = F.split(F.col(text_col), " ")
+    # coalesce NULL text to '' so the expr path fingerprints [''] like
+    # the pandas kernel (None -> ""); keeps the bit-identical guarantee
+    # on corpora that carry null text
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
 
     def half(start: int):
         return lambda t: F.conv(

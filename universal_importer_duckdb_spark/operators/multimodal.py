@@ -35,6 +35,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -146,32 +147,50 @@ def decode_png(data: bytes) -> dict:
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
-    prev = bytearray(stride)
+    # Unfilter scanlines with numpy row-at-a-time ops. None/Up are one
+    # vector op; Sub is a per-channel cumulative sum (out[x] =
+    # (out[x-c] + raw[x]) mod 256 is exactly cumsum mod 256 along the
+    # width axis); Average/Paeth carry a true left-to-right dependency,
+    # so they loop over pixel columns but stay channel-vectorized.
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = scan[:, 0]
+    if not np.all(ftypes <= 4):
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"bad PNG filter type {bad}")
+    prev = np.zeros((width, channels), dtype=np.int64)
     total = 0
     for y in range(height):
-        off = y * (stride + 1)
-        ft = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
+        ft = int(ftypes[y])
+        cur = scan[y, 1:].astype(np.int64).reshape(width, channels)
         if ft == 0:
-            pass
-        elif ft == 1:  # Sub
-            for x in range(channels, stride):
-                line[x] = (line[x] + line[x - channels]) & 0xFF
-        elif ft == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
+            line = cur
+        elif ft == 1:  # Sub: cumsum mod 256 per channel
+            line = np.cumsum(cur, axis=0) & 0xFF
+        elif ft == 2:  # Up: one vector add
+            line = (cur + prev) & 0xFF
         elif ft == 3:  # Average
-            for x in range(stride):
-                left = line[x - channels] if x >= channels else 0
-                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                left = line[x - channels] if x >= channels else 0
-                ul = prev[x - channels] if x >= channels else 0
-                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        total += sum(line)
+            line = np.empty_like(cur)
+            left = np.zeros(channels, dtype=np.int64)
+            for x in range(width):
+                left = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+                line[x] = left
+        else:  # Paeth
+            line = np.empty_like(cur)
+            left = np.zeros(channels, dtype=np.int64)
+            upleft = np.zeros(channels, dtype=np.int64)
+            for x in range(width):
+                up = prev[x]
+                p = left + up - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (cur[x] + pred) & 0xFF
+                line[x] = left
+                upleft = up
+        total += int(line.sum())
         prev = line
     return {
         "width": width,
@@ -210,7 +229,7 @@ def decode_wav(data: bytes) -> dict:
         raise ValueError("not a WAV (bad RIFF header)")
     pos = 12
     rate = channels = bits = None
-    frames = None
+    saw_data = False
     sumsq = 0
     n_samples = 0
     while pos + 8 <= len(data):
@@ -225,11 +244,16 @@ def decode_wav(data: bytes) -> dict:
             if fmt_code != 1 or bits != 16:
                 raise NotImplementedError("only PCM16 WAV supported")
         elif tag == b"data":
-            n_samples = len(body) // 2
-            frames = struct.unpack(f"<{n_samples}h", body[: n_samples * 2])
-            for s in frames:
-                sumsq += s * s
-    if rate is None or frames is None:
+            # accumulate BOTH sumsq and n_samples so nonstandard (but
+            # valid) multi-data-chunk files stay self-consistent
+            saw_data = True
+            chunk_n = len(body) // 2
+            samples = np.frombuffer(
+                body[: chunk_n * 2], dtype="<i2"
+            ).astype(np.int64)
+            n_samples += chunk_n
+            sumsq += int(samples @ samples)
+    if rate is None or not saw_data:
         raise ValueError("WAV missing fmt/data chunk")
     n_frames = n_samples // channels
     return {

@@ -185,43 +185,65 @@ def chunk_documents(
     stride: int = 96,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_text: bool = True,
 ) -> DataFrame:
     """Split each document into fixed-size token windows with overlap
     (chunk_size - stride tokens), the standard shaping step before LLM
     training/embedding. Emits (id, chunk_idx, start_token,
-    chunk_tokens) — pure per-row integer arithmetic plus one bounded
-    explode (ceil(n/stride) rows per doc), so it stays a narrow map at
-    any corpus size. The token slices themselves are a `slice(tokens,
-    start+1, chunk_tokens)` away when materializing text chunks; the
-    shape-only form keeps the output engine-checkable."""
+    chunk_tokens, chunk_text) — per-row integer arithmetic, one bounded
+    explode (ceil(n/stride) rows per doc), and a slice of the token
+    array per chunk, so it stays a narrow map at any corpus size. The
+    materialized ``chunk_text`` is the pipeline's actual training
+    example; consumers that only need the shape (funnel counts) pass
+    ``with_text=False`` (or just don't select it — column pruning
+    removes the slice either way)."""
     if stride <= 0 or chunk_size < stride:
         raise ValueError("need 0 < stride <= chunk_size")
-    n = token_count(text_col)
     n_chunks = (
         F.lit(1)
         + F.expr(
-            f"(greatest(size(split({text_col}, ' ')) - {chunk_size}, 0)"
+            f"(greatest(size(__toks) - {chunk_size}, 0)"
             f" + {stride - 1}) DIV {stride}"
         )
     ).cast("int")
     start = (F.col("chunk_idx") * stride).cast("bigint")
+    chunk_tokens = F.least(
+        F.lit(chunk_size).cast("bigint"), F.col("__n") - start
+    )
+    out_cols = [
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.alias("start_token"),
+        chunk_tokens.alias("chunk_tokens"),
+    ]
+    if with_text:
+        out_cols.append(
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    (start + 1).cast("int"),
+                    chunk_tokens.cast("int"),
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
     return (
-        df.select(F.col(id_col), n.alias("__n"), n_chunks.alias("__k"))
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.size("__toks").cast("bigint").alias("__n"),
+            n_chunks.alias("__k"),
+        )
         .select(
             id_col,
+            "__toks",
             "__n",
             F.posexplode(F.sequence(F.lit(0), F.col("__k") - 1)).alias(
                 "chunk_idx", "__discard"
             ),
         )
-        .select(
-            id_col,
-            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
-            start.alias("start_token"),
-            F.least(F.lit(chunk_size).cast("bigint"), F.col("__n") - start).alias(
-                "chunk_tokens"
-            ),
-        )
+        .select(*out_cols)
     )
 
 
