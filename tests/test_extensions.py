@@ -256,6 +256,48 @@ def test_png_roundtrip_all_decoder_filters():
     assert d["luma_sum"] == sum([10, 20, 30, 15, 25, 35, 20, 30, 40])
 
 
+def test_png_decode_512_under_50ms():
+    """The vectorized unfilter path must decode a realistic 512x512
+    image fast — per-byte Python loops were ~20x over this budget."""
+    import time
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    rows = [[(x * y + 3 * x + y) % 256 for x in range(512)] for y in range(512)]
+    png = encode_png_gray(512, 512, rows, filter_type=2)
+    decode_png(png)  # warm (numpy/zlib import paths)
+    t0 = time.perf_counter()
+    d = decode_png(png)
+    elapsed = time.perf_counter() - t0
+    assert d["luma_sum"] == sum(sum(r) for r in rows)
+    assert elapsed < 0.05, f"512x512 decode took {elapsed * 1e3:.1f} ms"
+
+
+def test_wav_multi_data_chunk_consistent():
+    """Nonstandard multi-data-chunk WAVs: n_samples and sumsq must
+    accumulate over ALL data chunks (they previously disagreed)."""
+    import struct
+
+    from universal_importer_duckdb_spark.operators.multimodal import decode_wav
+
+    samples_a, samples_b = [100, -200, 300], [-400, 500]
+    body_a = struct.pack(f"<{len(samples_a)}h", *samples_a)
+    body_b = struct.pack(f"<{len(samples_b)}h", *samples_b)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body_a)) + body_a
+            + b"data" + struct.pack("<I", len(body_b)) + body_b)
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    d = decode_wav(wav)
+    allsamp = samples_a + samples_b
+    assert d["n_samples"] == len(allsamp)
+    assert d["sumsq"] == sum(s * s for s in allsamp)
+    assert d["rms"] == (d["sumsq"] / len(allsamp)) ** 0.5
+
+
 def test_wav_roundtrip():
     from universal_importer_duckdb_spark.operators.multimodal import (
         decode_wav,

@@ -1815,9 +1815,12 @@ def docs_pii_scrub(spark, sf_dir):
     SSN-shaped spans) is appended first — the scrub then has real work
     on every row and the oracle checks replacement AND counting
     machinery non-vacuously."""
+    from universal_importer_duckdb_spark.operators.dedup_text import spread_for_compute
     from universal_importer_duckdb_spark.operators.text_analysis import pii_scrub
 
-    docs = _t(spark, sf_dir, "documents")
+    # regex scrubbing is CPU-bound per row: spread the single-split
+    # local file across cores (no-op on wide inputs at real scale)
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
     seeded = docs.select(
         "doc_id",
         F.concat(
@@ -1833,7 +1836,17 @@ def docs_pii_scrub(spark, sf_dir):
     return pii_scrub(seeded)
 
 
-PII_SCRUB_SQL = """
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_URL = "https?://[^ ]+"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_ALT = "|".join([_PII_EMAIL, _PII_URL, _PII_SSN, _PII_IP])
+
+# DuckDB replica of the fused single-alternation-pass scrub: extract
+# all spans + split on the same alternation, classify each span by the
+# first pattern it fully matches (pattern order = priority), splice
+# replacement tokens between the segments.
+PII_SCRUB_SQL = f"""
 WITH seeded AS (
   SELECT doc_id,
          text || ' contact user' || doc_id || '@example.com'
@@ -1841,18 +1854,29 @@ WITH seeded AS (
               || CASE WHEN doc_id % 3 = 0
                       THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
                       ELSE '' END AS text
-  FROM documents)
+  FROM documents),
+x AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_PII_ALT}') AS ms,
+         regexp_split_to_array(text, '{_PII_ALT}') AS segs
+  FROM seeded),
+y AS (
+  SELECT doc_id, ms, segs,
+         list_transform(ms, m -> CASE
+           WHEN regexp_full_match(m, '{_PII_EMAIL}') THEN '<EMAIL>'
+           WHEN regexp_full_match(m, '{_PII_URL}') THEN '<URL>'
+           WHEN regexp_full_match(m, '{_PII_SSN}') THEN '<SSN>'
+           ELSE '<IP>' END) AS toks
+  FROM x)
 SELECT doc_id,
-  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-    'https?://[^ ]+', '<URL>', 'g'),
-    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
-    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS clean_text,
-  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_url,
-  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
-  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ip
-FROM seeded
+  segs[1] || array_to_string(
+    list_transform(range(1, len(ms) + 1), i -> toks[i] || segs[i + 1]), '')
+    AS clean_text,
+  CAST(len(list_filter(toks, t -> t = '<EMAIL>')) AS BIGINT) AS n_email,
+  CAST(len(list_filter(toks, t -> t = '<URL>')) AS BIGINT) AS n_url,
+  CAST(len(list_filter(toks, t -> t = '<SSN>')) AS BIGINT) AS n_ssn,
+  CAST(len(list_filter(toks, t -> t = '<IP>')) AS BIGINT) AS n_ip
+FROM y
 """
 
 

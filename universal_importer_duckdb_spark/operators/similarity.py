@@ -79,30 +79,39 @@ def cosine_topk_two_phase(
     overfetch: int = 4,
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Exact cosine top-k in two phases: an Arrow-batched numpy
-    double-precision scan SELECTS the top ``k*overfetch`` candidates
-    (one matmul per batch — the cheapest possible full scan), then the
-    exact DECIMAL(33,13) fold re-ranks only those candidates, so the
-    output is bit-identical to the one-phase exact scan while the
-    per-element decimal arithmetic touches k*overfetch rows instead of
-    the corpus. Sound because double-vs-decimal cosine differences are
-    ~1e-13 relative while the rank-k to rank-k*overfetch score gap is
-    orders of magnitude larger; the selection score is never emitted.
-    At 100 TB the double scan is the part you'd push to a SIMD kernel
+    """Exact cosine top-k in two phases: a JVM-side double-precision
+    fold SELECTS the top ``k*overfetch`` candidates (zip-with product
+    + aggregate sum — stays in the executor JVM, no Arrow round-trip
+    of the embedding column to a Python worker), then the exact
+    DECIMAL(33,13) fold re-ranks only those candidates, so the output
+    is bit-identical to the one-phase exact scan while the per-element
+    decimal arithmetic touches k*overfetch rows instead of the corpus.
+    The selection score drops the constant |q| factor (order-
+    equivalent) and is never emitted.
+
+    Soundness assumption (tie density): phase 1 can only err by
+    EXCLUDING a true top-k member, which requires more than
+    k*(overfetch-1) vectors within double-rounding distance (~1e-13
+    relative) of the kth cosine. Real embedding corpora are nowhere
+    near that degenerate; if a corpus is (e.g. quantized vectors with
+    mass ties), raise ``overfetch`` toward n/k — at overfetch >= n/k
+    this degrades gracefully into the one-phase exact scan.
+
+    At 100 TB the double fold is the part you'd push to a SIMD kernel
     or GPU; the exact re-rank cost stays O(k). No forced repartition:
     phase-1 parallelism comes from file splits (a shuffle of every
-    vector would dwarf the matmul it feeds at any scale)."""
-    q = np.asarray(query_vec, dtype=np.float64)
-
-    @F.pandas_udf("double")
-    def dcos(batch: pd.Series) -> pd.Series:
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in batch])
-        dots = M @ q
-        norms = np.linalg.norm(M, axis=1) * np.linalg.norm(q)
-        return pd.Series(dots / np.maximum(norms, 1e-300))
-
+    vector would dwarf the fold it feeds at any scale)."""
+    vd = F.col(vec_col).cast("array<double>")
+    qd = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(vd, qd, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+    )
+    nn = F.aggregate(
+        F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    dscore = dot / F.greatest(F.sqrt(nn), F.lit(1e-300))
     cand = (
-        df.select(id_col, *extra_cols, vec_col, dcos(F.col(vec_col)).alias("__dscore"))
+        df.select(id_col, *extra_cols, vec_col, dscore.alias("__dscore"))
         .orderBy(F.desc("__dscore"), id_col)
         .limit(k * overfetch)
         .drop("__dscore")

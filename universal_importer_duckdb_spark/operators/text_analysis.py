@@ -265,18 +265,51 @@ def pii_scrub(
     patterns: tuple[tuple[str, str, str], ...] = DEFAULT_PII_PATTERNS,
 ) -> DataFrame:
     """Redact PII-shaped spans (training corpora must not memorize
-    emails/SSNs/IPs) and count per-type hits. Pure column expressions
-    — a narrow map over the scan at any scale. Counts are taken on the
-    ORIGINAL text per pattern; replacements apply sequentially in
-    pattern order, so overlapping categories (an email inside a URL)
-    resolve deterministically and identically in any engine running
-    the same sequence."""
+    emails/SSNs/IPs) and count per-type hits. ONE alternation pass
+    finds all spans (leftmost match, earlier pattern wins at the same
+    position — pattern order IS the priority: an email inside a URL is
+    counted/redacted as the URL) and one regex split yields the
+    in-between segments; replacement tokens are spliced back with
+    plain array ops and counts come from classifying the matched spans
+    — 2 full-text regex traversals total instead of one count + one
+    replace traversal per pattern. Classification tests each span
+    anchored against the patterns in order, which is exact as long as
+    no span produced by a later alternative fully matches an earlier
+    pattern (true for the default disjoint classes). Pure column
+    expressions — a narrow map over the scan at any scale."""
     c = F.col(text_col)
-    counts = [
-        F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}")
-        for name, pat, _ in patterns
-    ]
-    clean = c
-    for _name, pat, repl in patterns:
-        clean = F.regexp_replace(clean, pat, repl)
-    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+    alt = "|".join(pat for _, pat, _ in patterns)
+
+    def classify(m):
+        expr = F.lit(patterns[-1][2])
+        for _name, pat, repl in reversed(patterns[:-1]):
+            expr = F.when(m.rlike(f"^(?:{pat})$"), F.lit(repl)).otherwise(expr)
+        return expr
+
+    base = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(c, F.lit(alt), 0).alias("__ms"),
+        F.split(c, alt).alias("__segs"),
+    ).withColumn("__toks", F.transform("__ms", classify))
+    clean = F.concat(
+        F.element_at("__segs", 1),
+        F.array_join(
+            F.zip_with(
+                F.col("__toks"),
+                F.slice("__segs", F.lit(2), F.size("__ms")),
+                lambda t, s: F.concat(t, s),
+            ),
+            "",
+        ),
+    )
+
+    def count_of(repl: str):
+        return F.size(
+            F.filter("__toks", lambda t: t == F.lit(repl))
+        ).cast("bigint")
+
+    return base.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        *[count_of(repl).alias(f"n_{name}") for name, _pat, repl in patterns],
+    )
