@@ -406,6 +406,33 @@ def test_neardup_clusters_chain_and_singletons(spark):
     assert [d for d, r in sorted(rows.items()) if r.is_kept] == [1, 4, 10]
 
 
+def test_neardup_clusters_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir routes the BSP round barriers through reliable
+    checkpoint() storage; results must be identical to the
+    localCheckpoint default and checkpoint files must actually land."""
+    import os
+
+    from universal_importer_duckdb_spark.operators.dedup_text import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11)], "doc_id bigint")
+    ckdir = str(tmp_path / "ck")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_kept)
+        for r in neardup_clusters(pairs, ids, checkpoint_dir=ckdir).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 10: (10, True), 11: (10, False),
+    }
+    written = [
+        os.path.join(dp, f) for dp, _dn, fn in os.walk(ckdir) for f in fn
+    ]
+    assert written, "no checkpoint files written to checkpoint_dir"
+
+
 def test_chunk_documents_shapes(spark):
     from universal_importer_duckdb_spark.operators.text_analysis import chunk_documents
 

@@ -1903,15 +1903,18 @@ def docs_training_pipeline(spark, sf_dir):
     kept, _ = quality_filter(docs, min_tokens=10, min_alpha_ratio=0.5,
                              max_digit_ratio=0.3, min_unique_token_ratio=0.1)
     # the deduped frame fans out five ways (pair generation, cluster
-    # ids, survivor join, two funnel counts) — cache it, and the
-    # survivor frame (chunking + count), per the pipeline's
-    # cache-the-fan-out doctrine (plans/pipeline.py)
+    # ids, survivor join, two funnel counts) — materialize it, and the
+    # survivor frame (chunking + count). localCheckpoint(eager=False)
+    # instead of cache(): persisted blocks are ContextCleaner-released
+    # once the result frame is dropped, so a long-lived session running
+    # the registry doesn't accumulate storage (cache() entries live in
+    # the CacheManager until an explicit unpersist).
     exact = (
         kept.withColumn("__fp", F.md5(F.lower("text")))
         .groupBy("__fp")
         .agg(F.min("doc_id").alias("doc_id"), F.min_by("text", "doc_id").alias("text"))
         .drop("__fp")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     pairs = minhash_lsh_pairs(exact, num_perm=32, bands=8, shingle_n=5,
                               jaccard_threshold=0.4, sample_mod=4,
@@ -1919,7 +1922,7 @@ def docs_training_pipeline(spark, sf_dir):
     clusters = neardup_clusters(pairs, exact.select("doc_id"))
     surv = exact.join(
         clusters.filter("is_kept").select("doc_id"), "doc_id", "left_semi"
-    ).cache()
+    ).localCheckpoint(eager=False)
     chunks = chunk_documents(surv, chunk_size=32, stride=24)
 
     def one(df, *aggs):

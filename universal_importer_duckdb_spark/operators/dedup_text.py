@@ -340,7 +340,11 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_perm, shingle_n, sample_mod, impl, hasher
     )
     if cache_intermediate:
-        sigs = sigs.cache()
+        # localCheckpoint(eager=False), not cache(): same compute-once
+        # semantics for the multi-reference plan, but blocks are
+        # ContextCleaner-released when the result frame is dropped —
+        # no storage accumulation across a long-lived session
+        sigs = sigs.localCheckpoint(eager=False)
 
     if portable_buckets:
         # raw component tuple as the bucket key (groupable in any
@@ -388,7 +392,7 @@ def minhash_lsh_pairs(
                 .select("id_a", "id_b")
             )
     if cache_intermediate:
-        cand = cand.cache()
+        cand = cand.localCheckpoint(eager=False)
 
     # shingle ONLY documents that appear in a surviving pair — at scale
     # the corpus is orders of magnitude larger than the candidate set,
@@ -423,7 +427,7 @@ def minhash_lsh_pairs(
         ).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
     if cache_intermediate:
-        sh = sh.cache()
+        sh = sh.localCheckpoint(eager=False)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     verified = (
         cand.join(
@@ -662,6 +666,7 @@ def neardup_clusters(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS — the step that turns
     pairwise similarity into an actual dedup decision (drop all but
@@ -689,20 +694,37 @@ def neardup_clusters(
     diameters, swap in alternating-star contraction (Kiveris et al.);
     the interface stays the same.
 
+    Fault tolerance: per-round barriers default to ``localCheckpoint``
+    — executor-local blocks, fastest, but lost if an executor dies
+    mid-loop (the whole query restarts). Pass ``checkpoint_dir`` (an
+    HDFS/object-store path on a real cluster) to write round barriers
+    through ``checkpoint()`` to reliable storage instead — each round
+    costs a write to stable storage, but a lost executor replays from
+    the last round, not from scratch. Local runs don't need it.
+
     Returns (id_col, cluster_id, is_kept): every id keeps a row;
     singletons are their own cluster; ``is_kept`` marks the cluster
     representative (min id)."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _barrier(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _barrier(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     # materialize the pair list ONCE before symmetrizing: the union
     # references `pairs` twice, and without this barrier the entire
     # upstream candidate pipeline (e.g. MinHash banding + verify) is
     # evaluated once per orientation
-    p0 = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    p0 = _barrier(pairs.select("id_a", "id_b"))
     edges = (
         p0.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .unionByName(p0.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    edges = _barrier(edges)
     # Size the BSP working set from the MEASURED edge count (a count on
     # the materialized checkpoint is free): the checkpoint inherits the
     # upstream shuffle's partitioning (64 near-empty partitions here),
@@ -715,13 +737,12 @@ def neardup_clusters(
         edges.sparkSession.sparkContext.defaultParallelism,
         -(-n_edges // 100_000),
     ))
-    edges = edges.coalesce(target).localCheckpoint(eager=True)
+    edges = _barrier(edges.coalesce(target))
     # active subgraph: only edge endpoints can ever change label
-    labels = (
+    labels = _barrier(
         edges.select(F.col("s").alias("n")).distinct()
         .select("n", F.col("n").alias("lab"))
         .coalesce(target)
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iters):
@@ -757,8 +778,8 @@ def neardup_clusters(
                 (F.col("new_lab") < F.col("__ol")).alias("chg"),
             )
             .coalesce(target)
-            .localCheckpoint(eager=True)
         )
+        stepped = _barrier(stepped)
         changed = stepped.filter("chg").count()
         labels = stepped.select("n", F.col("new_lab").alias("lab"))
         if changed == 0:
