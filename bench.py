@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "docs_chunk_for_training",
     "docs_pii_scrub",
     "docs_training_pipeline",
+    "stream_simhash_neardup_dedup",
 ]
 
 

@@ -103,3 +103,45 @@ def test_click_purchase_join_horizon_boundary(spark):
     # same lineage the stream runs
     got = {(r.click_id, r.purchase_id) for r in click_purchase_join(df).collect()}
     assert got == {(1, 2)}
+
+
+def test_simhash_neardup_dedup_collapses_near_identical(spark, tmp_path):
+    """Two docs differing by one low-weight token vote to the SAME
+    SimHash fingerprint and dedup to one survivor within the
+    watermark; a genuinely different doc survives separately. Run as a
+    real file stream (availableNow drain) to exercise the streaming
+    state path."""
+    import datetime as dt
+
+    from universal_importer_duckdb_spark.streaming.events import (
+        run_available_now,
+        simhash_neardup_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog " * 8).strip()
+    # a real one-token edit: majority votes are unchanged, so the
+    # SimHash fingerprint is identical though the text is not
+    near = base.replace("lazy", "sleepy", 1)
+    assert near != base
+    other = "completely different content about spark streaming state"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "doc", 0.0, base),
+        (2, t0 + dt.timedelta(minutes=1), 1, "doc", 0.0, near),
+        (3, t0 + dt.timedelta(minutes=2), 1, "doc", 0.0, other),
+    ]
+    schema = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string, value double, props string")
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(src)
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+    )
+    got = run_available_now(
+        simhash_neardup_dedup(stream), "t_simhash_neardup"
+    ).collect()
+    assert len(got) == 2  # base+near collapse; other survives
+    assert {r.fp_lo is not None for r in got} == {True}
+    survivors = {r.event_id for r in got}
+    assert 3 in survivors and len(survivors & {1, 2}) == 1

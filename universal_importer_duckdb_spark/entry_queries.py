@@ -1221,14 +1221,19 @@ def docs_simhash_neardup(spark, sf_dir):
     return simhash_near_pairs_portable(docs, max_hamming=8)
 
 
+def _simhash_fp_terms(arr: str) -> str:
+    """SQL for one 32-bit SimHash half: majority bit votes over the
+    hashed-token list ``arr`` (requires a token count column ``n``)."""
+    return "\n     + ".join(
+        f"(CASE WHEN 2*len(list_filter({arr}, h -> (h>>{b})&1 = 1)) > n"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+
+
 def _simhash_sql(max_hamming: int = 8, max_bucket_size: int = 200) -> str:
     """DuckDB replica of simhash_near_pairs_portable."""
-    def fp_terms(arr: str) -> str:
-        return "\n     + ".join(
-            f"(CASE WHEN 2*len(list_filter({arr}, h -> (h>>{b})&1 = 1)) > n"
-            f" THEN {1 << b} ELSE 0 END)"
-            for b in range(32)
-        )
+    fp_terms = _simhash_fp_terms
 
     chunk_rows = "\n  UNION ALL ".join(
         f"SELECT doc_id, fp_lo, fp_hi, {c} AS chunk, ({src}>>{sh})&65535 AS bkey FROM fp"
@@ -1475,6 +1480,43 @@ def stream_dedup_within_watermark(spark, sf_dir):
 STREAM_DEDUP_SQL = """
 SELECT event_id, epoch_ns(ts) // 1000 AS us, user_id, event_type, value, props
 FROM events WHERE event_id IS NOT NULL
+"""
+
+
+def stream_simhash_neardup_dedup(spark, sf_dir):
+    """Streaming near-dup dedup: SimHash fingerprint columns on the
+    event stream, first-wins within the watermark per fingerprint
+    (streaming/events.simhash_neardup_dedup). Which row wins a
+    fingerprint within one microbatch is partition-order dependent, so
+    the drained result projects to the SURVIVING KEY SPACE — exactly
+    one row per distinct fingerprint seen — which is deterministic and
+    lets the oracle replay the fingerprint math bit-for-bit over the
+    same rows in SQL (same md5-halves majority-vote machinery as
+    docs_simhash_neardup)."""
+    from universal_importer_duckdb_spark.streaming import events as se
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir)
+    out = se.run_available_now(
+        se.simhash_neardup_dedup(stream),
+        f"q_stream_simhash_{_STREAM_COUNTER[0]}",
+    )
+    return out.select("fp_lo", "fp_hi").distinct()
+
+
+STREAM_SIMHASH_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT string_split(coalesce(props, ''), ' ') AS toks
+  FROM events WHERE event_id IS NOT NULL),
+hh AS (
+  SELECT len(toks) AS n,
+    list_transform(toks, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS hi,
+    list_transform(toks, t -> ('0x'||substr(md5(t),9,8))::BIGINT) AS lo
+  FROM t)
+SELECT DISTINCT
+  {_simhash_fp_terms("lo")} AS fp_lo,
+  {_simhash_fp_terms("hi")} AS fp_hi
+FROM hh
 """
 
 
@@ -2000,6 +2042,7 @@ REGISTRY.update({
     "emb_near_dup_pairs": (emb_near_dup_pairs, EMB_NEAR_DUP_SQL),
     "stream_tumbling_hourly": (stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_dedup_within_watermark": (stream_dedup_within_watermark, STREAM_DEDUP_SQL),
+    "stream_simhash_neardup_dedup": (stream_simhash_neardup_dedup, STREAM_SIMHASH_DEDUP_SQL),
     "stream_sliding_halfhour": (stream_sliding_halfhour, STREAM_SLIDING_SQL),
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
     "stream_running_user_stats": (stream_running_user_stats, STREAM_STATEFUL_SQL),
@@ -3243,34 +3286,54 @@ REGISTRY.update({
 # entries that JUST gained an oracle (portable minhash/simhash, LSH
 # ANN hyperplane replay, real-codec multimodal) have never had a hard
 # check either, so they take window slots ahead of already-green rows
-_NEVER_DRIVER_CHECKED = (
-    "monthly_revenue", "union_all_key_space", "in_subquery_sql",
-    "percentile_order_value", "window_analytics_orders",
-    "string_functions_customers", "rule_multi_skip_orders",
-    "fk_orphan_orders", "salted_distinct_suppliers",
-    "events_asof_last_click", "events_range_join_error_windows",
-    "q4_order_priority", "q7_volume_shipping", "q10_returned_items",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
-    "q19_disjunctive_revenue", "q22_idle_rich_customers",
-    "cheapest_supplier_per_part", "cube_revenue",
-    "pivot_status_by_segment", "q2_min_cost_supplier", "q8_market_share",
-    "q11_important_parts", "q20_heavy_shippers", "q21_waiting_suppliers",
+# Round-5 window roster: the driver hard-checks the FIRST 50 registry
+# entries each round, so ordering is the rotation mechanism. After r4
+# every entry has been driver-checked at least once; the goal is now
+# RECENCY — every entry re-confirmed against freshly regenerated
+# testdata within ~2 rounds. This roster = the 42 entries NOT in r4's
+# window (r1-r3-era checks + the new streaming near-dup entry) plus
+# the 8 r4-checked queries whose implementation changed this round
+# (chunking text materialization, fused pii, cache->localCheckpoint in
+# minhash/training pipeline, simhash refactor, codec rewrites).
+# Roster history: r4 = the 37 never-checked + 13 fillers (recorded in
+# VERDICT r4); r5 = this list.
+_R5_WINDOW = (
+    # unchecked in r4 (r1-r3-era green, re-confirm against fresh data)
+    "dedup_last_lineitem", "dedup_exclude_all_lineitem",
+    "dedup_duplicates_lineitem", "dedup_cascade_lineitem",
+    "rule_age_gte_skip_orders", "rule_age_gte_invalid_orders",
+    "projection_alias_orders", "pipeline_flagship",
+    "pipeline_summary_lineitem", "events_tumbling_hourly",
+    "events_sessionization", "events_json_extract", "docs_token_stats",
+    "docs_fingerprint_exact_dedup", "docs_ngram_topk_similar",
+    "docs_quality_scores", "docs_language_id", "emb_cosine_topk",
+    "docs_quality_filter_ids", "docs_bpe_token_count",
+    "events_dedup_first_by_key", "docs_corpus_prep",
+    "docs_rolling_sketch", "emb_near_dup_pairs",
+    "stream_tumbling_hourly", "stream_dedup_within_watermark",
+    "stream_simhash_neardup_dedup", "stream_sliding_halfhour",
+    "stream_session_windows", "stream_running_user_stats",
+    "stream_click_purchase_join", "rollup_revenue",
+    "sql_passthrough_revenue", "q12_priority_shipmode",
+    "q13_customer_distribution", "q17_small_quantity_revenue",
+    "like_filter_parts", "rolling_customer_spend", "q6_forecast_revenue",
+    "q9_profit_by_nation_year", "q18_large_orders", "emb_ivf_topk",
+    # r4-green but changed this round — re-verify
+    "docs_chunk_for_training", "docs_pii_scrub", "docs_training_pipeline",
     "docs_minhash_lsh_neardup", "docs_simhash_neardup",
-    "emb_ann_lsh_topk", "multimodal_image_features",
-    "multimodal_audio_features", "docs_neardup_clusters",
-    "docs_vocab_topk", "docs_chunk_for_training", "docs_pii_scrub",
-    "docs_training_pipeline",
+    "multimodal_image_features", "multimodal_audio_features",
+    "docs_neardup_clusters",
 )
 
 
 def _finalize_registry() -> None:
-    def group(kv: tuple[str, tuple]) -> int:
-        name, (_fn, sql) = kv
-        if sql is None:
-            return 2
-        return 0 if name in _NEVER_DRIVER_CHECKED else 1
+    rank = {n: i for i, n in enumerate(_R5_WINDOW)}
 
-    ordered = dict(sorted(REGISTRY.items(), key=group))
+    def key(kv: tuple[str, tuple]) -> int:
+        name, _ = kv
+        return rank.get(name, len(_R5_WINDOW))
+
+    ordered = dict(sorted(REGISTRY.items(), key=key))
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

@@ -534,6 +534,17 @@ def simhash_32x2_portable(
             F.col(id_col), fp_udf(F.col(text_col)).alias("__fp")
         ).select(id_col, "__fp.fp_lo", "__fp.fp_hi")
 
+    return simhash_fp_columns(spread_for_compute(df, id_col), text_col).select(
+        id_col, "fp_lo", "fp_hi"
+    )
+
+
+def simhash_fp_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the portable SimHash halves as ``fp_lo``/``fp_hi``
+    columns, preserving every input column. Pure column expressions —
+    no UDF, no repartition — so this lifts UNCHANGED onto Structured
+    Streaming frames (the streaming near-dup dedup builds on it).
+    Bit-identical to the pandas kernel and the DuckDB SQL replica."""
     # coalesce NULL text to '' so the expr path fingerprints [''] like
     # the pandas kernel (None -> ""); keeps the bit-identical guarantee
     # on corpora that carry null text
@@ -544,12 +555,11 @@ def simhash_32x2_portable(
             F.substring(F.md5(t.cast("binary")), start, 8), 16, 10
         ).cast("bigint")
 
-    base = spread_for_compute(df, id_col).select(
-        F.col(id_col),
-        F.size(toks).alias("__n"),
-        F.transform(toks, half(1)).alias("__hi"),
-        F.transform(toks, half(9)).alias("__lo"),
-    )
+    base = df.withColumns({
+        "__n": F.size(toks),
+        "__hi": F.transform(toks, half(1)),
+        "__lo": F.transform(toks, half(9)),
+    })
 
     def fingerprint(arr: str):
         terms = []
@@ -571,11 +581,10 @@ def simhash_32x2_portable(
             fp = fp + t
         return fp
 
-    return base.select(
-        F.col(id_col),
-        fingerprint("__lo").alias("fp_lo"),
-        fingerprint("__hi").alias("fp_hi"),
-    )
+    return base.withColumns({
+        "fp_lo": fingerprint("__lo"),
+        "fp_hi": fingerprint("__hi"),
+    }).drop("__n", "__hi", "__lo")
 
 
 def simhash_near_pairs_portable(

@@ -118,6 +118,38 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def simhash_neardup_dedup(
+    events: DataFrame, text_col: str = "props", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming NEAR-dup dedup: the portable SimHash fingerprint
+    (two 32-bit halves, majority bit votes over md5-hashed tokens) is
+    computed as plain column expressions on the stream, then
+    ``dropDuplicatesWithinWatermark`` keeps the first record per
+    fingerprint within the watermark horizon. SimHash is a
+    locality-sensitive hash, so textually-close records (token-level
+    edits that don't flip any majority vote) collapse to the SAME
+    fingerprint and dedup together — unlike exact-key dedup, which
+    only catches byte-identical payloads. State is keyed by the
+    16-byte fingerprint (not the text) and reclaimed as the watermark
+    advances — bounded on an unbounded stream, the requirement for
+    100 TB/day ingest near-dup.
+
+    Hamming-tolerant (> 0) matching needs cross-key coordination that
+    per-key streaming state cannot express exactly; the batch
+    ``simhash_near_pairs_portable`` + ``neardup_clusters`` pass is the
+    exact sweep, with this operator as the cheap in-stream front line
+    (the standard lambda-architecture split)."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        simhash_fp_columns,
+    )
+
+    return (
+        simhash_fp_columns(events, text_col)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["fp_lo", "fp_hi"])
+    )
+
+
 def click_purchase_join(
     events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
