@@ -50,8 +50,15 @@ BENCH_QUERIES = [
     "docs_chunk_for_training",
     "docs_pii_scrub",
     "docs_training_pipeline",
-    "stream_simhash_neardup_dedup",
+    "docs_pack_sequences",
+    "docs_benchmark_contamination",
+    "docs_hash_split",
 ]
+# stream_* registry entries are intentionally NOT benched (consistent
+# with rounds 1-4): an availableNow drain is dominated by micro-batch
+# + state-store fixed costs (~4s regardless of data size), which would
+# swamp the compute-throughput signal this harness exists to measure.
+# Their correctness runs in the driver gate like every other entry.
 
 
 def main() -> int:

@@ -1,0 +1,208 @@
+"""Corpus-assembly operators: the steps between "a cleaned document
+set" and "tensors on a trainer" that the dedup/quality stages
+(dedup_text.py, text_analysis.py) feed into:
+
+- hash_split            — deterministic train/val/test assignment by
+                          content-independent key hash
+- source_mixture_sample — per-source weighted downsampling with a
+                          seeded hash threshold (domain mixing)
+- benchmark_ngram_overlap — n-gram collision screening against a
+                          held-out benchmark set (decontamination)
+- pack_token_sequences  — GPT-style concat-and-split sequence packing
+                          via a scale-safe two-level prefix sum
+
+All pure column expressions (no UDFs); every hash is md5-derived so
+each operator replays bit-for-bit in the DuckDB oracle (see
+entry_queries.py — the md5_28 discipline from operators/dedup_text.py).
+Reference capability anchor: the reference ends at validated exports
+(main.py:262); these extend the same declarative pipeline into
+training-set assembly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 28-bit md5 prefix of a key: uniform on [0, 2^28), portable to DuckDB
+# as ('0x'||substr(md5(s),1,7))::BIGINT — see shingle_hash("md5_28").
+_HASH_SPACE = 1 << 28
+
+
+def _md5_28(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("string").cast("binary")), 1, 7), 16, 10
+    ).cast("bigint")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.98), ("val", 0.01), ("test", 0.01),
+    ),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row to a split by hashing (salt, id) — the only
+    split rule that survives re-runs, re-partitioning, and incremental
+    ingest (a doc's split never changes when other docs arrive, unlike
+    randomSplit, which depends on partitioning). A narrow map: no
+    shuffle, no state. Weights are cumulative thresholds on the 28-bit
+    hash space; change ``salt`` to draw a fresh assignment."""
+    total = sum(w for _, w in weights)
+    h = _md5_28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    expr = None
+    acc = 0.0
+    for name, w in weights:
+        acc += w
+        bound = int(_HASH_SPACE * (acc / total))
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # top bound may round below 2^28; close the interval explicitly
+    expr = expr.otherwise(F.lit(weights[-1][0]))
+    return df.withColumn("split", expr)
+
+
+def source_mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Domain mixing: keep each row with its source's target rate,
+    decided by a seeded hash of (salt, id) — deterministic, exactly
+    reproducible on re-runs, and independent per row (no shuffle, no
+    sampling state; at 100 TB this is a filter pushed onto the scan).
+    The thresholds quantize to the 28-bit hash space, so realized
+    rates match requested rates to ~4e-9."""
+    h = _md5_28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    bound = None
+    for src, rate in sorted(rates.items()):
+        b = F.lit(int(_HASH_SPACE * min(max(rate, 0.0), 1.0)))
+        bound = F.when(F.col(source_col) == src, b) if bound is None else bound.when(
+            F.col(source_col) == src, b
+        )
+    bound = (
+        bound.otherwise(F.lit(int(_HASH_SPACE * default_rate)))
+        if bound is not None
+        else F.lit(int(_HASH_SPACE * default_rate))
+    )
+    return df.filter(h < bound)
+
+
+def benchmark_ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination screening: for every document, how many of its
+    word n-grams appear anywhere in the benchmark set (the GPT-3/Pile
+    procedure: held-out eval text must not leak into training data).
+
+    Shape at scale: both sides explode to DISTINCT hashed n-grams
+    (md5-derived bigints — 8 bytes shuffled per gram, never the text),
+    the benchmark side is collapsed to its distinct gram set (tiny vs
+    the corpus: eval suites are MBs), and one inner join + count-agg
+    per doc yields overlap counts. Catalyst broadcasts the benchmark
+    gram set when it fits — the common case — so the corpus side never
+    shuffles at all; flagged docs come back id-only."""
+    def grams(frame, out):
+        toks = F.split(F.lower(F.col(text_col)), " ")
+        # guard the short-doc case explicitly: F.sequence(1, 0) yields
+        # a DESCENDING [1, 0] (phantom grams), not the empty list
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        g = F.transform(
+            idx, lambda i: _md5_28(F.array_join(F.slice(toks, i, n), " "))
+        )
+        return frame.select(
+            F.col(id_col), F.explode(F.array_distinct(g)).alias(out)
+        )
+
+    doc_grams = grams(docs, "gram")
+    bench_grams = grams(benchmark, "gram").select("gram").distinct()
+    overlap = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap_ngrams", F.lit(0)).alias("n_overlap_ngrams"),
+            (F.coalesce("n_overlap_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pack_token_sequences(
+    chunks: DataFrame,
+    seq_len: int = 2048,
+    tokens_col: str = "chunk_tokens",
+    order_cols: tuple[str, str] = ("doc_id", "chunk_idx"),
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate all chunks in a fixed
+    global order and cut every ``seq_len`` tokens; each chunk learns
+    which packed sequence it starts in (``seq_id``) and at which
+    offset (``seq_offset``). This is the concat-and-split packing used
+    to build dense training batches (no padding waste).
+
+    The global running token count is a prefix sum, computed
+    scale-safely in two levels instead of one global-order window
+    (which Spark executes in a SINGLE partition — the classic
+    silent-bottleneck trap at any real size):
+
+      1. bucket = doc_id DIV bucket_width (deterministic, contiguous
+         in the global order). Within each bucket, a window cumsum —
+         parallel across buckets.
+      2. bucket totals (corpus/bucket_width rows — thousands, not
+         billions) get the single-partition window cumsum, which is
+         trivially small, then broadcast-join back as offsets.
+
+    The result is identical to the one-level global cumsum for ANY
+    bucket_width — partitioning never changes the sum — which is what
+    the SQL oracle (plain global window cumsum) certifies."""
+    doc_col, idx_col = order_cols
+    bucket = (F.col(doc_col) / bucket_width).cast("bigint").alias("__bucket")
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(doc_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_local = chunks.select(
+        F.col(doc_col), F.col(idx_col), F.col(tokens_col), bucket
+    ).withColumn(
+        "__local_before", F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0)).cast("bigint")
+    )
+    totals = with_local.groupBy("__bucket").agg(
+        F.sum(tokens_col).cast("bigint").alias("__bucket_total")
+    )
+    w_buckets = (
+        Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__bucket_total").over(w_buckets), F.lit(0))
+    ).select("__bucket", "__offset")
+    before = (F.col("__local_before") + F.col("__offset")).alias("tokens_before")
+    return (
+        with_local.join(F.broadcast(offsets), "__bucket")
+        .select(
+            doc_col,
+            idx_col,
+            F.col(tokens_col),
+            before,
+        )
+        .withColumn("seq_id", (F.col("tokens_before") / seq_len).cast("bigint"))
+        .withColumn(
+            "seq_offset", (F.col("tokens_before") % seq_len).cast("bigint")
+        )
+    )

@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from universal_importer_duckdb_spark.caching import scoped_cache
+
 
 def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition up to the session's default parallelism when the
@@ -340,11 +342,11 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_perm, shingle_n, sample_mod, impl, hasher
     )
     if cache_intermediate:
-        # localCheckpoint(eager=False), not cache(): same compute-once
-        # semantics for the multi-reference plan, but blocks are
-        # ContextCleaner-released when the result frame is dropped —
-        # no storage accumulation across a long-lived session
-        sigs = sigs.localCheckpoint(eager=False)
+        # scoped_cache = cache() semantics (CacheManager plan-equality
+        # reuse across actions AND rebuilt identical queries) plus a
+        # per-session ledger so sweepers release storage explicitly
+        # (caching.release_scoped) instead of accumulating to LRU
+        sigs = scoped_cache(sigs)
 
     if portable_buckets:
         # raw component tuple as the bucket key (groupable in any
@@ -392,7 +394,7 @@ def minhash_lsh_pairs(
                 .select("id_a", "id_b")
             )
     if cache_intermediate:
-        cand = cand.localCheckpoint(eager=False)
+        cand = scoped_cache(cand)
 
     # shingle ONLY documents that appear in a surviving pair — at scale
     # the corpus is orders of magnitude larger than the candidate set,
@@ -427,7 +429,7 @@ def minhash_lsh_pairs(
         ).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
     if cache_intermediate:
-        sh = sh.localCheckpoint(eager=False)
+        sh = scoped_cache(sh)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     verified = (
         cand.join(
