@@ -144,3 +144,22 @@ def test_scoped_cache_release(spark):
     assert n >= 1
     # ledger drained: releasing again is a no-op
     assert release_scoped(spark) == 0
+
+
+def test_repetition_signals_flags_spam_not_short(spark):
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (2, "a normal varied sentence here"),   # short: frac high but guarded
+        (3, " ".join(f"w{i}" for i in range(30))),  # long, zero repetition
+        (4, "go go " + " ".join(f"t{i}" for i in range(20))),  # one adjacent
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].repetitive and got[1].top_bigram_frac == 1.0
+    assert not got[2].repetitive          # min_bigrams guard
+    assert not got[3].repetitive and got[3].n_adjacent_repeats == 0
+    assert got[4].n_adjacent_repeats == 1 and not got[4].repetitive

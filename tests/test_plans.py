@@ -206,15 +206,20 @@ def test_chunk_documents_is_narrow(spark, sf_dir):
 
 def test_two_phase_cosine_shape(spark, sf_dir):
     plan = _plan(eq.emb_cosine_topk(spark, sf_dir))
-    # phase 1 is one Arrow-batched python eval over the scan; both the
-    # candidate selection and the exact re-rank are per-partition
-    # top-k merges (TakeOrderedAndProject) — the whole query runs with
-    # ZERO exchanges
-    assert "ArrowEvalPython" in plan
+    # phase 1 is a JVM zip_with/aggregate double fold over the scan
+    # (round-5: no Python worker, no Arrow transfer of the embedding
+    # column); both the candidate selection and the exact re-rank are
+    # per-partition top-k merges (TakeOrderedAndProject) — the whole
+    # query runs with ZERO exchanges and zero Python evals
+    assert "Python" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
 
 
 def test_pii_scrub_is_narrow(spark, sf_dir):
     plan = _plan(eq.docs_pii_scrub(spark, sf_dir))
-    assert "Exchange" not in plan  # redaction is a pure map over the scan
+    # redaction itself is a pure map; the single Exchange is the
+    # deliberate spread_for_compute repartition that fans the
+    # single-split local file across cores (absent on wide inputs)
+    assert plan.count("Exchange") <= 2  # shuffle write+read of ONE repartition
+    assert "regexp_extract_all" in plan and plan.count("regexp_extract_all") == 1

@@ -3424,7 +3424,47 @@ FROM s
 """
 
 
+def docs_repetition_signals(spark, sf_dir):
+    """Gopher/MassiveText repetition filters: top-bigram fraction +
+    adjacent-token repeat count per doc, with the repetitive flag.
+    Explode → two hash-aggs; exact-integer division once per doc."""
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+REPETITION_SQL = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+         len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1])) AS adj
+  FROM t),
+e AS (SELECT doc_id, adj, unnest(bgs) AS bg FROM b),
+pb AS (SELECT doc_id, bg, COUNT(*) AS n, any_value(adj) AS adj
+       FROM e GROUP BY doc_id, bg),
+pd AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+              CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+              CAST(any_value(adj) AS BIGINT) AS n_adjacent_repeats
+       FROM pb GROUP BY doc_id)
+SELECT b.doc_id,
+       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+       COALESCE(pd.top_bigram_n, 0) AS top_bigram_n,
+       CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+            THEN pd.top_bigram_n / pd.n_bigrams ELSE 0.0 END AS top_bigram_frac,
+       COALESCE(pd.n_adjacent_repeats, b.adj) AS n_adjacent_repeats,
+       ((CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+              THEN pd.top_bigram_n / pd.n_bigrams ELSE 0.0 END) > 0.2
+         AND COALESCE(pd.n_bigrams, 0) >= 10)
+         OR COALESCE(pd.n_adjacent_repeats, b.adj) >= 3 AS repetitive
+FROM b LEFT JOIN pd ON b.doc_id = pd.doc_id
+"""
+
+
 REGISTRY.update({
+    "docs_repetition_signals": (docs_repetition_signals, REPETITION_SQL),
     "docs_hash_split": (docs_hash_split, HASH_SPLIT_SQL),
     "docs_source_mixture": (docs_source_mixture, SOURCE_MIXTURE_SQL),
     "docs_benchmark_contamination": (

@@ -313,3 +313,66 @@ def pii_scrub(
         clean.alias("clean_text"),
         *[count_of(repl).alias(f"n_{name}") for name, _pat, repl in patterns],
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_bigram_frac_max: float = 0.2,
+    adjacent_repeats_max: int = 3,
+    min_bigrams: int = 10,
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText family
+    of filters): the fraction of all word bigrams taken by the single
+    most frequent bigram, and the count of immediately repeated tokens
+    ("spam spam spam"). Highly repetitive machine-generated text scores
+    high on both; ``repetitive`` flags docs beyond either threshold.
+
+    Shape at scale: the per-doc top-bigram count goes through explode →
+    (doc, bigram) hash-agg → per-doc max/sum — two JVM aggregations
+    with map-side combine, never an O(b²) interpreted in-row pass; the
+    adjacent-repeat count is a narrow per-row filter over token
+    positions. The only division happens once per doc on two exact
+    integers, so results are bit-identical cross-engine."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    nt = F.size(toks)
+    # bigram list; guard short docs (F.sequence(1, 0) is DESCENDING)
+    idx = F.when(nt >= 2, F.sequence(F.lit(1), nt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    )
+    adj = F.size(F.filter(idx, lambda i: F.element_at(toks, i) == F.element_at(toks, i + 1)))
+    base = df.select(
+        F.col(id_col),
+        F.explode_outer(F.transform(idx, bigram)).alias("__bg"),
+        adj.alias("__adj"),
+    )
+    per_bigram = base.groupBy(id_col, "__bg").agg(
+        F.count(F.lit(1)).alias("__n"), F.first("__adj").alias("__adj")
+    )
+    per_doc = per_bigram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("__bg").isNotNull(), F.col("__n")).otherwise(0))
+        .cast("bigint").alias("n_bigrams"),
+        F.max(F.when(F.col("__bg").isNotNull(), F.col("__n")).otherwise(0))
+        .cast("bigint").alias("top_bigram_n"),
+        F.first("__adj").cast("bigint").alias("n_adjacent_repeats"),
+    )
+    frac = F.when(
+        F.col("n_bigrams") > 0, F.col("top_bigram_n") / F.col("n_bigrams")
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        "top_bigram_n",
+        frac.alias("top_bigram_frac"),
+        "n_adjacent_repeats",
+        (
+            # the fraction test only applies past min_bigrams — short
+            # docs have frac ~ 1/n_bigrams and would all trip it
+            ((frac > top_bigram_frac_max) & (F.col("n_bigrams") >= min_bigrams))
+            | (F.col("n_adjacent_repeats") >= adjacent_repeats_max)
+        ).alias("repetitive"),
+    )
