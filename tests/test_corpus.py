@@ -163,3 +163,23 @@ def test_repetition_signals_flags_spam_not_short(spark):
     assert not got[2].repetitive          # min_bigrams guard
     assert not got[3].repetitive and got[3].n_adjacent_repeats == 0
     assert got[4].n_adjacent_repeats == 1 and not got[4].repetitive
+
+
+def test_cross_doc_ngram_dup_exact_copy_scores_one(spark):
+    from universal_importer_duckdb_spark.operators.corpus import (
+        cross_doc_ngram_dup,
+    )
+
+    long = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, long),               # copy A
+        (2, long),               # copy B -> both score 1.0
+        (3, " ".join(f"u{i}" for i in range(20))),  # unique -> 0.0
+        (4, "short doc"),        # <13 tokens -> zero grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in cross_doc_ngram_dup(docs, n=13).collect()}
+    assert got[1].dup_gram_frac == 1.0 and got[2].dup_gram_frac == 1.0
+    assert got[1].n_grams == 8    # 20 tokens -> 8 distinct 13-grams
+    assert got[3].dup_gram_frac == 0.0 and got[3].n_dup_grams == 0
+    assert got[4].n_grams == 0 and got[4].dup_gram_frac == 0.0

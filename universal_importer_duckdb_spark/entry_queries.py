@@ -3463,7 +3463,45 @@ FROM b LEFT JOIN pd ON b.doc_id = pd.doc_id
 """
 
 
+def docs_cross_doc_ngram_dup(spark, sf_dir):
+    """Cross-document duplicated 13-gram fraction per doc (Gopher's
+    memorized-span constant) — the inverted-index diagnostic that
+    measures whether dedup is done. Exact copies score 1.0."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        cross_doc_ngram_dup,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    return cross_doc_ngram_dup(docs, n=13)
+
+
+CROSS_DOC_DUP_SQL = """
+WITH g AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 13 THEN
+    list_transform(range(1, len(toks) - 11),
+      i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i + 12), ' ')), 1, 7))::BIGINT)
+    ELSE [] END)) AS gram
+  FROM g),
+fr AS (SELECT gram, COUNT(*) AS dfc FROM dg GROUP BY gram),
+pd AS (
+  SELECT dg.doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN fr.dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+  FROM dg JOIN fr USING (gram) GROUP BY dg.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(pd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN COALESCE(pd.n_grams, 0) > 0
+            THEN pd.n_dup_grams / pd.n_grams ELSE 0.0 END AS dup_gram_frac
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+
 REGISTRY.update({
+    "docs_cross_doc_ngram_dup": (docs_cross_doc_ngram_dup, CROSS_DOC_DUP_SQL),
     "docs_repetition_signals": (docs_repetition_signals, REPETITION_SQL),
     "docs_hash_split": (docs_hash_split, HASH_SPLIT_SQL),
     "docs_source_mixture": (docs_source_mixture, SOURCE_MIXTURE_SQL),

@@ -93,6 +93,30 @@ def source_mixture_sample(
     return df.filter(h < bound)
 
 
+def word_ngrams_hashed(
+    frame: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "gram",
+) -> DataFrame:
+    """(id, hashed word n-gram) pairs, distinct per doc. md5-derived
+    28-bit hashes — 8 bytes shuffled per gram, never the text, and
+    bit-reproducible in DuckDB SQL."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    # guard the short-doc case explicitly: F.sequence(1, 0) yields a
+    # DESCENDING [1, 0] (phantom grams), not the empty list
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    g = F.transform(
+        idx, lambda i: _md5_28(F.array_join(F.slice(toks, i, n), " "))
+    )
+    return frame.select(
+        F.col(id_col), F.explode(F.array_distinct(g)).alias(out)
+    )
+
+
 def benchmark_ngram_overlap(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -111,22 +135,12 @@ def benchmark_ngram_overlap(
     per doc yields overlap counts. Catalyst broadcasts the benchmark
     gram set when it fits — the common case — so the corpus side never
     shuffles at all; flagged docs come back id-only."""
-    def grams(frame, out):
-        toks = F.split(F.lower(F.col(text_col)), " ")
-        # guard the short-doc case explicitly: F.sequence(1, 0) yields
-        # a DESCENDING [1, 0] (phantom grams), not the empty list
-        idx = F.when(
-            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-        ).otherwise(F.array().cast("array<int>"))
-        g = F.transform(
-            idx, lambda i: _md5_28(F.array_join(F.slice(toks, i, n), " "))
-        )
-        return frame.select(
-            F.col(id_col), F.explode(F.array_distinct(g)).alias(out)
-        )
-
-    doc_grams = grams(docs, "gram")
-    bench_grams = grams(benchmark, "gram").select("gram").distinct()
+    doc_grams = word_ngrams_hashed(docs, n, text_col, id_col)
+    bench_grams = (
+        word_ngrams_hashed(benchmark, n, text_col, id_col)
+        .select("gram")
+        .distinct()
+    )
     overlap = (
         doc_grams.join(bench_grams, "gram")
         .groupBy(id_col)
@@ -139,6 +153,52 @@ def benchmark_ngram_overlap(
             id_col,
             F.coalesce("n_overlap_ngrams", F.lit(0)).alias("n_overlap_ngrams"),
             (F.coalesce("n_overlap_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def cross_doc_ngram_dup(
+    docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplication diagnostics: for every doc, the
+    fraction of its distinct word n-grams that appear in at least one
+    OTHER doc (n=13 is the Gopher/MassiveText constant for "memorized
+    span"). Exact copies score 1.0; partial template reuse scores in
+    between — the measurement that tells you whether near-dup dedup is
+    actually done.
+
+    Shape at scale: the classic inverted-index build — explode to
+    distinct (doc, gram) pairs, one hash-agg for per-gram document
+    frequency, one shuffle join back on the 8-byte gram hash, one
+    per-doc agg. Every shuffled payload is (bigint, bigint)."""
+    doc_grams = word_ngrams_hashed(docs, n, text_col, id_col)
+    gram_df = doc_grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    per_doc = (
+        doc_grams.join(gram_df, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_dup_grams") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            frac.alias("dup_gram_frac"),
         )
     )
 
