@@ -145,3 +145,30 @@ def test_simhash_neardup_dedup_collapses_near_identical(spark, tmp_path):
     assert {r.fp_lo is not None for r in got} == {True}
     survivors = {r.event_id for r in got}
     assert 3 in survivors and len(survivors & {1, 2}) == 1
+
+
+def test_enriched_segment_counts_broadcasts_dimension(spark, sf_dir):
+    """Stream-static join: counts match the batch equivalent and the
+    dimension side is broadcast (checked on the same lineage run as a
+    batch frame — the stream must never shuffle on the join key)."""
+    from universal_importer_duckdb_spark.streaming.events import (
+        enriched_segment_counts,
+        run_available_now,
+        stream_events,
+    )
+
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = run_available_now(
+        enriched_segment_counts(stream_events(spark, sf_dir), customers),
+        "t_enriched",
+        output_mode="complete",
+    )
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    ).filter(F.col("event_id").isNotNull())
+    expected = enriched_segment_counts(batch, customers)
+    g = {(r.window_start, r.c_mktsegment): r.n_events for r in got.collect()}
+    e = {(r.window_start, r.c_mktsegment): r.n_events for r in expected.collect()}
+    assert g == e and len(g) > 0
+    plan = expected._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1484,6 +1484,40 @@ FROM events WHERE event_id IS NOT NULL
 """
 
 
+def stream_enriched_segment_counts(spark, sf_dir):
+    """Stream-static dimension join drained with availableNow: events
+    enriched with the broadcast customer segment, tumbling hourly
+    counts per segment. The drain is a complete deterministic pass, so
+    the batch join+group SQL is the oracle (same epoch-µs projection
+    rules as stream_tumbling_hourly)."""
+    from universal_importer_duckdb_spark.streaming import events as se
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir)
+    customers = _t(spark, sf_dir, "customer")
+    out = se.run_available_now(
+        se.enriched_segment_counts(stream, customers),
+        f"q_stream_enriched_{_STREAM_COUNTER[0]}",
+        output_mode="complete",
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "c_mktsegment",
+        "n_events",
+    )
+
+
+STREAM_ENRICHED_SQL = """
+WITH e AS (
+  SELECT epoch_ns(ts) // 1000 AS us, user_id FROM events
+  WHERE event_id IS NOT NULL)
+SELECT (us // 3600000000) * 3600000000 AS window_start_us,
+       c.c_mktsegment, COUNT(*) AS n_events
+FROM e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def stream_simhash_neardup_dedup(spark, sf_dir):
     """Streaming near-dup dedup: SimHash fingerprint columns on the
     event stream, first-wins within the watermark per fingerprint
@@ -2043,6 +2077,7 @@ REGISTRY.update({
     "stream_tumbling_hourly": (stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_dedup_within_watermark": (stream_dedup_within_watermark, STREAM_DEDUP_SQL),
     "stream_simhash_neardup_dedup": (stream_simhash_neardup_dedup, STREAM_SIMHASH_DEDUP_SQL),
+    "stream_enriched_segment_counts": (stream_enriched_segment_counts, STREAM_ENRICHED_SQL),
     "stream_sliding_halfhour": (stream_sliding_halfhour, STREAM_SLIDING_SQL),
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
     "stream_running_user_stats": (stream_running_user_stats, STREAM_STATEFUL_SQL),

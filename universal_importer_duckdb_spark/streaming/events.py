@@ -118,6 +118,38 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def enriched_segment_counts(
+    events: DataFrame,
+    customers: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STATIC join: enrich the event stream with a broadcast
+    dimension table (customer market segment keyed by user_id =
+    c_custkey), then watermarked tumbling counts per (window,
+    segment). The static side carries no watermark and no state — it
+    is broadcast into every micro-batch, which is exactly how a
+    dimension join should run at 100 TB/day (the stream never
+    shuffles on the join key). Left join keeps events from unknown
+    users under a NULL segment rather than dropping them."""
+    dims = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return (
+        events.join(dims, "user_id", "left")
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+        )
+    )
+
+
 def simhash_neardup_dedup(
     events: DataFrame, text_col: str = "props", watermark: str = "2 hours"
 ) -> DataFrame:
