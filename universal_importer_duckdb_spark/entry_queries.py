@@ -2014,6 +2014,11 @@ def docs_training_pipeline(spark, sf_dir):
                 chunks,
                 F.count(F.lit(1)).alias("total_chunks"),
                 F.sum("chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
+                # length of the MATERIALIZED chunk text — certifies the
+                # actual training-example payload inside the composed
+                # pipeline, not just the window arithmetic
+                F.sum(F.length("chunk_text")).cast("bigint")
+                .alias("total_chunk_chars"),
             )
         )
     )
@@ -2044,9 +2049,14 @@ lab AS (SELECT n, MIN(m) AS cluster_id FROM reach GROUP BY n),
 surv AS (
   SELECT d.doc_id, d.text FROM d JOIN lab ON d.doc_id = lab.n
   WHERE lab.cluster_id = d.doc_id),
-ct AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM surv),
-ck AS (SELECT doc_id, n, 1 + (greatest(n - 32, 0) + 23) // 24 AS k FROM ct),
-ch AS (SELECT doc_id, least(32, n - u * 24) AS chunk_tokens
+ct AS (SELECT doc_id, string_split(text, ' ') AS toks,
+              len(string_split(text, ' ')) AS n FROM surv),
+ck AS (SELECT doc_id, toks, n,
+              1 + (greatest(n - 32, 0) + 23) // 24 AS k FROM ct),
+ch AS (SELECT doc_id, least(32, n - u * 24) AS chunk_tokens,
+              length(array_to_string(
+                list_slice(toks, u * 24 + 1, u * 24 + least(32, n - u * 24)),
+                ' ')) AS chunk_chars
        FROM ck, unnest(range(0, k)) AS t2(u))
 SELECT
   (SELECT COUNT(*) FROM documents) AS n_docs_in,
@@ -2054,7 +2064,8 @@ SELECT
   (SELECT COUNT(*) FROM d) AS n_after_exact,
   (SELECT COUNT(*) FROM surv) AS n_after_neardup,
   (SELECT COUNT(*) FROM ch) AS total_chunks,
-  (SELECT CAST(SUM(chunk_tokens) AS BIGINT) FROM ch) AS total_chunk_tokens
+  (SELECT CAST(SUM(chunk_tokens) AS BIGINT) FROM ch) AS total_chunk_tokens,
+  (SELECT CAST(SUM(chunk_chars) AS BIGINT) FROM ch) AS total_chunk_chars
 """
 
 
