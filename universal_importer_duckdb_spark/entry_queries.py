@@ -3546,7 +3546,177 @@ FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """
 
 
+def docs_corpus_assembly_pipeline(spark, sf_dir):
+    """The COMPLETE corpus-assembly pipeline, every round-5 tier
+    composed end-to-end: source mixture sampling → quality filter →
+    exact content dedup → near-dup CLUSTER dedup → benchmark
+    decontamination (drop docs sharing an 8-gram with the held-out
+    set) → deterministic hash split → token chunking of the train
+    split → sequence packing at 512 tokens. One funnel row; every
+    count depends on every upstream stage being exactly right, so the
+    single oracle row certifies the whole composition. n_sequences
+    comes from the PACKED frame (max seq_id + 1), which the oracle
+    checks against the closed form ceil(total_tokens/512) — equal iff
+    the two-level prefix sum is exactly the dense global cumsum."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        benchmark_ngram_overlap,
+        hash_split,
+        pack_token_sequences,
+        source_mixture_sample,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        chunk_documents,
+        quality_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = source_mixture_sample(docs, rates={"web": 0.7}, default_rate=1.0)
+    kept, _ = quality_filter(mixed, min_tokens=10, min_alpha_ratio=0.5,
+                             max_digit_ratio=0.3, min_unique_token_ratio=0.1)
+    exact = _scoped_cache(
+        kept.withColumn("__fp", F.md5(F.lower("text")))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.min_by("text", "doc_id").alias("text"))
+        .drop("__fp")
+    )
+    pairs = minhash_lsh_pairs(exact, num_perm=32, bands=8, shingle_n=5,
+                              jaccard_threshold=0.4, sample_mod=4,
+                              hasher="md5_28", portable_buckets=True)
+    clusters = neardup_clusters(pairs, exact.select("doc_id"))
+    surv = _scoped_cache(exact.join(
+        clusters.filter("is_kept").select("doc_id"), "doc_id", "left_semi"
+    ))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    overlap = benchmark_ngram_overlap(surv, bench, n=8)
+    clean = _scoped_cache(surv.join(
+        overlap.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
+    ))
+    split = _scoped_cache(hash_split(clean))
+    train = split.filter(F.col("split") == "train")
+    chunks = _scoped_cache(
+        chunk_documents(train, chunk_size=32, stride=24, with_text=False)
+    )
+    packed = pack_token_sequences(chunks, seq_len=512, bucket_width=64)
+
+    def one(df, *aggs):
+        return F.broadcast(df.agg(*aggs))
+
+    return (
+        one(docs, F.count(F.lit(1)).alias("n_docs_in"))
+        .crossJoin(one(mixed, F.count(F.lit(1)).alias("n_after_mixture")))
+        .crossJoin(one(kept, F.count(F.lit(1)).alias("n_after_quality")))
+        .crossJoin(one(exact, F.count(F.lit(1)).alias("n_after_exact")))
+        .crossJoin(one(surv, F.count(F.lit(1)).alias("n_after_neardup")))
+        .crossJoin(one(clean, F.count(F.lit(1)).alias("n_after_decontam")))
+        .crossJoin(one(
+            split,
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("bigint").alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+            .cast("bigint").alias("n_val"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("bigint").alias("n_test"),
+        ))
+        .crossJoin(one(
+            chunks,
+            F.count(F.lit(1)).alias("total_chunks"),
+            F.sum("chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
+        ))
+        .crossJoin(one(
+            packed, (F.max("seq_id") + 1).cast("bigint").alias("n_sequences")
+        ))
+    )
+
+
+_ASM_B1 = int((1 << 28) * 0.98)
+_ASM_B2 = int((1 << 28) * 0.99)
+_ASM_MIX_WEB = int((1 << 28) * 0.7)
+
+CORPUS_ASSEMBLY_SQL = f"""
+WITH RECURSIVE
+mix AS (
+  SELECT doc_id, text FROM documents
+  WHERE ('0x'||substr(md5('mix-v1:'||doc_id), 1, 7))::BIGINT
+        < CASE source WHEN 'web' THEN {_ASM_MIX_WEB} ELSE {1 << 28} END),
+sigq AS (
+  SELECT doc_id, text,
+    len(string_split(text, ' ')) AS n_tokens,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_ratio,
+    len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio
+  FROM mix),
+q AS (
+  SELECT doc_id, text FROM sigq
+  WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3 AND uniq_ratio >= 0.1),
+d AS (
+  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM q GROUP BY md5(lower(text))),
+p AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(src="d")}) mh),
+e AS (SELECT id_a AS s, id_b AS dd FROM p UNION SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT r.n, e.dd FROM reach r JOIN e ON e.s = r.m),
+lab AS (SELECT n, MIN(m) AS cluster_id FROM reach GROUP BY n),
+surv AS (
+  SELECT d.doc_id, d.text FROM d JOIN lab ON d.doc_id = lab.n
+  WHERE lab.cluster_id = d.doc_id),
+sg AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM surv),
+sgr AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8 THEN
+    list_transform(range(1, len(toks) - 6),
+      i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 7))::BIGINT)
+    ELSE [] END)) AS gram
+  FROM sg),
+bg AS (
+  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 8 THEN
+    list_transform(range(1, len(toks) - 6),
+      i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 7))::BIGINT)
+    ELSE [] END) AS gram
+  FROM (SELECT string_split(lower(text), ' ') AS toks
+        FROM documents WHERE doc_id % 97 = 0)),
+contaminated AS (SELECT DISTINCT sgr.doc_id FROM sgr JOIN bg USING (gram)),
+clean AS (
+  SELECT surv.doc_id, surv.text FROM surv
+  LEFT JOIN contaminated c ON surv.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL),
+sp AS (
+  SELECT doc_id, text,
+    CASE WHEN ('0x'||substr(md5('split-v1:'||doc_id), 1, 7))::BIGINT < {_ASM_B1}
+         THEN 'train'
+         WHEN ('0x'||substr(md5('split-v1:'||doc_id), 1, 7))::BIGINT < {_ASM_B2}
+         THEN 'val' ELSE 'test' END AS split
+  FROM clean),
+ct AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+       FROM sp WHERE split = 'train'),
+ck AS (SELECT doc_id, n, 1 + (greatest(n - 32, 0) + 23) // 24 AS k FROM ct),
+ch AS (SELECT doc_id, least(32, n - u * 24) AS chunk_tokens
+       FROM ck, unnest(range(0, k)) AS t2(u))
+SELECT
+  (SELECT COUNT(*) FROM documents) AS n_docs_in,
+  (SELECT COUNT(*) FROM mix) AS n_after_mixture,
+  (SELECT COUNT(*) FROM q) AS n_after_quality,
+  (SELECT COUNT(*) FROM d) AS n_after_exact,
+  (SELECT COUNT(*) FROM surv) AS n_after_neardup,
+  (SELECT COUNT(*) FROM clean) AS n_after_decontam,
+  (SELECT COUNT(*) FROM sp WHERE split = 'train') AS n_train,
+  (SELECT COUNT(*) FROM sp WHERE split = 'val') AS n_val,
+  (SELECT COUNT(*) FROM sp WHERE split = 'test') AS n_test,
+  (SELECT COUNT(*) FROM ch) AS total_chunks,
+  (SELECT CAST(SUM(chunk_tokens) AS BIGINT) FROM ch) AS total_chunk_tokens,
+  (SELECT CAST((SUM(chunk_tokens) + 511) // 512 AS BIGINT) FROM ch) AS n_sequences
+"""
+
+
 REGISTRY.update({
+    "docs_corpus_assembly_pipeline": (
+        docs_corpus_assembly_pipeline, CORPUS_ASSEMBLY_SQL,
+    ),
     "docs_cross_doc_ngram_dup": (docs_cross_doc_ngram_dup, CROSS_DOC_DUP_SQL),
     "docs_repetition_signals": (docs_repetition_signals, REPETITION_SQL),
     "docs_hash_split": (docs_hash_split, HASH_SPLIT_SQL),
