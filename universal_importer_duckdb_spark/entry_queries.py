@@ -3775,7 +3775,6 @@ _R5_WINDOW = (
     "stream_session_windows", "stream_running_user_stats",
     "stream_click_purchase_join", "rollup_revenue",
     "q12_priority_shipmode",
-    "q13_customer_distribution",
     "rolling_customer_spend",
     "q9_profit_by_nation_year", "emb_ivf_topk",
     # brand-new round-5 entries — never driver-checked, take priority
@@ -3784,7 +3783,7 @@ _R5_WINDOW = (
     # green and locally re-verified this round)
     "docs_hash_split", "docs_source_mixture",
     "docs_benchmark_contamination", "docs_pack_sequences",
-    "docs_repetition_signals",
+    "docs_repetition_signals", "docs_corpus_assembly_pipeline",
     # r4-green but changed this round — re-verify
     "docs_chunk_for_training", "docs_pii_scrub", "docs_training_pipeline",
     "docs_minhash_lsh_neardup", "docs_simhash_neardup",
