@@ -593,3 +593,37 @@ def test_chunk_documents_invariants_random_corpus(spark):
             assert all(s + l > ps + pl for (_, ps, pl), (_, s, l)
                        in zip(chunks, chunks[1:]))
         assert set(got) == set(n_by_doc)
+
+
+def test_y4m_roundtrip_sampling_and_colorspaces():
+    import pytest as _pytest
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_media,
+        decode_y4m,
+        encode_y4m_mono,
+    )
+
+    frames = [bytes((i * 3 + p) % 256 for p in range(12)) for i in range(5)]
+    v = encode_y4m_mono(4, 3, frames)
+    d = decode_y4m(v)
+    assert (d["width"], d["height"], d["n_frames"]) == (4, 3, 5)
+    assert d["luma_sum"] == sum(sum(f) for f in frames)
+    # every-2nd-frame sampling decodes frames 0, 2, 4 only
+    d2 = decode_y4m(v, sample_every=2)
+    assert d2["n_sampled"] == 3
+    assert d2["luma_sum"] == sum(sum(frames[i]) for i in (0, 2, 4))
+    assert decode_media(v)["kind"] == "video"
+
+    # 420 family: luma is the first w*h bytes of each 1.5*w*h plane
+    w, h = 4, 2
+    y = bytes(range(w * h))
+    chroma = bytes(w * h // 2)
+    v420 = (b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+            + b"FRAME\n" + y + chroma + b"FRAME\n" + y + chroma)
+    d3 = decode_y4m(v420)
+    assert d3["n_frames"] == 2 and d3["luma_sum"] == 2 * sum(y)
+
+    # truncated frame must raise, not silently under-count
+    with _pytest.raises(ValueError):
+        decode_y4m(v[: len(v) - 3])

@@ -1588,6 +1588,72 @@ def multimodal_image_features(spark, sf_dir):
     return extract_image_features(media)
 
 
+def multimodal_video_features(spark, sf_dir):
+    """Multimodal VIDEO path end-to-end with REAL decoding of the
+    public uncompressed YUV4MPEG2 container (what `ffmpeg -f
+    yuv4mpegpipe` emits): synthesize a mono Y4M stream per document
+    (dims/frame-count/per-frame luma gradient derived from doc_id),
+    then mapInPandas header parse + FRAME walk with every-2nd-frame
+    sampling (skipped frames are seeked over, not decoded). The oracle
+    recomputes the sampled-frame luma from the same arithmetic —
+    header drift, frame-stride drift, or wrong sampling all break the
+    hash. Compressed codecs remain a documented NotImplementedError
+    (PyAV swap-point)."""
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        encode_y4m_mono,
+        extract_video_features,
+    )
+
+    @F.pandas_udf("binary")
+    def synth_y4m(ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in ids:
+            i = int(doc_id)
+            w = 4 + i % 8
+            h = 3 + i % 5
+            n_frames = 1 + i % 6
+            frames = [
+                bytes(((i * 7 + f * 13 + p) % 256) for p in range(w * h))
+                for f in range(n_frames)
+            ]
+            out.append(encode_y4m_mono(w, h, frames))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_media_column(
+        docs.withColumn("payload", synth_y4m("doc_id")),
+        "payload", "video/y4m", "doc_id",
+    )
+    return extract_video_features(media, sample_every=2)
+
+
+MULTIMODAL_VIDEO_SQL = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 8 AS width, 3 + doc_id % 5 AS height,
+         1 + doc_id % 6 AS n_frames
+  FROM documents WHERE doc_id < 200),
+fr AS (
+  SELECT doc_id, width, height, n_frames, unnest(range(0, n_frames)) AS f
+  FROM d),
+sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+px AS (
+  SELECT doc_id, width, height, n_frames, f,
+         unnest(range(0, width * height)) AS p
+  FROM sampled),
+s AS (
+  SELECT doc_id, width, height, n_frames,
+         COUNT(DISTINCT f) AS n_sampled,
+         CAST(SUM((doc_id * 7 + f * 13 + p) % 256) AS BIGINT) AS luma_sum
+  FROM px GROUP BY doc_id, width, height, n_frames)
+SELECT doc_id AS item_id, 'video/y4m' AS media_type, width, height,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_sampled AS BIGINT) AS n_sampled, luma_sum,
+       luma_sum / (width * height * n_sampled * 255) AS mean_luma
+FROM s
+"""
+
+
 MULTIMODAL_IMAGE_SQL = """
 WITH d AS (
   SELECT doc_id, 8 + doc_id % 32 AS width, 8 + (doc_id // 32) % 32 AS height
@@ -2095,6 +2161,7 @@ REGISTRY.update({
     "stream_click_purchase_join": (stream_click_purchase_join, STREAM_CP_JOIN_SQL),
     "multimodal_image_features": (multimodal_image_features, MULTIMODAL_IMAGE_SQL),
     "multimodal_audio_features": (multimodal_audio_features, MULTIMODAL_AUDIO_SQL),
+    "multimodal_video_features": (multimodal_video_features, MULTIMODAL_VIDEO_SQL),
 })
 
 

@@ -59,6 +59,11 @@ AUDIO_FEATURES_SCHEMA = (
     "n_samples bigint, duration_s double, rms double"
 )
 
+VIDEO_FEATURES_SCHEMA = (
+    "item_id bigint, media_type string, width int, height int, "
+    "n_frames bigint, n_sampled bigint, luma_sum bigint, mean_luma double"
+)
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -266,17 +271,103 @@ def decode_wav(data: bytes) -> dict:
     }
 
 
+# ======================================================================
+# Y4M (YUV4MPEG2): pure-Python encode/decode of the public uncompressed
+# video container (what ffmpeg/mjpegtools emit with -f yuv4mpegpipe).
+# Mono (luma-only) colorspace keeps the plane math exact and simple;
+# COMPRESSED video (h264/vp9/...) still needs PyAV — that branch stays
+# a documented NotImplementedError.
+# ======================================================================
+
+_Y4M_SIG = b"YUV4MPEG2 "
+
+
+def encode_y4m_mono(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Minimal valid YUV4MPEG2 stream, Cmono colorspace: one luma
+    plane of width*height bytes per FRAME."""
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n".encode()
+    )
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError("frame plane size mismatch")
+        out += b"FRAME\n" + fr
+    return bytes(out)
+
+
+def decode_y4m(data: bytes, sample_every: int = 1) -> dict:
+    """Parse a YUV4MPEG2 stream (mono or 420-family): header
+    parameters, FRAME walk, and the exact integer luma sum over every
+    ``sample_every``-th frame (frame sampling without decoding the
+    skipped frames — the planes are fixed-size, so skipping is a
+    seek). Returns width/height/n_frames/n_sampled/luma_sum."""
+    if not data.startswith(_Y4M_SIG):
+        raise ValueError("not a Y4M (bad YUV4MPEG2 signature)")
+    nl = data.index(b"\n")
+    width = height = None
+    cs = "420"
+    for tok in data[len(_Y4M_SIG) - 1 : nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            width = int(t[1:])
+        elif t.startswith("H"):
+            height = int(t[1:])
+        elif t.startswith("C"):
+            cs = t[1:]
+    if not width or not height:
+        raise ValueError("Y4M missing W/H header parameters")
+    if cs.startswith("mono"):
+        frame_bytes = width * height
+    elif cs.startswith("420"):
+        frame_bytes = width * height * 3 // 2
+    elif cs.startswith("422"):
+        frame_bytes = width * height * 2
+    elif cs.startswith("444"):
+        frame_bytes = width * height * 3
+    else:
+        raise NotImplementedError(f"unsupported Y4M colorspace {cs}")
+    pos = nl + 1
+    n_frames = 0
+    n_sampled = 0
+    luma = 0
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M FRAME marker")
+        plane_start = fnl + 1
+        if plane_start + frame_bytes > len(data):
+            raise ValueError("truncated Y4M frame")
+        if n_frames % sample_every == 0:
+            # luma is always the FIRST width*height bytes of the plane
+            y = np.frombuffer(
+                data[plane_start : plane_start + width * height], dtype=np.uint8
+            )
+            luma += int(y.astype(np.int64).sum())
+            n_sampled += 1
+        n_frames += 1
+        pos = plane_start + frame_bytes
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "n_sampled": n_sampled,
+        "luma_sum": luma,
+    }
+
+
 def decode_media(data: bytes, media_type: str | None = None) -> dict:
-    """Sniff + decode. PNG and WAV decode for real (pure Python);
-    anything else needs a codec library that is not in this
-    environment — swap this branch for PIL/soundfile/av in a real
-    deployment."""
+    """Sniff + decode. PNG, WAV and uncompressed Y4M video decode for
+    real (pure Python); compressed formats need a codec library that
+    is not in this environment — swap this branch for PIL/soundfile/av
+    in a real deployment."""
     if data is None:
         raise ValueError("no payload")
     if data.startswith(_PNG_SIG):
         return {"kind": "image", **decode_png(data)}
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return {"kind": "audio", **decode_wav(data)}
+    if data.startswith(_Y4M_SIG):
+        return {"kind": "video", **decode_y4m(data)}
     raise NotImplementedError(
         f"no pure-Python codec for media_type={media_type!r}; "
         "plug in PIL/soundfile/av here"
@@ -354,11 +445,43 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+def extract_video_features(df: DataFrame, sample_every: int = 1) -> DataFrame:
+    """mapInPandas Y4M decode → (dims, frame counts, exact luma sum of
+    the sampled frames, mean luma). ``sample_every`` decodes every
+    k-th frame and seeks past the rest — the cheap-scan mode a 100 TB
+    video corpus needs. mean_luma is one double division of exact
+    ints, bit-identical cross-engine."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                media = r["media"]
+                d = decode_y4m(bytes(media["data"]), sample_every)
+                denom = d["width"] * d["height"] * d["n_sampled"] * 255
+                rows.append(
+                    {
+                        "item_id": r["item_id"],
+                        "media_type": media["media_type"],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_frames": d["n_frames"],
+                        "n_sampled": d["n_sampled"],
+                        "luma_sum": d["luma_sum"],
+                        "mean_luma": d["luma_sum"] / denom if denom else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, VIDEO_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits one row per
-    sampled offset (explode — the one acceptable row-multiplying step,
-    bounded by payload size / stride). Decode per frame stays behind
-    decode_media (no pure-Python video codec)."""
+    """Frame-sampling plumbing for OPAQUE video payloads (compressed
+    formats whose decode needs PyAV): emits one row per sampled byte
+    offset (explode — bounded by payload size / stride). For
+    uncompressed Y4M, extract_video_features decodes sampled frames
+    for real."""
     return df.select(
         "item_id",
         F.explode(
