@@ -223,3 +223,25 @@ def test_pii_scrub_is_narrow(spark, sf_dir):
     # single-split local file across cores (absent on wide inputs)
     assert plan.count("Exchange") <= 2  # shuffle write+read of ONE repartition
     assert "regexp_extract_all" in plan and plan.count("regexp_extract_all") == 1
+
+
+def test_benchmark_contamination_broadcasts_bench_side(spark, sf_dir):
+    plan = _plan(eq.docs_benchmark_contamination(spark, sf_dir))
+    # the benchmark gram set is tiny vs the corpus: it must broadcast
+    # so the corpus side never shuffles for the join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hash_split_and_mixture_are_narrow(spark, sf_dir):
+    # split assignment is a pure map (one agg exchange for the counts
+    # is the only shuffle); mixture sampling is a pushed-down filter
+    from universal_importer_duckdb_spark.operators.corpus import (
+        hash_split,
+        source_mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Exchange" not in _plan(hash_split(docs))
+    assert "Exchange" not in _plan(
+        source_mixture_sample(docs, rates={"web": 0.5})
+    )
