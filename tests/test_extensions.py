@@ -492,9 +492,15 @@ def test_neardup_clusters_long_chain_pointer_jumping(spark):
         [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
     )
     ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
-    rows = neardup_clusters(pairs, ids, max_iters=12).collect()
+    # driver_max_edges=0 forces the distributed BSP path (the default
+    # adaptive cutover would solve this tiny graph on the driver)
+    rows = neardup_clusters(pairs, ids, max_iters=12,
+                            driver_max_edges=0).collect()
     assert all(r.cluster_id == 0 for r in rows)
     assert sum(r.is_kept for r in rows) == 1
+    # the driver union-find path must produce the identical labels
+    rows2 = neardup_clusters(pairs, ids).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
 def test_neardup_clusters_nonconvergence_raises(spark):
@@ -508,7 +514,7 @@ def test_neardup_clusters_nonconvergence_raises(spark):
     )
     ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        neardup_clusters(pairs, ids, max_iters=2)
+        neardup_clusters(pairs, ids, max_iters=2, driver_max_edges=0)
 
 
 def test_png_wav_roundtrip_properties():

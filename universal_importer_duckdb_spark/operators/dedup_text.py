@@ -678,6 +678,7 @@ def neardup_clusters(
     id_col: str = "doc_id",
     max_iters: int = 25,
     checkpoint_dir: str | None = None,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS — the step that turns
     pairwise similarity into an actual dedup decision (drop all but
@@ -704,6 +705,13 @@ def neardup_clusters(
     rounds (not exponential). For adversarial graphs with huge
     diameters, swap in alternating-star contraction (Kiveris et al.);
     the interface stays the same.
+
+    ``driver_max_edges`` bounds the driver-local path: at or below it
+    (default 100k edges ~ 1.6 MB) components are solved exactly by
+    union-find on the collected edge list — the BSP loop's per-round
+    job latency dwarfs the work at that size — and above it the
+    distributed BSP owns the graph. Both paths produce the identical
+    min-label fixed point. Set 0 to force BSP.
 
     Fault tolerance: per-round barriers default to ``localCheckpoint``
     — executor-local blocks, fastest, but lost if an executor dies
@@ -743,6 +751,65 @@ def neardup_clusters(
     # pure overhead locally, and still wasteful on a cluster when the
     # pair list is small. ~100k edges per partition, capped at the
     # session's parallelism.
+    n_edges = edges.count()
+    # Scale-adaptive strategy: near-dup edge lists are orders of
+    # magnitude smaller than the corpus, and BELOW ``driver_max_edges``
+    # (bounded: 100k (s,d) int64 pairs = ~1.6 MB) the BSP loop's cost
+    # is pure per-round job latency. Solve those exactly on the driver
+    # with union-find (same min-label fixed point, same oracle) and
+    # keep the distributed BSP as the path that owns anything larger —
+    # the same bounded-collect pattern as the IVF training-sample cap.
+    if n_edges <= driver_max_edges:
+        labels = _driver_union_find(edges)
+    else:
+        labels = _bsp_min_label(edges, _barrier, max_iters)
+    clustered = labels.select(
+        F.col("n").alias(id_col),
+        F.col("lab").alias("cluster_id"),
+        (F.col("n") == F.col("lab")).alias("is_kept"),
+    )
+    singletons = (
+        ids.select(F.col(id_col))
+        .join(labels.select(F.col("n").alias(id_col)), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(True).alias("is_kept"),
+        )
+    )
+    return clustered.unionByName(singletons)
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact connected components of a BOUNDED edge list on the
+    driver: union-find with path compression, labels resolved to the
+    minimum id per component (identical to the BSP fixed point)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.select("s", "d").collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(n, find(n)) for n in parent]
+    if not out:  # no pairs at all: every id is a singleton downstream
+        return edges.sparkSession.createDataFrame([], "n bigint, lab bigint")
+    return edges.sparkSession.createDataFrame(
+        pd.DataFrame(out, columns=["n", "lab"]).astype("int64")
+    )
+
+
+def _bsp_min_label(edges: DataFrame, _barrier, max_iters: int) -> DataFrame:
     n_edges = edges.count()
     target = max(1, min(
         edges.sparkSession.sparkContext.defaultParallelism,
@@ -802,18 +869,4 @@ def neardup_clusters(
             f"neardup_clusters did not converge in {max_iters} rounds "
             "(pathological component diameter?); raise max_iters"
         )
-    clustered = labels.select(
-        F.col("n").alias(id_col),
-        F.col("lab").alias("cluster_id"),
-        (F.col("n") == F.col("lab")).alias("is_kept"),
-    )
-    singletons = (
-        ids.select(F.col(id_col))
-        .join(labels.select(F.col("n").alias(id_col)), id_col, "left_anti")
-        .select(
-            F.col(id_col),
-            F.col(id_col).alias("cluster_id"),
-            F.lit(True).alias("is_kept"),
-        )
-    )
-    return clustered.unionByName(singletons)
+    return labels
