@@ -22,6 +22,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from universal_importer_duckdb_spark.caching import release_scoped, scoped_cache
 from universal_importer_duckdb_spark.config.loader import load_config, validate_config
 from universal_importer_duckdb_spark.config.schema_compiler import compile_schema
 from universal_importer_duckdb_spark.operators.dedup import dedupe_cascade
@@ -144,10 +145,10 @@ def run_pipeline(
             # cache the kept side (rules + projections + counts fan out
             # of it); duplicates_removed is derived arithmetically so
             # the dups branch is only computed when exporting errors
-            kept = kept.cache()
+            kept = scoped_cache(kept)
             summary.duplicates_removed = summary.valid_records - kept.count()
     else:
-        kept, dups = (valid.cache() if compute_summary else valid), valid.limit(0)
+        kept, dups = (scoped_cache(valid) if compute_summary else valid), valid.limit(0)
         summary.duplicates_removed = 0
     result.duplicates = dups
 
@@ -161,7 +162,7 @@ def run_pipeline(
 
     stage = kept.drop(INGEST_ORD) if INGEST_ORD in kept.columns else kept
     if compute_summary:
-        stage = stage.cache()
+        stage = scoped_cache(stage)
     result.stage = stage
     stage.createOrReplaceTempView(f"{entity}_stage")
 
@@ -220,6 +221,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Validation error: {e}")
         return 1
     print(result.summary.report())
+    # CLI is the terminal consumer: release the run's fan-out caches so
+    # repeated invocations in one long-lived session don't accumulate
+    release_scoped(spark)
     return 0
 
 
