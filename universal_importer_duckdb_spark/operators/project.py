@@ -47,12 +47,16 @@ def create_projections(
     projection query against it. Returns name -> DataFrame."""
     stage_df.createOrReplaceTempView(entity)
     out: dict[str, DataFrame] = {}
+    from universal_importer_duckdb_spark.caching import scoped_cache
+
     for proj in projections or []:
         name = proj["name"]
         df = spark.sql(proj["query"])
         df = apply_aliases(df, proj.get("aliases"), schema_columns)
         if proj.get("type", "view") == "table":
-            df = df.cache()  # materialized like the reference's CTAS (main.py:295)
+            # materialized like the reference's CTAS (main.py:295);
+            # scoped so release_scoped reclaims it after the run
+            df = scoped_cache(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
