@@ -127,3 +127,26 @@ def test_ingest_order_by_columns_is_parallel_rank(spark):
     # dense 1-based ordinal == rank by the order columns
     assert [r._ingest_ord for r in rows] == list(range(1, 1001))
     assert [r.k for r in rows] == sorted(r.k for r in rows)
+
+
+def test_json_corrupt_capture(spark, tmp_path):
+    from universal_importer_duckdb_spark.sources.readers import (
+        read_json_with_corrupt_capture,
+    )
+
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        'this is not json\n'
+        '{"id": 2, "name": "b"}\n'
+        '{"id": "not-an-int", "name": 3}\n'
+    )
+    good, corrupt = read_json_with_corrupt_capture(
+        spark, str(p), "id bigint, name string"
+    )
+    g = {r.id for r in good.collect()}
+    c = [r.raw_record for r in corrupt.collect()]
+    assert g == {1, 2}
+    assert len(c) == 2
+    assert any("not json" in r for r in c)
+    assert any("not-an-int" in r for r in c)

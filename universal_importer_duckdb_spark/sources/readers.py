@@ -110,6 +110,36 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return reader.json(path)
 
 
+def read_json_with_corrupt_capture(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines read in PERMISSIVE mode with malformed rows captured
+    instead of dropped — the errors-as-data contract (reference
+    main.py:367-399) extended to the ingest boundary: returns
+    ``(good, corrupt)`` where ``corrupt`` carries the raw offending
+    line for the typed error sink.
+
+    Spark refuses queries that reference ONLY the internal corrupt
+    column on the un-materialized scan (it could not have been
+    populated without parsing the other columns), so the frame is
+    registered through :func:`scoped_cache` first — also what makes
+    the double consumption (good + corrupt) a single parse."""
+    from universal_importer_duckdb_spark.caching import scoped_cache
+
+    corrupt_col = "_corrupt_record"
+    full = scoped_cache(
+        spark.read.schema(f"{schema}, {corrupt_col} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    good = full.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = full.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, corrupt
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
