@@ -3537,6 +3537,65 @@ FROM s
 """
 
 
+def docs_source_token_stats_udaf(spark, sf_dir):
+    """True UDAF exemplar (SURVEY §2.9): a grouped-aggregate Arrow
+    pandas UDF computing per-source token-count statistics. The kernel
+    accumulates EXACT int64 sums (count, sum, sum of squares) in
+    numpy and derives mean and population variance each with ONE
+    double division of exact integers — the fixed-point discipline
+    that makes a Python aggregate bit-identical to the SQL oracle
+    regardless of summation order. Arrow moves each group once; the
+    aggregation state is three ints per group."""
+    import numpy as np
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    # agg() — the count is a pandas aggregate too
+    @F.pandas_udf("bigint")
+    def n_docs(n: pd.Series) -> int:
+        return len(n)
+
+    @F.pandas_udf("double")
+    def mean_tokens(n: pd.Series) -> float:
+        v = n.to_numpy(dtype=np.int64)
+        return float(int(v.sum()) / len(v))
+
+    @F.pandas_udf("double")
+    def var_tokens(n: pd.Series) -> float:
+        v = n.to_numpy(dtype=np.int64)
+        s = int(v.sum())
+        ssq = int(v @ v)
+        c = len(v)
+        return float((ssq * c - s * s) / (c * c))
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            n_docs("n_tok").alias("n_docs"),
+            mean_tokens("n_tok").alias("mean_tokens"),
+            var_tokens("n_tok").alias("var_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents),
+a AS (
+  SELECT source, COUNT(*) AS c,
+         CAST(SUM(n_tok) AS BIGINT) AS s,
+         CAST(SUM(n_tok * n_tok) AS BIGINT) AS ssq
+  FROM t GROUP BY source)
+SELECT source, c AS n_docs,
+       s / c AS mean_tokens,
+       (ssq * c - s * s) / (c * c) AS var_tokens
+FROM a ORDER BY source
+"""
+
+
 def docs_repetition_signals(spark, sf_dir):
     """Gopher/MassiveText repetition filters: top-bigram fraction +
     adjacent-token repeat count per doc, with the repetitive flag.
@@ -3786,6 +3845,9 @@ REGISTRY.update({
     ),
     "docs_cross_doc_ngram_dup": (docs_cross_doc_ngram_dup, CROSS_DOC_DUP_SQL),
     "docs_repetition_signals": (docs_repetition_signals, REPETITION_SQL),
+    "docs_source_token_stats_udaf": (
+        docs_source_token_stats_udaf, SOURCE_TOKEN_STATS_SQL,
+    ),
     "docs_hash_split": (docs_hash_split, HASH_SPLIT_SQL),
     "docs_source_mixture": (docs_source_mixture, SOURCE_MIXTURE_SQL),
     "docs_benchmark_contamination": (
