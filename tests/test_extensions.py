@@ -567,6 +567,40 @@ def test_png_wav_roundtrip_properties():
     wav_prop()
 
 
+def test_y4m_roundtrip_properties():
+    """Property test: random dims/frame-counts/planes round-trip
+    exactly, and sampled luma equals the sum over every k-th frame."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m_mono,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        nf=st.integers(1, 8),
+        k=st.integers(1, 4),
+        seed=st.integers(0, 2**31),
+    )
+    def y4m_prop(w, h, nf, k, seed):
+        import random
+
+        rng = random.Random(seed)
+        frames = [bytes(rng.randrange(256) for _ in range(w * h))
+                  for _ in range(nf)]
+        d = decode_y4m(encode_y4m_mono(w, h, frames), sample_every=k)
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
+        sampled = list(range(0, nf, k))
+        assert d["n_sampled"] == len(sampled)
+        assert d["luma_sum"] == sum(sum(frames[i]) for i in sampled)
+
+    y4m_prop()
+
+
 def test_chunk_documents_invariants_random_corpus(spark):
     """Chunks must tile each document exactly: starts advance by the
     stride, the last chunk ends at n, every chunk is non-empty and at
