@@ -112,11 +112,23 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Data-independent calibration workload: a fixed CPU-bound range
+    # aggregation timed exactly like the queries. Host speed drifts
+    # between rounds (measured ~1.25x on otherwise-identical code);
+    # dividing per-query times by the calibration ratio makes
+    # round-over-round comparisons like-for-like.
+    cal = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 3 + 7)").collect()
+        cal = min(cal, time.perf_counter() - t0)
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "calibration_sec": round(cal, 3),
         "sf": sf,
     }
     print(json.dumps(out))
