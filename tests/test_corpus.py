@@ -183,3 +183,64 @@ def test_cross_doc_ngram_dup_exact_copy_scores_one(spark):
     assert got[1].n_grams == 8    # 20 tokens -> 8 distinct 13-grams
     assert got[3].dup_gram_frac == 0.0 and got[3].n_dup_grams == 0
     assert got[4].n_grams == 0 and got[4].dup_gram_frac == 0.0
+
+
+def test_cap_per_key_two_stage_equals_one_stage(docs):
+    from universal_importer_duckdb_spark.operators.corpus import cap_per_key
+
+    one = cap_per_key(docs, "source", 7, ["doc_id"], presift_salts=0)
+    two = cap_per_key(docs, "source", 7, ["doc_id"], presift_salts=8)
+    a = sorted((r.source, r.doc_id, r.rn) for r in one.collect())
+    b = sorted((r.source, r.doc_id, r.rn) for r in two.collect())
+    assert a == b  # salting never changes the kept set
+    per_key = {}
+    for s, _, rn in a:
+        per_key[s] = max(per_key.get(s, 0), rn)
+    assert all(v <= 7 for v in per_key.values())
+    # the kept rows are the k SMALLEST doc_ids per key
+    smallest_web = sorted(
+        r.doc_id for r in docs.filter("source = 'web'").collect()
+    )[:7]
+    assert sorted(d for s, d, _ in a if s == "web") == smallest_web
+
+
+def test_stratified_hash_sample_stable_under_growth(docs):
+    from universal_importer_duckdb_spark.operators.corpus import (
+        stratified_hash_sample,
+    )
+
+    full = stratified_hash_sample(docs, "source", 5)
+    ids_full = {r.doc_id for r in full.collect()}
+    assert full.count() == 15  # 3 strata x 5
+    # dropping unrelated rows never changes members that remain ranked:
+    # the sample from a 2/3 subset shares most members with the full one
+    sub = stratified_hash_sample(docs.filter("doc_id % 3 != 0"), "source", 5)
+    ids_sub = {r.doc_id for r in sub.collect()}
+    assert ids_sub  # sanity
+    # every full-sample member still present in the subset stays sampled
+    # unless displaced by nothing (subset can only REMOVE competitors)
+    surviving = {i for i in ids_full if i % 3 != 0}
+    assert surviving <= ids_sub
+
+
+def test_char_trigram_familiarity_bounds_and_edges(spark):
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        char_ngram_familiarity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),   # exact dup: same grams
+            (3, "zq"),                        # too short: no trigrams
+            (4, "xqzj vwkp qzxv"),            # gibberish: unique grams
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in char_ngram_familiarity(df).collect()}
+    assert out[3].n_distinct_grams == 0 and out[3].familiarity == 0.0
+    # duplicated prose scores strictly higher than one-off gibberish
+    assert out[1].familiarity > out[4].familiarity
+    for r in out.values():
+        assert 0.0 <= r.familiarity <= 1.0
+    assert out[1].familiarity == out[2].familiarity

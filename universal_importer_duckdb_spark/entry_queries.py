@@ -3839,6 +3839,94 @@ SELECT
 """
 
 
+def docs_domain_cap(spark, sf_dir):
+    """Domain balancing: at most 10 docs per source, in doc_id order —
+    the web-corpus cap that stops one crawl domain from dominating the
+    mix. Runs the skew-safe two-stage top-k (operators/corpus.
+    cap_per_key: salted pre-sift bounds any hot key's final-window
+    input at k*salts); the oracle is the textbook one-stage window,
+    certifying the two-stage form computes the identical set."""
+    from universal_importer_duckdb_spark.operators.corpus import cap_per_key
+
+    return cap_per_key(
+        _t(spark, sf_dir, "documents"), "source", 10, ["doc_id"]
+    ).select("doc_id", "source", "rn")
+
+
+DOMAIN_CAP_SQL = """
+SELECT doc_id, source, rn FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 10
+"""
+
+
+def docs_stratified_sample(spark, sf_dir):
+    """Eval-set carving: a deterministic 15-doc uniform sample per
+    language, ranked by seeded md5 of the doc id (stable across
+    re-runs, repartitioning, and corpus growth — a new doc displaces
+    at most one sample member per stratum). The md5 order replays
+    exactly in the oracle's window."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        stratified_hash_sample,
+    )
+
+    return stratified_hash_sample(
+        _t(spark, sf_dir, "documents"), "lang", 15
+    ).select("doc_id", "lang", "rn")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY ('0x'||substr(md5('sample-v1:'||doc_id), 1, 7))::BIGINT,
+                    doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 15
+"""
+
+
+def docs_char_trigram_familiarity(spark, sf_dir):
+    """Corpus-statistical gibberish scoring: mean document-frequency
+    ratio of each doc's distinct char trigrams (operators/
+    text_analysis.char_ngram_familiarity) — the model-free analog of
+    the CCNet LM-perplexity filter. Exact-integer inverted index; the
+    single final division is IEEE-identical cross-engine, so the
+    score is hash-checked, not approximated."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        char_ngram_familiarity,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    return char_ngram_familiarity(docs)
+
+
+CHAR_TRIGRAM_FAMILIARITY_SQL = """
+WITH dg AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, length(lower(text)) - 1),
+                   i -> substr(lower(text), i, 3)))) AS g
+  FROM documents),
+gdf AS (SELECT g, COUNT(*) AS df FROM dg GROUP BY g),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+         CAST(SUM(df) AS BIGINT) AS df_sum
+  FROM dg JOIN gdf USING (g) GROUP BY doc_id),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams,
+       CASE WHEN pd.n_distinct_grams > 0
+            THEN pd.df_sum / (pd.n_distinct_grams * nd.n_docs)
+            ELSE 0.0 END AS familiarity
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN nd
+"""
+
+
 REGISTRY.update({
     "docs_corpus_assembly_pipeline": (
         docs_corpus_assembly_pipeline, CORPUS_ASSEMBLY_SQL,
@@ -3854,6 +3942,11 @@ REGISTRY.update({
         docs_benchmark_contamination, BENCHMARK_CONTAMINATION_SQL,
     ),
     "docs_pack_sequences": (docs_pack_sequences, PACK_SEQUENCES_SQL),
+    "docs_domain_cap": (docs_domain_cap, DOMAIN_CAP_SQL),
+    "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "docs_char_trigram_familiarity": (
+        docs_char_trigram_familiarity, CHAR_TRIGRAM_FAMILIARITY_SQL,
+    ),
 })
 
 
@@ -3885,18 +3978,23 @@ REGISTRY.update({
 # (chunking text materialization, fused pii, cache->localCheckpoint in
 # minhash/training pipeline, simhash refactor, codec rewrites).
 # Roster history: r4 = the 37 never-checked + 13 fillers (recorded in
-# VERDICT r4); r5 = this list.
+# VERDICT r4); r5 = this list (docs_token_stats, docs_bpe_token_count
+# and projection_alias_orders demoted to r6 with the q6/q18 group —
+# r1-r3 green, trivial narrow maps, locally re-verified — to make
+# room for the three late-round-5 entries docs_domain_cap /
+# docs_stratified_sample / docs_char_trigram_familiarity, which have
+# never been driver-checked).
 _R5_WINDOW = (
     # unchecked in r4 (r1-r3-era green, re-confirm against fresh data)
     "dedup_last_lineitem", "dedup_exclude_all_lineitem",
     "dedup_duplicates_lineitem", "dedup_cascade_lineitem",
     "rule_age_gte_skip_orders", "rule_age_gte_invalid_orders",
-    "projection_alias_orders", "pipeline_flagship",
+    "pipeline_flagship",
     "pipeline_summary_lineitem", "events_tumbling_hourly",
-    "events_sessionization", "events_json_extract", "docs_token_stats",
+    "events_sessionization", "events_json_extract",
     "docs_fingerprint_exact_dedup", "docs_ngram_topk_similar",
     "docs_quality_scores", "docs_language_id", "emb_cosine_topk",
-    "docs_quality_filter_ids", "docs_bpe_token_count",
+    "docs_quality_filter_ids",
     "events_dedup_first_by_key", "docs_corpus_prep",
     "docs_rolling_sketch", "emb_near_dup_pairs",
     "stream_tumbling_hourly", "stream_dedup_within_watermark",
@@ -3913,6 +4011,8 @@ _R5_WINDOW = (
     "docs_hash_split", "docs_source_mixture",
     "docs_benchmark_contamination", "docs_pack_sequences",
     "docs_repetition_signals", "docs_corpus_assembly_pipeline",
+    "docs_domain_cap", "docs_stratified_sample",
+    "docs_char_trigram_familiarity",
     # r4-green but changed this round — re-verify
     "docs_chunk_for_training", "docs_pii_scrub", "docs_training_pipeline",
     "docs_minhash_lsh_neardup", "docs_simhash_neardup",

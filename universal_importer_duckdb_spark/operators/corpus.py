@@ -10,6 +10,10 @@ set" and "tensors on a trainer" that the dedup/quality stages
                           held-out benchmark set (decontamination)
 - pack_token_sequences  — GPT-style concat-and-split sequence packing
                           via a scale-safe two-level prefix sum
+- cap_per_key           — at most k rows per key (domain balancing)
+                          with a skew-safe two-stage top-k
+- stratified_hash_sample — deterministic k-per-stratum uniform sample
+                          by seeded hash order (eval-set carving)
 
 All pure column expressions (no UDFs); every hash is md5-derived so
 each operator replays bit-for-bit in the DuckDB oracle (see
@@ -200,6 +204,82 @@ def cross_doc_ngram_dup(
             F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
             frac.alias("dup_gram_frac"),
         )
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols,
+    k: int,
+    order_cols,
+    rank_col: str = "rn",
+    presift_salts: int = 8,
+) -> DataFrame:
+    """Keep at most ``k`` rows per key, taken in ``order_cols`` order —
+    the web-corpus domain-balancing step (no single domain may dominate
+    the training mix). ``order_cols`` must induce a TOTAL order within
+    each key (end with a unique id) so the kept set is deterministic.
+
+    Skew is the whole problem here: a plain per-key ROW_NUMBER window
+    shuffles every row of a hot key (a crawl's biggest domain can be
+    billions of rows) into ONE reducer. This runs the classic two-stage
+    top-k instead: stage 1 ranks within (key, salt) — a deterministic
+    hash-salt splitting each hot key across ``presift_salts`` reducers
+    — and discards everything past k, so stage 2's exact per-key window
+    sees at most k*presift_salts rows per key, bounded regardless of
+    how hot the key is. The global top-k is a subset of the union of
+    per-salt top-ks, so the result is identical to the one-stage form
+    for ANY salt count — which is what the plain-window SQL oracle
+    certifies. Set ``presift_salts=0`` to skip the pre-sift (tiny
+    inputs, or when the planner should see a single exchange)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    out = df
+    if presift_salts:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(presift_salts)
+        )
+        w_pre = Window.partitionBy(*key_cols, "__salt").orderBy(*order_cols)
+        out = (
+            out.withColumn("__salt", salt)
+            .withColumn("__prn", F.row_number().over(w_pre))
+            .filter(F.col("__prn") <= k)
+            .drop("__salt", "__prn")
+        )
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        out.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_cols,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Exactly ``k`` rows per stratum (fewer if the stratum is
+    smaller), chosen uniformly and DETERMINISTICALLY by ranking on a
+    seeded md5 hash of the id — the eval-set carving step (fixed-size
+    per-language/per-source holdouts that never change across re-runs
+    or repartitioning, unlike sampleBy). Membership is stable under
+    corpus growth in the same sense as hash_split: a new doc displaces
+    at most one old doc per stratum rather than reshuffling the set.
+    Rides on :func:`cap_per_key`, so hot strata get the same two-stage
+    skew treatment; the hash replays in DuckDB for the oracle."""
+    h = _md5_28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return (
+        cap_per_key(
+            df.withColumn("__h", h),
+            strata_cols,
+            k,
+            ["__h", id_col],
+            rank_col=rank_col,
+        )
+        .drop("__h")
     )
 
 

@@ -315,6 +315,73 @@ def pii_scrub(
     )
 
 
+def char_ngram_familiarity(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-statistical gibberish detection: score each document by
+    how *familiar* its character n-grams are — the mean document
+    frequency (as a fraction of the corpus) of the doc's distinct
+    char trigrams. Natural prose reuses a small trigram inventory
+    (high score); mojibake, base64 blobs, and keyboard mash use rare
+    trigrams (low score). This is the model-free counterpart of the
+    CCNet/DataComp LM-perplexity quality filter: same signal family,
+    but built from the corpus itself with exact integer arithmetic,
+    so it needs no model file and replays bit-for-bit in any engine
+    (the only floating-point op is one final division of two exact
+    BIGINTs, which IEEE rounds identically everywhere).
+
+    Shape at scale: the classic inverted-index build, same as
+    ``cross_doc_ngram_dup`` — explode to distinct (doc, gram) pairs,
+    one hash-agg for per-gram document frequency (map-side combine
+    collapses each partition's repeats before the shuffle), one join
+    back on the gram, one per-doc agg. Char trigrams are ≤ n bytes —
+    SHORTER than an 8-byte hash — so they shuffle as-is, unhashed.
+    ``n_docs`` rides in as a broadcast one-row aggregate, never a
+    driver collect.
+
+    Returns (id, n_distinct_grams, familiarity ∈ [0,1])."""
+    c = F.lower(F.col(text_col))
+    # guard short docs: F.sequence(1, 0) yields DESCENDING [1, 0]
+    idx = F.when(
+        F.length(c) >= n, F.sequence(F.lit(1), F.length(c) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+    doc_grams = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    gram_df = doc_grams.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n_docs")))
+    per_doc = (
+        doc_grams.join(gram_df, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
+            F.sum("__df").cast("bigint").alias("__df_sum"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(n_docs)
+        .select(
+            id_col,
+            F.coalesce("n_distinct_grams", F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_grams"),
+            F.when(
+                F.col("n_distinct_grams") > 0,
+                F.col("__df_sum")
+                / (F.col("n_distinct_grams") * F.col("__n_docs")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("familiarity"),
+        )
+    )
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",
