@@ -1905,6 +1905,44 @@ FROM reach GROUP BY n
 """
 
 
+def emb_semdedup_clusters(spark, sf_dir):
+    """SemDeDup-style semantic dedup decision over EMBEDDINGS: LSH-
+    bucketed near-duplicate pairs (cosine >= 0.4, seeded hyperplanes)
+    resolved into connected components, keeping one representative
+    (min vec_id) per semantic cluster. The same pairs->clusters
+    machinery as docs_neardup_clusters, driven by vector similarity
+    instead of lexical MinHash — the dedup family that catches
+    paraphrases exact/lexical dedup misses. The oracle replays the
+    seeded bucketing + DECIMAL cosine verify, then the min-label
+    fixed point as a recursive-CTE closure."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        neardup_clusters,
+    )
+    from universal_importer_duckdb_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_pairs(
+        emb, cosine_threshold=0.4, n_planes=6
+    ).select("id_a", "id_b")
+    return neardup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
+
+
+EMB_SEMDEDUP_SQL = f"""
+WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM ({EMB_NEAR_DUP_SQL}) np),
+e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m
+)
+SELECT n AS vec_id, MIN(m) AS cluster_id, MIN(m) = n AS is_kept
+FROM reach GROUP BY n
+"""
+
+
 def docs_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: top-20 tokens by frequency (tokenizer
     vocabulary-building primitive; k below the corpus vocabulary size
@@ -2151,6 +2189,7 @@ REGISTRY.update({
     "emb_ann_lsh_topk": (emb_ann_lsh_topk, EMB_ANN_LSH_SQL),
     "emb_ivf_topk": (emb_ivf_topk, None),
     "emb_near_dup_pairs": (emb_near_dup_pairs, EMB_NEAR_DUP_SQL),
+    "emb_semdedup_clusters": (emb_semdedup_clusters, EMB_SEMDEDUP_SQL),
     "stream_tumbling_hourly": (stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_dedup_within_watermark": (stream_dedup_within_watermark, STREAM_DEDUP_SQL),
     "stream_simhash_neardup_dedup": (stream_simhash_neardup_dedup, STREAM_SIMHASH_DEDUP_SQL),
@@ -3980,8 +4019,9 @@ REGISTRY.update({
 # Roster history: r4 = the 37 never-checked + 13 fillers (recorded in
 # VERDICT r4); r5 = this list (docs_token_stats, docs_bpe_token_count
 # and projection_alias_orders demoted to r6 with the q6/q18 group —
-# r1-r3 green, trivial narrow maps, locally re-verified — to make
-# room for the three late-round-5 entries docs_domain_cap /
+# r1-r3 green, trivial narrow maps, locally re-verified — and
+# rollup_revenue (r4-window green, unchanged) to make
+# room for the four late-round-5 entries docs_domain_cap /
 # docs_stratified_sample / docs_char_trigram_familiarity, which have
 # never been driver-checked).
 _R5_WINDOW = (
@@ -4000,7 +4040,7 @@ _R5_WINDOW = (
     "stream_tumbling_hourly", "stream_dedup_within_watermark",
     "stream_simhash_neardup_dedup", "stream_sliding_halfhour",
     "stream_session_windows", "stream_running_user_stats",
-    "stream_click_purchase_join", "rollup_revenue",
+    "stream_click_purchase_join",
     "q12_priority_shipmode",
     "rolling_customer_spend",
     "q9_profit_by_nation_year", "emb_ivf_topk",
@@ -4012,7 +4052,7 @@ _R5_WINDOW = (
     "docs_benchmark_contamination", "docs_pack_sequences",
     "docs_repetition_signals", "docs_corpus_assembly_pipeline",
     "docs_domain_cap", "docs_stratified_sample",
-    "docs_char_trigram_familiarity",
+    "docs_char_trigram_familiarity", "emb_semdedup_clusters",
     # r4-green but changed this round — re-verify
     "docs_chunk_for_training", "docs_pii_scrub", "docs_training_pipeline",
     "docs_minhash_lsh_neardup", "docs_simhash_neardup",
