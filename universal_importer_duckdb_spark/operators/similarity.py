@@ -286,23 +286,45 @@ def embedding_near_pairs(
     """Near-duplicate embedding pairs: bucket on the full signature,
     join within buckets, verify exact cosine. Recall is bounded by the
     probability that near vectors share all sign bits — raise recall
-    by lowering n_planes or running multiple seeded repetitions."""
+    by lowering n_planes or running multiple seeded repetitions.
+
+    Verification is two-tier, mirroring the MinHash σ pre-sift: a
+    cheap double-precision cosine (per-vector squared norms are
+    computed ONCE before pairing and ride in the pair payload, so the
+    pre-sift per pair is one dot product and one division) discards
+    every candidate below ``threshold - 1e-9``, and only survivors pay
+    the exact DECIMAL(33,13) fold. The margin dominates the double
+    fold's rounding error (64 unit-scale terms err < 1e-12 relative),
+    so the surviving set — and the emitted exact cosine — is
+    bit-identical to verifying every candidate, which is what the
+    SQL oracle computes. On random-embedding corpora nearly all
+    bucket-mates fall far below threshold, so the decimal work drops
+    from O(candidates) to O(true near-pairs)."""
     from universal_importer_duckdb_spark.operators.dedup_text import (
         bucket_pairs,
         spread_for_compute,
     )
 
     planes = _hyperplanes(n_planes, dim, seed)
-    b = spread_for_compute(df, id_col).withColumn("bucket", bucket_signature(vec_col, planes))
+    vd = F.col(vec_col).cast("array<double>")
+    n2d = F.aggregate(
+        F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    b = (
+        spread_for_compute(df, id_col)
+        .withColumn("bucket", bucket_signature(vec_col, planes))
+        .withColumn("__pl", F.struct(vd.alias("v"), n2d.alias("n2")))
+    )
+    va, vb = F.col("payload_a.v"), F.col("payload_b.v")
+    ddot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+    )
+    dcos = ddot / F.greatest(
+        F.sqrt(F.col("payload_a.n2") * F.col("payload_b.n2")), F.lit(1e-300)
+    )
     return (
-        bucket_pairs(b, ["bucket"], id_col, max_bucket_size, vec_col)
-        .select(
-            "id_a",
-            "id_b",
-            cosine(
-                F.col("payload_a").cast("array<double>"),
-                F.col("payload_b").cast("array<double>"),
-            ).alias("cosine"),
-        )
+        bucket_pairs(b, ["bucket"], id_col, max_bucket_size, "__pl")
+        .filter(dcos >= cosine_threshold - 1e-9)
+        .select("id_a", "id_b", cosine(va, vb).alias("cosine"))
         .filter(F.col("cosine") >= cosine_threshold)
     )
