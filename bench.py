@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "docs_pack_sequences",
     "docs_benchmark_contamination",
     "docs_hash_split",
+    "docs_char_trigram_familiarity",
+    "emb_semdedup_clusters",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch
