@@ -50,3 +50,46 @@ def test_dedup_invariants_all_resolutions(spark, rows):
             expected = {k: picker(ords) for k, ords in groups.items()}
             got = {(r.k1, r.k2): r._ingest_ord for r in kept_rows}
             assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # key: few values → hot keys
+            st.integers(min_value=-50, max_value=50),  # payload
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    salts=st.sampled_from([1, 2, 8]),
+)
+def test_cap_per_key_salting_never_changes_result(spark, rows, k, salts):
+    """Two-stage (salted pre-sift) top-k must equal the textbook
+    one-stage window for ANY salt count — the invariant the domain-cap
+    oracle relies on. order col (unique ordinal) induces a total
+    order, the documented requirement."""
+    from universal_importer_duckdb_spark.operators.corpus import cap_per_key
+
+    data = [(key, val, i + 1) for i, (key, val) in enumerate(rows)]
+    df = spark.createDataFrame(data, "key int, val int, ord int")
+    base = sorted(
+        (r.key, r.ord, r.rn)
+        for r in cap_per_key(df, "key", k, ["ord"], presift_salts=0).collect()
+    )
+    salted = sorted(
+        (r.key, r.ord, r.rn)
+        for r in cap_per_key(df, "key", k, ["ord"], presift_salts=salts).collect()
+    )
+    assert base == salted
+    # reference model: k smallest ordinals per key
+    groups: dict[int, list[int]] = {}
+    for key, _val, o in data:
+        groups.setdefault(key, []).append(o)
+    expect = sorted(
+        (key, o, i + 1)
+        for key, ords in groups.items()
+        for i, o in enumerate(sorted(ords)[:k])
+    )
+    assert base == expect
