@@ -69,6 +69,7 @@ def main() -> int:
     sf = float(m.group(1)) if m else None
 
     from universal_importer_duckdb_spark import entry_queries as eq
+    from universal_importer_duckdb_spark.caching import release_scoped
     from universal_importer_duckdb_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
@@ -104,7 +105,10 @@ def main() -> int:
         best = float("inf")
         # drop previous queries' cached frames: accumulated storage
         # memory otherwise evicts this query's own intermediates
-        # mid-measurement (observed 3x swings on the cache-heavy ops)
+        # mid-measurement (observed 3x swings on the cache-heavy ops).
+        # release_scoped first so the builder ledger drains its driver-
+        # side references too (clearCache alone only frees executors).
+        release_scoped(spark)
         spark.catalog.clearCache()
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -126,9 +126,22 @@ def test_pack_sequences_big_window_is_partitioned(spark):
         "doc_id bigint, chunk_idx bigint, chunk_tokens bigint",
     )
     plan = pack_token_sequences(chunks, seq_len=64, bucket_width=16)
-    physical = plan._jdf.queryExecution().executedPlan().toString()
-    assert "partitionspec=[__bucket" in physical.lower().replace(" ", "") or \
-        "__bucket" in physical  # bucketed window present in the plan
+    physical = plan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    ).lower().replace(" ", "")
+    # the row-level cumsum Window must be PARTITIONED by the bucket —
+    # weaker checks ("__bucket somewhere", "hashpartitioning(__bucket",
+    # or even "windowspecdefinition(__bucket#...ASC") would also hold
+    # for a regressed global window via the bucket-TOTALS level, so
+    # match the partitioned spec exactly: partition key __bucket
+    # followed immediately by the doc_id ordering (the totals window
+    # spec instead reads "__bucket#N ASC"). (toString() truncates long
+    # field lists; the formatted explain does not.)
+    import re
+
+    assert re.search(r"windowspecdefinition\(__bucket#\d+l,doc_id#", physical)
 
 
 def test_scoped_cache_release(spark):

@@ -269,11 +269,20 @@ def test_png_decode_512_under_50ms():
     rows = [[(x * y + 3 * x + y) % 256 for x in range(512)] for y in range(512)]
     png = encode_png_gray(512, 512, rows, filter_type=2)
     decode_png(png)  # warm (numpy/zlib import paths)
-    t0 = time.perf_counter()
+    # min-of-3: a single noisy-neighbor spike must not flake the gate;
+    # the regression this guards (per-byte loops) was ~20x over budget
+    elapsed = min(
+        _timed(time, decode_png, png) for _ in range(3)
+    )
     d = decode_png(png)
-    elapsed = time.perf_counter() - t0
     assert d["luma_sum"] == sum(sum(r) for r in rows)
     assert elapsed < 0.05, f"512x512 decode took {elapsed * 1e3:.1f} ms"
+
+
+def _timed(time_mod, fn, *args):
+    t0 = time_mod.perf_counter()
+    fn(*args)
+    return time_mod.perf_counter() - t0
 
 
 def test_wav_multi_data_chunk_consistent():
@@ -667,3 +676,48 @@ def test_y4m_roundtrip_sampling_and_colorspaces():
     # truncated frame must raise, not silently under-count
     with _pytest.raises(ValueError):
         decode_y4m(v[: len(v) - 3])
+
+
+def test_neardup_clusters_string_ids(spark):
+    """Driver union-find path must preserve the edge id TYPE — string
+    ids (URLs, content hashes) cluster exactly like bigints, and
+    numeric-looking strings ('007') must not be coerced to ints."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        neardup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [("007", "u7"), ("u7", "aa")], "id_a string, id_b string"
+    )
+    ids = spark.createDataFrame(
+        [("007",), ("u7",), ("aa",), ("lone",)], "doc_id string"
+    )
+    rows = {r.doc_id: r for r in neardup_clusters(pairs, ids).collect()}
+    assert rows["007"].cluster_id == "007"   # min string of the chain
+    assert rows["u7"].cluster_id == "007"
+    assert rows["aa"].cluster_id == "007"
+    assert rows["lone"].cluster_id == "lone" and rows["lone"].is_kept
+    assert rows["007"].is_kept and not rows["u7"].is_kept
+
+
+def test_neardup_clusters_restores_prior_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir is session-global; a caller's previously
+    configured dir must survive a clustering call that uses its own."""
+    sc = spark.sparkContext
+    prior = str(tmp_path / "prior_ck")
+    sc.setCheckpointDir(prior)
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        neardup_clusters,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    neardup_clusters(
+        pairs, ids, checkpoint_dir=str(tmp_path / "cluster_ck")
+    ).collect()
+    got = sc._jsc.sc().getCheckpointDir()
+    # setCheckpointDir appends a fresh UUID subdir on every call, so
+    # exact equality is impossible — the contract is that later
+    # checkpoints still land under the CALLER's tree, not cluster_ck
+    assert got.isDefined()
+    assert "prior_ck" in got.get() and "cluster_ck" not in got.get()

@@ -43,9 +43,26 @@ _LEDGER: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
 def scoped_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` plus registration in the session's release
     ledger. Use for builder-internal fan-out frames instead of bare
-    cache()."""
+    cache().
+
+    Self-pruning: entries whose cache was already dropped out-of-band
+    (``spark.catalog.clearCache()``, an explicit unpersist) are
+    evicted from the ledger here, so sessions that never call
+    release_scoped — e.g. a bench loop clearing the whole cache
+    between queries — don't accumulate dead py4j plan references on
+    the driver heap."""
     df = df.cache()
-    _LEDGER.setdefault(df.sparkSession, []).append(df)
+    ledger = _LEDGER.setdefault(df.sparkSession, [])
+    live = []
+    for old in ledger:
+        try:
+            lvl = old.storageLevel
+            if lvl.useMemory or lvl.useDisk:
+                live.append(old)
+        except Exception:
+            pass  # session gone — drop
+    ledger[:] = live
+    ledger.append(df)
     return df
 
 

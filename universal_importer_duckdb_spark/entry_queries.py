@@ -3720,9 +3720,14 @@ def docs_corpus_assembly_pipeline(spark, sf_dir):
     split → sequence packing at 512 tokens. One funnel row; every
     count depends on every upstream stage being exactly right, so the
     single oracle row certifies the whole composition. n_sequences
-    comes from the PACKED frame (max seq_id + 1), which the oracle
-    checks against the closed form ceil(total_tokens/512) — equal iff
-    the two-level prefix sum is exactly the dense global cumsum."""
+    comes from the PACKED frame — ceil(max chunk END offset / 512),
+    where the end offset is tokens_before + chunk_tokens from the
+    two-level prefix sum — which the oracle checks against the closed
+    form ceil(total_tokens/512). The END offset (not max seq_id: a
+    boundary-straddling last chunk SPILLS into a sequence no chunk
+    starts in, so max(seq_id)+1 undercounts exactly then) is the
+    correct count, and equals the closed form iff the prefix sum is
+    exactly the dense global cumsum."""
     from universal_importer_duckdb_spark.operators.corpus import (
         benchmark_ngram_overlap,
         hash_split,
@@ -3793,13 +3798,20 @@ def docs_corpus_assembly_pipeline(spark, sf_dir):
             F.sum("chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
         ))
         .crossJoin(one(
-            packed, (F.max("seq_id") + 1).cast("bigint").alias("n_sequences")
+            packed,
+            F.floor(
+                (F.coalesce(
+                    F.max(F.col("tokens_before") + F.col("chunk_tokens")),
+                    F.lit(0),
+                ) + F.lit(511)) / F.lit(512)
+            ).cast("bigint").alias("n_sequences"),
         ))
     )
 
 
-_ASM_B1 = int((1 << 28) * 0.98)
-_ASM_B2 = int((1 << 28) * 0.99)
+# split boundaries are the SAME 98/99% thresholds as docs_hash_split
+# (_SPLIT_B1/_SPLIT_B2 above) — one definition, or the two oracles
+# silently desynchronize
 _ASM_MIX_WEB = int((1 << 28) * 0.7)
 
 CORPUS_ASSEMBLY_SQL = f"""
@@ -3852,9 +3864,9 @@ clean AS (
   WHERE c.doc_id IS NULL),
 sp AS (
   SELECT doc_id, text,
-    CASE WHEN ('0x'||substr(md5('split-v1:'||doc_id), 1, 7))::BIGINT < {_ASM_B1}
+    CASE WHEN ('0x'||substr(md5('split-v1:'||doc_id), 1, 7))::BIGINT < {_SPLIT_B1}
          THEN 'train'
-         WHEN ('0x'||substr(md5('split-v1:'||doc_id), 1, 7))::BIGINT < {_ASM_B2}
+         WHEN ('0x'||substr(md5('split-v1:'||doc_id), 1, 7))::BIGINT < {_SPLIT_B2}
          THEN 'val' ELSE 'test' END AS split
   FROM clean),
 ct AS (SELECT doc_id, len(string_split(text, ' ')) AS n

@@ -724,8 +724,19 @@ def neardup_clusters(
     Returns (id_col, cluster_id, is_kept): every id keeps a row;
     singletons are their own cluster; ``is_kept`` marks the cluster
     representative (min id)."""
+    restore_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        # setCheckpointDir is SESSION-GLOBAL state; every checkpoint
+        # here is EAGER (written before this function returns), so the
+        # prior dir — if one was configured — is restored on exit
+        # rather than leaving later callers silently redirected. (If
+        # none was set before, the new dir stays: the JVM offers no
+        # clean unset, and nothing else was using checkpoint().)
+        sc = pairs.sparkSession.sparkContext
+        prior = sc._jsc.sc().getCheckpointDir()
+        if prior.isDefined():
+            restore_dir = (sc, prior.get())
+        sc.setCheckpointDir(checkpoint_dir)
 
         def _barrier(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -759,10 +770,14 @@ def neardup_clusters(
     # with union-find (same min-label fixed point, same oracle) and
     # keep the distributed BSP as the path that owns anything larger —
     # the same bounded-collect pattern as the IVF training-sample cap.
-    if n_edges <= driver_max_edges:
-        labels = _driver_union_find(edges)
-    else:
-        labels = _bsp_min_label(edges, _barrier, max_iters)
+    try:
+        if n_edges <= driver_max_edges:
+            labels = _driver_union_find(edges)
+        else:
+            labels = _bsp_min_label(edges, _barrier, max_iters, n_edges)
+    finally:
+        if restore_dir is not None:
+            restore_dir[0].setCheckpointDir(restore_dir[1])
     clustered = labels.select(
         F.col("n").alias(id_col),
         F.col("lab").alias("cluster_id"),
@@ -802,15 +817,21 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     out = [(n, find(n)) for n in parent]
-    if not out:  # no pairs at all: every id is a singleton downstream
-        return edges.sparkSession.createDataFrame([], "n bigint, lab bigint")
-    return edges.sparkSession.createDataFrame(
-        pd.DataFrame(out, columns=["n", "lab"]).astype("int64")
+    # labels keep the EDGE id type (string URLs cluster as well as
+    # bigints; the downstream unionByName with the ids frame requires
+    # the types to line up)
+    from pyspark.sql import types as T
+
+    id_type = edges.schema["s"].dataType
+    schema = T.StructType(
+        [T.StructField("n", id_type), T.StructField("lab", id_type)]
     )
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
-def _bsp_min_label(edges: DataFrame, _barrier, max_iters: int) -> DataFrame:
-    n_edges = edges.count()
+def _bsp_min_label(
+    edges: DataFrame, _barrier, max_iters: int, n_edges: int
+) -> DataFrame:
     target = max(1, min(
         edges.sparkSession.sparkContext.defaultParallelism,
         -(-n_edges // 100_000),

@@ -41,6 +41,22 @@ def dot_product(a, b):
     return _fold_dec(F.zip_with(a, b, lambda x, y: (x * y).cast(_DEC)))
 
 
+def _dot_double(a, b):
+    """Plain double-precision dot product (JVM fold, no Arrow
+    round-trip). The FAST path — selection scores, bucket signatures,
+    pre-sifts — where cross-engine bit-exactness is not required; the
+    DECIMAL ``dot_product`` above is the exact path."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, t: s + t
+    )
+
+
+def _norm2_double(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, t: s + t
+    )
+
+
 def norm2(a):
     return F.sqrt(_fold_dec(F.transform(a, lambda x: (x * x).cast(_DEC))))
 
@@ -103,13 +119,9 @@ def cosine_topk_two_phase(
     vector would dwarf the fold it feeds at any scale)."""
     vd = F.col(vec_col).cast("array<double>")
     qd = F.array(*[F.lit(float(x)) for x in query_vec])
-    dot = F.aggregate(
-        F.zip_with(vd, qd, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+    dscore = _dot_double(vd, qd) / F.greatest(
+        F.sqrt(_norm2_double(vd)), F.lit(1e-300)
     )
-    nn = F.aggregate(
-        F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
-    )
-    dscore = dot / F.greatest(F.sqrt(nn), F.lit(1e-300))
     cand = (
         df.select(id_col, *extra_cols, vec_col, dscore.alias("__dscore"))
         .orderBy(F.desc("__dscore"), id_col)
@@ -139,9 +151,7 @@ def bucket_signature(vec_col, planes: list[list[float]]):
     bits = []
     for p, plane in enumerate(planes):
         pl = F.array(*[F.lit(float(x)) for x in plane])
-        d = F.aggregate(
-            F.zip_with(v, pl, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
-        )
+        d = _dot_double(v, pl)
         bits.append(
             F.when(d > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
                 F.lit(0).cast("bigint")
@@ -307,19 +317,15 @@ def embedding_near_pairs(
 
     planes = _hyperplanes(n_planes, dim, seed)
     vd = F.col(vec_col).cast("array<double>")
-    n2d = F.aggregate(
-        F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
-    )
     b = (
         spread_for_compute(df, id_col)
         .withColumn("bucket", bucket_signature(vec_col, planes))
-        .withColumn("__pl", F.struct(vd.alias("v"), n2d.alias("n2")))
+        .withColumn(
+            "__pl", F.struct(vd.alias("v"), _norm2_double(vd).alias("n2"))
+        )
     )
     va, vb = F.col("payload_a.v"), F.col("payload_b.v")
-    ddot = F.aggregate(
-        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
-    )
-    dcos = ddot / F.greatest(
+    dcos = _dot_double(va, vb) / F.greatest(
         F.sqrt(F.col("payload_a.n2") * F.col("payload_b.n2")), F.lit(1e-300)
     )
     return (
