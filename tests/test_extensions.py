@@ -721,3 +721,16 @@ def test_neardup_clusters_restores_prior_checkpoint_dir(spark, tmp_path):
     # checkpoints still land under the CALLER's tree, not cluster_ck
     assert got.isDefined()
     assert "prior_ck" in got.get() and "cluster_ck" not in got.get()
+
+
+def test_approx_distinct_sketch_inside_envelope(spark, sf_dir):
+    """The registry entry only EMITS the within-5% flag; pin the raw
+    HLL++ estimate locally so an engine upgrade that degrades the
+    sketch (or a determinism break) is caught here, not by a driver
+    hash mismatch."""
+    from universal_importer_duckdb_spark import entry_queries as eq
+
+    rows = eq.approx_distinct_customers_monthly(spark, sf_dir).collect()
+    assert rows and all(r.approx_within_budget for r in rows)
+    again = eq.approx_distinct_customers_monthly(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
