@@ -39,30 +39,30 @@ _LEDGER: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
 
+# FIFO bound on tracked frames per session (see scoped_cache docstring)
+_LEDGER_CAP = 256
+
 
 def scoped_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` plus registration in the session's release
     ledger. Use for builder-internal fan-out frames instead of bare
     cache().
 
-    Self-pruning: entries whose cache was already dropped out-of-band
-    (``spark.catalog.clearCache()``, an explicit unpersist) are
-    evicted from the ledger here, so sessions that never call
-    release_scoped — e.g. a bench loop clearing the whole cache
-    between queries — don't accumulate dead py4j plan references on
-    the driver heap."""
+    The ledger is hard-capped at ``_LEDGER_CAP`` entries per session
+    (FIFO): a session that never calls release_scoped — e.g. one
+    relying on ``clearCache()`` between queries — cannot accumulate
+    unbounded py4j plan references on the driver heap. Eviction drops
+    only OUR handle; the JVM-side cache entry (if still live) remains
+    until clearCache/LRU exactly as an untracked ``df.cache()`` would.
+    NOTE deliberately NOT checked per call: ``df.storageLevel``, which
+    looks live-vs-dead up in the CacheManager by canonicalizing the
+    frame's plan — on the big candidate-generation plans that use this
+    module, that costs more than the queries it would save."""
     df = df.cache()
     ledger = _LEDGER.setdefault(df.sparkSession, [])
-    live = []
-    for old in ledger:
-        try:
-            lvl = old.storageLevel
-            if lvl.useMemory or lvl.useDisk:
-                live.append(old)
-        except Exception:
-            pass  # session gone — drop
-    ledger[:] = live
     ledger.append(df)
+    if len(ledger) > _LEDGER_CAP:
+        del ledger[: len(ledger) - _LEDGER_CAP]
     return df
 
 

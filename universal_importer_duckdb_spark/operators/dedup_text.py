@@ -819,14 +819,19 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     out = [(n, find(n)) for n in parent]
     # labels keep the EDGE id type (string URLs cluster as well as
     # bigints; the downstream unionByName with the ids frame requires
-    # the types to line up)
+    # the types to line up). The explicit schema rides the Arrow
+    # fast path via pandas without ever coercing values.
     from pyspark.sql import types as T
 
     id_type = edges.schema["s"].dataType
     schema = T.StructType(
         [T.StructField("n", id_type), T.StructField("lab", id_type)]
     )
-    return edges.sparkSession.createDataFrame(out, schema)
+    if not out:
+        return edges.sparkSession.createDataFrame([], schema)
+    return edges.sparkSession.createDataFrame(
+        pd.DataFrame(out, columns=["n", "lab"]), schema
+    )
 
 
 def _bsp_min_label(

@@ -41,6 +41,7 @@ def validate_dataframe(
     fillna: dict[str, Any] | None = None,
     ingest_ord: str | None = None,
     return_flagged: bool = False,
+    observe_with=None,
 ) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Split ``df`` into (valid, errors) under the compiled schema.
 
@@ -48,6 +49,12 @@ def validate_dataframe(
     declared Spark types (plus ``ingest_ord`` if given). ``errors``
     has the declared columns as read (uncoerced), plus ``row`` and
     ``errors`` columns.
+
+    ``observe_with`` (a ``pyspark.sql.Observation``) plants a metrics
+    node on the flagged frame — ``total`` and ``schema_errors`` become
+    available from the observation after ANY downstream action
+    touches the lineage, costing zero extra passes (the one-action
+    funnel; see plans/pipeline.py compute_summary="observe").
     """
     available = set(df.columns)
     # Missing declared columns become NULL (Pydantic would fail them as
@@ -93,6 +100,12 @@ def validate_dataframe(
         F.when(c.fail, F.lit(f"{c.field}: {c.message}")) for c in schema.constraints
     ]
     flagged = base.withColumn(FLAG_COL, has_err)
+    if observe_with is not None:
+        flagged = flagged.observe(
+            observe_with,
+            F.count(F.lit(1)).alias("total"),
+            F.count_if(F.col(FLAG_COL)).alias("schema_errors"),
+        )
 
     valid = flagged.filter(~F.col(FLAG_COL)).select(
         *[F.col(f.name).try_cast(SPARK_CAST[f.type]).alias(f.name) for f in schema.fields],

@@ -47,6 +47,10 @@ class PipelineResult:
     custom_issues: list[dict[str, Any]] = field(default_factory=list)
     projections: dict[str, DataFrame] = field(default_factory=dict)
     summary: RunSummary | None = None
+    # observe mode: Observation handles planted on the stage lineage
+    # (validate / post-dedup / per-rule); harvested lazily by
+    # finalize_observed_summary after ONE action touches the stage
+    observations: dict[str, Any] = field(default_factory=dict)
 
 
 def run_pipeline(
@@ -71,7 +75,22 @@ def run_pipeline(
     then declares ONE lineage with zero Spark jobs, for callers that
     only consume ``result.stage``/``result.projections`` (the stop
     gate still runs its one count when mode is 'stop').
+
+    ``compute_summary="observe"`` builds the same zero-job single
+    lineage but plants ``Observation`` metric nodes at every funnel
+    boundary (validate, post-dedup, each skip-mode rule). The FIRST
+    action that consumes ``result.stage`` — an export, a count, a
+    downstream aggregation — computes every funnel number as a side
+    effect of its one pass; call :func:`finalize_observed_summary`
+    afterwards to materialize ``result.summary``. At 100 TB this is
+    the difference between the funnel costing one extra full scan per
+    boundary and costing nothing. (Projection counts are not
+    observed: projections are independent fan-out queries; their
+    counts stay with the classic mode or the export path.)
     """
+    observe = compute_summary == "observe"
+    if observe:
+        compute_summary = False
     details = validate_config(config, entity)
     settings = details.get("settings", {})
     schema_cfg = details.get("validations", {}).get("schema", {}).get("fields", {})
@@ -84,8 +103,15 @@ def run_pipeline(
     summary = RunSummary(entity=entity)
 
     ingest = INGEST_ORD if INGEST_ORD in source_df.columns else None
+    obs_val = None
+    if observe:
+        from pyspark.sql import Observation
+
+        obs_val = Observation()
+        result.observations["validate"] = obs_val
     valid, errors, flagged = validate_dataframe(
-        source_df, schema, fillna=fillna, ingest_ord=ingest, return_flagged=True
+        source_df, schema, fillna=fillna, ingest_ord=ingest,
+        return_flagged=True, observe_with=obs_val,
     )
     result.schema_errors = errors
     # Action economy: ONE aggregation pass yields total + error counts
@@ -141,6 +167,14 @@ def run_pipeline(
         # sf0.1 — see operators/dedup.py). dedupe_cascade_keep_only
         # remains the pick for duplicate-heavy kept-only consumers.
         kept, dups = dedupe_cascade(valid, composite_keys, resolution, order)
+        if observe:
+            from pyspark.sql import Observation
+
+            obs_kept = Observation()
+            kept = kept.observe(
+                obs_kept, F.count(F.lit(1)).alias("kept")
+            )
+            result.observations["dedup_kept"] = obs_kept
         if compute_summary:
             # cache the kept side (rules + projections + counts fan out
             # of it); duplicates_removed is derived arithmetically so
@@ -153,7 +187,12 @@ def run_pipeline(
     result.duplicates = dups
 
     kept_count = summary.valid_records - summary.duplicates_removed
-    kept, issues = execute_custom_validations(kept, rules, mode=mode, today=today)
+    rule_obs: list | None = [] if (observe and mode == "skip") else None
+    kept, issues = execute_custom_validations(
+        kept, rules, mode=mode, today=today, observe_invalid=rule_obs
+    )
+    if rule_obs is not None:
+        result.observations["rules"] = rule_obs
     result.custom_issues = issues
     if compute_summary:
         summary.custom_validation_errors = sum(
@@ -191,6 +230,40 @@ def run_pipeline(
             if issue.get("invalid") is not None:
                 save_errors(entity, f"custom_{issue['field']}", _clean(issue["invalid"]), output_dir)
     return result
+
+
+def finalize_observed_summary(result: PipelineResult) -> RunSummary:
+    """Materialize the funnel summary from a ``compute_summary=
+    "observe"`` run. Call AFTER one action has consumed
+    ``result.stage`` (or any frame derived from it) — ``Observation.
+    get`` blocks until its metrics node has been executed, so calling
+    this with no action yet issued will hang rather than guess.
+
+    Every number is a byproduct of that single pass: total/schema
+    errors from the validate node, duplicates from the post-dedup
+    node, per-rule failures from the pre-filter rule nodes. Projection
+    counts are NOT filled (independent fan-out queries — count them
+    where they are exported)."""
+    obs = result.observations
+    if "validate" not in obs:
+        raise ValueError("run_pipeline was not invoked with compute_summary='observe'")
+    summary = RunSummary(entity=result.entity)
+    v = obs["validate"].get
+    summary.total_records = v["total"]
+    summary.schema_errors = v["schema_errors"]
+    valid_records = summary.total_records - summary.schema_errors
+    if "dedup_kept" in obs:
+        summary.duplicates_removed = valid_records - obs["dedup_kept"].get["kept"]
+    else:
+        summary.duplicates_removed = 0
+    summary.custom_validation_errors = sum(
+        ob.get["n_invalid"] for ob in obs.get("rules", [])
+    )
+    summary.valid_records = (
+        valid_records - summary.duplicates_removed - summary.custom_validation_errors
+    )
+    result.summary = summary
+    return summary
 
 
 def main(argv: list[str] | None = None) -> int:
