@@ -4090,6 +4090,335 @@ REGISTRY.update({
 
 
 # ======================================================================
+# CDC / changelog algebra, SCD-2 history, weighted priority sampling,
+# keyword search, Z-order layout codes, certified quantile sketches
+# ======================================================================
+
+# 2024-01-16T00:00:00Z, the midpoint of the events timeline: the
+# snapshot/delta boundary for the incremental-merge entry
+_MERGE_SPLIT_NS = 1_705_363_200 * 1_000_000_000
+
+
+def events_changelog_state(spark, sf_dir):
+    """Changelog compaction to current state: events is an op-typed
+    CDC log over user_id ('error' = delete, anything else upsert);
+    latest (ts, event_id) wins. ONE hash-aggregate (max-struct with
+    map-side partials), not a window sort — the shape that survives a
+    100 TB log. The oracle replays it as the row_number window."""
+    from universal_importer_duckdb_spark.operators.changelog import (
+        changelog_current_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    state = changelog_current_state(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+        payload_cols=["value"],
+    )
+    return state.select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+        "n_versions",
+    )
+
+
+CHANGELOG_STATE_SQL = """
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+  FROM events)
+SELECT user_id, ts_us, event_id, event_type AS last_op,
+       value AS last_value, CAST(n_versions AS BIGINT) AS n_versions
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def events_merge_upsert_state(spark, sf_dir):
+    """Incremental MERGE certification: snapshot the log below the
+    split timestamp, compact the rest into a delta (deletes retained
+    as tombstones), broadcast-MERGE the delta into the snapshot — and
+    the oracle checks the result equals the CURRENT STATE OF THE FULL
+    LOG, i.e. merge(state(log<T), compact(log>=T)) == state(log).
+    That algebra is what lets a 100 TB pipeline apply a day's CDC
+    batch without ever re-reading history; broadcast_delta means the
+    snapshot side never shuffles. (n_versions is not emitted: a
+    snapshot legitimately forgets the version counts of keys it
+    deleted, so only the merged STATE is oracle-comparable; the
+    additive version count is unit-tested.)"""
+    from universal_importer_duckdb_spark.operators.changelog import (
+        changelog_current_state,
+        merge_upsert,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    kw = dict(
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+        payload_cols=["value"],
+    )
+    base = changelog_current_state(ev.filter(F.col("ts") < _MERGE_SPLIT_NS), **kw)
+    delta = changelog_current_state(
+        ev.filter(F.col("ts") >= _MERGE_SPLIT_NS), keep_deletes=True, **kw
+    )
+    merged = merge_upsert(
+        base,
+        delta,
+        ["user_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+        broadcast_delta=True,
+    )
+    return merged.select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, ts_us, event_id, event_type AS last_op, value AS last_value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def events_scd2_history(spark, sf_dir):
+    """SCD type-2 validity intervals over each user's purchase
+    timeline: every purchase holds [its ts, the next purchase's ts),
+    open-ended and flagged current for the latest. One window shuffle
+    partitioned by user."""
+    from universal_importer_duckdb_spark.operators.changelog import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hist = scd2_intervals(
+        ev, ["user_id"], ["ts", "event_id"], payload_cols=["value"]
+    )
+    return hist.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.expr("valid_from DIV 1000").alias("valid_from_us"),
+        F.expr("valid_to DIV 1000").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_id, value,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)) AS valid_to_us,
+       LEAD(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) IS NULL AS is_current
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def docs_priority_sample(spark, sf_dir):
+    """Weighted 100-doc sample by sequential Poisson (priority)
+    sampling, weight = n_chars: deterministic, transcendental-free,
+    replayed bit-exactly by the oracle (the priority is one double
+    division of two exact integers). Top-k is TakeOrderedAndProject —
+    no global sort at any corpus size."""
+    from universal_importer_duckdb_spark.operators.corpus import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return priority_sample(docs, 100, "n_chars").select(
+        "doc_id", "n_chars", "priority"
+    )
+
+
+PRIORITY_SAMPLE_SQL = """
+WITH p AS (
+  SELECT doc_id, n_chars,
+         ('0x'||substr(md5('prio-v1:'||doc_id), 1, 7))::BIGINT / n_chars
+           AS priority
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, priority FROM p ORDER BY priority, doc_id LIMIT 100
+"""
+
+
+def docs_keyword_search_topk(spark, sf_dir):
+    """BM25-family keyword retrieval (rational idf — see search.py:
+    log-free so every arithmetic step is an IEEE op both engines
+    execute identically) for the query {hash, join, stream}: one
+    narrow tf/doclen map, one broadcast one-row corpus-stats
+    aggregate, TakeOrderedAndProject top-20."""
+    from universal_importer_duckdb_spark.operators.search import keyword_search_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_search_topk(docs, ("hash", "join", "stream"), k=20)
+
+
+def _bm25_term_sql(t: str) -> str:
+    ln = ("(1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *"
+          " ((doclen * n_docs) / sum_len)))")
+    return (
+        f"(((n_docs - df_{t}) + 0.5::DOUBLE) / (df_{t} + 0.5::DOUBLE))"
+        f" * (tf_{t} * 2.2::DOUBLE) / (tf_{t} + {ln})"
+    )
+
+
+KEYWORD_SEARCH_SQL = f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'hash')) AS BIGINT) AS tf_hash,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'join')) AS BIGINT) AS tf_join,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'stream')) AS BIGINT) AS tf_stream,
+         CAST(len(string_split(lower(coalesce(text,'')), ' ')) AS BIGINT)
+           AS doclen
+  FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(doclen) AS BIGINT) AS sum_len,
+         CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_hash,
+         CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_join,
+         CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_stream
+  FROM tf)
+SELECT doc_id, tf_hash, tf_join, tf_stream,
+       {_bm25_term_sql('hash')}
+     + {_bm25_term_sql('join')}
+     + {_bm25_term_sql('stream')} AS score
+FROM tf CROSS JOIN st
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def orders_zorder_codes(spark, sf_dir):
+    """Z-order layout codes: Morton-interleave customer key and order
+    day so range-partitioning on the code yields files with tight
+    min/max stats on BOTH dimensions (multi-dim data skipping — the
+    100 TB scan-pruning lever). Pure integer shift/mask arithmetic,
+    whole-stage codegen, bit-identical in the oracle."""
+    from universal_importer_duckdb_spark.operators.layout import morton_code
+
+    orders = _t(spark, sf_dir, "orders")
+    zx = F.col("o_custkey").bitwiseAND(F.lit(65535)).cast("bigint")
+    zy = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .bitwiseAND(F.lit(65535).cast("bigint"))
+    )
+    base = orders.select(
+        "o_orderkey", zx.alias("zx"), zy.alias("zy")
+    )
+    return base.select(
+        "o_orderkey", "zx", "zy", morton_code("zx", "zy").alias("zcode")
+    )
+
+
+def _zorder_sql() -> str:
+    from universal_importer_duckdb_spark.operators.layout import morton_code_sql
+
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         (o_custkey & 65535) AS zx,
+         (date_diff('day', DATE '1992-01-01', o_orderdate::DATE) & 65535)
+           AS zy
+  FROM orders)
+SELECT o_orderkey, zx, zy, {morton_code_sql('zx', 'zy')} AS zcode FROM base
+"""
+
+
+def orders_quantile_envelope(spark, sf_dir):
+    """Grouped quantiles with a CERTIFIED sketch envelope — the
+    100 TB quantile path (same contract as the HLL++ entry): the
+    emitted p50/p90 are EXACT order statistics (rank = ceil(q*n) via
+    one window pass — the verifiable baseline), and the within-budget
+    flags compare Spark's mergeable GK sketch (percentile_approx,
+    accuracy 1000, map-side partials + one tiny shuffle — the shape
+    you'd actually run at scale) against them. The oracle recomputes
+    the exact order stats and asserts the envelope as a literal, so a
+    sketch drifting out of its ±5% budget fails the hash check."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    r = (
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wc).cast("bigint"))
+    )
+    exact = r.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("o_totalprice"))
+        ).alias("p50_exact"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("o_totalprice"))
+        ).alias("p90_exact"),
+    )
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("__a50"),
+        F.percentile_approx("o_totalprice", 0.9, 1000).alias("__a90"),
+    )
+    return exact.join(approx, "o_orderpriority").select(
+        "o_orderpriority",
+        "p50_exact",
+        "p90_exact",
+        (F.abs(F.col("__a50") - F.col("p50_exact")) <= F.col("p50_exact") * 0.05)
+        .alias("p50_within_budget"),
+        (F.abs(F.col("__a90") - F.col("p90_exact")) <= F.col("p90_exact") * 0.05)
+        .alias("p90_within_budget"),
+    )
+
+
+QUANTILE_ENVELOPE_SQL = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders)
+SELECT o_orderpriority,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                THEN o_totalprice END) AS p50_exact,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                THEN o_totalprice END) AS p90_exact,
+       TRUE AS p50_within_budget, TRUE AS p90_within_budget
+FROM r GROUP BY o_orderpriority
+"""
+
+
+REGISTRY.update({
+    "events_changelog_state": (events_changelog_state, CHANGELOG_STATE_SQL),
+    "events_merge_upsert_state": (events_merge_upsert_state, MERGE_UPSERT_SQL),
+    "events_scd2_history": (events_scd2_history, SCD2_SQL),
+    "docs_priority_sample": (docs_priority_sample, PRIORITY_SAMPLE_SQL),
+    "docs_keyword_search_topk": (docs_keyword_search_topk, KEYWORD_SEARCH_SQL),
+    "orders_zorder_codes": (orders_zorder_codes, _zorder_sql()),
+    "orders_quantile_envelope": (
+        orders_quantile_envelope, QUANTILE_ENVELOPE_SQL,
+    ),
+})
+
+
+# ======================================================================
 # Registry finalization: rotate driver-coverage through the window
 # ======================================================================
 # The driver's correctness gate checks a fixed-size (50) prefix of the
@@ -4132,19 +4461,27 @@ _R5_WINDOW = (
     "rule_age_gte_skip_orders", "rule_age_gte_invalid_orders",
     "pipeline_flagship",
     "pipeline_summary_lineitem",
-    "events_sessionization", "events_json_extract",
+    "events_sessionization",
     "docs_fingerprint_exact_dedup", "docs_ngram_topk_similar",
     "docs_quality_scores", "docs_language_id", "emb_cosine_topk",
     "docs_quality_filter_ids",
     "events_dedup_first_by_key", "docs_corpus_prep",
-    "docs_rolling_sketch", "emb_near_dup_pairs",
+    "emb_near_dup_pairs",
     "stream_tumbling_hourly", "stream_dedup_within_watermark",
-    "stream_simhash_neardup_dedup", "stream_sliding_halfhour",
-    "stream_session_windows", "stream_running_user_stats",
+    "stream_simhash_neardup_dedup",
+    "stream_session_windows",
     "stream_click_purchase_join",
-    "q12_priority_shipmode",
-    "rolling_customer_spend",
-    "q9_profit_by_nation_year", "emb_ivf_topk",
+    "emb_ivf_topk",
+    # session-2 round-5 additions — never driver-checked, take window
+    # slots ahead of recency re-confirmation (the demoted seven —
+    # events_json_extract, docs_rolling_sketch, q12, q9,
+    # rolling_customer_spend, stream_sliding_halfhour,
+    # stream_running_user_stats — are r1-r4 green, unchanged, and
+    # locally re-verified in tests/test_oracle_parity.py this session)
+    "events_changelog_state", "events_merge_upsert_state",
+    "events_scd2_history", "docs_priority_sample",
+    "docs_keyword_search_topk", "orders_zorder_codes",
+    "orders_quantile_envelope",
     # brand-new round-5 entries — never driver-checked, take priority
     # (q6/q18/like_filter/sql_passthrough demoted to r6: q6+q18 run in
     # every bench, the other two are trivial projections, all r1-r3

@@ -283,6 +283,40 @@ def stratified_hash_sample(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "prio-v1",
+) -> DataFrame:
+    """Weighted k-row sample without replacement — sequential Poisson
+    (priority) sampling (Ohlsson '98): each row draws a deterministic
+    uniform u from the seeded 28-bit md5 of its id and gets priority
+    u/weight; the k SMALLEST priorities win, so a row's inclusion
+    probability is ~proportional to its weight. The workhorse for
+    weight-aware corpus subsampling (weight = token count, quality
+    score, domain multiplier...) with the same determinism contract as
+    hash_split: membership is a pure function of (salt, id, weight),
+    stable under re-runs and re-partitioning, and a new row displaces
+    at most one old one.
+
+    The priority is ONE double division of two exact integers, so it
+    replays bit-identically in the SQL oracle — no pow/log (classic
+    A-ES uses u^(1/w); the Ohlsson variant is transcendental-free,
+    which is why it's the one used here). Top-k is
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    u = _md5_28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = F.col(weight_col).cast("bigint")
+    pri = (u / w).alias("priority")
+    return (
+        df.filter(w > 0)
+        .select("*", pri)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
 def pack_token_sequences(
     chunks: DataFrame,
     seq_len: int = 2048,

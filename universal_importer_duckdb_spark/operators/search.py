@@ -1,0 +1,99 @@
+"""Corpus keyword search: BM25-family relevance scoring as pure
+column expressions — the retrieval side of a training-data pipeline
+(mining domain-relevant documents from a 100 TB corpus by keyword,
+the lexical complement of the embedding ANN path in similarity.py).
+
+Cross-engine determinism: the classic BM25 idf is ln((N-df+0.5)/
+(df+0.5)+1); ln() is a libm call whose last-ulp behavior differs
+between the JVM and DuckDB, so the oracle-checked scorer uses the
+RATIONAL idf (N-df+0.5)/(df+0.5) — the same odds ratio without the
+log. The log is monotone, so per-term orderings are identical; with
+multiple terms the weighting between rare and common terms shifts
+(rare terms count relatively more than in log-idf BM25), which is
+acceptable for corpus mining and makes every arithmetic step an IEEE
+operation both engines execute identically (each division/multiply
+has exactly-representable or identically-parsed operands, and the
+term sum folds in fixed written order).
+
+Scale shape: one narrow map computes per-doc term frequencies and
+length, one tiny all-up aggregate (n_docs, total length, per-term
+document frequencies) broadcasts back as a one-row frame, and the
+top-k is TakeOrderedAndProject — no global sort, no shuffle of the
+corpus. The per-term tf comes from a single tokenization shared by
+all terms.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["keyword_search_topk"]
+
+
+def keyword_search_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25 with
+    rational idf (see module docstring). Emits the per-term term
+    frequencies (``tf_<term>``) and the summed ``score``; ties break
+    on ``id_col`` so the cut at rank k is deterministic.
+
+    ``1 - b`` must be exactly representable for the bit-exact oracle
+    replay, which holds for the default b=0.75 (0.25); other values
+    still rank correctly but the SQL literal must be written as the
+    same double."""
+    if not terms:
+        raise ValueError("need at least one query term")
+    one_minus_b = 1.0 - b
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    tf_cols = [
+        F.size(F.filter(toks, (lambda t: (lambda w: w == F.lit(t)))(term)))
+        .cast("bigint")
+        .alias(f"tf_{term}")
+        for term in terms
+    ]
+    per_doc = df.select(
+        F.col(id_col), *tf_cols, F.size(toks).cast("bigint").alias("doclen")
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doclen").cast("bigint").alias("sum_len"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    # identical op tree to the SQL oracle: every step is a single IEEE
+    # op on identically-valued operands
+    len_norm = F.lit(k1) * (
+        F.lit(one_minus_b)
+        + F.lit(b) * ((F.col("doclen") * F.col("n_docs")) / F.col("sum_len"))
+    )
+    score = None
+    for t in terms:
+        idf = ((F.col("n_docs") - F.col(f"df_{t}")) + F.lit(0.5)) / (
+            F.col(f"df_{t}") + F.lit(0.5)
+        )
+        part = idf * (F.col(f"tf_{t}") * F.lit(k1 + 1.0)) / (
+            F.col(f"tf_{t}") + len_norm
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select(
+            F.col(id_col), *[f"tf_{t}" for t in terms], score.alias("score")
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
