@@ -101,6 +101,70 @@ def test_merge_upsert_schema_mismatch_raises(spark):
         merge_upsert(base, delta, ["k"])
 
 
+def test_incremental_state_is_batch_split_independent(spark, tmp_path):
+    """The streaming upsert must converge to the batch answer no
+    matter how the log is split into micro-batches — including splits
+    that interleave each key's timeline across batches (out-of-order
+    arrival), which exercises the seq-aware merge + tombstone path."""
+    from universal_importer_duckdb_spark.streaming.upsert import incremental_state
+
+    rows = [
+        # (eid, k, seq, op, v) — key 1 updated across all three
+        # shards; key 2's delete lands in a different shard than its
+        # insert; key 3 is deleted then re-inserted later
+        (0, 1, 10, "insert", 1.0),
+        (1, 1, 20, "update", 2.0),
+        (2, 1, 30, "update", 3.0),
+        (3, 2, 10, "insert", 20.0),
+        (4, 2, 40, "delete", None),
+        (5, 3, 10, "insert", 30.0),
+        (6, 3, 20, "delete", None),
+        (7, 3, 50, "insert", 31.0),
+        (8, 4, 15, "insert", 40.0),
+    ]
+    schema = "eid bigint, k bigint, seq bigint, op string, v double"
+    log = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "log")
+    # shard by eid % 3: every shard mixes early and late rows
+    for shard in range(3):
+        log.filter(F.col("eid") % 3 == shard).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = incremental_state(
+        stream, ["k"], ["seq", "eid"], op_col="op", payload_cols=["v"]
+    )
+    got = {r.k: (r.seq, r.op, r.v, r.n_versions) for r in state.collect()}
+    expected = changelog_current_state(
+        log, ["k"], ["seq", "eid"], op_col="op", payload_cols=["v"]
+    )
+    exp = {r.k: (r.seq, r.op, r.v, r.n_versions) for r in expected.collect()}
+    assert got == exp
+    assert set(got) == {1, 3, 4}  # key 2 deleted; key 3 resurrected
+
+
+def test_merge_upsert_seq_aware_ignores_stale_delta(spark):
+    base = spark.createDataFrame(
+        [(1, 20, "update", 2.0, 2)], "k bigint, seq bigint, op string, v double, n_versions bigint"
+    )
+    stale = spark.createDataFrame(
+        [(1, 10, "update", 1.0, 1)], "k bigint, seq bigint, op string, v double, n_versions bigint"
+    )
+    for bcast in (False, True):
+        out = merge_upsert(
+            base, stale, ["k"], op_col="op", seq_cols=["seq"],
+            broadcast_delta=bcast,
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # stale delta loses on value but still counts toward versions
+        assert (r.seq, r.v, r.n_versions) == (20, 2.0, 3)
+
+
 def test_scd2_intervals_chain(spark):
     log = _log(spark).filter(F.col("k") == 3)
     out = scd2_intervals(log, ["k"], ["seq", "op"], payload_cols=["v"])

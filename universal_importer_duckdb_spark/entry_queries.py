@@ -4230,6 +4230,41 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def stream_incremental_upsert_state(spark, sf_dir):
+    """Streaming CDC upsert: drain the event stream through per-batch
+    compaction + seq-aware broadcast MERGE (streaming/upsert.py) and
+    emit the final current state. Batch-split-independent by
+    construction (last-write-wins on (ts, event_id) with tombstone
+    retention), so the oracle is simply the batch current state of
+    the full log."""
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.upsert import incremental_state
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("event_time")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    state = incremental_state(
+        stream,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+        payload_cols=["value"],
+    )
+    return state.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def docs_priority_sample(spark, sf_dir):
     """Weighted 100-doc sample by sequential Poisson (priority)
     sampling, weight = n_chars: deterministic, transcendental-free,
@@ -4409,6 +4444,11 @@ REGISTRY.update({
     "events_changelog_state": (events_changelog_state, CHANGELOG_STATE_SQL),
     "events_merge_upsert_state": (events_merge_upsert_state, MERGE_UPSERT_SQL),
     "events_scd2_history": (events_scd2_history, SCD2_SQL),
+    # the streaming upsert converges to the same state as the batch
+    # merge — they share the full-log-state oracle
+    "stream_incremental_upsert_state": (
+        stream_incremental_upsert_state, MERGE_UPSERT_SQL,
+    ),
     "docs_priority_sample": (docs_priority_sample, PRIORITY_SAMPLE_SQL),
     "docs_keyword_search_topk": (docs_keyword_search_topk, KEYWORD_SEARCH_SQL),
     "orders_zorder_codes": (orders_zorder_codes, _zorder_sql()),
@@ -4467,17 +4507,19 @@ _R5_WINDOW = (
     "docs_quality_filter_ids",
     "events_dedup_first_by_key", "docs_corpus_prep",
     "emb_near_dup_pairs",
-    "stream_tumbling_hourly", "stream_dedup_within_watermark",
+    "stream_dedup_within_watermark",
     "stream_simhash_neardup_dedup",
     "stream_session_windows",
     "stream_click_purchase_join",
     "emb_ivf_topk",
+    "stream_incremental_upsert_state",
     # session-2 round-5 additions — never driver-checked, take window
-    # slots ahead of recency re-confirmation (the demoted seven —
+    # slots ahead of recency re-confirmation (the demoted eight —
     # events_json_extract, docs_rolling_sketch, q12, q9,
     # rolling_customer_spend, stream_sliding_halfhour,
-    # stream_running_user_stats — are r1-r4 green, unchanged, and
-    # locally re-verified in tests/test_oracle_parity.py this session)
+    # stream_running_user_stats, stream_tumbling_hourly — are r1-r4
+    # green, unchanged, and locally re-verified in
+    # tests/test_oracle_parity.py this session)
     "events_changelog_state", "events_merge_upsert_state",
     "events_scd2_history", "docs_priority_sample",
     "docs_keyword_search_topk", "orders_zorder_codes",

@@ -83,6 +83,8 @@ def merge_upsert(
     delete_ops: tuple[str, ...] = ("delete",),
     version_col: str = "n_versions",
     broadcast_delta: bool = False,
+    seq_cols: Sequence[str] | None = None,
+    retain_tombstones: bool = False,
 ) -> DataFrame:
     """MERGE a compacted delta (one row per key, deletes RETAINED —
     ``changelog_current_state(..., keep_deletes=True)``) into a
@@ -91,6 +93,17 @@ def merge_upsert(
     incremental-compaction law the oracle checks:
 
         merge(state(log < T), compact(log >= T)) == state(log)
+
+    By default the delta is assumed NEWER than the snapshot (the
+    in-order CDC batch case) and wins unconditionally. When batches
+    can arrive OUT OF ORDER (a replayed backlog, a multi-source log),
+    pass ``seq_cols``: the row with the greater sequence tuple wins,
+    so merging is commutative up to the final state. Out-of-order
+    deletion needs tombstone retention to be correct — with
+    ``retain_tombstones=True`` deleted keys stay in the output as
+    op-tagged tombstones (so a late pre-delete update compares against
+    the tombstone's sequence and loses instead of resurrecting the
+    key); filter them when projecting the final state.
 
     With ``broadcast_delta=False``: one full-outer equi-join on the
     key (both sides shuffle — the general case for deltas too big to
@@ -113,7 +126,7 @@ def merge_upsert(
             f"merge_upsert schema mismatch: {base.columns} vs {delta.columns}"
         )
 
-    def merged_cols(has_delta):
+    def merged_cols(d_wins):
         out_cols: list = list(key_cols)
         for c in data_cols:
             if c == version_col:
@@ -125,15 +138,32 @@ def merge_upsert(
                 )
             else:
                 out_cols.append(
-                    F.when(has_delta, F.col(f"__d_{c}"))
+                    F.when(d_wins, F.col(f"__d_{c}"))
                     .otherwise(F.col(f"__b_{c}"))
                     .alias(c)
                 )
         return out_cols
 
+    def delta_wins():
+        has_delta = F.col(f"__d_{op_col}").isNotNull()
+        if seq_cols is None:
+            return has_delta
+        has_base = F.col(f"__b_{op_col}").isNotNull()
+        d_seq = F.struct(*[F.col(f"__d_{c}") for c in seq_cols])
+        b_seq = F.struct(*[F.col(f"__b_{c}") for c in seq_cols])
+        return has_delta & (~has_base | (d_seq > b_seq))
+
     b_cols = [F.col(f"b.{c}").alias(f"__b_{c}") for c in data_cols]
     d_cols = [F.col(f"d.{c}").alias(f"__d_{c}") for c in data_cols]
     is_deleted = lambda col: col.isin(list(delete_ops))  # noqa: E731
+
+    def drop_tombstones(joined, d_wins):
+        if retain_tombstones:
+            return joined
+        winning_op = F.when(d_wins, F.col(f"__d_{op_col}")).otherwise(
+            F.col(f"__b_{op_col}")
+        )
+        return joined.filter(~is_deleted(winning_op))
 
     if not broadcast_delta:
         joined = (
@@ -141,9 +171,8 @@ def merge_upsert(
             .join(delta.alias("d"), list(key_cols), "full_outer")
             .select(*key_cols, *b_cols, *d_cols)
         )
-        has_delta = F.col(f"__d_{op_col}").isNotNull()
-        merged = joined.filter(~(has_delta & is_deleted(F.col(f"__d_{op_col}"))))
-        return merged.select(*merged_cols(has_delta))
+        d_wins = delta_wins()
+        return drop_tombstones(joined, d_wins).select(*merged_cols(d_wins))
 
     keys = list(key_cols)
     joined = (
@@ -151,25 +180,22 @@ def merge_upsert(
         .join(F.broadcast(delta.alias("d")), keys, "left_outer")
         .select(*keys, *b_cols, *d_cols)
     )
-    has_delta = F.col(f"__d_{op_col}").isNotNull()
-    updated = joined.filter(
-        ~(has_delta & is_deleted(F.col(f"__d_{op_col}")))
-    ).select(*merged_cols(has_delta))
+    d_wins = delta_wins()
+    updated = drop_tombstones(joined, d_wins).select(*merged_cols(d_wins))
     # keys present in BOTH sides: ≤ |delta| rows, so everything after
     # the column-pruned base scan is broadcast-sized
     matched = base.select(*keys).join(
         F.broadcast(delta.select(*keys)), keys, "left_semi"
     )
-    fresh = (
-        delta.join(F.broadcast(matched), keys, "left_anti")
-        .filter(~is_deleted(F.col(op_col)))
-        .select(
-            *keys,
-            *[
-                F.col(c).cast("bigint").alias(c) if c == version_col else F.col(c)
-                for c in data_cols
-            ],
-        )
+    fresh = delta.join(F.broadcast(matched), keys, "left_anti")
+    if not retain_tombstones:
+        fresh = fresh.filter(~is_deleted(F.col(op_col)))
+    fresh = fresh.select(
+        *keys,
+        *[
+            F.col(c).cast("bigint").alias(c) if c == version_col else F.col(c)
+            for c in data_cols
+        ],
     )
     return updated.unionByName(fresh)
 
