@@ -106,8 +106,18 @@ def word_ngrams_hashed(
 ) -> DataFrame:
     """(id, hashed word n-gram) pairs, distinct per doc. md5-derived
     28-bit hashes — 8 bytes shuffled per gram, never the text, and
-    bit-reproducible in DuckDB SQL."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    bit-reproducible in DuckDB SQL.
+
+    The token array is materialized as its own column BEFORE the
+    per-gram lambda: Spark's subexpression elimination does not reach
+    inside higher-order-function lambdas, so a split() captured in
+    the lambda closure re-tokenizes the document once per gram —
+    O(tokens²) per doc."""
+    base = frame.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("__wng_toks"),
+    )
+    toks = F.col("__wng_toks")
     # guard the short-doc case explicitly: F.sequence(1, 0) yields a
     # DESCENDING [1, 0] (phantom grams), not the empty list
     idx = F.when(
@@ -116,7 +126,7 @@ def word_ngrams_hashed(
     g = F.transform(
         idx, lambda i: _md5_28(F.array_join(F.slice(toks, i, n), " "))
     )
-    return frame.select(
+    return base.select(
         F.col(id_col), F.explode(F.array_distinct(g)).alias(out)
     )
 

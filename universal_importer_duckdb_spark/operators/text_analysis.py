@@ -113,7 +113,9 @@ def quality_filter(
     return scored.filter(ok), scored.filter(~ok)
 
 
-def rolling_fingerprint(col, window: int = 8, k: int = 4, hasher=None) -> Column:
+def rolling_fingerprint(
+    col, window: int = 8, k: int = 4, hasher=None, tokenized: bool = False
+) -> Column:
     """Winnowing-style document sketch: the k smallest hash values over
     rolling token windows — robust to local edits (a bounded edit
     disturbs at most ``window`` of the hashes), unlike whole-text md5.
@@ -122,9 +124,18 @@ def rolling_fingerprint(col, window: int = 8, k: int = 4, hasher=None) -> Column
     ``hasher`` defaults to ``F.xxhash64`` (fastest, JVM-native); pass
     ``F.md5`` for a cross-engine-reproducible sketch (md5 hex strings
     sort identically in any engine — used by the oracle-checked query
-    form)."""
+    form).
+
+    ``tokenized=True`` means ``col`` is already a token ARRAY column.
+    Callers should pre-materialize the split when they can (see
+    content_fingerprints): the window lambda below captures ``toks``,
+    and lambda closures are outside subexpression elimination, so a
+    split() expression here would re-tokenize once per window."""
     hasher = hasher or F.xxhash64
-    toks = tokens(col)
+    if tokenized:
+        toks = F.col(col) if isinstance(col, str) else col
+    else:
+        toks = tokens(col)
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0)))
     win_hashes = F.transform(
@@ -146,11 +157,15 @@ def content_fingerprints(
     array columns) and reproducible bit-exactly in other engines."""
     if portable:
         sketch = F.array_join(
-            rolling_fingerprint(text_col, hasher=F.md5), ","
+            rolling_fingerprint("__rf_toks", hasher=F.md5, tokenized=True), ","
         ).alias("rolling_sketch")
     else:
-        sketch = rolling_fingerprint(text_col).alias("rolling_fingerprint")
+        sketch = rolling_fingerprint("__rf_toks", tokenized=True).alias(
+            "rolling_fingerprint"
+        )
     return df.select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("__rf_toks")
+    ).select(
         F.col(id_col),
         F.md5(F.lower(F.col(text_col))).alias("md5_fingerprint"),
         sketch,
@@ -343,13 +358,18 @@ def char_ngram_familiarity(
     driver collect.
 
     Returns (id, n_distinct_grams, familiarity ∈ [0,1])."""
-    c = F.lower(F.col(text_col))
+    # materialize lower(text) before the per-gram lambda — lambda
+    # closures sit outside subexpression elimination, so capturing the
+    # lower() expression would re-lowercase the doc once per gram
+    c = F.col("__lc")
     # guard short docs: F.sequence(1, 0) yields DESCENDING [1, 0]
     idx = F.when(
         F.length(c) >= n, F.sequence(F.lit(1), F.length(c) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     grams = F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
-    doc_grams = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    doc_grams = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__lc")
+    ).select(F.col(id_col), F.explode(grams).alias("__g"))
     gram_df = doc_grams.groupBy("__g").agg(
         F.count(F.lit(1)).alias("__df")
     )
@@ -402,7 +422,10 @@ def repetition_signals(
     adjacent-repeat count is a narrow per-row filter over token
     positions. The only division happens once per doc on two exact
     integers, so results are bit-identical cross-engine."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    # materialize the token array before the per-position lambdas —
+    # lambda closures sit outside subexpression elimination, so
+    # capturing the split() expression would re-tokenize per position
+    toks = F.col("__rs_toks")
     nt = F.size(toks)
     # bigram list; guard short docs (F.sequence(1, 0) is DESCENDING)
     idx = F.when(nt >= 2, F.sequence(F.lit(1), nt - 1)).otherwise(
@@ -413,6 +436,9 @@ def repetition_signals(
     )
     adj = F.size(F.filter(idx, lambda i: F.element_at(toks, i) == F.element_at(toks, i + 1)))
     base = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("__rs_toks"),
+    ).select(
         F.col(id_col),
         F.explode_outer(F.transform(idx, bigram)).alias("__bg"),
         adj.alias("__adj"),
