@@ -55,6 +55,13 @@ BENCH_QUERIES = [
     "docs_hash_split",
     "docs_char_trigram_familiarity",
     "emb_semdedup_clusters",
+    "events_changelog_state",
+    "events_merge_upsert_state",
+    "events_scd2_history",
+    "docs_priority_sample",
+    "docs_keyword_search_topk",
+    "orders_zorder_codes",
+    "orders_quantile_envelope",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

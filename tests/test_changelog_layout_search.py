@@ -273,3 +273,27 @@ def test_keyword_search_requires_terms(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         keyword_search_topk(docs, ())
+
+
+def test_profile_table_stats_and_render(spark):
+    from universal_importer_duckdb_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.5), (2, None, 2.25), (3, "a", None)],
+        "id bigint, s string, x double",
+    )
+    out = {
+        r.column: r
+        for r in profile_table(df, render={"x": "decimal(6,2)"}).collect()
+    }
+    assert set(out) == {"id", "s", "x"}
+    assert all(r.n_rows == 3 for r in out.values())
+    assert (out["s"].n_nulls, out["s"].n_distinct) == (1, 1)
+    assert (out["x"].n_nulls, out["x"].n_distinct) == (1, 2)
+    assert (out["x"].min_value, out["x"].max_value) == ("2.25", "10.50")
+    assert (out["id"].min_value, out["id"].max_value) == ("1", "3")
+    # sketch mode keeps the same shape (values approximate)
+    approx = {
+        r.column: r for r in profile_table(df, exact_distinct=False).collect()
+    }
+    assert approx["id"].n_distinct >= 2
