@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "docs_keyword_search_topk",
     "orders_zorder_codes",
     "orders_quantile_envelope",
+    "part_fuzzy_matches",
+    "events_resample_interpolate",
+    "events_robust_outliers",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -4481,7 +4481,142 @@ ORDERS_PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def part_fuzzy_matches(spark, sf_dir):
+    """Fuzzy entity resolution on part names (blocking + edit-distance
+    verify — operators/linkage.py): rows collapse to DISTINCT names
+    (one hash-agg), a last-token blocking key bounds pair generation to
+    within-block self-joins over the distinct frame (never rows², with
+    a hard max_block_size guard), and the JVM levenshtein verify runs
+    on candidates only. DuckDB's levenshtein has identical semantics,
+    so the whole block→pair→verify pipeline replays in the oracle."""
+    from universal_importer_duckdb_spark.operators.linkage import (
+        fuzzy_match_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_match_pairs(
+        part, text_col="p_name", id_col="p_partkey", max_distance=3
+    )
+
+
+FUZZY_MATCH_SQL = """
+WITH d AS (
+  SELECT p_name AS name,
+         CAST(MIN(p_partkey) AS BIGINT) AS rep_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         list_extract(string_split(p_name, ' '), -1) AS blk
+  FROM part GROUP BY p_name)
+SELECT a.name AS name_a, a.rep_id AS id_a, a.n_rows AS n_a,
+       b.name AS name_b, b.rep_id AS id_b, b.n_rows AS n_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+"""
+
+
+def events_resample_interpolate(spark, sf_dir):
+    """Time-series resample + gap fill (operators/temporal.py): hourly
+    buckets per event_type, empty buckets inside each type's observed
+    span filled by linear interpolation between neighboring observed
+    means. Per-bucket sums run in scaled int64 (exact under any
+    partitioning); the mean and interpolation are the IDENTICAL double
+    expression on both engines, so the raw doubles hash-match without
+    rounding."""
+    from universal_importer_duckdb_spark.operators.temporal import (
+        resample_interpolate,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return resample_interpolate(
+        events,
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        bucket_ns=3_600_000_000_000,
+        round_digits=None,
+    )
+
+
+RESAMPLE_SQL = """
+WITH obs AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS sv
+  FROM events GROUP BY 1, 2),
+m AS (SELECT *, (sv / 100.0) / n_events AS mean FROM obs),
+span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+         FROM obs GROUP BY 1),
+grid AS (SELECT event_type, UNNEST(generate_series(lo, hi)) AS bucket
+         FROM span),
+j AS (SELECT g.event_type, g.bucket, m.n_events, m.mean
+      FROM grid g LEFT JOIN m
+        ON g.event_type = m.event_type AND g.bucket = m.bucket),
+w AS (SELECT event_type, bucket, n_events, mean,
+        LAST_VALUE(CASE WHEN n_events IS NOT NULL
+                        THEN struct_pack(b := bucket, mn := mean) END
+                   IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        FIRST_VALUE(CASE WHEN n_events IS NOT NULL
+                         THEN struct_pack(b := bucket, mn := mean) END
+                    IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS q
+      FROM j)
+SELECT event_type, bucket,
+       COALESCE(n_events, 0) AS n_events,
+       CASE WHEN n_events IS NOT NULL THEN mean
+            ELSE p.mn + ((q.mn - p.mn) * (bucket - p.b)) / (q.b - p.b)
+       END AS mean_value,
+       n_events IS NULL AS interpolated
+FROM w
+"""
+
+
+def events_robust_outliers(spark, sf_dir):
+    """Per-type median/MAD outlier screen (operators/anomaly.py): the
+    |v - median| > 3.5*MAD robust-z rule evaluated ENTIRELY in exact
+    integer arithmetic (doubled scaled medians are exact integers on
+    both engines — see the module docstring), so counts and flags are
+    bit-identical under any partitioning. Two holistic aggregation
+    passes + broadcast joins of the tiny group-stat frames."""
+    from universal_importer_duckdb_spark.operators.anomaly import (
+        robust_outlier_summary,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return robust_outlier_summary(
+        events, group_col="event_type", value_col="value"
+    )
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH s AS (SELECT event_type AS grp,
+                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+m AS (SELECT grp, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS med2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s GROUP BY grp),
+d AS (SELECT s.grp, m.n, m.med2, ABS(2 * s.v - m.med2) AS dev2
+      FROM s JOIN m ON s.grp = m.grp),
+md AS (SELECT grp, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad2
+       FROM d GROUP BY grp)
+SELECT d.grp AS event_type, d.n,
+       d.med2 / 200.0 AS median_value,
+       md.mad2 / 400.0 AS mad,
+       CAST(SUM(CASE WHEN 4 * d.dev2 > 7 * md.mad2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       MAX(d.dev2) / 200.0 AS max_abs_dev
+FROM d JOIN md ON d.grp = md.grp
+GROUP BY d.grp, d.n, d.med2, md.mad2
+"""
+
+
 REGISTRY.update({
+    "part_fuzzy_matches": (part_fuzzy_matches, FUZZY_MATCH_SQL),
+    "events_resample_interpolate": (
+        events_resample_interpolate, RESAMPLE_SQL,
+    ),
+    "events_robust_outliers": (events_robust_outliers, ROBUST_OUTLIERS_SQL),
     "orders_data_profile": (orders_data_profile, ORDERS_PROFILE_SQL),
     "events_changelog_state": (events_changelog_state, CHANGELOG_STATE_SQL),
     "events_merge_upsert_state": (events_merge_upsert_state, MERGE_UPSERT_SQL),
@@ -4545,9 +4680,15 @@ _R5_WINDOW = (
     "pipeline_summary_lineitem",
     "events_sessionization",
     "docs_fingerprint_exact_dedup", "docs_ngram_topk_similar",
-    "docs_quality_scores", "docs_language_id", "emb_cosine_topk",
-    "docs_quality_filter_ids",
+    "emb_cosine_topk",
     "events_dedup_first_by_key",
+    # session-3 round-5 additions — never driver-checked, take window
+    # slots ahead of recency (docs_quality_scores / docs_language_id /
+    # docs_quality_filter_ids demoted to r6: r1-r3 green, trivial
+    # narrow maps over the same signals, locally re-verified in
+    # tests/test_oracle_parity.py this session)
+    "part_fuzzy_matches", "events_resample_interpolate",
+    "events_robust_outliers",
     # (docs_corpus_prep demoted with the eight below — r1-r3 green,
     # a composition of separately-checked ops — to make room for
     # orders_data_profile, which has never been driver-checked)

@@ -105,6 +105,108 @@ def asof_join(
     return out.withColumnsRenamed(renames)
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_ns: int = 3_600_000_000_000,
+    value_scale: int = 100,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Time-series resample + gap fill (the hypertable `time_bucket` +
+    `locf`/interpolate rollup, distributed): bucket events per key,
+    then fill EMPTY buckets between the first and last observation of
+    each key by linear interpolation between the neighboring observed
+    bucket means.
+
+    Output: (key, bucket, n_events, mean_value, interpolated) — one
+    row per bucket in each key's observed span, n_events = 0 and
+    interpolated = true for filled gaps.
+
+    Cross-engine determinism: per-bucket sums run in the scaled-int64
+    domain (``value_scale`` implied decimals, exact under any
+    partitioning); the mean and the interpolation are then IDENTICAL
+    double expressions on both engines (same operands, same
+    parenthesization → same IEEE-754 bits); ``round_digits`` optionally
+    rounds the final value for presentation.
+
+    Shape at scale: one hash-agg with map-side combine (events →
+    buckets collapses the data ~n_per_bucket×), a per-key span agg over
+    the already-small bucket frame, one explode bounded by span length,
+    one equi-join on (key, bucket), and two windows over the same
+    (key, bucket) partitioning — Exchange reuse keeps it to one
+    shuffle of the bucket-sized frame. The raw-event frame is touched
+    exactly once.
+    """
+    key, lo, hi = F.col(key_col), F.col("__lo"), F.col("__hi")
+    obs = (
+        df.groupBy(
+            key.alias("key"),
+            # integer DIV, never float division: epoch-nanos exceed
+            # double's 2^53 mantissa (same guard as range_join_pairs)
+            F.expr(f"CAST({ts_col} AS BIGINT) DIV {int(bucket_ns)}").alias(
+                "bucket"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.round(F.col(value_col) * value_scale).cast("bigint")
+            ).alias("__sv"),
+        )
+        .withColumn(
+            "__mean",
+            (F.col("__sv") / F.lit(float(value_scale))) / F.col("n_events"),
+        )
+    )
+    grid = (
+        obs.groupBy("key")
+        .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+        .select("key", F.explode(F.sequence(lo, hi)).alias("bucket"))
+    )
+    joined = grid.join(obs, ["key", "bucket"], "left")
+    w_back = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchored = joined.select(
+        "key",
+        "bucket",
+        "n_events",
+        "__mean",
+        F.last(
+            F.when(F.col("n_events").isNotNull(), F.struct("bucket", "__mean")),
+            ignorenulls=True,
+        ).over(w_back).alias("__p"),
+        F.first(
+            F.when(F.col("n_events").isNotNull(), F.struct("bucket", "__mean")),
+            ignorenulls=True,
+        ).over(w_fwd).alias("__q"),
+    )
+    pb, pm = F.col("__p.bucket"), F.col("__p.__mean")
+    qb, qm = F.col("__q.bucket"), F.col("__q.__mean")
+    interp = pm + ((qm - pm) * (F.col("bucket") - pb)) / (qb - pb)
+    mean_value = F.when(
+        F.col("n_events").isNotNull(), F.col("__mean")
+    ).otherwise(interp)
+    if round_digits is not None:
+        mean_value = F.round(mean_value, round_digits)
+    return anchored.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        mean_value.alias("mean_value"),
+        F.col("n_events").isNull().alias("interpolated"),
+    )
+
+
 def range_join_pairs(
     points: DataFrame,
     intervals: DataFrame,
