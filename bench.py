@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "part_fuzzy_matches",
     "events_resample_interpolate",
     "events_robust_outliers",
+    "docs_bpe_learn_merges",
+    "docs_bpe_token_counts",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -1,0 +1,64 @@
+"""Unit tests for distributed BPE induction/application
+(operators/bpe.py). Oracle parity runs in test_oracle_parity.py; these
+pin the merge-loop semantics on hand-computable corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from universal_importer_duckdb_spark.operators.bpe import (
+    bpe_token_counts,
+    learn_bpe,
+    word_frequency_table,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_learn_bpe_classic_example(spark):
+    # the Sennrich walkthrough corpus: low x3, lower x2
+    docs = _docs(spark, ["low low low", "lower lower"])
+    merges, vocab = learn_bpe(word_frequency_table(docs), n_merges=3)
+    rows = {r.round: (r.sym_a, r.sym_b, r.pair_count) for r in merges.collect()}
+    # round 1: (l,o) and (o,w) tie at 5 — lexicographic break picks (l,o)
+    assert rows[1] == ("l", "o", 5)
+    # round 2: (lo,w) now dominates at 5
+    assert rows[2] == ("lo", "w", 5)
+    # round 3: (low,e) and (e,r) tie at 2 — (e,r) wins lexicographically
+    assert rows[3] == ("e", "r", 2)
+    v = {r.word: r.d for r in vocab.collect()}
+    assert v["low"] == "·low·"
+    assert v["lower"] == "·low·er·"
+
+
+def test_bpe_token_counts_after_merges(spark):
+    docs = _docs(spark, ["low low low", "lower lower", "!!!"])
+    _, vocab = learn_bpe(word_frequency_table(docs), n_merges=3)
+    out = {r.doc_id: r for r in bpe_token_counts(docs, vocab).collect()}
+    # "low" is one symbol after 3 merges; "lower" is low+er = 2
+    assert (out[0].n_words, out[0].n_bpe_tokens) == (3, 3)
+    assert (out[1].n_words, out[1].n_bpe_tokens) == (2, 4)
+    # no [a-z0-9] words: row preserved with zero counts
+    assert (out[2].n_words, out[2].n_bpe_tokens) == (0, 0)
+
+
+def test_learn_bpe_exhaustion_raises(spark):
+    docs = _docs(spark, ["ab ab"])
+    with pytest.raises(ValueError, match="exhausted"):
+        learn_bpe(word_frequency_table(docs), n_merges=2)
+
+
+def test_learn_bpe_same_symbol_run_semantics(spark):
+    # documented deviation: same-symbol runs pair by replace-scan
+    # order — "aaaaaa" -> aa a aa a (not the canonical aa aa aa).
+    # Pinned because the DuckDB oracle replays the identical semantics.
+    docs = _docs(spark, ["aaaaaa b"])
+    merges, vocab = learn_bpe(word_frequency_table(docs), n_merges=1)
+    [m] = merges.collect()
+    assert (m.sym_a, m.sym_b, m.pair_count) == ("a", "a", 5)
+    v = {r.word: r.d for r in vocab.collect()}
+    assert v["aaaaaa"] == "·aa·a·aa·a·"

@@ -4611,7 +4611,125 @@ GROUP BY d.grp, d.n, d.med2, md.mad2
 """
 
 
+N_BPE_MERGES = 8
+
+
+def docs_bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE tokenizer induction (operators/bpe.py): 8 merge
+    rounds over the corpus word-frequency table. One corpus-sized
+    aggregation, then every round is vocab-sized with the winning pair
+    riding into the merge step as a broadcast one-row frame — no
+    driver collect in the loop. The delimited-string merge uses
+    replace-scan semantics verified identical across Spark/DuckDB/
+    Python, so the full learn loop replays bit-for-bit in the oracle's
+    8 chained SQL stages."""
+    from universal_importer_duckdb_spark.operators.bpe import (
+        learn_bpe,
+        word_frequency_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = learn_bpe(
+        word_frequency_table(docs), n_merges=N_BPE_MERGES
+    )
+    return merges
+
+
+def docs_bpe_token_counts(spark, sf_dir):
+    """BPE tokenizer APPLICATION: per-document token counts under the
+    vocabulary learned by docs_bpe_learn_merges — the number every
+    training-data pipeline needs per example (sequence packing,
+    pricing, curriculum). Corpus touched exactly twice (word counts,
+    encode join); the encode is a word→symbol-count join + one
+    per-doc aggregation."""
+    from universal_importer_duckdb_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+        word_frequency_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab = learn_bpe(
+        word_frequency_table(docs), n_merges=N_BPE_MERGES
+    )
+    return bpe_token_counts(docs, vocab)
+
+
+def _bpe_sql_stages(n_merges: int) -> str:
+    """The learn loop as chained DuckDB CTEs (programmatically
+    generated like ORDERS_PROFILE_SQL): w{i} -> pair counts p{i} ->
+    best pair b{i} -> merged w{i+1}, with the winning pair spliced in
+    via scalar subqueries — the SQL mirror of the broadcast one-row
+    frame. Every stage is AS MATERIALIZED: DuckDB inlines plain CTEs
+    per reference, and the 4 scalar-subquery references per merge
+    stage would otherwise re-expand the whole chain 4^k times."""
+    stages = ["""wc AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word),
+w0 AS MATERIALIZED (SELECT word, cnt,
+              regexp_replace(word, '(.)', '·\\1', 'g') || '·' AS d
+       FROM wc)"""]
+    for i in range(n_merges):
+        pat = (
+            f"'·' || (SELECT a FROM b{i}) || '·' || "
+            f"(SELECT b FROM b{i}) || '·'"
+        )
+        rep = (
+            f"'·' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || '·'"
+        )
+        stages.append(f"""p{i} AS MATERIALIZED (
+  SELECT pr[1] AS a, pr[2] AS b, SUM(cnt) AS c
+  FROM (SELECT cnt,
+               unnest([[s[j], s[j+1]] for j in generate_series(1, len(s)-1)])
+                 AS pr
+        FROM (SELECT cnt, string_split(trim(d, '·'), '·') AS s FROM w{i}))
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (
+  SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(replace(d, {pat}, {rep}), {pat}, {rep}) AS d
+  FROM w{i})""")
+    return "WITH " + ",\n".join(stages)
+
+
+def _bpe_learn_sql(n_merges: int) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS round, a AS sym_a, b AS sym_b,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"{_bpe_sql_stages(n_merges)}\n{rows}"
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    return f"""{_bpe_sql_stages(n_merges)},
+tok AS (SELECT word,
+               CAST(len(string_split(trim(d, '·'), '·')) AS BIGINT)
+                 AS n_syms
+        FROM w{n_merges}),
+dw AS (SELECT doc_id,
+              unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+       FROM documents),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+        FROM (SELECT doc_id, word FROM dw WHERE word <> '')
+        JOIN tok USING (word) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(per.n_words, 0) AS n_words,
+       COALESCE(per.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 REGISTRY.update({
+    "docs_bpe_learn_merges": (
+        docs_bpe_learn_merges, _bpe_learn_sql(N_BPE_MERGES),
+    ),
+    "docs_bpe_token_counts": (
+        docs_bpe_token_counts, _bpe_encode_sql(N_BPE_MERGES),
+    ),
     "part_fuzzy_matches": (part_fuzzy_matches, FUZZY_MATCH_SQL),
     "events_resample_interpolate": (
         events_resample_interpolate, RESAMPLE_SQL,
@@ -4679,16 +4797,17 @@ _R5_WINDOW = (
     "pipeline_flagship",
     "pipeline_summary_lineitem",
     "events_sessionization",
-    "docs_fingerprint_exact_dedup", "docs_ngram_topk_similar",
     "emb_cosine_topk",
     "events_dedup_first_by_key",
     # session-3 round-5 additions — never driver-checked, take window
     # slots ahead of recency (docs_quality_scores / docs_language_id /
-    # docs_quality_filter_ids demoted to r6: r1-r3 green, trivial
-    # narrow maps over the same signals, locally re-verified in
+    # docs_quality_filter_ids / docs_fingerprint_exact_dedup /
+    # docs_ngram_topk_similar demoted to r6: r1-r3 green, the latter
+    # two also run in every bench, all locally re-verified in
     # tests/test_oracle_parity.py this session)
     "part_fuzzy_matches", "events_resample_interpolate",
     "events_robust_outliers",
+    "docs_bpe_learn_merges", "docs_bpe_token_counts",
     # (docs_corpus_prep demoted with the eight below — r1-r3 green,
     # a composition of separately-checked ops — to make room for
     # orders_data_profile, which has never been driver-checked)
