@@ -16,8 +16,12 @@ Algorithm (the classic merge loop, on the word-frequency table):
    (hash-agg with map-side combine), take the most frequent pair
    (TakeOrderedAndProject, ties broken lexicographically so the
    learned table is deterministic), and merge that pair inside every
-   word. The winning pair rides into the merge step as a
-   BROADCAST ONE-ROW FRAME — no driver collect anywhere in the loop.
+   word. The winning pair is the round's ONE-ROW argmax collect —
+   bounded driver traffic that is inherent to BPE (round i+1's merge
+   depends on round i's data-derived winner), after which the merge
+   itself is a literal narrow map, so the vocabulary chain stays a
+   single linear lineage off one materialization barrier with no
+   per-round checkpoint or join.
 3. Merging uses a delimited symbol-string representation
    ("·h·e·l·l·o·") and two sequential `replace` passes. Spark's
    `replace`, DuckDB's `replace`, and Python's `str.replace` share
@@ -34,10 +38,10 @@ cross-engine identical; a production tokenizer swaps this module for
 a trained tokenizer file and keeps the surrounding plumbing.
 
 Shape at 100 TB: the corpus is touched exactly twice (once to build
-word counts, once to encode); each of the k merge rounds is a
-vocab-sized narrow map + one hash-agg + a 1-row broadcast, with a
-per-round ``localCheckpoint`` barrier keeping the plan linear in
-rounds (the neardup_clusters discipline, dedup_text.py:704).
+word counts, once to encode); each of the k merge rounds is one
+vocab-sized hash-agg job whose input is the checkpointed word table
+plus i literal replace maps (map-only recompute, no shuffle replay),
+and the only driver traffic is k single-row argmax results.
 """
 
 from __future__ import annotations
@@ -86,12 +90,23 @@ def learn_bpe(
     tokenizer artifact) and the final vocabulary frame with each
     word's merged symbol string.
 
-    Materializes each round eagerly (localCheckpoint barrier); raises
-    if the corpus runs out of distinct pairs before ``n_merges``
-    rounds — a sign the caller asked for more merges than the corpus
-    supports, which would silently diverge from the SQL replay."""
+    One materialization barrier on the word table, then one argmax
+    job per round (the 1-row collect is the sequential dependence
+    inherent to BPE); raises if the corpus runs out of distinct pairs
+    before ``n_merges`` rounds — a sign the caller asked for more
+    merges than the corpus supports, which would silently diverge
+    from the SQL replay."""
     w = words.localCheckpoint(eager=True)
-    merge_frames: list[DataFrame] = []
+    spark = w.sparkSession
+    # vocab-proportional partitioning (the dedup_text edge-count
+    # discipline): the loop's 8+ agg jobs otherwise run 32 near-empty
+    # tasks per stage on a small vocabulary; ~64k words per partition
+    # keeps tasks meaningful at dictionary scale too
+    n_words = w.count()
+    target = max(1, min(int(n_words // 65_536) + 1, w.rdd.getNumPartitions()))
+    if target < w.rdd.getNumPartitions():
+        w = w.coalesce(target)
+    learned: list[tuple[int, str, str, int]] = []
     for i in range(n_merges):
         base = w.select("cnt", _symbols().alias("__s"))
         n = F.size("__s")
@@ -112,40 +127,26 @@ def learn_bpe(
         )
         best = (
             pairs.groupBy(
-                F.col("pr.a").alias("__ba"), F.col("pr.b").alias("__bb")
+                F.col("pr.a").alias("a"), F.col("pr.b").alias("b")
             )
-            .agg(F.sum("cnt").alias("__bc"))
-            .orderBy(F.desc("__bc"), "__ba", "__bb")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        if best.isEmpty():
+        if not best:
             raise ValueError(
                 f"learn_bpe: corpus exhausted after {i} merges "
                 f"(asked for {n_merges})"
             )
-        merge_frames.append(
-            best.select(
-                F.lit(i + 1).cast("bigint").alias("round"),
-                F.col("__ba").alias("sym_a"),
-                F.col("__bb").alias("sym_b"),
-                F.col("__bc").cast("bigint").alias("pair_count"),
-            )
-        )
-        pat = F.concat(
-            F.lit(DELIM), F.col("__ba"), F.lit(DELIM), F.col("__bb"),
-            F.lit(DELIM),
-        )
-        rep = F.concat(F.lit(DELIM), F.col("__ba"), F.col("__bb"), F.lit(DELIM))
-        w = (
-            w.crossJoin(F.broadcast(best))
-            .withColumn("d", F.replace(F.replace("d", pat, rep), pat, rep))
-            .select("word", "cnt", "d")
-            .localCheckpoint(eager=True)
-        )
-    merges = merge_frames[0]
-    for mf in merge_frames[1:]:
-        merges = merges.unionByName(mf)
+        a, b, c = best[0].a, best[0].b, best[0].c
+        learned.append((i + 1, a, b, c))
+        pat = F.lit(f"{DELIM}{a}{DELIM}{b}{DELIM}")
+        rep = F.lit(f"{DELIM}{a}{b}{DELIM}")
+        w = w.withColumn("d", F.replace(F.replace("d", pat, rep), pat, rep))
+    merges = spark.createDataFrame(
+        learned, "round bigint, sym_a string, sym_b string, pair_count bigint"
+    )
     return merges, w
 
 
