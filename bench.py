@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "events_robust_outliers",
     "docs_bpe_learn_merges",
     "docs_bpe_token_counts",
+    "docs_incremental_dedup",
+    "docs_budget_selection",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -4723,7 +4723,86 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup (operators/dedup_text.py::
+    incremental_exact_dedup): the daily-batch shape — new documents
+    (doc_id % 10 = 0 simulates the arriving batch) are admitted only
+    if first-in-batch by fingerprint AND absent from the existing
+    corpus index. One batch-sized window + one anti-join; the corpus
+    is never rescanned."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        incremental_exact_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_exact_dedup(batch, index)
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH batch AS (
+  SELECT doc_id, md5(lower(text)) AS fingerprint
+  FROM documents WHERE doc_id % 10 = 0),
+idx AS (
+  SELECT DISTINCT md5(lower(text)) AS fingerprint
+  FROM documents WHERE doc_id % 10 <> 0),
+firsts AS (
+  SELECT doc_id, fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM batch)
+SELECT doc_id, fingerprint FROM firsts
+WHERE rn = 1 AND fingerprint NOT IN (SELECT fingerprint FROM idx)
+"""
+
+
+def docs_budget_selection(spark, sf_dir):
+    """Token-budget corpus selection (operators/corpus.py::
+    budget_select): rank documents by uniqueness score and keep the
+    maximal best-first prefix under a 20k-token budget. The global
+    cumulative token count runs as the scale-safe two-level prefix
+    sum (score-quantized buckets), which the oracle's one-level
+    global window cumsum certifies — the same contract as
+    docs_pack_sequences. Score = distinct-token ratio, an exact
+    int/int division identical on both engines."""
+    from universal_importer_duckdb_spark.operators.corpus import budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+    )
+    return budget_select(
+        scored, score_col="uniq_ratio", tokens_col="n_tok",
+        token_budget=20_000,
+    )
+
+
+BUDGET_SELECT_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS score,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM s)
+SELECT doc_id, score, n_tokens, tokens_before,
+       tokens_before + n_tokens <= 20000 AS selected
+FROM c
+"""
+
+
 REGISTRY.update({
+    "docs_incremental_dedup": (docs_incremental_dedup, INCREMENTAL_DEDUP_SQL),
+    "docs_budget_selection": (docs_budget_selection, BUDGET_SELECT_SQL),
     "docs_bpe_learn_merges": (
         docs_bpe_learn_merges, _bpe_learn_sql(N_BPE_MERGES),
     ),
@@ -4798,16 +4877,19 @@ _R5_WINDOW = (
     "pipeline_summary_lineitem",
     "events_sessionization",
     "emb_cosine_topk",
-    "events_dedup_first_by_key",
     # session-3 round-5 additions — never driver-checked, take window
     # slots ahead of recency (docs_quality_scores / docs_language_id /
     # docs_quality_filter_ids / docs_fingerprint_exact_dedup /
-    # docs_ngram_topk_similar demoted to r6: r1-r3 green, the latter
-    # two also run in every bench, all locally re-verified in
-    # tests/test_oracle_parity.py this session)
+    # docs_ngram_topk_similar / events_dedup_first_by_key demoted to
+    # r6: r1-r3 green, several also run in every bench, all locally
+    # re-verified in tests/test_oracle_parity.py this session;
+    # emb_ivf_topk also demoted — its driver check is rows-only, the
+    # weaker gate, and its recall column is pinned in
+    # tests/test_extensions.py every run)
     "part_fuzzy_matches", "events_resample_interpolate",
     "events_robust_outliers",
     "docs_bpe_learn_merges", "docs_bpe_token_counts",
+    "docs_incremental_dedup", "docs_budget_selection",
     # (docs_corpus_prep demoted with the eight below — r1-r3 green,
     # a composition of separately-checked ops — to make room for
     # orders_data_profile, which has never been driver-checked)
@@ -4816,7 +4898,6 @@ _R5_WINDOW = (
     "stream_simhash_neardup_dedup",
     "stream_session_windows",
     "stream_click_purchase_join",
-    "emb_ivf_topk",
     # session-2 round-5 additions — never driver-checked, take window
     # slots ahead of recency re-confirmation (the demoted eight —
     # events_json_extract, docs_rolling_sketch, q12, q9,

@@ -390,3 +390,78 @@ def pack_token_sequences(
             "seq_offset", (F.col("tokens_before") % seq_len).cast("bigint")
         )
     )
+
+
+def budget_select(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    token_budget: int = 100_000,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Token-budget corpus selection: order documents best-first and
+    keep the maximal prefix whose cumulative token count fits the
+    budget — the "give me the best N-token corpus" primitive behind
+    data mixing and compute-matched ablations.
+
+    Returns every input row with (score, n_tokens, tokens_before,
+    selected); ``selected`` is the pure-prefix rule
+    ``tokens_before + n_tokens <= budget`` on the (score desc, id)
+    ordering, so the decision is deterministic and replayable.
+
+    The global cumulative sum uses the same two-level prefix sum as
+    :func:`pack_token_sequences`, with one twist: the level-1 bucket
+    must be a NON-INCREASING function of the score so buckets are
+    contiguous in the global order — ``floor((1 - score) * n_buckets)``
+    for scores in [0, 1]. Within buckets the window cumsum runs in
+    parallel; only the n_buckets bucket totals see a single-partition
+    window. Identical to the one-level global cumsum for any
+    n_buckets, which the SQL oracle (plain global window) certifies.
+    Scores outside [0, 1] clamp into the edge buckets — correctness
+    is unaffected (bucketing only affects parallelism when it
+    degenerates).
+    """
+    b = F.floor((F.lit(1.0) - F.col(score_col)) * n_buckets)
+    bucket = F.least(
+        F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)
+    ).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        bucket.alias("__bucket"),
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.desc(score_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_local = base.withColumn(
+        "__local_before",
+        F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).cast("bigint"),
+    )
+    totals = with_local.groupBy("__bucket").agg(
+        F.sum("n_tokens").cast("bigint").alias("__t")
+    )
+    w_b = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_b), F.lit(0))
+    ).select("__bucket", "__off")
+    before = (F.col("__local_before") + F.col("__off")).alias("tokens_before")
+    return (
+        with_local.join(F.broadcast(offsets), "__bucket")
+        .select(
+            id_col,
+            F.col(score_col).alias("score"),
+            "n_tokens",
+            before,
+        )
+        .withColumn(
+            "selected",
+            (F.col("tokens_before") + F.col("n_tokens"))
+            <= F.lit(int(token_budget)),
+        )
+    )

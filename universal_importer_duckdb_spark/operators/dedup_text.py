@@ -26,7 +26,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from universal_importer_duckdb_spark.caching import scoped_cache
@@ -111,6 +111,47 @@ def exact_dedup(
         df.withColumn("fingerprint", F.md5(content))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("kept_" + id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Production ingest dedup: admit only NEW-batch documents whose
+    content fingerprint is (a) first within the batch and (b) absent
+    from the existing-corpus index. This is the daily-ingest shape — a
+    100 TB corpus is deduplicated ONCE, after which every arriving
+    batch checks against the stored fingerprint index instead of
+    re-scanning history.
+
+    ``index_df`` needs only the fingerprint-bearing columns (here it
+    is derived from text for self-containment; production stores the
+    fingerprint index as its own bucketed table, making the anti-join
+    co-partitioned and shuffle-free on the index side).
+
+    Shape: one within-batch window dedup (single exchange on the
+    fingerprint) + one left_anti join on the fingerprint — batch-sized
+    work, never corpus-sized rescans.
+    """
+    content = (
+        F.lower(F.col(text_col)) if normalize else F.col(text_col)
+    )
+    batch = new_df.select(
+        F.col(id_col), F.md5(content).alias("fingerprint")
+    )
+    idx = index_df.select(F.md5(content).alias("fingerprint")).distinct()
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    firsts = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return firsts.join(idx, "fingerprint", "left_anti").select(
+        id_col, "fingerprint"
     )
 
 
