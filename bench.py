@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "docs_bpe_token_counts",
     "docs_incremental_dedup",
     "docs_budget_selection",
+    "events_transition_matrix",
+    "events_retention_cohorts",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

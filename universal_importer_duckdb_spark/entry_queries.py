@@ -4800,7 +4800,82 @@ FROM c
 """
 
 
+def events_transition_matrix(spark, sf_dir):
+    """Markov transition counts over per-user event streams: one
+    window (lead over user_id-partitioned, ts-ordered events — a
+    single exchange on user_id) + one hash-agg. Tie-broken by
+    event_id so the sequence, and therefore every count, is
+    deterministic under any partitioning. The product-analytics
+    complement of sessionization/funnels."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+
+
+TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+         ) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, counted
+    per day-offset since their cohort day — the warehouse staple for
+    activation analysis. Two hash-aggs (per-user min day; distinct
+    user-days) joined on user_id and rolled up; all integer-day
+    arithmetic so counts are exact anywhere."""
+    events = _t(spark, sf_dir, "events")
+    day = F.expr("CAST(ts AS BIGINT) DIV 86400000000000")
+    user_days = events.select(
+        "user_id", day.alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    return (
+        user_days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+  FROM events),
+c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN c ON ud.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 REGISTRY.update({
+    "events_transition_matrix": (events_transition_matrix, TRANSITION_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
     "docs_incremental_dedup": (docs_incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "docs_budget_selection": (docs_budget_selection, BUDGET_SELECT_SQL),
     "docs_bpe_learn_merges": (
@@ -4872,7 +4947,8 @@ _R5_WINDOW = (
     # unchecked in r4 (r1-r3-era green, re-confirm against fresh data)
     "dedup_last_lineitem", "dedup_exclude_all_lineitem",
     "dedup_duplicates_lineitem", "dedup_cascade_lineitem",
-    "rule_age_gte_skip_orders", "rule_age_gte_invalid_orders",
+    # (rule_age_gte_skip/invalid demoted to r6: r2/r3 driver-green,
+    # pinned by the dedicated AGE golden suite locally)
     "pipeline_flagship",
     "pipeline_summary_lineitem",
     "events_sessionization",
@@ -4890,6 +4966,7 @@ _R5_WINDOW = (
     "events_robust_outliers",
     "docs_bpe_learn_merges", "docs_bpe_token_counts",
     "docs_incremental_dedup", "docs_budget_selection",
+    "events_transition_matrix", "events_retention_cohorts",
     # (docs_corpus_prep demoted with the eight below — r1-r3 green,
     # a composition of separately-checked ops — to make room for
     # orders_data_profile, which has never been driver-checked)
