@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "docs_budget_selection",
     "events_transition_matrix",
     "events_retention_cohorts",
+    "emb_hard_negatives",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

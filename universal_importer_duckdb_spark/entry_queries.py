@@ -1458,6 +1458,59 @@ FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= {threshold}
 EMB_NEAR_DUP_SQL = _emb_near_dup_sql()
 
 
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py::
+    hard_negative_pairs): top-20 different-label pairs by exact cosine
+    among seeded-LSH bucket candidates — contrastive training's most
+    informative pairs, mined with approximate candidate generation +
+    exact scoring. cosine_floor=0.3 is tuned to the synthetic
+    near-random embeddings (max cross-label cosine ~0.51)."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_pairs(
+        emb, cosine_floor=0.3, k=20, n_planes=6
+    )
+
+
+def _emb_hard_negatives_sql(floor: float = 0.3, k: int = 20,
+                            n_planes: int = 6, dim: int = 64,
+                            seed: int = 42) -> str:
+    from universal_importer_duckdb_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(n_planes, dim, seed)
+    bits = "\n     + ".join(
+        f"(CASE WHEN list_inner_product(e, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, label, e, {bits} AS bucket FROM v),
+p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             a.label AS label_a, c.label AS label_b, a.e AS ea, c.e AS eb
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE a.label <> c.label),
+pr AS (SELECT id_a, id_b, label_a, label_b,
+              unnest(ea) AS x, unnest(eb) AS y FROM p),
+s AS (SELECT id_a, id_b, label_a, label_b,
+        CAST(SUM(CAST(x*y AS DECIMAL(33,13))) AS DOUBLE) AS dot,
+        CAST(SUM(CAST(x*x AS DECIMAL(33,13))) AS DOUBLE) AS na,
+        CAST(SUM(CAST(y*y AS DECIMAL(33,13))) AS DOUBLE) AS nb
+      FROM pr GROUP BY id_a, id_b, label_a, label_b)
+SELECT id_a, id_b, label_a, label_b, dot/(sqrt(na)*sqrt(nb)) AS cosine
+FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= {floor}
+ORDER BY cosine DESC, id_a, id_b LIMIT {k}
+"""
+
+
+EMB_HARD_NEGATIVES_SQL = _emb_hard_negatives_sql()
+
+
 _STREAM_COUNTER = [0]
 
 
@@ -4874,6 +4927,7 @@ GROUP BY 1, 2
 
 
 REGISTRY.update({
+    "emb_hard_negatives": (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL),
     "events_transition_matrix": (events_transition_matrix, TRANSITION_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
     "docs_incremental_dedup": (docs_incremental_dedup, INCREMENTAL_DEDUP_SQL),
@@ -4945,8 +4999,10 @@ REGISTRY.update({
 # never been driver-checked).
 _R5_WINDOW = (
     # unchecked in r4 (r1-r3-era green, re-confirm against fresh data)
+    # (dedup_duplicates demoted to r6: the same window machinery as
+    # dedup_first/exclude_all which stay in-window and in every bench)
     "dedup_last_lineitem", "dedup_exclude_all_lineitem",
-    "dedup_duplicates_lineitem", "dedup_cascade_lineitem",
+    "dedup_cascade_lineitem",
     # (rule_age_gte_skip/invalid demoted to r6: r2/r3 driver-green,
     # pinned by the dedicated AGE golden suite locally)
     "pipeline_flagship",
@@ -4967,6 +5023,7 @@ _R5_WINDOW = (
     "docs_bpe_learn_merges", "docs_bpe_token_counts",
     "docs_incremental_dedup", "docs_budget_selection",
     "events_transition_matrix", "events_retention_cohorts",
+    "emb_hard_negatives",
     # (docs_corpus_prep demoted with the eight below — r1-r3 green,
     # a composition of separately-checked ops — to make room for
     # orders_data_profile, which has never been driver-checked)

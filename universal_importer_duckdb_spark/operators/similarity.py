@@ -196,6 +196,69 @@ def lsh_ann_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def hard_negative_pairs(
+    df: DataFrame,
+    label_col: str = "label",
+    cosine_floor: float = 0.3,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: the top-k
+    DIFFERENT-label pairs by cosine among LSH-bucket candidates — the
+    pairs a contrastive loss learns most from, mined the way
+    production does it (approximate candidate generation, exact
+    scoring on candidates only; recall is bounded by bucket collision
+    probability, which is the accepted trade at corpus scale).
+
+    Same two-tier verify as :func:`embedding_near_pairs` (double
+    pre-sift with 1e-9 margin, DECIMAL(33,13) exact re-score), plus a
+    deterministic (cosine desc, id_a, id_b) top-k, so the result
+    replays bit-for-bit in the seeded-literal SQL oracle."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        bucket_pairs,
+        spread_for_compute,
+    )
+
+    planes = _hyperplanes(n_planes, dim, seed)
+    vd = F.col(vec_col).cast("array<double>")
+    b = (
+        spread_for_compute(df, id_col)
+        .withColumn("bucket", bucket_signature(vec_col, planes))
+        .withColumn(
+            "__pl",
+            F.struct(
+                vd.alias("v"),
+                _norm2_double(vd).alias("n2"),
+                F.col(label_col).alias("lab"),
+            ),
+        )
+    )
+    va, vb = F.col("payload_a.v"), F.col("payload_b.v")
+    dcos = _dot_double(va, vb) / F.greatest(
+        F.sqrt(F.col("payload_a.n2") * F.col("payload_b.n2")), F.lit(1e-300)
+    )
+    return (
+        bucket_pairs(b, ["bucket"], id_col, max_bucket_size, "__pl")
+        .filter(F.col("payload_a.lab") != F.col("payload_b.lab"))
+        .filter(dcos >= cosine_floor - 1e-9)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("payload_a.lab").alias("label_a"),
+            F.col("payload_b.lab").alias("label_b"),
+            cosine(va, vb).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_floor)
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(k)
+    )
+
+
 def ivf_train_centroids(
     df: DataFrame,
     n_list: int = 16,
