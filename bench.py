@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "events_transition_matrix",
     "events_retention_cohorts",
     "emb_hard_negatives",
+    "emb_quantize_int8",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

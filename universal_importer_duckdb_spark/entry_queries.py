@@ -1458,6 +1458,55 @@ FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= {threshold}
 EMB_NEAR_DUP_SQL = _emb_near_dup_sql()
 
 
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 vector quantization audit — the storage format
+    the 100 TB ANN path actually serves from (4x smaller than
+    float32, SIMD-friendly dot products). Per vector: the scale
+    (max|x|/127), the worst reconstruction error, and the count of
+    zeroed components. Every output is order-independent (max, count)
+    or a single deterministic double expression, so the audit
+    hash-checks cross-engine — certifying the quantizer before
+    anything is written in it. Pure higher-order array expressions; a
+    narrow map over the scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.col("embedding").cast("array<double>")
+    emb = emb.select(
+        "vec_id",
+        vd.alias("__v"),
+        (
+            F.array_max(F.transform(vd, lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    q = F.transform(
+        F.col("__v"), lambda x: F.round(x / F.col("scale")).cast("bigint")
+    )
+    err = F.zip_with(
+        F.col("__v"), q, lambda x, qq: F.abs(x - qq * F.col("scale"))
+    )
+    return emb.select(
+        "vec_id",
+        "scale",
+        F.array_max(err).alias("max_abs_err"),
+        F.size(F.filter(q, lambda v: v == 0)).cast("bigint").alias("n_zero"),
+    )
+
+
+QUANTIZE_INT8_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+q AS (SELECT vec_id, e, scale,
+             list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+      FROM s)
+SELECT vec_id, scale,
+       list_max(list_transform(list_zip(e, qv),
+                p -> abs(p[1] - p[2] * scale))) AS max_abs_err,
+       CAST(len(list_filter(qv, x -> x = 0)) AS BIGINT) AS n_zero
+FROM q
+"""
+
+
 def emb_hard_negatives(spark, sf_dir):
     """Hard-negative mining (operators/similarity.py::
     hard_negative_pairs): top-20 different-label pairs by exact cosine
@@ -4927,6 +4976,7 @@ GROUP BY 1, 2
 
 
 REGISTRY.update({
+    "emb_quantize_int8": (emb_quantize_int8, QUANTIZE_INT8_SQL),
     "emb_hard_negatives": (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL),
     "events_transition_matrix": (events_transition_matrix, TRANSITION_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
@@ -5007,7 +5057,8 @@ _R5_WINDOW = (
     # pinned by the dedicated AGE golden suite locally)
     "pipeline_flagship",
     "pipeline_summary_lineitem",
-    "events_sessionization",
+    # (events_sessionization demoted to r6: r1-r3 green, runs in
+    # every bench, locally re-verified)
     "emb_cosine_topk",
     # session-3 round-5 additions — never driver-checked, take window
     # slots ahead of recency (docs_quality_scores / docs_language_id /
@@ -5023,7 +5074,7 @@ _R5_WINDOW = (
     "docs_bpe_learn_merges", "docs_bpe_token_counts",
     "docs_incremental_dedup", "docs_budget_selection",
     "events_transition_matrix", "events_retention_cohorts",
-    "emb_hard_negatives",
+    "emb_hard_negatives", "emb_quantize_int8",
     # (docs_corpus_prep demoted with the eight below — r1-r3 green,
     # a composition of separately-checked ops — to make room for
     # orders_data_profile, which has never been driver-checked)
