@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     "emb_hard_negatives",
     "emb_quantize_int8",
+    "docs_hybrid_search_rrf",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -964,11 +964,12 @@ def _vfold(arr):
 
 def emb_cosine_topk(spark, sf_dir):
     """Exact cosine top-10 vs the vec_id=0 query vector — the exact
-    baseline for ANN. Two-phase: an Arrow-batched double-precision
-    matmul scan selects 4k candidates, then the DECIMAL(33,13) fold
-    re-ranks only those — bit-identical output to the one-phase exact
-    scan (same oracle), with the per-element decimal cost cut from the
-    corpus to 40 rows (see cosine_topk_two_phase)."""
+    baseline for ANN. Two-phase: a JVM zip_with/aggregate double fold
+    selects 4k candidates (no Arrow round-trip), then the
+    DECIMAL(33,13) fold re-ranks only those — bit-identical output to
+    the one-phase exact scan (same oracle), with the per-element
+    decimal cost cut from the corpus to 40 rows
+    (see cosine_topk_two_phase)."""
     from universal_importer_duckdb_spark.operators.similarity import (
         cosine_topk_two_phase,
     )
@@ -4443,6 +4444,96 @@ ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def docs_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 keyword top-50 and exact-cosine vector
+    top-50 fused by reciprocal-rank fusion (operators/search.py::
+    rrf_fuse) — the lexical+semantic retrieval stack in one
+    oracle-certified query. Both rankers are the already-certified
+    components (rational-idf BM25; DECIMAL cosine); ranks come from
+    deterministic (score desc, id) orderings, and the fuse is rank-
+    based 1/(60+r) arithmetic, identical IEEE ops both engines. The
+    rank windows run on 50-row frames, so their single-partition
+    execution is free; embeddings row i is document i's vector in the
+    synthetic schema."""
+    from universal_importer_duckdb_spark.operators.search import (
+        keyword_search_topk,
+        rrf_fuse,
+    )
+    from universal_importer_duckdb_spark.operators.similarity import (
+        cosine_topk_two_phase,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = keyword_search_topk(docs, ("hash", "join", "stream"), k=50)
+    wk = Window.orderBy(F.desc("score"), "doc_id")
+    kwr = kw.select("doc_id", F.row_number().over(wk).alias("rank"))
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    vec = cosine_topk_two_phase(emb, _query_vec(spark, sf_dir), k=50)
+    wv = Window.orderBy(F.desc("cosine"), "vec_id")
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wv).alias("rank")
+    )
+    return rrf_fuse([kwr, vecr], k_rrf=60, k=20).withColumnsRenamed(
+        {"rank_0": "rank_kw", "rank_1": "rank_vec"}
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'hash')) AS BIGINT) AS tf_hash,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'join')) AS BIGINT) AS tf_join,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'stream')) AS BIGINT) AS tf_stream,
+         CAST(len(string_split(lower(coalesce(text,'')), ' ')) AS BIGINT)
+           AS doclen
+  FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(doclen) AS BIGINT) AS sum_len,
+         CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_hash,
+         CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_join,
+         CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_stream
+  FROM tf),
+kw AS (
+  SELECT doc_id,
+         {_bm25_term_sql('hash')}
+     + {_bm25_term_sql('join')}
+     + {_bm25_term_sql('stream')} AS score
+  FROM tf CROSS JOIN st ORDER BY score DESC, doc_id LIMIT 50),
+kwr AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank_kw
+  FROM kw),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+pr AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x, unnest(qv) AS y
+       FROM embeddings, q WHERE vec_id > 0),
+s AS (SELECT vec_id,
+        CAST(SUM(CAST(x*y AS DECIMAL(33,13))) AS DOUBLE) AS dot,
+        CAST(SUM(CAST(x*x AS DECIMAL(33,13))) AS DOUBLE) AS n1,
+        CAST(SUM(CAST(y*y AS DECIMAL(33,13))) AS DOUBLE) AS n2
+      FROM pr GROUP BY vec_id),
+vec AS (SELECT vec_id, dot/(sqrt(n1)*sqrt(n2)) AS cosine
+        FROM s ORDER BY cosine DESC, vec_id LIMIT 50),
+vecr AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+           AS rank_vec
+  FROM vec)
+SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, k.rank_kw, v.rank_vec,
+       COALESCE(1.0/(60 + k.rank_kw), 0.0)
+         + COALESCE(1.0/(60 + v.rank_vec), 0.0) AS rrf_score
+FROM kwr k FULL OUTER JOIN vecr v ON k.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
 def orders_zorder_codes(spark, sf_dir):
     """Z-order layout codes: Morton-interleave customer key and order
     day so range-partitioning on the code yields files with tight
@@ -4680,8 +4771,9 @@ def events_robust_outliers(spark, sf_dir):
     |v - median| > 3.5*MAD robust-z rule evaluated ENTIRELY in exact
     integer arithmetic (doubled scaled medians are exact integers on
     both engines — see the module docstring), so counts and flags are
-    bit-identical under any partitioning. Two holistic aggregation
-    passes + broadcast joins of the tiny group-stat frames."""
+    bit-identical under any partitioning. ONE exchange on the group
+    key: both medians run as window aggregates over the same
+    partitioning, and the final group-by reuses it."""
     from universal_importer_duckdb_spark.operators.anomaly import (
         robust_outlier_summary,
     )
@@ -5004,6 +5096,7 @@ REGISTRY.update({
     ),
     "docs_priority_sample": (docs_priority_sample, PRIORITY_SAMPLE_SQL),
     "docs_keyword_search_topk": (docs_keyword_search_topk, KEYWORD_SEARCH_SQL),
+    "docs_hybrid_search_rrf": (docs_hybrid_search_rrf, HYBRID_RRF_SQL),
     "orders_zorder_codes": (orders_zorder_codes, _zorder_sql()),
     "orders_quantile_envelope": (
         orders_quantile_envelope, QUANTILE_ENVELOPE_SQL,
@@ -5052,9 +5145,10 @@ _R5_WINDOW = (
     # (dedup_duplicates demoted to r6: the same window machinery as
     # dedup_first/exclude_all which stay in-window and in every bench)
     "dedup_last_lineitem", "dedup_exclude_all_lineitem",
-    "dedup_cascade_lineitem",
     # (rule_age_gte_skip/invalid demoted to r6: r2/r3 driver-green,
-    # pinned by the dedicated AGE golden suite locally)
+    # pinned by the dedicated AGE golden suite locally;
+    # dedup_cascade demoted: r2/r3 green, a fold over the in-window
+    # dedup ops, property-tested locally)
     "pipeline_flagship",
     "pipeline_summary_lineitem",
     # (events_sessionization demoted to r6: r1-r3 green, runs in
@@ -5075,6 +5169,7 @@ _R5_WINDOW = (
     "docs_incremental_dedup", "docs_budget_selection",
     "events_transition_matrix", "events_retention_cohorts",
     "emb_hard_negatives", "emb_quantize_int8",
+    "docs_hybrid_search_rrf",
     # (docs_corpus_prep demoted with the eight below — r1-r3 green,
     # a composition of separately-checked ops — to make room for
     # orders_data_profile, which has never been driver-checked)

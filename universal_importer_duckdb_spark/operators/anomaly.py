@@ -24,17 +24,19 @@ arithmetic until the final rendering division:
   |v - med| > 3.5*MAD rule with every factor cleared — an integer
   comparison, bit-identical on any engine, any partitioning.
 
-Shape at scale: two aggregation passes over the value column (medians
-are holistic — one pass computes the median, one the deviations'
-median), each a per-group sort-based agg with small group count, plus
-narrow maps. The group-stat frames ride back onto rows via broadcast
-joins (group count << row count by assumption; at millions of groups
-swap for a shuffle join — the plan shape is otherwise unchanged).
+Shape at scale: ONE exchange on the group key, then both holistic
+medians run as window aggregates over that same partitioning (Spark
+reuses the exchange — the second window and the final group-by add no
+shuffle), and the summary is a map-side-combined aggregation over
+keys the data is already clustered on. Parallelism is bounded by
+group cardinality — inherent to exact per-group medians; for
+few-group/odd-skew corpora at extreme scale, swap the exact median
+for the certified sketch path (orders_quantile_envelope).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["robust_outlier_summary"]
@@ -55,27 +57,25 @@ def robust_outlier_summary(
     ``mad_multiplier_x2`` is the doubled threshold so callers can pick
     half-integer multipliers while the comparison stays integral.
     """
+    w = Window.partitionBy("grp")
     scaled = df.select(
         F.col(group_col).alias("grp"),
         F.round(F.col(value_col) * value_scale).cast("bigint").alias("__v"),
     )
-    med = scaled.groupBy("grp").agg(
-        (F.percentile("__v", F.lit(0.5)) * 2).cast("bigint").alias("__med2"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    dev = scaled.join(F.broadcast(med), "grp").select(
-        "grp",
-        "n",
+    with_med = scaled.withColumn(
         "__med2",
-        F.abs(F.lit(2) * F.col("__v") - F.col("__med2")).alias("__dev2"),
+        (F.percentile("__v", F.lit(0.5)).over(w) * 2).cast("bigint"),
+    ).withColumn(
+        "__dev2", F.abs(F.lit(2) * F.col("__v") - F.col("__med2"))
     )
-    mad = dev.groupBy("grp").agg(
-        (F.percentile("__dev2", F.lit(0.5)) * 2).cast("bigint").alias("__mad2"),
+    with_mad = with_med.withColumn(
+        "__mad2",
+        (F.percentile("__dev2", F.lit(0.5)).over(w) * 2).cast("bigint"),
     )
-    flagged = dev.join(F.broadcast(mad), "grp")
     return (
-        flagged.groupBy("grp", "n", "__med2", "__mad2")
+        with_mad.groupBy("grp", "__med2", "__mad2")
         .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(
                 F.when(
                     F.lit(4) * F.col("__dev2")

@@ -97,3 +97,46 @@ def keyword_search_topk(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists — the
+    standard score-free combiner for hybrid retrieval (lexical BM25 +
+    vector ANN): rrf = Σ 1/(k_rrf + rank_i), missing-list entries
+    contribute 0. Rank-based, so it needs no score calibration
+    between heterogeneous rankers, and every arithmetic step is one
+    IEEE division/addition on identical operands — bit-exact
+    cross-engine given deterministic input ranks.
+
+    Inputs carry (id_col, rank_col); lists are small (top-n per
+    ranker), so the fusion joins are trivially broadcastable at any
+    corpus scale — the expensive part of hybrid search is the
+    rankers, not the fuse."""
+    if not ranked:
+        raise ValueError("need at least one ranked list")
+    fused = None
+    rank_cols = []
+    for i, r in enumerate(ranked):
+        name = f"rank_{i}"
+        rank_cols.append(name)
+        r = r.select(
+            F.col(id_col), F.col(rank_col).cast("bigint").alias(name)
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    score = None
+    for name in rank_cols:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col(name)), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        fused.select(id_col, *rank_cols, score.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), id_col)
+        .limit(k)
+    )
