@@ -4444,6 +4444,42 @@ ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def docs_tokens_udtf(spark, sf_dir):
+    """Python UDTF exemplar (completes the UDF/UDAF/stateful/codec API
+    matrix): an Arrow-optimized user-defined TABLE function emitting
+    (pos, token) rows per document through a LATERAL join. The
+    semantics are deliberately SQL-replayable (positional tokenize,
+    skip empties, keep original 1-based positions) so even the Python
+    table function gets a bit-exact oracle. The built-in explode
+    covers this in production plans — the entry certifies the API
+    path for logic that genuinely needs imperative Python row
+    generation."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string", useArrow=True)
+    class TokenEmitter:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                if t:
+                    yield i + 1, t
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("token_emitter", TokenEmitter)
+    return spark.sql(
+        "SELECT t.doc_id, e.pos, e.token "
+        "FROM __udtf_docs t, LATERAL token_emitter(t.text) e"
+    )
+
+
+TOKENS_UDTF_SQL = """
+SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.t AS token
+FROM (SELECT doc_id, unnest([struct_pack(p := i, t := toks[i])
+                             for i in generate_series(1, len(toks))]) AS u
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+WHERE u.t <> ''
+"""
+
+
 def docs_hybrid_search_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 keyword top-50 and exact-cosine vector
     top-50 fused by reciprocal-rank fusion (operators/search.py::
@@ -5097,6 +5133,7 @@ REGISTRY.update({
     "docs_priority_sample": (docs_priority_sample, PRIORITY_SAMPLE_SQL),
     "docs_keyword_search_topk": (docs_keyword_search_topk, KEYWORD_SEARCH_SQL),
     "docs_hybrid_search_rrf": (docs_hybrid_search_rrf, HYBRID_RRF_SQL),
+    "docs_tokens_udtf": (docs_tokens_udtf, TOKENS_UDTF_SQL),
     "orders_zorder_codes": (orders_zorder_codes, _zorder_sql()),
     "orders_quantile_envelope": (
         orders_quantile_envelope, QUANTILE_ENVELOPE_SQL,
@@ -5150,8 +5187,9 @@ _R5_WINDOW = (
     # dedup_cascade demoted: r2/r3 green, a fold over the in-window
     # dedup ops, property-tested locally)
     "pipeline_flagship",
-    "pipeline_summary_lineitem",
-    # (events_sessionization demoted to r6: r1-r3 green, runs in
+    # (pipeline_summary demoted to r6: r3 driver-green; the observed
+    # variant shares its oracle and the e2e suite pins the funnel;
+    # events_sessionization demoted to r6: r1-r3 green, runs in
     # every bench, locally re-verified)
     "emb_cosine_topk",
     # session-3 round-5 additions — never driver-checked, take window
@@ -5169,7 +5207,7 @@ _R5_WINDOW = (
     "docs_incremental_dedup", "docs_budget_selection",
     "events_transition_matrix", "events_retention_cohorts",
     "emb_hard_negatives", "emb_quantize_int8",
-    "docs_hybrid_search_rrf",
+    "docs_hybrid_search_rrf", "docs_tokens_udtf",
     # (docs_corpus_prep demoted with the eight below — r1-r3 green,
     # a composition of separately-checked ops — to make room for
     # orders_data_profile, which has never been driver-checked)
