@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "emb_hard_negatives",
     "emb_quantize_int8",
     "docs_hybrid_search_rrf",
+    "lineitem_content_checksum",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch
