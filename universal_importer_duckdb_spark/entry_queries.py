@@ -5040,6 +5040,95 @@ FROM c
 """
 
 
+def orders_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube
+    specialize): per-(priority, status) counts and revenue plus the
+    per-priority and grand-total sets in ONE aggregation pass —
+    Catalyst expands the sets before the shuffle, so map-side partials
+    still apply. grouping() flags disambiguate real NULLs from
+    subtotal rows; money sums use the exact-decimal recipe."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(f"""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+"""
+
+
+def orders_compaction_plan(spark, sf_dir):
+    """Compaction planning — the operational answer to the small-files
+    problem at 100 TB: monthly partition sizes (row counts x an
+    estimated row width) greedily packed into ~4 MB compaction groups
+    via a cumulative-bytes DIV. The cumulative sum runs on the
+    PARTITION-level frame (hundreds of rows however big the table),
+    so its single-partition window is free; the only table-sized work
+    is one hash-agg with map-side partials."""
+    orders = _t(spark, sf_dir, "orders")
+    sizes = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .cast("string")
+            .alias("month")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("est_bytes", F.col("n_rows") * 128)
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    target = 4 * 1024 * 1024
+    return sizes.select(
+        "month",
+        "n_rows",
+        "est_bytes",
+        F.coalesce(F.sum("est_bytes").over(w), F.lit(0)).alias(
+            "bytes_before"
+        ),
+    ).withColumn(
+        "compaction_group",
+        F.expr(f"bytes_before DIV {target}").cast("bigint"),
+    )
+
+
+COMPACTION_PLAN_SQL = """
+WITH s AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR)
+           AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) * 128 AS est_bytes
+  FROM orders GROUP BY 1)
+SELECT month, n_rows, est_bytes,
+       COALESCE(SUM(est_bytes) OVER (
+         ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) AS bytes_before,
+       COALESCE(SUM(est_bytes) OVER (
+         ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) // 4194304 AS compaction_group
+FROM s
+"""
+
+
 def lineitem_content_checksum(spark, sf_dir):
     """Order-independent table content checksum — the anti-entropy
     primitive for verifying a 100 TB migration or replica without
@@ -5185,6 +5274,8 @@ REGISTRY.update({
     "lineitem_content_checksum": (
         lineitem_content_checksum, CONTENT_CHECKSUM_SQL,
     ),
+    "orders_grouping_sets": (orders_grouping_sets, GROUPING_SETS_SQL),
+    "orders_compaction_plan": (orders_compaction_plan, COMPACTION_PLAN_SQL),
     "emb_quantize_int8": (emb_quantize_int8, QUANTIZE_INT8_SQL),
     "emb_hard_negatives": (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL),
     "events_transition_matrix": (events_transition_matrix, TRANSITION_SQL),
@@ -5260,9 +5351,10 @@ REGISTRY.update({
 # never been driver-checked).
 _R5_WINDOW = (
     # unchecked in r4 (r1-r3-era green, re-confirm against fresh data)
-    # (dedup_duplicates demoted to r6: the same window machinery as
-    # dedup_first/exclude_all which stay in-window and in every bench)
-    "dedup_last_lineitem", "dedup_exclude_all_lineitem",
+    # (dedup_duplicates and dedup_last demoted to r6: the same window
+    # machinery as dedup_first/exclude_all, r2-green, locally
+    # re-verified; dedup_first is r4-driver-green and in every bench)
+    "dedup_exclude_all_lineitem",
     # (rule_age_gte_skip/invalid demoted to r6: r2/r3 driver-green,
     # pinned by the dedicated AGE golden suite locally;
     # dedup_cascade demoted: r2/r3 green, a fold over the in-window
@@ -5290,13 +5382,16 @@ _R5_WINDOW = (
     "emb_hard_negatives", "emb_quantize_int8",
     "docs_hybrid_search_rrf", "docs_tokens_udtf",
     "lineitem_content_checksum",
+    "orders_grouping_sets", "orders_compaction_plan",
     # (emb_near_dup_pairs demoted to r6: r2 driver-green with the
     # seeded-literal oracle, unchanged, and emb_semdedup_clusters —
     # in-window — composes the same pair machinery)
     # (docs_corpus_prep demoted with the eight below — r1-r3 green,
     # a composition of separately-checked ops — to make room for
-    # orders_data_profile, which has never been driver-checked)
-    "stream_dedup_within_watermark",
+    # orders_data_profile, which has never been driver-checked;
+    # stream_dedup_within_watermark demoted to r6: r2-green, its
+    # oracle is the trivial full event set, and four other streaming
+    # entries stay in-window)
     "stream_simhash_neardup_dedup",
     "stream_session_windows",
     "stream_click_purchase_join",
