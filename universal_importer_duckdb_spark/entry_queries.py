@@ -1474,8 +1474,15 @@ def emb_quantize_int8(spark, sf_dir):
     emb = emb.select(
         "vec_id",
         vd.alias("__v"),
+        # floor at 1e-30 so an all-zero vector quantizes to zeros
+        # instead of dividing by zero (ANSI error here, engine-
+        # dependent NaN/error in the oracle)
         (
-            F.array_max(F.transform(vd, lambda x: F.abs(x))) / F.lit(127.0)
+            F.greatest(
+                F.array_max(F.transform(vd, lambda x: F.abs(x))),
+                F.lit(1e-30),
+            )
+            / F.lit(127.0)
         ).alias("scale"),
     )
     q = F.transform(
@@ -1495,7 +1502,8 @@ def emb_quantize_int8(spark, sf_dir):
 QUANTIZE_INT8_SQL = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 s AS (SELECT vec_id, e,
-             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+             greatest(list_max(list_transform(e, x -> abs(x))), 1e-30)
+               / 127.0 AS scale
       FROM v),
 q AS (SELECT vec_id, e, scale,
              list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
@@ -4865,7 +4873,12 @@ def docs_bpe_learn_merges(spark, sf_dir):
     return merges
 
 
+# Keyed by id(spark): the memoized vocab frame pins its session
+# object, so a dead session's id cannot be reused while its entry
+# lives — the risk is retention, not collision. The FIFO cap bounds
+# both the kept frames and the dead-session retention.
 _BPE_VOCAB_MEMO: dict[tuple[int, str, int], DataFrame] = {}
+_BPE_VOCAB_MEMO_CAP = 4
 
 
 def docs_bpe_token_counts(spark, sf_dir):
@@ -4891,6 +4904,8 @@ def docs_bpe_token_counts(spark, sf_dir):
         _, vocab = learn_bpe(
             word_frequency_table(docs), n_merges=N_BPE_MERGES
         )
+        while len(_BPE_VOCAB_MEMO) >= _BPE_VOCAB_MEMO_CAP:
+            _BPE_VOCAB_MEMO.pop(next(iter(_BPE_VOCAB_MEMO)))
         _BPE_VOCAB_MEMO[key] = vocab
     return bpe_token_counts(docs, vocab)
 
