@@ -46,6 +46,18 @@ def test_bpe_token_counts_after_merges(spark):
     assert (out[2].n_words, out[2].n_bpe_tokens) == (0, 0)
 
 
+def test_bpe_token_counts_oov_falls_back_to_chars(spark):
+    # encode a LATER batch under a previously trained vocab: unseen
+    # words count fully, tokenized as characters (untrained BPE)
+    train = _docs(spark, ["low low low lower"])
+    _, vocab = learn_bpe(word_frequency_table(train), n_merges=2)
+    batch = _docs(spark, ["low zebra"])
+    [r] = bpe_token_counts(batch, vocab).collect()
+    assert r.n_words == 2
+    # "low" is one merged symbol + "zebra" = 5 character tokens
+    assert r.n_bpe_tokens == 6
+
+
 def test_learn_bpe_exhaustion_raises(spark):
     docs = _docs(spark, ["ab ab"])
     with pytest.raises(ValueError, match="exhausted"):

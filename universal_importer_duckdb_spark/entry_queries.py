@@ -4855,12 +4855,13 @@ N_BPE_MERGES = 8
 def docs_bpe_learn_merges(spark, sf_dir):
     """Distributed BPE tokenizer induction (operators/bpe.py): 8 merge
     rounds over the corpus word-frequency table. One corpus-sized
-    aggregation, then every round is vocab-sized with the winning pair
-    riding into the merge step as a broadcast one-row frame — no
-    driver collect in the loop. The delimited-string merge uses
-    replace-scan semantics verified identical across Spark/DuckDB/
-    Python, so the full learn loop replays bit-for-bit in the oracle's
-    8 chained SQL stages."""
+    aggregation, then every round is one vocab-sized hash-agg whose
+    winner returns as a single-row argmax collect — the bounded
+    driver traffic inherent to BPE's sequential dependence — and the
+    merge applies as a literal narrow map. The delimited-string merge
+    uses replace-scan semantics verified identical across Spark/
+    DuckDB/Python, so the full learn loop replays bit-for-bit in the
+    oracle's 8 chained SQL stages."""
     from universal_importer_duckdb_spark.operators.bpe import (
         learn_bpe,
         word_frequency_table,
@@ -4969,9 +4970,11 @@ dw AS (SELECT doc_id,
               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
        FROM documents),
 per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-               CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+               CAST(SUM(COALESCE(n_syms,
+                                 CAST(length(word) AS BIGINT))) AS BIGINT)
+                 AS n_bpe_tokens
         FROM (SELECT doc_id, word FROM dw WHERE word <> '')
-        JOIN tok USING (word) GROUP BY doc_id)
+        LEFT JOIN tok USING (word) GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(per.n_words, 0) AS n_words,
        COALESCE(per.n_bpe_tokens, 0) AS n_bpe_tokens
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id

@@ -160,8 +160,11 @@ def bpe_token_counts(
     — (id, n_words, n_bpe_tokens). The corpus-sized word stream joins
     the vocab's final symbol counts on the word (broadcast when the
     vocab is small; a plain shuffle join at dictionary scale), then
-    one per-doc aggregation. Documents with no [a-z0-9] words keep a
-    row with zero counts."""
+    one per-doc aggregation. Out-of-vocabulary words (encoding a LATER
+    batch under a previously trained vocab) fall back to character
+    tokens — length(word) symbols, exactly what untrained BPE does —
+    via a LEFT join, so n_words always counts every word. Documents
+    with no [a-z0-9] words keep a row with zero counts."""
     doc_words = (
         df.select(
             F.col(id_col),
@@ -175,7 +178,13 @@ def bpe_token_counts(
         "word", F.size(_symbols()).cast("bigint").alias("__n_syms")
     )
     per_doc = (
-        doc_words.join(tok, "word")
+        doc_words.join(tok, "word", "left")
+        .withColumn(
+            "__n_syms",
+            F.coalesce(
+                F.col("__n_syms"), F.length("word").cast("bigint")
+            ),
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
