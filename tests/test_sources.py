@@ -150,3 +150,22 @@ def test_json_corrupt_capture(spark, tmp_path):
     assert len(c) == 2
     assert any("not json" in r for r in c)
     assert any("not-an-int" in r for r in c)
+
+
+def test_json_corrupt_handle_survives_cache_sweep(spark, tmp_path):
+    # regression: the reader-internal _corrupt_record formulation only
+    # stayed queryable while a cache entry covered it — a release_scoped
+    # or clearCache sweep broke the returned handle. The from_json
+    # formulation must keep both frames valid after any sweep.
+    from universal_importer_duckdb_spark.caching import release_scoped
+    from universal_importer_duckdb_spark.sources.readers import (
+        read_json_with_corrupt_capture,
+    )
+
+    p = tmp_path / "sweep.jsonl"
+    p.write_text('{"a": 1}\nnot json\n{"a": 2}\n')
+    good, corrupt = read_json_with_corrupt_capture(spark, str(p), "a int")
+    release_scoped(spark)
+    spark.catalog.clearCache()
+    assert good.count() == 2
+    assert [r.raw_record for r in corrupt.collect()] == ["not json"]

@@ -119,23 +119,36 @@ def read_json_with_corrupt_capture(
     ``(good, corrupt)`` where ``corrupt`` carries the raw offending
     line for the typed error sink.
 
-    Spark refuses queries that reference ONLY the internal corrupt
-    column on the un-materialized scan (it could not have been
-    populated without parsing the other columns), so the frame is
-    registered through :func:`scoped_cache` first — also what makes
-    the double consumption (good + corrupt) a single parse."""
-    from universal_importer_duckdb_spark.caching import scoped_cache
-
+    Parsing goes through text + ``from_json`` (same PERMISSIVE
+    corrupt-capture machinery as the native reader) rather than the
+    JSON reader's internal ``_corrupt_record`` column: Spark refuses
+    plans that reference ONLY that internal column on an
+    un-materialized JSON scan, so a reader-based ``corrupt`` handle
+    stays valid only while a cache entry happens to cover it — it
+    breaks the moment any cache sweep (release_scoped, clearCache)
+    lands. A struct field from from_json has no such restriction; the
+    returned handles are plain DataFrames valid forever. Callers
+    consuming BOTH frames in one job should ``scoped_cache`` the
+    inputs themselves if the double text scan matters."""
     corrupt_col = "_corrupt_record"
-    full = scoped_cache(
-        spark.read.schema(f"{schema}, {corrupt_col} string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
+    parsed = (
+        spark.read.text(path)
+        .filter(F.trim(F.col("value")) != "")  # reader skips blank lines
+        .select(
+            F.from_json(
+                F.col("value"),
+                f"{schema}, {corrupt_col} string",
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+            ).alias("r")
+        )
     )
-    good = full.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    corrupt = full.filter(F.col(corrupt_col).isNotNull()).select(
-        F.col(corrupt_col).alias("raw_record")
+    good = (
+        parsed.filter(F.col(f"r.{corrupt_col}").isNull())
+        .select("r.*")
+        .drop(corrupt_col)
+    )
+    corrupt = parsed.filter(F.col(f"r.{corrupt_col}").isNotNull()).select(
+        F.col(f"r.{corrupt_col}").alias("raw_record")
     )
     return good, corrupt
 
