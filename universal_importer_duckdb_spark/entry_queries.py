@@ -4393,9 +4393,9 @@ def docs_priority_sample(spark, sf_dir):
 PRIORITY_SAMPLE_SQL = """
 WITH p AS (
   SELECT doc_id, n_chars,
-         ('0x'||substr(md5('prio-v1:'||doc_id), 1, 7))::BIGINT / n_chars
-           AS priority
-  FROM documents WHERE n_chars > 0)
+         ('0x'||substr(md5('prio-v1:'||doc_id), 1, 7))::BIGINT
+           / CAST(round(n_chars * 1000000) AS BIGINT) AS priority
+  FROM documents WHERE CAST(round(n_chars * 1000000) AS BIGINT) > 0)
 SELECT doc_id, n_chars, priority FROM p ORDER BY priority, doc_id LIMIT 100
 """
 

@@ -314,10 +314,15 @@ def priority_sample(
     The priority is ONE double division of two exact integers, so it
     replays bit-identically in the SQL oracle — no pow/log (classic
     A-ES uses u^(1/w); the Ohlsson variant is transcendental-free,
-    which is why it's the one used here). Top-k is
+    which is why it's the one used here). Weights scale to fixed-point
+    integers (6 implied decimals) first, so FRACTIONAL weights —
+    quality scores in (0,1), the docstring's own example — keep their
+    relative magnitudes instead of truncating to zero, and the
+    division stays exact-int over exact-int; weights below 5e-7 round
+    to zero and are excluded like any non-positive weight. Top-k is
     TakeOrderedAndProject: per-partition heaps, no global sort."""
     u = _md5_28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-    w = F.col(weight_col).cast("bigint")
+    w = F.round(F.col(weight_col) * 1_000_000).cast("bigint")
     pri = (u / w).alias("priority")
     return (
         df.filter(w > 0)

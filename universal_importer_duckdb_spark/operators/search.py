@@ -53,6 +53,19 @@ def keyword_search_topk(
     same double."""
     if not terms:
         raise ValueError("need at least one query term")
+    if any("`" in t for t in terms):
+        raise ValueError("query terms must not contain backticks")
+
+    # per-term columns are named tf_{term}/df_{term}; terms are
+    # arbitrary tokens ("node.js", "v1.2"), so every reference is
+    # backtick-quoted — a bare F.col("tf_node.js") would parse the
+    # dot as a struct accessor and fail resolution
+    def _tf(t):
+        return F.col(f"`tf_{t}`")
+
+    def _df_(t):
+        return F.col(f"`df_{t}`")
+
     one_minus_b = 1.0 - b
     toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
     tf_cols = [
@@ -68,7 +81,7 @@ def keyword_search_topk(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("doclen").cast("bigint").alias("sum_len"),
         *[
-            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            F.sum(F.when(_tf(t) > 0, 1).otherwise(0))
             .cast("bigint")
             .alias(f"df_{t}")
             for t in terms
@@ -83,16 +96,14 @@ def keyword_search_topk(
     )
     score = None
     for t in terms:
-        idf = ((F.col("n_docs") - F.col(f"df_{t}")) + F.lit(0.5)) / (
-            F.col(f"df_{t}") + F.lit(0.5)
+        idf = ((F.col("n_docs") - _df_(t)) + F.lit(0.5)) / (
+            _df_(t) + F.lit(0.5)
         )
-        part = idf * (F.col(f"tf_{t}") * F.lit(k1 + 1.0)) / (
-            F.col(f"tf_{t}") + len_norm
-        )
+        part = idf * (_tf(t) * F.lit(k1 + 1.0)) / (_tf(t) + len_norm)
         score = part if score is None else score + part
     return (
         scored.select(
-            F.col(id_col), *[f"tf_{t}" for t in terms], score.alias("score")
+            F.col(id_col), *[_tf(t) for t in terms], score.alias("score")
         )
         .orderBy(F.desc("score"), id_col)
         .limit(k)
