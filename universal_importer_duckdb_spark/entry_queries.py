@@ -1548,7 +1548,10 @@ def _emb_hard_negatives_sql(floor: float = 0.3, k: int = 20,
     )
     return f"""
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-b AS (SELECT vec_id, label, e, {bits} AS bucket FROM v),
+b0 AS (SELECT vec_id, label, e, {bits} AS bucket FROM v),
+b AS (SELECT vec_id, label, e, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bn FROM b0)
+      WHERE bn <= 500),
 p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
              a.label AS label_a, c.label AS label_b, a.e AS ea, c.e AS eb
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
@@ -3763,14 +3766,14 @@ ch AS (
   FROM c, unnest(range(0, k)) AS t2(u)),
 s AS (
   SELECT doc_id, chunk_idx, chunk_tokens,
-         COALESCE(SUM(chunk_tokens) OVER (
+         CAST(COALESCE(SUM(chunk_tokens) OVER (
            ORDER BY doc_id, chunk_idx
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS tokens_before
   FROM ch)
 SELECT doc_id, chunk_idx, chunk_tokens, tokens_before,
-       tokens_before // 512 AS seq_id,
-       tokens_before % 512 AS seq_offset
+       CAST(tokens_before // 512 AS BIGINT) AS seq_id,
+       CAST(tokens_before % 512 AS BIGINT) AS seq_offset
 FROM s
 """
 
@@ -5009,8 +5012,9 @@ firsts AS (
   SELECT doc_id, fingerprint,
          ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
   FROM batch)
-SELECT doc_id, fingerprint FROM firsts
-WHERE rn = 1 AND fingerprint NOT IN (SELECT fingerprint FROM idx)
+SELECT doc_id, fingerprint FROM firsts f
+WHERE rn = 1 AND NOT EXISTS (
+  SELECT 1 FROM idx i WHERE i.fingerprint = f.fingerprint)
 """
 
 
@@ -5047,9 +5051,9 @@ WITH s AS (
   FROM documents),
 c AS (
   SELECT doc_id, score, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            ORDER BY score DESC, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS tokens_before
   FROM s)
 SELECT doc_id, score, n_tokens, tokens_before,
@@ -5137,12 +5141,12 @@ WITH s AS (
          CAST(COUNT(*) AS BIGINT) * 128 AS est_bytes
   FROM orders GROUP BY 1)
 SELECT month, n_rows, est_bytes,
-       COALESCE(SUM(est_bytes) OVER (
+       CAST(COALESCE(SUM(est_bytes) OVER (
          ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         0) AS bytes_before,
-       COALESCE(SUM(est_bytes) OVER (
+         0) AS BIGINT) AS bytes_before,
+       CAST(COALESCE(SUM(est_bytes) OVER (
          ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         0) // 4194304 AS compaction_group
+         0) // 4194304 AS BIGINT) AS compaction_group
 FROM s
 """
 

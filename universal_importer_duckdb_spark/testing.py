@@ -55,8 +55,34 @@ def _sorted_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(projected, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
 
 
+_INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _check_oracle_dtypes(spark_df, con, sql: str, name: str) -> None:
+    """Driver-hasher emulation: the driver materializes the oracle via
+    pandas (``.df()``), where DuckDB HUGEINT/UHUGEINT becomes float64
+    and hashes differently from Spark's int64 even when values are
+    equal (the r5 red rows). Flag any oracle column that pandas types
+    as float while Spark types it integral — the oracle SQL needs a
+    ``CAST(... AS BIGINT)``."""
+    # DESCRIBE plans without executing — free even on expensive oracles.
+    described = con.execute(f"DESCRIBE {sql}").fetchall()
+    spark_types = dict(spark_df.dtypes)
+    for row in described:
+        col, duck_type = row[0], row[1]
+        st = spark_types.get(col)
+        if st in _INTEGRAL_SPARK and duck_type in ("HUGEINT", "UHUGEINT"):
+            raise AssertionError(
+                f"[{name}] oracle column {col!r} is DuckDB {duck_type} "
+                f"(materializes as float64 in the driver's pandas hasher) "
+                f"but Spark types it {st}; CAST it to BIGINT in the oracle "
+                f"SQL or the driver hash will mismatch"
+            )
+
+
 def compare(spark_df, con, sql: str, name: str = "?") -> None:
     """Raise AssertionError with a diff preview on any mismatch."""
+    _check_oracle_dtypes(spark_df, con, sql, name)
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     cur = con.execute(sql)
