@@ -433,8 +433,11 @@ WHERE c_custkey IS NULL OR c_name IS NULL OR c_nationkey IS NULL
 
 def _dedup(spark, sf_dir, resolution, keys=("l_partkey", "l_suppkey")):
     from universal_importer_duckdb_spark.operators.dedup import dedupe
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = spread_for_compute(_t(spark, sf_dir, "lineitem"), *keys)
     kept, dups = dedupe(li, list(keys), resolution, LINEITEM_COLS)
     return kept.select(*LINEITEM_COLS), dups.select(*LINEITEM_COLS)
 
@@ -445,9 +448,18 @@ def _dedup_kept(spark, sf_dir, resolution, keys=("l_partkey", "l_suppkey")):
     # (measured at sf0.1: first 1.98s vs 2.41s, exclude_all 0.72s vs
     # 2.29s). dedupe_keep_only stays the choice for duplicate-heavy
     # inputs (see operators/dedup.py docstrings).
+    # Pre-spread on the dedup keys: testdata parquet is one row group,
+    # so the window's own exchange otherwise AQE-coalesces to ~3 tasks
+    # (measured 1.22 s -> 0.51 s at sf0.1). Hash-partitioning on the
+    # same keys satisfies the window's distribution, so there is still
+    # exactly ONE shuffle; no-op once the scan arrives in >= cores
+    # splits (cluster scale).
     from universal_importer_duckdb_spark.operators.dedup import dedupe
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = spread_for_compute(_t(spark, sf_dir, "lineitem"), *keys)
     kept, _ = dedupe(li, list(keys), resolution, LINEITEM_COLS)
     return kept.select(*LINEITEM_COLS)
 
@@ -5163,7 +5175,15 @@ def lineitem_content_checksum(spark, sf_dir):
     form (explicit casts, fixed separator) and the hex-to-int
     conversion are chosen to be byte-identical cross-engine — this
     query IS the cross-engine verification."""
-    li = _t(spark, sf_dir, "lineitem")
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    # Pre-spread: single-row-group testdata parquet pins the md5-per-row
+    # pass to one scan task; a round-robin repartition distributes the
+    # hashing across cores (the aggregates are commutative, so placement
+    # is free). No-op when the scan already arrives in >= cores splits.
+    li = spread_for_compute(_t(spark, sf_dir, "lineitem"))
     # NULLs canonicalize to a sentinel BEFORE joining: concat_ws would
     # silently skip them (shifting positions) and DuckDB's || would
     # null the whole row string — explicit coalesce keeps the byte
