@@ -61,6 +61,7 @@ def bucket_pairs(
     id_col: str,
     max_bucket_size: int,
     payload_col: str | None = None,
+    unique_buckets: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs ``(id_a < id_b)`` of rows sharing a
     bucket: ONE groupBy shuffle + in-bucket combination expansion,
@@ -69,7 +70,12 @@ def bucket_pairs(
     ``max_bucket_size`` are dropped the way production LSH pipelines
     drop stop-shingles. With ``payload_col`` each side's payload rides
     along as ``payload_a`` / ``payload_b`` so the verify step needs no
-    join back."""
+    join back.
+
+    ``unique_buckets=True`` declares each id appears in at most ONE
+    bucket (e.g. a single LSH signature per row, not banded minhash),
+    so no pair can be generated twice and the de-duplicating
+    ``distinct()`` — a full shuffle of the pair payloads — is skipped."""
     fields = [F.col(id_col).alias("id")]
     if payload_col:
         fields.append(F.col(payload_col).alias("payload"))
@@ -96,7 +102,8 @@ def bucket_pairs(
             F.col("p.a.payload").alias("payload_a"),
             F.col("p.b.payload").alias("payload_b"),
         ]
-    return buckets.select(F.explode(pair_expr).alias("p")).select(*cols).distinct()
+    out = buckets.select(F.explode(pair_expr).alias("p")).select(*cols)
+    return out if unique_buckets else out.distinct()
 
 
 def exact_dedup(

@@ -66,6 +66,10 @@ def keyword_search_topk(
     def _df_(t):
         return F.col(f"`df_{t}`")
 
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
     one_minus_b = 1.0 - b
     toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
     tf_cols = [
@@ -74,7 +78,11 @@ def keyword_search_topk(
         .alias(f"tf_{term}")
         for term in terms
     ]
-    per_doc = df.select(
+    # Spread before tokenizing: a single-split scan (one-row-group
+    # parquet) otherwise runs the per-term token filters — the
+    # dominant cost — on one core, twice (stats pass + scoring pass).
+    # No-op once the scan arrives in >= cores splits.
+    per_doc = spread_for_compute(df).select(
         F.col(id_col), *tf_cols, F.size(toks).cast("bigint").alias("doclen")
     )
     stats = per_doc.agg(

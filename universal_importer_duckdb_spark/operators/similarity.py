@@ -226,6 +226,12 @@ def hard_negative_pairs(
 
     planes = _hyperplanes(n_planes, dim, seed)
     vd = F.col(vec_col).cast("array<double>")
+    # The exact DECIMAL norm fold is computed once per VECTOR here and
+    # carried in the payload — not once per pair side, where each
+    # vector's fold would be re-run for every candidate pair it
+    # appears in (measured: the decimal folds are the dominant cost of
+    # this operator). sqrt(exact_fold) per pair side is the identical
+    # expression tree cosine() builds, so scores are bit-unchanged.
     b = (
         spread_for_compute(df, id_col)
         .withColumn("bucket", bucket_signature(vec_col, planes))
@@ -234,6 +240,9 @@ def hard_negative_pairs(
             F.struct(
                 vd.alias("v"),
                 _norm2_double(vd).alias("n2"),
+                _fold_dec(F.transform(vd, lambda x: (x * x).cast(_DEC))).alias(
+                    "n2x"
+                ),
                 F.col(label_col).alias("lab"),
             ),
         )
@@ -242,8 +251,14 @@ def hard_negative_pairs(
     dcos = _dot_double(va, vb) / F.greatest(
         F.sqrt(F.col("payload_a.n2") * F.col("payload_b.n2")), F.lit(1e-300)
     )
+    exact_cos = dot_product(va, vb) / (
+        F.sqrt(F.col("payload_a.n2x")) * F.sqrt(F.col("payload_b.n2x"))
+    )
     return (
-        bucket_pairs(b, ["bucket"], id_col, max_bucket_size, "__pl")
+        bucket_pairs(
+            b, ["bucket"], id_col, max_bucket_size, "__pl",
+            unique_buckets=True,
+        )
         .filter(F.col("payload_a.lab") != F.col("payload_b.lab"))
         .filter(dcos >= cosine_floor - 1e-9)
         .select(
@@ -251,7 +266,7 @@ def hard_negative_pairs(
             "id_b",
             F.col("payload_a.lab").alias("label_a"),
             F.col("payload_b.lab").alias("label_b"),
-            cosine(va, vb).alias("cosine"),
+            exact_cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= cosine_floor)
         .orderBy(F.desc("cosine"), "id_a", "id_b")
@@ -392,7 +407,10 @@ def embedding_near_pairs(
         F.sqrt(F.col("payload_a.n2") * F.col("payload_b.n2")), F.lit(1e-300)
     )
     return (
-        bucket_pairs(b, ["bucket"], id_col, max_bucket_size, "__pl")
+        bucket_pairs(
+            b, ["bucket"], id_col, max_bucket_size, "__pl",
+            unique_buckets=True,
+        )
         .filter(dcos >= cosine_threshold - 1e-9)
         .select("id_a", "id_b", cosine(va, vb).alias("cosine"))
         .filter(F.col("cosine") >= cosine_threshold)
