@@ -74,3 +74,59 @@ def test_learn_bpe_same_symbol_run_semantics(spark):
     assert (m.sym_a, m.sym_b, m.pair_count) == ("a", "a", 5)
     v = {r.word: r.d for r in vocab.collect()}
     assert v["aaaaaa"] == "·aa·a·aa·a·"
+
+
+def test_load_merges_file_parses_gpt2_format(tmp_path):
+    from universal_importer_duckdb_spark.operators.bpe import load_merges_file
+
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: 0.2\nt h\nth e\n\ni n\n")
+    assert load_merges_file(str(p)) == [("t", "h"), ("th", "e"), ("i", "n")]
+
+
+def test_load_merges_file_rejects_bad_symbols(tmp_path):
+    from universal_importer_duckdb_spark.operators.bpe import load_merges_file
+
+    for bad in ("t h e\n", "T h\n", "t ·\n", "t\n"):
+        p = tmp_path / "merges.txt"
+        p.write_text(bad)
+        with pytest.raises(ValueError):
+            load_merges_file(str(p))
+
+
+def test_apply_merges_replays_shipped_vocab(spark):
+    from universal_importer_duckdb_spark.operators.bpe import apply_merges
+
+    docs = _docs(spark, ["the thin thing", "another brother"])
+    vocab = apply_merges(
+        word_frequency_table(docs), [("t", "h"), ("th", "e"), ("i", "n")]
+    )
+    v = {r.word: r.d for r in vocab.collect()}
+    assert v["the"] == "·the·"
+    assert v["thin"] == "·th·in·"
+    assert v["thing"] == "·th·in·g·"
+    # merge inside a longer word; (t,h) fires on the inner 't','h'
+    assert v["another"] == "·a·n·o·the·r·"
+
+
+def test_apply_merges_missing_pair_is_noop(spark):
+    from universal_importer_duckdb_spark.operators.bpe import apply_merges
+
+    docs = _docs(spark, ["zzz"])
+    vocab = apply_merges(
+        word_frequency_table(docs), [("q", "x"), ("z", "z")]
+    )
+    v = {r.word: r.d for r in vocab.collect()}
+    # (q,x) never occurs: no-op; (z,z) merges by replace-scan order
+    assert v["zzz"] == "·zz·z·"
+
+
+def test_shipped_fixture_loads():
+    from universal_importer_duckdb_spark.entry_queries import (
+        _SHIPPED_MERGES_PATH,
+    )
+    from universal_importer_duckdb_spark.operators.bpe import load_merges_file
+
+    merges = load_merges_file(_SHIPPED_MERGES_PATH)
+    assert len(merges) >= 10
+    assert merges[0] == ("t", "h")

@@ -4996,6 +4996,80 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
+_SHIPPED_MERGES_PATH = str(
+    __import__("pathlib").Path(__file__).parent
+    / "data"
+    / "shipped_merges.txt"
+)
+
+
+def docs_shipped_tokenizer_counts(spark, sf_dir):
+    """Token counts under a SHIPPED tokenizer file (operators/bpe.py::
+    load_merges_file + apply_merges): the GPT-2-style merges.txt in
+    data/shipped_merges.txt is parsed on the driver and replayed as a
+    chain of literal replace maps over the corpus word table — the
+    interop path a real corpus pipeline needs, since token budgets
+    must be counted under the TARGET model's tokenizer, not one
+    learned from the corpus at hand. No learn loop, no collects:
+    one corpus word-count aggregation, the literal merge chain
+    (narrow maps), then the same encode join as
+    docs_bpe_token_counts. The oracle replays the identical literal
+    replace chain (replace-scan semantics verified identical across
+    Spark/DuckDB/Python)."""
+    from universal_importer_duckdb_spark.operators.bpe import (
+        apply_merges,
+        bpe_token_counts,
+        load_merges_file,
+        word_frequency_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = load_merges_file(_SHIPPED_MERGES_PATH)
+    vocab = apply_merges(word_frequency_table(docs), merges)
+    return bpe_token_counts(docs, vocab)
+
+
+def _shipped_tokenizer_sql() -> str:
+    """Oracle for docs_shipped_tokenizer_counts: the shipped merge
+    list is file content (not data-derived), so the replay is one
+    nested literal replace expression — no scalar subqueries, no
+    materialized stage chain."""
+    from universal_importer_duckdb_spark.operators.bpe import (
+        load_merges_file,
+    )
+
+    expr = "d"
+    for a, b in load_merges_file(_SHIPPED_MERGES_PATH):
+        pat = f"'·{a}·{b}·'"
+        rep = f"'·{a}{b}·'"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return f"""
+WITH wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word),
+w0 AS (SELECT word, regexp_replace(word, '(.)', '·\\1', 'g') || '·' AS d
+       FROM wc),
+tok AS (SELECT word,
+               CAST(len(string_split(trim({expr}, '·'), '·')) AS BIGINT)
+                 AS n_syms
+        FROM w0),
+dw AS (SELECT doc_id,
+              unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+       FROM documents),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(COALESCE(n_syms,
+                                 CAST(length(word) AS BIGINT))) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM (SELECT doc_id, word FROM dw WHERE word <> '')
+        LEFT JOIN tok USING (word) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(per.n_words, 0) AS n_words,
+       COALESCE(per.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 def docs_incremental_dedup(spark, sf_dir):
     """Incremental ingest dedup (operators/dedup_text.py::
     incremental_exact_dedup): the daily-batch shape — new documents
@@ -5329,6 +5403,9 @@ REGISTRY.update({
     ),
     "docs_bpe_token_counts": (
         docs_bpe_token_counts, _bpe_encode_sql(N_BPE_MERGES),
+    ),
+    "docs_shipped_tokenizer_counts": (
+        docs_shipped_tokenizer_counts, _shipped_tokenizer_sql(),
     ),
     "part_fuzzy_matches": (part_fuzzy_matches, FUZZY_MATCH_SQL),
     "events_resample_interpolate": (

@@ -51,7 +51,13 @@ from pyspark.sql import functions as F
 
 DELIM = "·"  # '·' — cannot collide with [a-z0-9] symbols
 
-__all__ = ["word_frequency_table", "learn_bpe", "bpe_token_counts"]
+__all__ = [
+    "word_frequency_table",
+    "learn_bpe",
+    "bpe_token_counts",
+    "load_merges_file",
+    "apply_merges",
+]
 
 
 def word_frequency_table(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -148,6 +154,61 @@ def learn_bpe(
         learned, "round bigint, sym_a string, sym_b string, pair_count bigint"
     )
     return merges, w
+
+
+def load_merges_file(path: str) -> list[tuple[str, str]]:
+    """Parse a GPT-2-style ``merges.txt``: one ``sym_a sym_b`` pair
+    per line in priority order; ``#``-prefixed lines (the
+    ``#version:`` header) and blank lines are skipped. This is the
+    interop point a production corpus pipeline needs — token budgets
+    (docs_budget_selection) are meaningless unless counted under the
+    TARGET model's shipped tokenizer, not a corpus-learned one.
+
+    Symbols are validated against this module's normalization
+    ([a-z0-9]+, no delimiter char): a merge whose symbols can never
+    occur would silently no-op, and a delimiter collision would
+    corrupt the symbol-string representation — both are loader
+    errors, not data conditions."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for ln, raw in enumerate(fh, 1):
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2:
+                raise ValueError(
+                    f"{path}:{ln}: expected 'sym_a sym_b', got {line!r}"
+                )
+            for sym in parts:
+                if not sym or DELIM in sym or not all(
+                    c.islower() or c.isdigit() for c in sym
+                ):
+                    raise ValueError(
+                        f"{path}:{ln}: symbol {sym!r} outside the "
+                        f"[a-z0-9]+ normalization this tokenizer applies"
+                    )
+            merges.append((parts[0], parts[1]))
+    return merges
+
+
+def apply_merges(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Replay a SHIPPED merge list over a word-frequency table — the
+    encode-under-a-fixed-tokenizer path. Identical per-merge semantics
+    to :func:`learn_bpe`'s round merge (two sequential leftmost-non-
+    overlap replace passes on the delimited symbol string), but the
+    pairs come from a file, so the whole chain is literal narrow maps:
+    NO aggregation jobs, no collects, nothing data-derived. A merge
+    whose pair never occurs is a no-op, exactly as in GPT-2's encoder
+    when a priority rule doesn't fire."""
+    w = words
+    for a, b in merges:
+        pat = F.lit(f"{DELIM}{a}{DELIM}{b}{DELIM}")
+        rep = F.lit(f"{DELIM}{a}{b}{DELIM}")
+        w = w.withColumn("d", F.replace(F.replace("d", pat, rep), pat, rep))
+    return w
 
 
 def bpe_token_counts(
