@@ -734,3 +734,95 @@ def test_approx_distinct_sketch_inside_envelope(spark, sf_dir):
     assert rows and all(r.approx_within_budget for r in rows)
     again = eq.approx_distinct_customers_monthly(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_jpeg_swap_point_without_pil_raises_documented():
+    import pytest as _pytest
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    # container has no PIL: the JPEG branch must raise the documented
+    # install hint, not a generic dispatch failure
+    with _pytest.raises(NotImplementedError, match="PIL|pillow"):
+        decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 16, "image/jpeg")
+
+
+def test_jpeg_swap_point_uses_pil_when_present(monkeypatch):
+    """Wiring test with a deterministic fake PIL: decode_media must
+    route JPEG payloads through PIL.Image.open and emit the same
+    feature keys as the PNG decoder."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _FakeImg:
+        width, height = 4, 2
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def convert(self, mode):
+            assert mode == "L"
+            return np.full((2, 4), 7, dtype=np.uint8)
+
+    fake_image_mod = types.SimpleNamespace(open=lambda buf: _FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(
+        sys.modules, "PIL.Image", types.ModuleType("PIL.Image")
+    )
+    sys.modules["PIL.Image"].open = fake_image_mod.open
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    out = decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    assert out == {
+        "kind": "image",
+        "width": 4,
+        "height": 2,
+        "n_channels": 3,
+        "luma_sum": 7 * 8,
+    }
+
+
+def test_audio_swap_point_without_soundfile_raises_documented():
+    import pytest as _pytest
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    for payload in (b"ID3\x04" + b"\x00" * 16, b"fLaC" + b"\x00" * 16,
+                    b"OggS" + b"\x00" * 16, b"\xff\xfb\x90" + b"\x00" * 16):
+        with _pytest.raises(NotImplementedError, match="soundfile"):
+            decode_media(payload, "audio/mpeg")
+
+
+def test_audio_swap_point_uses_soundfile_when_present(monkeypatch):
+    import sys
+    import types
+
+    import numpy as np
+
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.read = lambda buf, dtype: (
+        np.full((100, 2), 3, dtype=np.int16), 8000
+    )
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    out = decode_media(b"ID3\x04" + b"\x00" * 16)
+    assert out["kind"] == "audio"
+    assert out["sample_rate"] == 8000
+    assert out["n_channels"] == 2
+    assert out["n_samples"] == 100
+    assert out["sumsq"] == 9 * 200

@@ -355,22 +355,102 @@ def decode_y4m(data: bytes, sample_every: int = 1) -> dict:
     }
 
 
+_JPEG_SIG = b"\xff\xd8\xff"
+
+
+def _decode_jpeg_pil(data: bytes) -> dict:
+    """JPEG via the OPTIONAL PIL dependency — the documented codec
+    swap-point, exercised. Imported lazily inside the Arrow-batched
+    kernel's per-item call so environments without PIL pay nothing;
+    emits the same keys as :func:`decode_png` (width, height,
+    n_channels, integer ``luma_sum`` over the 8-bit grayscale
+    conversion) so every downstream feature column is
+    format-agnostic."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "JPEG payload but PIL is not installed; "
+            "pip install pillow to enable the optional JPEG codec"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(data))
+    n_channels = len(img.getbands())
+    arr = np.asarray(img.convert("L"), dtype=np.int64)
+    return {
+        "width": int(img.width),
+        "height": int(img.height),
+        "n_channels": n_channels,
+        "luma_sum": int(arr.sum()),
+    }
+
+
+def _decode_audio_soundfile(data: bytes) -> dict:
+    """Compressed audio (MP3/FLAC/OGG) via the OPTIONAL soundfile
+    dependency — the audio half of the codec swap-point. Emits the
+    same keys as :func:`decode_wav`; sumsq/rms are computed over the
+    decoded float stream scaled to int16 range so the numbers are
+    comparable with the PCM path."""
+    try:
+        import soundfile as sf
+    except ImportError as e:
+        raise NotImplementedError(
+            "compressed-audio payload but soundfile is not installed; "
+            "pip install soundfile to enable the optional audio codec"
+        ) from e
+    import io
+
+    samples, rate = sf.read(io.BytesIO(data), dtype="int16")
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, channels = arr.shape
+    n_samples = n_frames * channels
+    sumsq = int((arr.ravel() @ arr.ravel()))
+    return {
+        "sample_rate": int(rate),
+        "n_channels": int(channels),
+        "n_samples": n_frames,
+        "duration_s": n_frames / rate,
+        "sumsq": sumsq,
+        "rms": (sumsq / n_samples) ** 0.5 if n_samples else 0.0,
+    }
+
+
+_MP3_ID3_SIG = b"ID3"
+_FLAC_SIG = b"fLaC"
+_OGG_SIG = b"OggS"
+
+
 def decode_media(data: bytes, media_type: str | None = None) -> dict:
     """Sniff + decode. PNG, WAV and uncompressed Y4M video decode for
-    real (pure Python); compressed formats need a codec library that
-    is not in this environment — swap this branch for PIL/soundfile/av
-    in a real deployment."""
+    real (pure Python); JPEG routes through the optional-PIL swap-point
+    (:func:`_decode_jpeg_pil`) and MP3/FLAC/OGG through the optional-
+    soundfile one (:func:`_decode_audio_soundfile`) — each a clean
+    NotImplementedError with an install hint when the library is
+    absent; compressed video (H.264, ...) still needs av and raises
+    the documented error."""
     if data is None:
         raise ValueError("no payload")
     if data.startswith(_PNG_SIG):
         return {"kind": "image", **decode_png(data)}
+    if data.startswith(_JPEG_SIG):
+        return {"kind": "image", **_decode_jpeg_pil(data)}
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return {"kind": "audio", **decode_wav(data)}
+    if (
+        data.startswith(_MP3_ID3_SIG)
+        or data.startswith(_FLAC_SIG)
+        or data.startswith(_OGG_SIG)
+        or (len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0)
+    ):
+        return {"kind": "audio", **_decode_audio_soundfile(data)}
     if data.startswith(_Y4M_SIG):
         return {"kind": "video", **decode_y4m(data)}
     raise NotImplementedError(
         f"no pure-Python codec for media_type={media_type!r}; "
-        "plug in PIL/soundfile/av here"
+        "plug in av here"
     )
 
 
