@@ -5468,88 +5468,65 @@ REGISTRY.update({
 # room for the late-round-5 entries docs_domain_cap /
 # docs_stratified_sample / docs_char_trigram_familiarity, which have
 # never been driver-checked).
-_R5_WINDOW = (
-    # unchecked in r4 (r1-r3-era green, re-confirm against fresh data)
-    # (dedup_duplicates and dedup_last demoted to r6: the same window
-    # machinery as dedup_first/exclude_all, r2-green, locally
-    # re-verified; dedup_first is r4-driver-green and in every bench)
-    "dedup_exclude_all_lineitem",
-    # (rule_age_gte_skip/invalid demoted to r6: r2/r3 driver-green,
-    # pinned by the dedicated AGE golden suite locally;
-    # dedup_cascade demoted: r2/r3 green, a fold over the in-window
-    # dedup ops, property-tested locally)
-    "pipeline_flagship",
-    # (pipeline_summary demoted to r6: r3 driver-green; the observed
-    # variant shares its oracle and the e2e suite pins the funnel;
-    # events_sessionization demoted to r6: r1-r3 green, runs in
-    # every bench, locally re-verified)
-    "emb_cosine_topk",
-    # session-3 round-5 additions — never driver-checked, take window
-    # slots ahead of recency (docs_quality_scores / docs_language_id /
-    # docs_quality_filter_ids / docs_fingerprint_exact_dedup /
-    # docs_ngram_topk_similar / events_dedup_first_by_key demoted to
-    # r6: r1-r3 green, several also run in every bench, all locally
-    # re-verified in tests/test_oracle_parity.py this session;
-    # emb_ivf_topk also demoted — its driver check is rows-only, the
-    # weaker gate, and its recall column is pinned in
-    # tests/test_extensions.py every run)
-    "part_fuzzy_matches", "events_resample_interpolate",
-    "events_robust_outliers",
-    "docs_bpe_learn_merges", "docs_bpe_token_counts",
-    "docs_incremental_dedup", "docs_budget_selection",
-    "events_transition_matrix", "events_retention_cohorts",
-    "emb_hard_negatives", "emb_quantize_int8",
-    "docs_hybrid_search_rrf", "docs_tokens_udtf",
+#
+# Round-6 roster (below): clears BOTH r5 debts — the 5 entries that
+# had never seen a driver hash-check, and the full r6-demoted set
+# promised in the r5 comments — plus the round's own changes: the
+# new shipped-tokenizer entry, the 3 re-cast oracles (the r5 HUGEINT
+# hash-fails), the NOT EXISTS incremental-dedup oracle, and every
+# query whose physical plan changed (spread_for_compute scans,
+# unique_buckets pair generation, per-vector norm folds).
+_R6_WINDOW = (
+    # ---- never driver-checked (take window slots first) ----
+    "docs_cross_doc_ngram_dup",
+    "docs_source_token_stats_udaf",
+    "multimodal_video_features",
+    "pipeline_summary_observed_lineitem",
+    "stream_enriched_segment_counts",
+    # brand-new round-6 entry (shipped-tokenizer interop)
+    "docs_shipped_tokenizer_counts",
+    # ---- changed this round: re-verify ----
+    # oracle CAST fixes (the r5 HUGEINT hash-fails)
+    "docs_pack_sequences", "docs_budget_selection",
+    "orders_compaction_plan",
+    # oracle NOT IN -> NOT EXISTS (null fingerprints)
+    "docs_incremental_dedup",
+    # per-vector norm folds + unique_buckets pair generation
+    "emb_hard_negatives", "emb_near_dup_pairs", "emb_semdedup_clusters",
+    # spread_for_compute on single-row-group scans
+    "dedup_first_lineitem", "dedup_last_lineitem",
+    "dedup_exclude_all_lineitem", "dedup_duplicates_lineitem",
     "lineitem_content_checksum",
-    "orders_grouping_sets", "orders_compaction_plan",
-    # (emb_near_dup_pairs demoted to r6: r2 driver-green with the
-    # seeded-literal oracle, unchanged, and emb_semdedup_clusters —
-    # in-window — composes the same pair machinery)
-    # (docs_corpus_prep demoted with the eight below — r1-r3 green,
-    # a composition of separately-checked ops — to make room for
-    # orders_data_profile, which has never been driver-checked;
-    # stream_dedup_within_watermark demoted to r6: r2-green, its
-    # oracle is the trivial full event set, and four other streaming
-    # entries stay in-window)
-    "stream_simhash_neardup_dedup",
-    "stream_session_windows",
-    "stream_click_purchase_join",
-    # session-2 round-5 additions — never driver-checked, take window
-    # slots ahead of recency re-confirmation (the demoted eight —
-    # events_json_extract, docs_rolling_sketch, q12, q9,
-    # rolling_customer_spend, stream_sliding_halfhour,
-    # stream_running_user_stats, stream_tumbling_hourly — are r1-r4
-    # green, unchanged, and locally re-verified in
-    # tests/test_oracle_parity.py this session)
-    "events_changelog_state", "events_merge_upsert_state",
-    "events_scd2_history", "docs_priority_sample",
-    "docs_keyword_search_topk", "orders_zorder_codes",
-    "orders_quantile_envelope", "orders_data_profile",
-    "stream_incremental_upsert_state",
-    # brand-new round-5 entries — never driver-checked, take priority
-    # (q6/q18/like_filter/sql_passthrough demoted to r6: q6+q18 run in
-    # every bench, the other two are trivial projections, all r1-r3
-    # green and locally re-verified this round)
-    "docs_hash_split", "docs_source_mixture",
-    "docs_benchmark_contamination", "docs_pack_sequences",
-    "docs_repetition_signals", "docs_corpus_assembly_pipeline",
-    "docs_domain_cap", "docs_stratified_sample",
-    "docs_char_trigram_familiarity", "emb_semdedup_clusters",
-    "approx_distinct_customers_monthly",
-    # r4-green but changed this round — re-verify
-    "docs_chunk_for_training", "docs_pii_scrub", "docs_training_pipeline",
-    "docs_minhash_lsh_neardup", "docs_simhash_neardup",
-    "multimodal_image_features", "multimodal_audio_features",
-    "docs_neardup_clusters",
+    "docs_keyword_search_topk", "docs_hybrid_search_rrf",
+    # ---- the r5-roster r6-demoted set: promised re-checks ----
+    "rule_age_gte_skip_orders", "rule_age_gte_invalid_orders",
+    "dedup_cascade_lineitem", "pipeline_summary_lineitem",
+    "events_sessionization",
+    "docs_quality_scores", "docs_language_id", "docs_quality_filter_ids",
+    "docs_fingerprint_exact_dedup", "docs_ngram_topk_similar",
+    "events_dedup_first_by_key", "docs_corpus_prep",
+    "stream_dedup_within_watermark", "events_json_extract",
+    "docs_rolling_sketch", "q12_priority_shipmode",
+    "q9_profit_by_nation_year", "rolling_customer_spend",
+    "stream_sliding_halfhour", "stream_running_user_stats",
+    "stream_tumbling_hourly", "q6_forecast_revenue", "q18_large_orders",
+    "like_filter_parts", "sql_passthrough_revenue", "docs_token_stats",
+    "docs_bpe_token_count", "projection_alias_orders", "rollup_revenue",
+    "events_tumbling_hourly",
+    # (emb_ivf_topk, the only r6-promised entry NOT in this window,
+    # is demoted to r7: its driver check is rows-only — the weaker
+    # gate — and its recall column is pinned every run in
+    # tests/test_extensions.py. Everything r5-green and unchanged —
+    # the 44 r5-window rows above plus the r1-r4 greens — is locally
+    # re-verified by tests/test_oracle_parity.py each session.)
 )
 
-
 def _finalize_registry() -> None:
-    rank = {n: i for i, n in enumerate(_R5_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R6_WINDOW)}
 
     def key(kv: tuple[str, tuple]) -> int:
         name, _ = kv
-        return rank.get(name, len(_R5_WINDOW))
+        return rank.get(name, len(_R6_WINDOW))
 
     ordered = dict(sorted(REGISTRY.items(), key=key))
     REGISTRY.clear()
