@@ -77,6 +77,20 @@ def _tune_once(spark: SparkSession) -> None:
     _TUNED_SESSIONS.add(id(spark))
 
 
+def _footer_rows(sf_dir: str, name: str) -> int | None:
+    """Row count straight from the parquet footer — pure metadata
+    read, no Spark job. Used as a size hint to gate plan shape (e.g.
+    skip the two-phase cosine's selection stage on tiny corpora);
+    ``None`` (multi-file dirs, missing footer) means \"unknown\", and
+    callers fall back to the scale-safe plan."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    except Exception:
+        return None
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _tune_once(spark)
     # memoize the scan per (session, path): repeated file-listing +
@@ -1052,7 +1066,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 
 def queries():
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    from universal_importer_duckdb_spark.plancache import prepared_registry
+
+    return prepared_registry(
+        {name: fn for name, (fn, _) in REGISTRY.items()}
+    )
 
 
 def oracle_sql():
@@ -4523,11 +4541,26 @@ def docs_hybrid_search_rrf(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    kw = keyword_search_topk(docs, ("hash", "join", "stream"), k=50)
+    # latency-bound interactive query: on a corpus known small (parquet
+    # footer), window-inline the corpus stats — one tokenization, no
+    # broadcast job, stage overlaps the vector branch (search.py
+    # docstring); unknown/large corpora keep the broadcast shape
+    n_docs_hint = _footer_rows(sf_dir, "documents")
+    kw = keyword_search_topk(
+        docs,
+        ("hash", "join", "stream"),
+        k=50,
+        stats="window" if n_docs_hint is not None and n_docs_hint <= 100_000 else "broadcast",
+    )
     wk = Window.orderBy(F.desc("score"), "doc_id")
     kwr = kw.select("doc_id", F.row_number().over(wk).alias("rank"))
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
-    vec = cosine_topk_two_phase(emb, _query_vec(spark, sf_dir), k=50)
+    vec = cosine_topk_two_phase(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=50,
+        size_hint=_footer_rows(sf_dir, "embeddings"),
+    )
     wv = Window.orderBy(F.desc("cosine"), "vec_id")
     vecr = vec.select(
         F.col("vec_id").alias("doc_id"), F.row_number().over(wv).alias("rank")

@@ -41,11 +41,31 @@ def keyword_search_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats: str = "broadcast",
 ) -> DataFrame:
     """Top-``k`` documents for a bag-of-words query under BM25 with
     rational idf (see module docstring). Emits the per-term term
     frequencies (``tf_<term>``) and the summed ``score``; ties break
     on ``id_col`` so the cut at rank k is deterministic.
+
+    ``stats`` picks how the one-row corpus statistics (n_docs, Σlen,
+    per-term df — all BIGINT, so every form is value-identical) reach
+    the scoring expression:
+
+    - ``"broadcast"`` (default, the 100 TB shape): tiny all-up agg
+      broadcast back; fully lazy, corpus never single-partitioned —
+      but the broadcast exchange is its own job and the tokenization
+      runs twice (stats pass + scoring pass).
+    - ``"window"``: unbounded-window sums over the tokenized frame —
+      ONE tokenization, ONE exchange, no broadcast job, and the stage
+      overlaps other branches of the same action. The exchange moves
+      the whole (skinny) per-doc frame to one partition, so this is
+      for corpora known small (gate on a parquet-footer row count),
+      interactive/hybrid latency-bound plans.
+    - ``"collect"``: eager 1-row collect over a scoped-cached
+      tokenization, stats inlined as literals. Bounded at one row at
+      any scale, but the collect job serializes ahead of the main
+      action; useful when the caller reuses the cached frame anyway.
 
     ``1 - b`` must be exactly representable for the bit-exact oracle
     replay, which holds for the default b=0.75 (0.25); other values
@@ -82,10 +102,16 @@ def keyword_search_topk(
     # parquet) otherwise runs the per-term token filters — the
     # dominant cost — on one core, twice (stats pass + scoring pass).
     # No-op once the scan arrives in >= cores splits.
+    if stats not in ("broadcast", "window", "collect"):
+        raise ValueError(f"unknown stats mode: {stats!r}")
     per_doc = spread_for_compute(df).select(
         F.col(id_col), *tf_cols, F.size(toks).cast("bigint").alias("doclen")
     )
-    stats = per_doc.agg(
+    if stats == "collect":
+        from universal_importer_duckdb_spark.caching import scoped_cache
+
+        per_doc = scoped_cache(per_doc)
+    stats_aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("doclen").cast("bigint").alias("sum_len"),
         *[
@@ -94,8 +120,35 @@ def keyword_search_topk(
             .alias(f"df_{t}")
             for t in terms
         ],
-    )
-    scored = per_doc.crossJoin(F.broadcast(stats))
+    ]
+    if stats == "collect":
+        row = per_doc.agg(*stats_aggs).collect()[0]
+        lits = {
+            name: F.lit(int(row[name])).cast("bigint")
+            for name in ["n_docs", "sum_len"] + [f"df_{t}" for t in terms]
+        }
+        scored = per_doc.withColumns(lits)
+    elif stats == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy()
+        scored = per_doc.withColumns(
+            {
+                "n_docs": F.count(F.lit(1)).over(w).cast("bigint"),
+                "sum_len": F.sum("doclen").over(w).cast("bigint"),
+                **{
+                    f"df_{t}": F.sum(
+                        F.when(_tf(t) > 0, 1).otherwise(0)
+                    )
+                    .over(w)
+                    .cast("bigint")
+                    for t in terms
+                },
+            }
+        )
+    else:
+        stats_df = per_doc.agg(*stats_aggs)
+        scored = per_doc.crossJoin(F.broadcast(stats_df))
     # identical op tree to the SQL oracle: every step is a single IEEE
     # op on identically-valued operands
     len_norm = F.lit(k1) * (
@@ -134,20 +187,32 @@ def rrf_fuse(
     cross-engine given deterministic input ranks.
 
     Inputs carry (id_col, rank_col); lists are small (top-n per
-    ranker), so the fusion joins are trivially broadcastable at any
-    corpus scale — the expensive part of hybrid search is the
-    rankers, not the fuse."""
+    ranker). The N-way outer merge is a UNION + one groupBy — a
+    single exchange of at most N·k skinny rows — rather than a chain
+    of N-1 full_outer joins (full outer cannot broadcast in Spark, so
+    the join form costs 2(N-1) sort-merge exchanges of the same tiny
+    frames). The expensive part of hybrid search is the rankers, not
+    the fuse, but the fuse shouldn't add stages either."""
     if not ranked:
         raise ValueError("need at least one ranked list")
-    fused = None
-    rank_cols = []
-    for i, r in enumerate(ranked):
-        name = f"rank_{i}"
-        rank_cols.append(name)
-        r = r.select(
-            F.col(id_col), F.col(rank_col).cast("bigint").alias(name)
+    tagged = [
+        r.select(
+            F.col(id_col),
+            F.lit(i).alias("__src"),
+            F.col(rank_col).cast("bigint").alias("__rank"),
         )
-        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+        for i, r in enumerate(ranked)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    rank_cols = [f"rank_{i}" for i in range(len(ranked))]
+    fused = u.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("__src") == i, F.col("__rank"))).alias(name)
+            for i, name in enumerate(rank_cols)
+        ]
+    )
     score = None
     for name in rank_cols:
         term = F.coalesce(

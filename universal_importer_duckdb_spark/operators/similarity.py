@@ -94,6 +94,7 @@ def cosine_topk_two_phase(
     id_col: str = "vec_id",
     overfetch: int = 4,
     extra_cols: tuple[str, ...] = (),
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k in two phases: a JVM-side double-precision
     fold SELECTS the top ``k*overfetch`` candidates (zip-with product
@@ -116,7 +117,26 @@ def cosine_topk_two_phase(
     At 100 TB the double fold is the part you'd push to a SIMD kernel
     or GPU; the exact re-rank cost stays O(k). No forced repartition:
     phase-1 parallelism comes from file splits (a shuffle of every
-    vector would dwarf the fold it feeds at any scale)."""
+    vector would dwarf the fold it feeds at any scale).
+
+    ``size_hint`` (a cheap row-count estimate, e.g. from the parquet
+    footer — NOT a Spark action) gates the candidate phase: when the
+    corpus is at most ``4 * k * overfetch`` rows, phase 1 would keep
+    most of it anyway, so the exact DECIMAL fold runs directly on the
+    corpus in ONE TakeOrdered — the degraded-to-one-phase form the
+    soundness note above describes, minus the wasted selection stage.
+    Results are bit-identical either way (phase 2 alone IS the exact
+    scan)."""
+    if size_hint is not None and size_hint <= 4 * k * overfetch:
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+        v = F.col(vec_col).cast("array<double>")
+        return (
+            df.select(
+                F.col(id_col), *extra_cols, cosine(v, qlit).alias("cosine")
+            )
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k)
+        )
     vd = F.col(vec_col).cast("array<double>")
     qd = F.array(*[F.lit(float(x)) for x in query_vec])
     dscore = _dot_double(vd, qd) / F.greatest(
