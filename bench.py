@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     "emb_quantize_int8",
     "docs_hybrid_search_rrf",
     "lineitem_content_checksum",
+    "docs_segment_line_dedup",
+    "docs_bloom_incremental_dedup",
+    "docs_containment_pairs",
+    "events_funnel_cohorts",
+    "docs_curriculum_stages",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -1,0 +1,204 @@
+"""Round-6 operators: Bloom-prefiltered dedup, line-level dedup,
+containment dedup, ordered funnel, curriculum staging."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives(spark):
+    from universal_importer_duckdb_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(500).selectExpr("concat('k', id) AS k")
+    words = bloom_build(keys, "k", num_bits=1 << 12, num_hashes=4)
+    flagged = bloom_might_contain(keys, "k", words, 1 << 12, 4)
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+
+
+def test_bloom_tiny_filter_still_exact_after_verify(spark):
+    """A deliberately undersized bitmap (massive false-positive rate)
+    must not change the dedup result — false positives only route
+    more keys through the exact verify join."""
+    from universal_importer_duckdb_spark.operators.bloom import (
+        bloom_incremental_dedup,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        incremental_exact_dedup,
+    )
+
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id", "concat('text ', id % 120) AS text"
+    )
+    batch = docs.filter("doc_id % 3 = 0")
+    index = docs.filter("doc_id % 3 <> 0")
+    got = bloom_incremental_dedup(
+        batch, index, num_bits=64, num_hashes=2
+    )  # 64-bit bloom for 80 keys: nearly everything collides
+    want = incremental_exact_dedup(batch, index)
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_bloom_rejects_most_new_keys(spark):
+    """Sanity on the scale claim: with a correctly sized bitmap, keys
+    NOT in the index are mostly filtered out before the verify join."""
+    from universal_importer_duckdb_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    idx = spark.range(1000).selectExpr("concat('old', id) AS k")
+    probe = spark.range(1000).selectExpr("concat('new', id) AS k")
+    words = bloom_build(idx, "k", num_bits=1 << 16, num_hashes=5)
+    fp = (
+        bloom_might_contain(probe, "k", words, 1 << 16, 5)
+        .filter("might_contain")
+        .count()
+    )
+    assert fp < 50  # ~0.6% expected at these parameters
+
+
+# ---------------------------------------------------------- line dedup
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_line_dedup_removes_boilerplate_keeps_order(spark):
+    from universal_importer_duckdb_spark.operators.line_dedup import (
+        line_level_dedup,
+    )
+
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "unique alpha\ncookie banner\nunique beta"),
+            (2, "cookie banner\nother text"),
+            (3, "zeta\nonly here"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_level_dedup(docs, min_dup_docs=2, joiner="\n").collect()
+    }
+    assert out[1]["clean_text"] == "unique alpha\nunique beta"
+    assert out[1]["n_removed"] == 1 and out[1]["n_lines"] == 3
+    assert out[2]["clean_text"] == "other text"
+    assert out[3]["clean_text"] == "zeta\nonly here"
+    assert out[3]["n_removed"] == 0
+
+
+def test_line_dedup_fully_boilerplate_doc_and_null_text(spark):
+    from universal_importer_duckdb_spark.operators.line_dedup import (
+        line_level_dedup,
+    )
+
+    docs = _mkdocs(
+        spark,
+        [(1, "dup line"), (2, "dup line"), (3, None), (4, "")],
+    )
+    out = {
+        r["doc_id"]: r for r in line_level_dedup(docs, min_dup_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1
+    assert out[3]["n_lines"] == 0 and out[3]["clean_text"] == ""
+    assert out[4]["n_lines"] == 0  # empty lines never counted
+
+
+def test_word_segments_splitter_widths(spark):
+    from universal_importer_duckdb_spark.operators.line_dedup import (
+        word_segments,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c d e f g",)], "text string"
+    ).select(word_segments(F.col("text"), 3).alias("s"))
+    assert df.collect()[0]["s"] == ["a b c", "d e f", "g"]
+
+
+# --------------------------------------------------------- containment
+def test_containment_pairs_brute_force_equivalence(spark):
+    from universal_importer_duckdb_spark.operators.containment import (
+        containment_dedup_pairs,
+    )
+
+    rows = [
+        (1, "one two three four five"),
+        (2, "zzz one two three four five yyy"),  # contains 1 aligned
+        (3, "xone two three four fivex"),  # contains 1 char-wise, unaligned
+        (4, "one two three four five"),  # equal text to 1
+        (5, "short text"),  # < 5 tokens: excluded as containee
+        (6, "a short text b c d e f"),  # contains 5, but 5 is excluded
+    ]
+    docs = _mkdocs(spark, rows)
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in containment_dedup_pairs(docs).collect()
+    }
+    txt = dict(rows)
+    want = set()
+    for a, ta in rows:
+        if len(ta.split(" ")) < 5:
+            continue
+        for b, tb in rows:
+            if a != b and ta in tb and (
+                len(ta) < len(tb) or (len(ta) == len(tb) and a > b)
+            ):
+                want.add((a, b))
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got  # incl. the unaligned case
+    assert (4, 1) in got and (1, 4) not in got  # equal-text tiebreak
+    assert not any(c == 5 for c, _ in got)
+
+
+# -------------------------------------------------------------- funnel
+def test_funnel_ignores_out_of_order_stages(spark):
+    from universal_importer_duckdb_spark.operators.funnel import (
+        funnel_by_cohort,
+    )
+
+    day = 86_400_000_000_000  # ns
+    rows = [
+        # user 1: full ordered funnel on day 0
+        (1, 1 * 10**9, "view"),
+        (1, 2 * 10**9, "click"),
+        (1, 3 * 10**9, "purchase"),
+        # user 2: purchase BEFORE view -> stage3 must not count
+        (2, 1 * 10**9 + day, "purchase"),
+        (2, 2 * 10**9 + day, "view"),
+        (2, 3 * 10**9 + day, "click"),
+        # user 3: view only
+        (3, 5 * 10**9, "view"),
+        # user 4: never viewed -> not in funnel at all
+        (4, 5 * 10**9, "click"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_type string"
+    )
+    out = {r["cohort_day"]: r for r in funnel_by_cohort(events).collect()}
+    d0, d1 = out[0], out[1]
+    assert (d0["n_stage1"], d0["n_stage2"], d0["n_stage3"]) == (2, 1, 1)
+    assert d0["total_conversion_micros"] == 2 * 10**6
+    assert (d1["n_stage1"], d1["n_stage2"], d1["n_stage3"]) == (1, 1, 0)
+    assert 4 not in {u for r in out.values() for u in []}  # doc intent
+
+
+# ---------------------------------------------------------- curriculum
+def test_curriculum_ansi_ntile_and_monotonicity(spark):
+    from universal_importer_duckdb_spark.operators.corpus import (
+        curriculum_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 10) for i in range(10)], "doc_id bigint, s bigint"
+    )
+    out = curriculum_stages(df, "s", n_stages=4).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["stage"]] = sizes.get(r["stage"], 0) + 1
+    assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}  # ANSI: first n%k get +1
+    by_stage = sorted(out, key=lambda r: (r["stage"], r["score"]))
+    scores = [r["score"] for r in by_stage]
+    assert scores == sorted(scores)  # stages are contiguous score ranges

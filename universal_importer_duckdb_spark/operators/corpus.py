@@ -470,3 +470,34 @@ def budget_select(
             <= F.lit(int(token_budget)),
         )
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum-learning stage assignment: rank the corpus by a
+    difficulty/quality score and split it into ``n_stages`` equal
+    NTILE buckets (stage 1 = lowest score trains first). The ordering
+    ties-breaks on the id so the assignment is deterministic and
+    engine-portable (ANSI NTILE: the first ``count % n`` buckets get
+    the extra row — Spark and DuckDB agree).
+
+    A global NTILE is a total order — a single-partition window — so
+    this is the one operator here that intentionally serializes. At
+    100 TB you run it on the (id, score) projection only (two narrow
+    columns), or swap the exact NTILE for quantile-boundary bucketing
+    via approx percentiles when rank exactness isn't required; the
+    exact form is the contract certified here.
+
+    Reference anchor: none (main.py has no ordering operators) —
+    training-data north-star scope.
+    """
+    w = Window.orderBy(F.col(score_col), F.col(id_col))
+    return df.select(
+        id_col,
+        F.col(score_col).cast("bigint").alias("score"),
+        F.ntile(n_stages).over(w).alias("stage"),
+    )

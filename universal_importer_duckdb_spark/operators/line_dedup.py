@@ -1,0 +1,111 @@
+"""Line-level (Falcon-style) corpus deduplication.
+
+Doc-level dedup (exact/MinHash/SimHash in ``dedup_text``) removes
+whole documents; web corpora additionally carry boilerplate *lines*
+(nav bars, cookie banners, footers) repeated across many otherwise
+distinct pages. The RefinedWeb/Falcon recipe removes any line whose
+exact text occurs in >= k documents, then keeps the document with the
+surviving lines re-joined. Reference anchor: none — the reference
+(main.py:188-240) stops at row-level dedup; this is north-star scope
+for the 100 TB training-data pipeline.
+
+Scale shape: explode lines (narrow), count distinct docs per line
+(one shuffle, map-side combinable), broadcast the duplicated-line set
+(boilerplate is a tiny fraction of distinct lines), anti-join, and
+reassemble with an order-preserving ``array_sort(collect_list)`` —
+the grouping key is the doc id, so the reassembly shuffle is the same
+exchange a doc-level groupBy would pay. No Python in the path.
+
+The splitter is pluggable: real corpora split on newline; the test
+corpus is single-line space-separated text, so ``segment_expr`` can
+fabricate fixed-width word segments (the same dedup algebra at a
+sub-line granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def newline_lines(text: Column) -> Column:
+    """Default splitter: physical lines."""
+    return F.split(text, "\n")
+
+
+def word_segments(text: Column, width: int = 10) -> Column:
+    """Fixed-width word-window splitter for single-line corpora:
+    tokens [i*width, (i+1)*width) re-joined with spaces. The trailing
+    partial segment is kept (slice truncates identically in Spark and
+    DuckDB)."""
+    toks = F.split(text, " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * width + 1, width), " "
+        ),
+    )
+
+
+def line_level_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dup_docs: int = 2,
+    splitter=newline_lines,
+    joiner: str = " ",
+) -> DataFrame:
+    """Remove lines occurring in >= min_dup_docs distinct documents.
+
+    Returns one row per input document:
+    ``(id, n_lines, n_removed, clean_text)`` where clean_text is the
+    surviving lines in original order joined by ``joiner``. Empty
+    lines are never counted as duplicates and are always dropped from
+    the reassembled text (they carry no content either way).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(splitter(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "pos", "line"
+        ),
+    ).filter(F.col("line") != "")
+
+    dup = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_dup_docs)
+        .select("line")
+    )
+
+    counted = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    kept = lines.join(F.broadcast(dup), "line", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+    )
+
+    return (
+        docs.select(id_col)
+        .join(counted, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            (
+                F.coalesce("n_lines", F.lit(0))
+                - F.coalesce("__n_kept", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
