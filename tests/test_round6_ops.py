@@ -125,22 +125,21 @@ def test_containment_pairs_brute_force_equivalence(spark):
     )
 
     rows = [
-        (1, "one two three four five"),
-        (2, "zzz one two three four five yyy"),  # contains 1 aligned
-        (3, "xone two three four fivex"),  # contains 1 char-wise, unaligned
-        (4, "one two three four five"),  # equal text to 1
-        (5, "short text"),  # < 5 tokens: excluded as containee
-        (6, "a short text b c d e f"),  # contains 5, but 5 is excluded
+        (1, "one two three four five six seven"),
+        (2, "zzz one two three four five six seven yyy"),  # contains 1 aligned
+        (3, "xone two three four five six sevenx"),  # char-wise, unaligned
+        (4, "one two three four five six seven"),  # equal text to 1
+        (5, "short text below the floor"),  # < 7 tokens: excluded
+        (6, "a short text below the floor b c d"),  # contains 5; 5 excluded
     ]
     docs = _mkdocs(spark, rows)
     got = {
         (r["contained_id"], r["container_id"])
         for r in containment_dedup_pairs(docs).collect()
     }
-    txt = dict(rows)
     want = set()
     for a, ta in rows:
-        if len(ta.split(" ")) < 5:
+        if len(ta.split(" ")) < 7:
             continue
         for b, tb in rows:
             if a != b and ta in tb and (
@@ -202,3 +201,63 @@ def test_curriculum_ansi_ntile_and_monotonicity(spark):
     by_stage = sorted(out, key=lambda r: (r["stage"], r["score"]))
     scores = [r["score"] for r in by_stage]
     assert scores == sorted(scores)  # stages are contiguous score ranges
+
+
+# ---------------------------------------------------------- textrank
+def test_textrank_matches_pure_python_replay(spark):
+    from universal_importer_duckdb_spark.operators.textrank import (
+        SCALE,
+        textrank_keywords,
+    )
+
+    corpus = [
+        (1, "spark shuffles data across executors"),
+        (2, "spark caches data in memory"),
+        (3, "executors spill data to disk"),
+        (4, "memory pressure causes spill"),
+        (5, "solo"),  # 1 token: contributes no edges
+    ]
+    docs = _mkdocs(spark, corpus)
+    got = {
+        r["word"]: r["rank"]
+        for r in textrank_keywords(docs, iterations=5, top_k=50).collect()
+    }
+
+    # pure-python replay of the identical integer recursion
+    from collections import defaultdict
+
+    und = defaultdict(int)
+    for _, text in corpus:
+        t = text.split(" ")
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                und[(a, b)] += 1
+    edges = defaultdict(int)
+    for (a, b), w in und.items():
+        edges[(a, b)] += w
+        edges[(b, a)] += w
+    wout = defaultdict(int)
+    for (s, _), w in edges.items():
+        wout[s] += w
+    nodes = sorted(wout)
+    n = len(nodes)
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(5):
+        contrib = defaultdict(int)
+        for (s, d), w in edges.items():
+            contrib[d] += (rank[s] * w) // wout[s]
+        rank = {
+            v: (15 * SCALE) // (100 * n) + (85 * contrib[v]) // 100
+            for v in nodes
+        }
+    assert got == rank
+    assert "data" in got and got["data"] == max(got.values())  # hub word
+
+
+def test_textrank_single_token_docs_yield_empty_graph(spark):
+    from universal_importer_duckdb_spark.operators.textrank import (
+        textrank_keywords,
+    )
+
+    docs = _mkdocs(spark, [(1, "alone"), (2, "also")])
+    assert textrank_keywords(docs).count() == 0

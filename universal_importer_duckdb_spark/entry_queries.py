@@ -5484,6 +5484,8 @@ def docs_segment_line_dedup(spark, sf_dir):
         word_segments,
     )
 
+    # no spread_for_compute: the two line-dedup exchanges already
+    # fan the corpus out; a third pre-shuffle measured slower
     docs = _t(spark, sf_dir, "documents")
     return line_level_dedup(
         docs,
@@ -5564,14 +5566,17 @@ def docs_containment_pairs(spark, sf_dir):
     containment_dedup_pairs): (contained, container) doc pairs where
     one text occurs verbatim inside another — the truncated-recrawl /
     syndication duplicate class that whole-text hashing misses.
-    Candidates come from rare-interior-trigram blocking (lossless for
-    containees with >= 5 tokens); the oracle certifies against the
+    Candidates come from rare-interior-5-gram blocking (lossless for
+    containees with >= 7 tokens); the oracle certifies against the
     exact quadratic join."""
     from universal_importer_duckdb_spark.operators.containment import (
         containment_dedup_pairs,
     )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
     return containment_dedup_pairs(docs)
 
 
@@ -5582,7 +5587,7 @@ WITH d AS (
   FROM documents)
 SELECT DISTINCT a.doc_id AS contained_id, b.doc_id AS container_id
 FROM d a JOIN d b ON a.doc_id <> b.doc_id
-WHERE a.ntok >= 5 AND position(a.text IN b.text) > 0
+WHERE a.ntok >= 7 AND position(a.text IN b.text) > 0
   AND (a.l < b.l OR (a.l = b.l AND a.doc_id > b.doc_id))
 """
 
@@ -5656,6 +5661,176 @@ FROM s
 """
 
 
+def docs_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (operators/textrank.py::
+    textrank_keywords): 5 scaled-integer PageRank iterations over the
+    adjacent-word co-occurrence graph; corpus touched once for graph
+    construction, iteration runs on the Heaps-law-small vocab graph.
+    The oracle replays the identical integer floor-division recursion
+    unrolled as CTEs — bit-exact, no float drift."""
+    from universal_importer_duckdb_spark.operators.textrank import (
+        textrank_keywords,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    return textrank_keywords(docs, iterations=5, top_k=50)
+
+
+def orders_snapshot_drift(spark, sf_dir):
+    """Snapshot drift report: compare two table snapshots (halves of
+    orders by key parity standing in for yesterday/today) per
+    o_orderstatus — row counts, exact DECIMAL revenue sums, distinct
+    customers, and their deltas. The data-ops check run before
+    promoting a new ingest; one union + one groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    tagged = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        "o_custkey",
+        (F.col("o_orderkey") % 2 == 0).alias("is_a"),
+    )
+    return (
+        tagged.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("is_a"), F.col("o_totalprice")))
+            .cast("decimal(18,2)")
+            .alias("rev_a"),
+            F.sum(F.when(~F.col("is_a"), F.col("o_totalprice")))
+            .cast("decimal(18,2)")
+            .alias("rev_b"),
+            F.countDistinct(F.when(F.col("is_a"), F.col("o_custkey")))
+            .cast("bigint")
+            .alias("cust_a"),
+            F.countDistinct(F.when(~F.col("is_a"), F.col("o_custkey")))
+            .cast("bigint")
+            .alias("cust_b"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_a",
+            "n_b",
+            (F.col("n_b") - F.col("n_a")).cast("bigint").alias("n_delta"),
+            "rev_a",
+            "rev_b",
+            (F.col("rev_b") - F.col("rev_a"))
+            .cast("decimal(18,2)")
+            .alias("rev_delta"),
+            "cust_a",
+            "cust_b",
+        )
+    )
+
+
+SNAPSHOT_DRIFT_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_a,
+       CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_b,
+       CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delta,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END)
+            AS DECIMAL(18,2)) AS rev_a,
+       CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice END)
+            AS DECIMAL(18,2)) AS rev_b,
+       CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice END)
+            - SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END)
+            AS DECIMAL(18,2)) AS rev_delta,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END)
+            AS BIGINT) AS cust_a,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 <> 0 THEN o_custkey END)
+            AS BIGINT) AS cust_b
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def docs_source_token_divergence(spark, sf_dir):
+    """Per-source vocabulary divergence: which tokens are most over/
+    under-represented in each source vs the whole corpus. Score is
+    the exact integer cross-multiplication |c_sw * T - c_w * T_s|
+    (equivalent in ordering to |p_source - p_corpus| without any
+    float division); top 5 per source. The mixture-debugging view a
+    corpus pipeline runs after docs_source_mixture changes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sw = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sw")
+    )
+    wtot = toks.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_w")
+    )
+    stot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t_s")
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    scored = (
+        sw.join(F.broadcast(wtot), "word")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "word",
+            F.abs(
+                F.col("c_sw") * F.col("t") - F.col("c_w") * F.col("t_s")
+            )
+            .cast("bigint")
+            .alias("divergence"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("divergence"), "word"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "word", "divergence", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SOURCE_TOKEN_DIVERGENCE_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+nz AS (SELECT * FROM toks WHERE word <> ''),
+sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c_sw
+       FROM nz GROUP BY source, word),
+wtot AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_w FROM nz GROUP BY word),
+stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s
+         FROM nz GROUP BY source),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM nz),
+scored AS (
+  SELECT sw.source, sw.word,
+         CAST(abs(sw.c_sw * tt.t - wtot.c_w * stot.t_s) AS BIGINT)
+           AS divergence
+  FROM sw JOIN wtot USING (word) JOIN stot USING (source), tt),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY divergence DESC, word) AS rnk
+  FROM scored)
+SELECT source, word, divergence, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def _textrank_oracle():
+    from universal_importer_duckdb_spark.operators.textrank import (
+        textrank_sql,
+    )
+
+    return textrank_sql(iterations=5, top_k=50)
+
+
 REGISTRY.update({
     "docs_segment_line_dedup": (
         docs_segment_line_dedup, SEGMENT_LINE_DEDUP_SQL,
@@ -5666,6 +5841,11 @@ REGISTRY.update({
     "docs_containment_pairs": (docs_containment_pairs, CONTAINMENT_PAIRS_SQL),
     "events_funnel_cohorts": (events_funnel_cohorts, FUNNEL_SQL),
     "docs_curriculum_stages": (docs_curriculum_stages, CURRICULUM_SQL),
+    "docs_textrank_keywords": (docs_textrank_keywords, _textrank_oracle()),
+    "orders_snapshot_drift": (orders_snapshot_drift, SNAPSHOT_DRIFT_SQL),
+    "docs_source_token_divergence": (
+        docs_source_token_divergence, SOURCE_TOKEN_DIVERGENCE_SQL,
+    ),
 })
 
 
@@ -5729,6 +5909,9 @@ _R6_WINDOW = (
     "docs_containment_pairs",
     "events_funnel_cohorts",
     "docs_curriculum_stages",
+    "docs_textrank_keywords",
+    "orders_snapshot_drift",
+    "docs_source_token_divergence",
     # ---- changed this round: re-verify ----
     # oracle CAST fixes (the r5 HUGEINT hash-fails)
     "docs_pack_sequences", "docs_budget_selection",
@@ -5753,17 +5936,17 @@ _R6_WINDOW = (
     "docs_rolling_sketch", "q12_priority_shipmode",
     "q9_profit_by_nation_year", "rolling_customer_spend",
     "stream_sliding_halfhour", "stream_running_user_stats",
-    "stream_tumbling_hourly", "q18_large_orders",
-    "docs_bpe_token_count", "rollup_revenue",
+    "stream_tumbling_hourly",
     "events_tumbling_hourly",
-    # (Demoted to r7 to make room for the five brand-new round-6
+    # (Demoted to r7 to make room for the eight brand-new round-6
     # entries above (the window is a hard 50): q6_forecast_revenue,
     # like_filter_parts, sql_passthrough_revenue, docs_token_stats,
-    # projection_alias_orders — all r1-r3 driver-green trivial
-    # narrow maps, physically unchanged for 3+ rounds, locally
+    # projection_alias_orders, q18_large_orders, docs_bpe_token_count,
+    # rollup_revenue — all r1-r3 driver-green trivial narrow
+    # maps/rollups, physically unchanged for 3+ rounds, locally
     # parity-green every session — plus emb_ivf_topk as recorded
     # in r5 (rows-only gate; recall pinned in
-    # tests/test_extensions.py). All six lead the r7 roster.)
+    # tests/test_extensions.py). All nine lead the r7 roster.)
 )
 
 def _finalize_registry() -> None:

@@ -11,16 +11,21 @@ Blocking makes it linear-ish: if doc A's raw text occurs inside doc
 B's, then every *interior* token of A (tokens[1..n-2] — flanked by
 the delimiter on both sides within A's own text, so their boundaries
 survive wherever A lands inside B) appears in B as a complete token,
-consecutively. Hence A's interior word-trigrams are all members of
-B's consecutive-trigram set. Pick ONE blocking trigram per containee
-— the globally rarest (min document frequency, lexicographic
-tiebreak) — and join it against the exploded trigram sets; only those
-pairs are verified with the exact ``instr``. Rare features keep
-candidate lists short; the verification keeps the result exactly
-equal to the quadratic join (the blocking is lossless by the
-boundary argument above, for containees with >= 5 tokens — fewer
-tokens yield no interior trigram, and such micro-docs are excluded
-by contract).
+consecutively. Hence A's interior word-``n``-grams are all members
+of B's consecutive-``n``-gram set. Pick ONE blocking n-gram per
+containee — the globally rarest (min document frequency,
+lexicographic tiebreak) — and join it against the exploded n-gram
+sets; only those pairs are verified with the exact ``instr``. Rare
+features keep candidate lists short; the verification keeps the
+result exactly equal to the quadratic join (the blocking is lossless
+by the boundary argument above for containees with >= ngram+2
+tokens — fewer yield no interior n-gram and are excluded by
+contract).
+
+``ngram`` trades blocking power against the containee-size floor:
+longer n-grams are rarer (fewer false candidates — decisive on
+low-vocabulary corpora where any single trigram is common) but
+exclude shorter docs. Default 5 (containees need >= 7 tokens).
 
 Reference anchor: none (main.py's dedup is row-equality only) —
 north-star scope for the training-data pipeline.
@@ -32,20 +37,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _trigrams(toks):
-    """Consecutive word-trigrams of a token array as ' '-joined
-    strings; empty when fewer than 3 tokens."""
-    n = F.size(toks)
+def _ngrams(toks, n: int):
+    """Consecutive word-n-grams of a token array as ' '-joined
+    strings; empty when fewer than n tokens."""
+    sz = F.size(toks)
     return F.when(
-        n >= 3,
+        sz >= n,
         F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -55,19 +55,21 @@ def containment_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     delimiter: str = " ",
+    ngram: int = 5,
 ) -> DataFrame:
     """All (contained_id, container_id) pairs where the contained
     doc's text is a substring of the container's, the contained doc
-    has >= 5 tokens, and either it is strictly shorter or (equal
-    text) has the larger id — so mutual containment yields exactly
-    one removable side.
+    has >= ngram+2 tokens, and either it is strictly shorter or
+    (equal text) has the larger id — so mutual containment yields
+    exactly one removable side.
 
-    Plan: one explode for the corpus trigram sets (distinct per doc),
+    Plan: one explode for the corpus n-gram sets (distinct per doc),
     one count-distinct for document frequency, a min-by window to
-    pick each containee's rarest interior trigram, an equi-join on
-    that trigram, and an ``instr`` verification on the joined pair.
-    No cartesian product anywhere; the join key is by construction
-    the lowest-frequency feature available.
+    pick each containee's rarest interior n-gram, an equi-join on
+    that n-gram (with the length precondition pushed into the join),
+    and an ``instr`` verification on the joined pair. No cartesian
+    product anywhere; the join key is by construction the
+    lowest-frequency feature available.
     """
     toks = F.split(F.col(text_col), delimiter)
     base = docs.select(
@@ -77,54 +79,75 @@ def containment_dedup_pairs(
         toks.alias("toks"),
     )
 
-    # every doc's consecutive trigrams, distinct within doc
-    all_tris = (
-        base.select("id", "txt", "len", F.explode(_trigrams(F.col("toks"))).alias("tri"))
-        .dropDuplicates(["id", "tri"])
-    )
-    df_counts = all_tris.groupBy("tri").agg(
-        F.countDistinct("id").alias("df")
-    )
+    from universal_importer_duckdb_spark.caching import scoped_cache
 
-    # containees: >= 5 tokens -> interior trigrams = trigrams of toks[1..n-2]
-    interior = base.filter(F.size("toks") >= 5).select(
-        "id",
-        "txt",
-        "len",
-        F.explode(
-            _trigrams(F.slice(F.col("toks"), 2, F.size("toks") - 2))
-        ).alias("tri"),
-    )
-    w = Window.partitionBy("id").orderBy("df", "tri")
-    rare = (
-        interior.join(df_counts, "tri")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("id").alias("contained_id"),
-            F.col("txt").alias("c_txt"),
-            F.col("len").alias("c_len"),
-            "tri",
+    # every doc's consecutive n-grams, distinct within doc — ids and
+    # grams ONLY: the corpus-sized explode must never carry document
+    # texts (that would materialize |grams| x |doc| bytes); texts are
+    # re-attached to the tiny candidate set at the end. Cached: the
+    # frame feeds both the df-count branch and the container side of
+    # the candidate join.
+    all_grams = scoped_cache(
+        base.select(
+            "id",
+            F.explode(F.array_distinct(_ngrams(F.col("toks"), ngram))).alias("g"),
         )
     )
+    # per-doc distinct already -> plain count IS the document frequency
+    df_counts = all_grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
 
-    cand = rare.join(
-        all_tris.select(
-            F.col("id").alias("container_id"),
-            F.col("txt").alias("b_txt"),
-            F.col("len").alias("b_len"),
-            "tri",
-        ),
-        "tri",
-    ).filter(F.col("contained_id") != F.col("container_id"))
+    # containees: >= ngram+2 tokens -> interior n-grams over toks[1..n-2];
+    # rarest pick is a min_by aggregation (map-side combinable), not a
+    # per-id window sort
+    interior = base.filter(F.size("toks") >= ngram + 2).select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                _ngrams(F.slice(F.col("toks"), 2, F.size("toks") - 2), ngram)
+            )
+        ).alias("g"),
+    )
+    rare = (
+        interior.join(df_counts, "g")
+        .groupBy("id")
+        .agg(F.min_by("g", F.struct("df", "g")).alias("g"))
+        .select(F.col("id").alias("contained_id"), "g")
+    )
 
-    verified = cand.filter(
-        (F.instr(F.col("b_txt"), F.col("c_txt")) > 0)
-        & (
-            (F.col("c_len") < F.col("b_len"))
-            | (
-                (F.col("c_len") == F.col("b_len"))
-                & (F.col("contained_id") > F.col("container_id"))
+    cand = (
+        rare.join(
+            all_grams.select(F.col("id").alias("container_id"), "g"), "g"
+        )
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+    )
+
+    texts = base.select("id", "txt", "len")
+    verified = (
+        cand.join(
+            texts.select(
+                F.col("id").alias("contained_id"),
+                F.col("txt").alias("c_txt"),
+                F.col("len").alias("c_len"),
+            ),
+            "contained_id",
+        )
+        .join(
+            texts.select(
+                F.col("id").alias("container_id"),
+                F.col("txt").alias("b_txt"),
+                F.col("len").alias("b_len"),
+            ),
+            "container_id",
+        )
+        .filter(
+            (F.instr(F.col("b_txt"), F.col("c_txt")) > 0)
+            & (
+                (F.col("c_len") < F.col("b_len"))
+                | (
+                    (F.col("c_len") == F.col("b_len"))
+                    & (F.col("contained_id") > F.col("container_id"))
+                )
             )
         )
     )
