@@ -169,3 +169,48 @@ def test_json_corrupt_handle_survives_cache_sweep(spark, tmp_path):
     spark.catalog.clearCache()
     assert good.count() == 2
     assert [r.raw_record for r in corrupt.collect()] == ["not json"]
+
+
+def test_xml_reader_rows_and_attributes(spark, tmp_path):
+    from universal_importer_duckdb_spark.sources.readers import read_xml
+
+    p = tmp_path / "books.xml"
+    p.write_text(
+        '<?xml version="1.0"?>\n<catalog>\n'
+        '  <book id="1"><title>First</title><price>10.5</price></book>\n'
+        '  <book id="2"><title>Second</title><price>20.0</price></book>\n'
+        "</catalog>\n"
+    )
+    df = read_xml(spark, str(p), "book")
+    rows = {r["_id"]: r for r in df.collect()}
+    assert rows[1]["title"] == "First" and rows[2]["price"] == 20.0
+
+
+def test_xml_corrupt_capture(spark, tmp_path):
+    from universal_importer_duckdb_spark.sources.readers import (
+        read_xml_with_corrupt_capture,
+    )
+
+    p = tmp_path / "mixed.xml"
+    p.write_text(
+        "<catalog>\n"
+        "  <book><n>ok</n><qty>3</qty></book>\n"
+        "  <book><n>bad</n><qty>not-an-int</qty></book>\n"
+        "</catalog>\n"
+    )
+    good, corrupt = read_xml_with_corrupt_capture(
+        spark, str(p), "book", "n string, qty int"
+    )
+    assert [r["n"] for r in good.collect()] == ["ok"]
+    assert corrupt.count() == 1
+    # handles must survive cache sweeps (same contract as JSON capture)
+    spark.catalog.clearCache()
+    assert good.count() == 1 and corrupt.count() == 1
+
+
+def test_read_source_dispatches_xml(spark, tmp_path):
+    from universal_importer_duckdb_spark.sources.readers import read_source
+
+    p = tmp_path / "t.xml"
+    p.write_text("<rows><row><a>1</a></row><row><a>2</a></row></rows>")
+    assert read_source(spark, str(p)).count() == 2

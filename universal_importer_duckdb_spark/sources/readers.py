@@ -157,6 +157,55 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """XML source (built into Spark 4: the former spark-xml package
+    moved in-tree). ``row_tag`` names the repeating element that
+    becomes one row; attributes surface as ``_attr`` columns. Schema
+    string recommended at scale — inference is an extra full pass."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_xml_with_corrupt_capture(
+    spark: SparkSession, path: str, row_tag: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """XML read with malformed rows captured instead of dropped —
+    the same errors-as-data contract as
+    ``read_json_with_corrupt_capture`` (reference main.py:367-399).
+
+    XML rows span physical lines, so the text+from_json trick the
+    JSON reader uses isn't available; instead the PERMISSIVE parse is
+    materialized ONCE via localCheckpoint. That sidesteps Spark's
+    corrupt-column-only query restriction AND makes both returned
+    handles durable across cache sweeps (a plain .cache() here would
+    break on the first release_scoped/clearCache — the JSON reader's
+    docstring documents that failure mode). Cost: the read is eager;
+    at scale prefer splitting well-formed from malformed files
+    upstream or converting to JSONL at the ingest boundary."""
+    corrupt_col = "_corrupt_record"
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(f"{schema}, {corrupt_col} string")
+        .load(path)
+        .localCheckpoint()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, corrupt
+
+
 def read_text(
     spark: SparkSession, path: str, whole: bool = False, line_sep: str | None = None
 ) -> DataFrame:
@@ -189,6 +238,9 @@ FORMAT_READERS = {
     "json": read_json,
     "orc": read_orc,
     "txt": read_text,
+    # XML needs a rowTag; read_source dispatches with the conventional
+    # default "row" — callers with real layouts use read_xml directly
+    "xml": lambda spark, path: read_xml(spark, path, "row"),
 }
 
 
