@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     "docs_containment_pairs",
     "events_funnel_cohorts",
     "docs_curriculum_stages",
+    "docs_textrank_keywords",
+    "orders_snapshot_drift",
+    "docs_source_token_divergence",
+    "docs_temperature_mixture",
+    "events_user_narratives",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

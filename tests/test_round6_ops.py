@@ -261,3 +261,44 @@ def test_textrank_single_token_docs_yield_empty_graph(spark):
 
     docs = _mkdocs(spark, [(1, "alone"), (2, "also")])
     assert textrank_keywords(docs).count() == 0
+
+
+# ------------------------------------------------- temperature mixture
+def test_temperature_resample_flattens_and_is_deterministic(spark):
+    from universal_importer_duckdb_spark.operators.corpus import (
+        temperature_resample,
+    )
+
+    rows = [(i, "big" if i < 6400 else "small") for i in range(6500)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = temperature_resample(docs, "source", "doc_id", 2, 10)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # expected ~ 10*sqrt(n_s): big ~800/6400 (12.5%), small ~100/100 (all)
+    assert counts["small"] == 100  # thr=10*10 >= n_s keeps everything
+    assert 500 < counts["big"] < 1100  # hash-thresholded ~800
+    again = temperature_resample(docs, "source", "doc_id", 2, 10)
+    assert sorted(kept.collect()) == sorted(again.collect())  # no RNG
+
+
+# ------------------------------------------------------ narratives
+def test_user_narratives_ordering_and_rendering(spark):
+    from universal_importer_duckdb_spark.operators.narrative import (
+        user_event_narratives,
+    )
+
+    rows = [
+        (7, 2_000_000_000, 11, "click", 1.5),
+        (7, 1_000_000_000, 10, "view", None),
+        (7, 2_000_000_000, 12, "purchase", 10.0),  # ts tie -> event_id order
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint, "
+              "event_type string, value double"
+    )
+    out = user_event_narratives(events).collect()[0]
+    assert out["n_events"] == 3
+    assert out["narrative"] == (
+        "t=1000000 view v=null | t=2000000 click v=150 | "
+        "t=2000000 purchase v=1000"
+    )

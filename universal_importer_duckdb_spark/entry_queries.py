@@ -5823,6 +5823,65 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def docs_temperature_mixture(spark, sf_dir):
+    """Temperature-2 source rebalancing (operators/corpus.py::
+    temperature_resample): deterministic md5-threshold downsampling so
+    kept counts scale like sqrt(n_s) — the standard LLM-mixture
+    flattening. sqrt is IEEE-correctly-rounded, so the per-document
+    keep decision replays bit-exactly in the oracle. Zero corpus
+    shuffles (per-source thresholds broadcast back)."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        temperature_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_resample(docs, "source", "doc_id", 2, 10).select(
+        "doc_id", "source"
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+  FROM documents GROUP BY source),
+t AS (
+  SELECT source, n_s,
+         10 * CAST(floor(sqrt(n_s)) AS BIGINT) AS thr
+  FROM c)
+SELECT d.doc_id, d.source
+FROM documents d JOIN t USING (source)
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+       % t.n_s) < t.thr
+"""
+
+
+def events_user_narratives(spark, sf_dir):
+    """Structured-log -> LM-training-text serialization (operators/
+    narrative.py::user_event_narratives): each user's events rendered
+    deterministically (epoch micros, type, integer cents) and joined
+    in (ts, event_id) order — one shuffle, bounded per-user lists."""
+    from universal_importer_duckdb_spark.operators.narrative import (
+        user_event_narratives,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return user_event_narratives(events)
+
+
+USER_NARRATIVES_SQL = """
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         't=' || CAST(epoch_us(ts) AS VARCHAR) || ' ' || event_type ||
+         ' v=' || COALESCE(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                    AS BIGINT) AS VARCHAR), 'null')
+           AS line
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(line, ' | ' ORDER BY us, event_id) AS narrative
+FROM r GROUP BY user_id
+"""
+
+
 def _textrank_oracle():
     from universal_importer_duckdb_spark.operators.textrank import (
         textrank_sql,
@@ -5846,6 +5905,10 @@ REGISTRY.update({
     "docs_source_token_divergence": (
         docs_source_token_divergence, SOURCE_TOKEN_DIVERGENCE_SQL,
     ),
+    "docs_temperature_mixture": (
+        docs_temperature_mixture, TEMPERATURE_MIXTURE_SQL,
+    ),
+    "events_user_narratives": (events_user_narratives, USER_NARRATIVES_SQL),
 })
 
 
@@ -5912,6 +5975,8 @@ _R6_WINDOW = (
     "docs_textrank_keywords",
     "orders_snapshot_drift",
     "docs_source_token_divergence",
+    "docs_temperature_mixture",
+    "events_user_narratives",
     # ---- changed this round: re-verify ----
     # oracle CAST fixes (the r5 HUGEINT hash-fails)
     "docs_pack_sequences", "docs_budget_selection",
@@ -5932,21 +5997,22 @@ _R6_WINDOW = (
     "docs_quality_scores", "docs_language_id", "docs_quality_filter_ids",
     "docs_fingerprint_exact_dedup", "docs_ngram_topk_similar",
     "events_dedup_first_by_key", "docs_corpus_prep",
-    "stream_dedup_within_watermark", "events_json_extract",
-    "docs_rolling_sketch", "q12_priority_shipmode",
+    "stream_dedup_within_watermark",
+    "q12_priority_shipmode",
     "q9_profit_by_nation_year", "rolling_customer_spend",
     "stream_sliding_halfhour", "stream_running_user_stats",
     "stream_tumbling_hourly",
     "events_tumbling_hourly",
-    # (Demoted to r7 to make room for the eight brand-new round-6
+    # (Demoted to r7 to make room for the TEN brand-new round-6
     # entries above (the window is a hard 50): q6_forecast_revenue,
     # like_filter_parts, sql_passthrough_revenue, docs_token_stats,
     # projection_alias_orders, q18_large_orders, docs_bpe_token_count,
-    # rollup_revenue — all r1-r3 driver-green trivial narrow
-    # maps/rollups, physically unchanged for 3+ rounds, locally
-    # parity-green every session — plus emb_ivf_topk as recorded
-    # in r5 (rows-only gate; recall pinned in
-    # tests/test_extensions.py). All nine lead the r7 roster.)
+    # rollup_revenue, events_json_extract, docs_rolling_sketch — all
+    # r1-r3 driver-green trivial narrow maps/rollups, physically
+    # unchanged for 3+ rounds, locally parity-green every session —
+    # plus emb_ivf_topk as recorded in r5 (rows-only gate; recall
+    # pinned in tests/test_extensions.py). All eleven lead the r7
+    # roster.)
 )
 
 def _finalize_registry() -> None:

@@ -501,3 +501,50 @@ def curriculum_stages(
         F.col(score_col).cast("bigint").alias("score"),
         F.ntile(n_stages).over(w).alias("stage"),
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: int = 2,
+    boost: int = 10,
+) -> DataFrame:
+    """Temperature-scaled source rebalancing: downsample big sources
+    so sampled sizes scale like n_s^(1/T) instead of n_s (the
+    standard LLM-mixture flattening; T=1 keeps proportions, T=inf is
+    uniform). Deterministic hash thresholding — a document is kept iff
+    ``xxhash64(id) pmod n_s < boost * floor(n_s^(1/T))`` — so the
+    expected kept count is ~boost * n_s^(1/T) per source and reruns
+    are reproducible with no RNG state.
+
+    Exactness note: T=2 uses sqrt, which IEEE 754 requires to be
+    correctly rounded — bit-identical across engines, so the oracle
+    can replay the threshold exactly. Other temperatures go through
+    pow(), which carries no such guarantee; the operator allows them
+    but only T=2 is certified hash-exact. The hash is the portable
+    md5-prefix (same as hash_split) so any engine reproduces the
+    per-document keep decision.
+
+    Shape: one tiny per-source count aggregate broadcast back; the
+    corpus itself is filtered in place with zero shuffles.
+    """
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_s")
+    )
+    if temperature == 2:
+        thr = F.floor(F.sqrt(F.col("__n_s"))).cast("bigint")
+    else:
+        thr = F.floor(
+            F.pow(F.col("__n_s"), 1.0 / temperature)
+        ).cast("bigint")
+    thresholds = counts.select(
+        source_col, (F.lit(boost) * thr).alias("__thr"), "__n_s"
+    )
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .filter(
+            F.pmod(_md5_28(F.col(id_col)), F.col("__n_s")) < F.col("__thr")
+        )
+        .drop("__thr", "__n_s")
+    )
