@@ -5882,6 +5882,59 @@ FROM r GROUP BY user_id
 """
 
 
+def docs_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by source: chars per token under the
+    SHIPPED tokenizer (the compression-quality check run before
+    committing to a tokenizer for a new data mixture). Ratio emitted
+    as exact integer milli-chars-per-token — (1000*chars) div tokens
+    — so no float division crosses the engine boundary. NOT in the
+    r6 driver window: it shares the merge-replay path with the
+    in-window docs_shipped_tokenizer_counts; its own check leads r7."""
+    from universal_importer_duckdb_spark.operators.bpe import (
+        apply_merges,
+        bpe_token_counts,
+        load_merges_file,
+        word_frequency_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = load_merges_file(_SHIPPED_MERGES_PATH)
+    vocab = apply_merges(word_frequency_table(docs), merges)
+    counts = bpe_token_counts(docs, vocab)
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(counts, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "total_chars",
+            "total_tokens",
+            F.expr(
+                "CASE WHEN total_tokens = 0 THEN NULL"
+                " ELSE (1000 * total_chars) div total_tokens END"
+            ).alias("fert_milli"),
+        )
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    inner = _shipped_tokenizer_sql()
+    return f"""
+SELECT d.source,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(base.n_bpe_tokens) AS BIGINT) AS total_tokens,
+       CASE WHEN SUM(base.n_bpe_tokens) = 0 THEN NULL
+            ELSE CAST((1000 * SUM(d.n_chars)) // SUM(base.n_bpe_tokens)
+                      AS BIGINT) END AS fert_milli
+FROM ({inner}) base JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def _textrank_oracle():
     from universal_importer_duckdb_spark.operators.textrank import (
         textrank_sql,
@@ -5909,6 +5962,9 @@ REGISTRY.update({
         docs_temperature_mixture, TEMPERATURE_MIXTURE_SQL,
     ),
     "events_user_narratives": (events_user_narratives, USER_NARRATIVES_SQL),
+    "docs_tokenizer_fertility": (
+        docs_tokenizer_fertility, _tokenizer_fertility_sql(),
+    ),
 })
 
 
