@@ -91,6 +91,16 @@ BENCH_QUERIES = [
 # + state-store fixed costs (~4s regardless of data size), which would
 # swamp the compute-throughput signal this harness exists to measure.
 # Their correctness runs in the driver gate like every other entry.
+#
+# Trained-artifact entries (docs_bpe_learn_merges, emb_ivf_topk,
+# docs_textrank_keywords): their builders run bounded training
+# actions at plan-construction time, and the prepared-plan cache
+# (plancache.py) reuses the trained artifact across the N timed runs
+# — so the reported number is the RE-QUERY cost against the held
+# artifact (the long-lived-session serving shape), not
+# train-from-scratch. First-run build costs at sf0.1, for the
+# record: bpe_learn ~1.3 s, textrank ~2.5 s (5 integer PageRank
+# iterations incl. graph construction).
 
 
 def main() -> int:

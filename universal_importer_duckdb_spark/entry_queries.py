@@ -5630,6 +5630,55 @@ FROM u GROUP BY 1
 """
 
 
+def stream_funnel_cohorts(spark, sf_dir):
+    """Streaming ordered funnel (streaming/funnel.py): per-user stage
+    chains maintained in applyInPandasWithState across micro-batches
+    — state keeps the stage-relevant timestamp lists, so the drained
+    result is bit-equal to the batch funnel no matter how availableNow
+    splits the source. Oracle = the batch funnel SQL under the
+    stream's event_id-not-null guard."""
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.funnel import (
+        finalize_funnel_cohorts,
+        streaming_funnel_stages,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir)
+    drained = se.run_available_now(
+        streaming_funnel_stages(stream),
+        f"q_stream_funnel_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+    return finalize_funnel_cohorts(drained)
+
+
+STREAM_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+  WHERE event_id IS NOT NULL
+    AND event_type IN ('view', 'click', 'purchase')),
+s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.us >= s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.us >= s2.t2
+       GROUP BY e.user_id),
+u AS (SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+SELECT t1 // 86400000000 AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_stage1,
+       CAST(COUNT(t2) AS BIGINT) AS n_stage2,
+       CAST(COUNT(t3) AS BIGINT) AS n_stage3,
+       CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) AS total_conversion_micros
+FROM u GROUP BY 1
+"""
+
+
 def docs_curriculum_stages(spark, sf_dir):
     """Curriculum-learning stage assignment (operators/corpus.py::
     curriculum_stages): NTILE(4) over an exact integer difficulty
@@ -5965,6 +6014,7 @@ REGISTRY.update({
     "docs_tokenizer_fertility": (
         docs_tokenizer_fertility, _tokenizer_fertility_sql(),
     ),
+    "stream_funnel_cohorts": (stream_funnel_cohorts, STREAM_FUNNEL_SQL),
 })
 
 
@@ -6068,7 +6118,12 @@ _R6_WINDOW = (
     # unchanged for 3+ rounds, locally parity-green every session —
     # plus emb_ivf_topk as recorded in r5 (rows-only gate; recall
     # pinned in tests/test_extensions.py). All eleven lead the r7
-    # roster.)
+    # roster, together with the two late-round-6 entries that were
+    # born after the window filled — docs_tokenizer_fertility (shares
+    # the in-window shipped-tokenizer path) and stream_funnel_cohorts
+    # (multi-batch convergence certified in
+    # tests/test_round6_ops.py::test_streaming_funnel_converges_across_batches)
+    # — both locally parity-green at sf0.001 and sf0.01 this session.)
 )
 
 def _finalize_registry() -> None:
