@@ -366,3 +366,26 @@ def test_streaming_funnel_converges_across_batches(spark, tmp_path):
     assert got == want
     # and the chain really resolved: user 1 fully converted
     assert any(r[3] == 1 for r in got)  # n_stage3 == 1 somewhere
+
+
+# ------------------------------------------------------- knn join
+def test_knn_join_small_n_and_duplicate_vectors(spark):
+    from universal_importer_duckdb_spark.operators.similarity import (
+        knn_join_exact,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),  # exact duplicate of 1
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join_exact(df, k=5).collect()  # k > n-1
+    }
+    # every vector gets exactly n-1 = 2 neighbors; duplicates rank
+    # first with cosine 1.0, ties by neighbor id
+    assert out[(1, 1)] == 2 and out[(2, 1)] == 1
+    assert out[(3, 1)] in (1, 2) and out[(3, 2)] in (1, 2)
+    assert len(out) == 6

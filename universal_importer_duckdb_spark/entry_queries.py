@@ -13,9 +13,11 @@ DuckDB; see tests/test_oracle_parity.py):
   both engines implement half-away-from-zero.
 - a decimal->double cast is bit-exact on both engines only while the
   unscaled integer fits in 2^53 — keep scale*magnitude under that.
-- element-wise vector math: cast float arrays to double, per-element
-  products cast to DECIMAL(33,13) (no decimal ties are representable
-  at our magnitudes), exact-sum, cast double.
+- element-wise vector math: cast float arrays to double and use
+  ORDER-DEFINED left folds (Spark F.aggregate == DuckDB list_reduce)
+  — the former DECIMAL(33,13) product-cast idiom hit engine-divergent
+  round-half behavior on boundary values (r6 finding, see
+  operators/similarity.py strategy note).
 - Spark size()/row_number() are INT, DuckDB's are BIGINT — cast the
   Spark side up.
 - events.parquet uses TIMESTAMP(NANOS): Spark needs
@@ -976,25 +978,26 @@ FROM documents
 # Embeddings: similarity search
 # ======================================================================
 
-_VDEC = "decimal(33,13)"
-
-
-def _vfold(arr):
-    """Exact-decimal sequential fold of a double array -> double.
-    DECIMAL(33,13): no representable decimal ties at |x| < 1e6, and the
-    unscaled sum stays under 2^53 for the final exact cast."""
-    return F.aggregate(
-        arr, F.lit(0).cast(_VDEC), lambda acc, x: (acc + x).cast(_VDEC)
-    ).cast("double")
+# Exact-score oracles replay Spark's sequential left fold with
+# DuckDB's list_reduce (identical association; 0.0 + x1 == x1), so
+# every emitted double is bit-identical with NO rounding step. The
+# previous DECIMAL(33,13)-cast idiom was dropped after the cast's
+# round-half mode was observed to differ between engines on boundary
+# values (see operators/similarity.py strategy note).
+_SQL_DOT = (
+    "list_reduce(list_apply(list_zip({a}, {b}), p -> p[1] * p[2]),"
+    " (acc, x) -> acc + x)"
+)
+_SQL_N2 = "list_reduce(list_apply({a}, x -> x * x), (acc, x) -> acc + x)"
 
 
 def emb_cosine_topk(spark, sf_dir):
     """Exact cosine top-10 vs the vec_id=0 query vector — the exact
     baseline for ANN. Two-phase: a JVM zip_with/aggregate double fold
     selects 4k candidates (no Arrow round-trip), then the
-    DECIMAL(33,13) fold re-ranks only those — bit-identical output to
-    the one-phase exact scan (same oracle), with the per-element
-    decimal cost cut from the corpus to 40 rows
+    order-defined exact fold re-ranks only those — bit-identical
+    output to the one-phase exact scan (same oracle), with the
+    re-rank cost cut from the corpus to 40 rows
     (see cosine_topk_two_phase)."""
     from universal_importer_duckdb_spark.operators.similarity import (
         cosine_topk_two_phase,
@@ -1006,15 +1009,13 @@ def emb_cosine_topk(spark, sf_dir):
     )
 
 
-COSINE_TOPK_SQL = """
+COSINE_TOPK_SQL = f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-pr AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x, unnest(qv) AS y
-       FROM embeddings, q WHERE vec_id > 0),
 s AS (SELECT vec_id, label,
-        CAST(SUM(CAST(x*y AS DECIMAL(33,13))) AS DOUBLE) AS dot,
-        CAST(SUM(CAST(x*x AS DECIMAL(33,13))) AS DOUBLE) AS n1,
-        CAST(SUM(CAST(y*y AS DECIMAL(33,13))) AS DOUBLE) AS n2
-      FROM pr GROUP BY vec_id, label)
+        {_SQL_DOT.format(a="embedding::DOUBLE[]", b="qv")} AS dot,
+        {_SQL_N2.format(a="embedding::DOUBLE[]")} AS n1,
+        {_SQL_N2.format(a="qv")} AS n2
+      FROM embeddings, q WHERE vec_id > 0)
 SELECT vec_id, label, dot/(sqrt(n1)*sqrt(n2)) AS cosine
 FROM s ORDER BY cosine DESC, vec_id LIMIT 10
 """
@@ -1409,7 +1410,7 @@ def _emb_ann_lsh_sql(k: int = 10, n_planes: int = 6, max_probe_hamming: int = 2,
                      dim: int = 64, seed: int = 42) -> str:
     """DuckDB replica of lsh_ann_topk: identical seeded hyperplanes
     (embedded as literals), identical sign-bit signature, identical
-    multi-probe hamming filter, identical DECIMAL(33,13) cosine
+    multi-probe hamming filter, identical order-defined cosine
     re-rank."""
     from universal_importer_duckdb_spark.operators.similarity import _hyperplanes
 
@@ -1429,12 +1430,11 @@ v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {bits("embedding::DOUBLE[]")} AS 
       FROM embeddings WHERE vec_id > 0),
 cand AS (SELECT vec_id, e, qv FROM v, q
          WHERE bit_count(xor(sig::BIGINT, qsig::BIGINT)) <= {max_probe_hamming}),
-pr AS (SELECT vec_id, unnest(e) AS x, unnest(qv) AS y FROM cand),
 s AS (SELECT vec_id,
-        CAST(SUM(CAST(x*y AS DECIMAL(33,13))) AS DOUBLE) AS dot,
-        CAST(SUM(CAST(x*x AS DECIMAL(33,13))) AS DOUBLE) AS n1,
-        CAST(SUM(CAST(y*y AS DECIMAL(33,13))) AS DOUBLE) AS n2
-      FROM pr GROUP BY vec_id)
+        {_SQL_DOT.format(a="e", b="qv")} AS dot,
+        {_SQL_N2.format(a="e")} AS n1,
+        {_SQL_N2.format(a="qv")} AS n2
+      FROM cand)
 SELECT vec_id, dot/(sqrt(n1)*sqrt(n2)) AS cosine
 FROM s ORDER BY cosine DESC, vec_id LIMIT {k}
 """
@@ -1461,7 +1461,7 @@ def _emb_near_dup_sql(threshold: float = 0.4, n_planes: int = 6, dim: int = 64,
                       seed: int = 42) -> str:
     """DuckDB replica of embedding_near_pairs: identical seeded
     hyperplanes (embedded as literals), identical sign-bit bucket key,
-    identical DECIMAL(33,13) cosine folding."""
+    identical order-defined cosine folding."""
     from universal_importer_duckdb_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(n_planes, dim, seed)
@@ -1475,12 +1475,11 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 b AS (SELECT vec_id, e, {bits} AS bucket FROM v),
 p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.e AS ea, c.e AS eb
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
-pr AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM p),
 s AS (SELECT id_a, id_b,
-        CAST(SUM(CAST(x*y AS DECIMAL(33,13))) AS DOUBLE) AS dot,
-        CAST(SUM(CAST(x*x AS DECIMAL(33,13))) AS DOUBLE) AS na,
-        CAST(SUM(CAST(y*y AS DECIMAL(33,13))) AS DOUBLE) AS nb
-      FROM pr GROUP BY id_a, id_b)
+        {_SQL_DOT.format(a="ea", b="eb")} AS dot,
+        {_SQL_N2.format(a="ea")} AS na,
+        {_SQL_N2.format(a="eb")} AS nb
+      FROM p)
 SELECT id_a, id_b, dot/(sqrt(na)*sqrt(nb)) AS cosine
 FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= {threshold}
 """
@@ -1586,13 +1585,11 @@ p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
              a.label AS label_a, c.label AS label_b, a.e AS ea, c.e AS eb
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
       WHERE a.label <> c.label),
-pr AS (SELECT id_a, id_b, label_a, label_b,
-              unnest(ea) AS x, unnest(eb) AS y FROM p),
 s AS (SELECT id_a, id_b, label_a, label_b,
-        CAST(SUM(CAST(x*y AS DECIMAL(33,13))) AS DOUBLE) AS dot,
-        CAST(SUM(CAST(x*x AS DECIMAL(33,13))) AS DOUBLE) AS na,
-        CAST(SUM(CAST(y*y AS DECIMAL(33,13))) AS DOUBLE) AS nb
-      FROM pr GROUP BY id_a, id_b, label_a, label_b)
+        {_SQL_DOT.format(a="ea", b="eb")} AS dot,
+        {_SQL_N2.format(a="ea")} AS na,
+        {_SQL_N2.format(a="eb")} AS nb
+      FROM p)
 SELECT id_a, id_b, label_a, label_b, dot/(sqrt(na)*sqrt(nb)) AS cosine
 FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= {floor}
 ORDER BY cosine DESC, id_a, id_b LIMIT {k}
@@ -4604,13 +4601,11 @@ kwr AS (
            AS rank_kw
   FROM kw),
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-pr AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x, unnest(qv) AS y
-       FROM embeddings, q WHERE vec_id > 0),
 s AS (SELECT vec_id,
-        CAST(SUM(CAST(x*y AS DECIMAL(33,13))) AS DOUBLE) AS dot,
-        CAST(SUM(CAST(x*x AS DECIMAL(33,13))) AS DOUBLE) AS n1,
-        CAST(SUM(CAST(y*y AS DECIMAL(33,13))) AS DOUBLE) AS n2
-      FROM pr GROUP BY vec_id),
+        {_SQL_DOT.format(a="embedding::DOUBLE[]", b="qv")} AS dot,
+        {_SQL_N2.format(a="embedding::DOUBLE[]")} AS n1,
+        {_SQL_N2.format(a="qv")} AS n2
+      FROM embeddings, q WHERE vec_id > 0),
 vec AS (SELECT vec_id, dot/(sqrt(n1)*sqrt(n2)) AS cosine
         FROM s ORDER BY cosine DESC, vec_id LIMIT 50),
 vecr AS (
@@ -5630,6 +5625,49 @@ FROM u GROUP BY 1
 """
 
 
+def emb_knn_join(spark, sf_dir):
+    """Exact cosine k-NN self-join, top-3 per vector (operators/
+    similarity.py::knn_join_exact): Arrow-batched numpy GEMM generates
+    candidates within a 1e-9 margin of the k-th double cosine, the
+    order-defined double folds re-score survivors — bit-equal to the
+    brute-force oracle. The bounded-broadcast contract (reference
+    matrix collected once) is the honest boundary of exact n^2 kNN;
+    emb_ann_lsh_topk / emb_ivf_topk are the corpus-scale paths."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        knn_join_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join_exact(emb, k=3)
+
+
+# Order-defined double folds (list_reduce == Spark's F.aggregate left
+# fold) instead of the DECIMAL(33,13) idiom: the double->DECIMAL
+# cast's round-half mode differs between engines on boundary values,
+# which surfaces once EVERY vector's norm is touched (see
+# similarity.knn_join_exact docstring).
+EMB_KNN_JOIN_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id,
+             list_reduce(list_apply(e, x -> x * x),
+                         (a, x) -> a + x) AS n2
+      FROM v),
+c AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+             list_reduce(
+               list_apply(list_zip(a.e, b.e), s -> s[1] * s[2]),
+               (acc, x) -> acc + x)
+               / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rank FROM c)
+SELECT q_id AS vec_id, cand_id AS neighbor_id,
+       CAST(rank AS INTEGER) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
 def stream_funnel_cohorts(spark, sf_dir):
     """Streaming ordered funnel (streaming/funnel.py): per-user stage
     chains maintained in applyInPandasWithState across micro-batches
@@ -6015,6 +6053,7 @@ REGISTRY.update({
         docs_tokenizer_fertility, _tokenizer_fertility_sql(),
     ),
     "stream_funnel_cohorts": (stream_funnel_cohorts, STREAM_FUNNEL_SQL),
+    "emb_knn_join": (emb_knn_join, EMB_KNN_JOIN_SQL),
 })
 
 
@@ -6089,8 +6128,12 @@ _R6_WINDOW = (
     "orders_compaction_plan",
     # oracle NOT IN -> NOT EXISTS (null fingerprints)
     "docs_incremental_dedup",
-    # per-vector norm folds + unique_buckets pair generation
+    # per-vector norm folds + unique_buckets pair generation; ALL
+    # exact-cosine entries re-verify after the r6 order-defined-fold
+    # migration (their emitted doubles changed in the last ulps), and
+    # the new exact kNN join enters
     "emb_hard_negatives", "emb_near_dup_pairs", "emb_semdedup_clusters",
+    "emb_cosine_topk", "emb_ann_lsh_topk", "emb_knn_join",
     # spread_for_compute on single-row-group scans
     "dedup_first_lineitem", "dedup_last_lineitem",
     "dedup_exclude_all_lineitem", "dedup_duplicates_lineitem",
@@ -6100,30 +6143,30 @@ _R6_WINDOW = (
     "rule_age_gte_skip_orders", "rule_age_gte_invalid_orders",
     "dedup_cascade_lineitem", "pipeline_summary_lineitem",
     "events_sessionization",
-    "docs_quality_scores", "docs_language_id", "docs_quality_filter_ids",
+    "docs_quality_scores", "docs_quality_filter_ids",
     "docs_fingerprint_exact_dedup", "docs_ngram_topk_similar",
     "events_dedup_first_by_key", "docs_corpus_prep",
     "stream_dedup_within_watermark",
-    "q12_priority_shipmode",
-    "q9_profit_by_nation_year", "rolling_customer_spend",
+    "q9_profit_by_nation_year",
     "stream_sliding_halfhour", "stream_running_user_stats",
     "stream_tumbling_hourly",
     "events_tumbling_hourly",
-    # (Demoted to r7 to make room for the TEN brand-new round-6
-    # entries above (the window is a hard 50): q6_forecast_revenue,
+    # (Demoted to r7 to make room for the round-6 additions above
+    # (the window is a hard 50): q6_forecast_revenue,
     # like_filter_parts, sql_passthrough_revenue, docs_token_stats,
     # projection_alias_orders, q18_large_orders, docs_bpe_token_count,
-    # rollup_revenue, events_json_extract, docs_rolling_sketch — all
-    # r1-r3 driver-green trivial narrow maps/rollups, physically
-    # unchanged for 3+ rounds, locally parity-green every session —
-    # plus emb_ivf_topk as recorded in r5 (rows-only gate; recall
-    # pinned in tests/test_extensions.py). All eleven lead the r7
-    # roster, together with the two late-round-6 entries that were
-    # born after the window filled — docs_tokenizer_fertility (shares
-    # the in-window shipped-tokenizer path) and stream_funnel_cohorts
-    # (multi-batch convergence certified in
-    # tests/test_round6_ops.py::test_streaming_funnel_converges_across_batches)
-    # — both locally parity-green at sf0.001 and sf0.01 this session.)
+    # rollup_revenue, events_json_extract, docs_rolling_sketch,
+    # q12_priority_shipmode, rolling_customer_spend, docs_language_id
+    # — all r1-r3 driver-green trivial/unchanged shapes, locally
+    # parity-green every session — plus emb_ivf_topk as recorded in
+    # r5 (rows-only gate; recall pinned in tests/test_extensions.py).
+    # All of these lead the r7 roster, together with the two
+    # late-round-6 entries born after the window filled —
+    # docs_tokenizer_fertility (shares the in-window
+    # shipped-tokenizer path) and stream_funnel_cohorts (multi-batch
+    # convergence certified in tests/test_round6_ops.py::
+    # test_streaming_funnel_converges_across_batches) — both locally
+    # parity-green at sf0.001 and sf0.01 this session.)
 )
 
 def _finalize_registry() -> None:

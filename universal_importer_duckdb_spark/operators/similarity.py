@@ -15,7 +15,7 @@ n_planes × dim floats) and broadcast as literal arrays; bucket
 signatures are computed with JVM higher-order functions — no UDFs.
 
 Determinism: exact scores route per-element products through
-DECIMAL(33,13) (see entry_queries module docstring) so results are
+order-defined double folds (see the strategy note below) so results are
 reproducible bit-for-bit across engines and partitionings.
 """
 
@@ -25,27 +25,25 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_DEC = "decimal(33,13)"
-
-
-def _fold_dec(arr):
-    return F.aggregate(
-        arr, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
-    ).cast("double")
-
-
-def dot_product(a, b):
-    return _fold_dec(F.zip_with(a, b, lambda x, y: (x * y).cast(_DEC)))
+# Exactness strategy: ORDER-DEFINED double left folds. F.aggregate
+# over an array is a sequential left fold, and DuckDB's list_reduce
+# replays the identical association (0.0 + x1 == x1 exactly), so the
+# oracle reproduces every score bit-for-bit with NO rounding step.
+# The previous idiom — products cast to DECIMAL(33,13) then summed —
+# was order-independent but relied on the double->DECIMAL cast, whose
+# round-half mode differs between engines on boundary values
+# (observed on this table's norms: 1.0000000268674 vs ...73 once
+# every vector's norm is touched). A defined-order double fold has no
+# such cast, at the cost of fixing the fold order in the oracle.
 
 
 def _dot_double(a, b):
-    """Plain double-precision dot product (JVM fold, no Arrow
-    round-trip). The FAST path — selection scores, bucket signatures,
-    pre-sifts — where cross-engine bit-exactness is not required; the
-    DECIMAL ``dot_product`` above is the exact path."""
+    """Sequential left-fold dot product (JVM-side, no Arrow
+    round-trip). Order-defined: the oracle's list_reduce replays the
+    identical association, so this IS the exact cross-engine path."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, t: s + t
     )
@@ -57,8 +55,12 @@ def _norm2_double(a):
     )
 
 
+def dot_product(a, b):
+    return _dot_double(a, b)
+
+
 def norm2(a):
-    return F.sqrt(_fold_dec(F.transform(a, lambda x: (x * x).cast(_DEC))))
+    return F.sqrt(_norm2_double(a))
 
 
 def cosine(a, b):
@@ -99,10 +101,10 @@ def cosine_topk_two_phase(
     """Exact cosine top-k in two phases: a JVM-side double-precision
     fold SELECTS the top ``k*overfetch`` candidates (zip-with product
     + aggregate sum — stays in the executor JVM, no Arrow round-trip
-    of the embedding column to a Python worker), then the exact
-    DECIMAL(33,13) fold re-ranks only those candidates, so the output
-    is bit-identical to the one-phase exact scan while the per-element
-    decimal arithmetic touches k*overfetch rows instead of the corpus.
+    of the embedding column to a Python worker), then the
+    order-defined exact fold re-ranks only those candidates, so the
+    output is bit-identical to the one-phase exact scan while the
+    re-rank arithmetic touches k*overfetch rows instead of the corpus.
     The selection score drops the constant |q| factor (order-
     equivalent) and is never emitted.
 
@@ -122,7 +124,7 @@ def cosine_topk_two_phase(
     ``size_hint`` (a cheap row-count estimate, e.g. from the parquet
     footer — NOT a Spark action) gates the candidate phase: when the
     corpus is at most ``4 * k * overfetch`` rows, phase 1 would keep
-    most of it anyway, so the exact DECIMAL fold runs directly on the
+    most of it anyway, so the exact fold runs directly on the
     corpus in ONE TakeOrdered — the degraded-to-one-phase form the
     soundness note above describes, minus the wasted selection stage.
     Results are bit-identical either way (phase 2 alone IS the exact
@@ -236,7 +238,7 @@ def hard_negative_pairs(
     probability, which is the accepted trade at corpus scale).
 
     Same two-tier verify as :func:`embedding_near_pairs` (double
-    pre-sift with 1e-9 margin, DECIMAL(33,13) exact re-score), plus a
+    pre-sift with 1e-9 margin, order-defined exact re-score), plus a
     deterministic (cosine desc, id_a, id_b) top-k, so the result
     replays bit-for-bit in the seeded-literal SQL oracle."""
     from universal_importer_duckdb_spark.operators.dedup_text import (
@@ -246,12 +248,11 @@ def hard_negative_pairs(
 
     planes = _hyperplanes(n_planes, dim, seed)
     vd = F.col(vec_col).cast("array<double>")
-    # The exact DECIMAL norm fold is computed once per VECTOR here and
-    # carried in the payload — not once per pair side, where each
-    # vector's fold would be re-run for every candidate pair it
-    # appears in (measured: the decimal folds are the dominant cost of
-    # this operator). sqrt(exact_fold) per pair side is the identical
-    # expression tree cosine() builds, so scores are bit-unchanged.
+    # The norm fold is computed once per VECTOR here and carried in
+    # the payload — not once per pair side, where each vector's fold
+    # would be re-run for every candidate pair it appears in
+    # (measured: per-pair folds were the dominant cost of this
+    # operator before hoisting).
     b = (
         spread_for_compute(df, id_col)
         .withColumn("bucket", bucket_signature(vec_col, planes))
@@ -260,9 +261,6 @@ def hard_negative_pairs(
             F.struct(
                 vd.alias("v"),
                 _norm2_double(vd).alias("n2"),
-                _fold_dec(F.transform(vd, lambda x: (x * x).cast(_DEC))).alias(
-                    "n2x"
-                ),
                 F.col(label_col).alias("lab"),
             ),
         )
@@ -271,8 +269,10 @@ def hard_negative_pairs(
     dcos = _dot_double(va, vb) / F.greatest(
         F.sqrt(F.col("payload_a.n2") * F.col("payload_b.n2")), F.lit(1e-300)
     )
-    exact_cos = dot_product(va, vb) / (
-        F.sqrt(F.col("payload_a.n2x")) * F.sqrt(F.col("payload_b.n2x"))
+    # exact emitted score: sqrt(n2a)*sqrt(n2b) — NOT sqrt(n2a*n2b) as
+    # in the pre-sift — to match the oracle's expression tree
+    exact_cos = _dot_double(va, vb) / (
+        F.sqrt(F.col("payload_a.n2")) * F.sqrt(F.col("payload_b.n2"))
     )
     return (
         bucket_pairs(
@@ -401,7 +401,7 @@ def embedding_near_pairs(
     computed ONCE before pairing and ride in the pair payload, so the
     pre-sift per pair is one dot product and one division) discards
     every candidate below ``threshold - 1e-9``, and only survivors pay
-    the exact DECIMAL(33,13) fold. The margin dominates the double
+    the order-defined exact fold. The margin dominates the double
     fold's rounding error (64 unit-scale terms err < 1e-12 relative),
     so the surviving set — and the emitted exact cosine — is
     bit-identical to verifying every candidate, which is what the
@@ -434,4 +434,124 @@ def embedding_near_pairs(
         .filter(dcos >= cosine_threshold - 1e-9)
         .select("id_a", "id_b", cosine(va, vb).alias("cosine"))
         .filter(F.col("cosine") >= cosine_threshold)
+    )
+
+
+def knn_join_exact(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: float = 1e-9,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor self-join by cosine: for every vector,
+    its top-k neighbors (excluding itself), deterministic ties by
+    neighbor id. The all-pairs baseline that (a) deduplicates against
+    a bounded reference set and (b) serves as the recall oracle for
+    the approximate paths (ann_lsh_topk / ivf_topk are the corpus-
+    scale substitutes — an n^2 exact join does NOT scale past a
+    broadcastable right side, and says so here rather than pretending).
+
+    Two-phase exactness (same margin argument as hard_negative_pairs):
+
+    * Phase 1 — candidate generation in numpy: the reference matrix is
+      collected ONCE (bounded-broadcast contract, <= ~1M vectors),
+      row-normalized in double, and each Arrow batch of the streaming
+      side does one BLAS GEMM against it. Per row, every candidate
+      within ``margin`` of the k-th best double cosine is emitted —
+      double error over a 64-term dot is ~1e-13, far inside the 1e-9
+      margin, so the true exact top-k always survives.
+    * Phase 2 — the survivors (k + ties per row, not n) are re-scored
+      JVM-side with ORDER-DEFINED double left folds and ranked
+      (cosine DESC, id). The oracle replays the identical fold order
+      via list_reduce, so scores are bit-identical WITHOUT the
+      double->DECIMAL cast — that cast's round-half mode differs
+      between engines on boundary values (observed on this table's
+      norms: 1.0000000268674 vs ...73), so the DECIMAL idiom the
+      pairwise ops use is NOT safe when every vector's norm is
+      touched; a defined-order double fold has no rounding step at
+      all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ref_rows = df.select(id_col, vec_col).collect()
+    ref_ids = np.array([r[0] for r in ref_rows], dtype=np.int64)
+    ref = np.array([r[1] for r in ref_rows], dtype=np.float64)
+    norms = np.sqrt((ref * ref).sum(axis=1))
+    norms[norms == 0] = 1e-300
+    ref_n = ref / norms[:, None]
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ref_ids)
+    b_ref = spark.sparkContext.broadcast(ref_n)
+    kk, mg = k, margin
+
+    def _candidates(batches):
+        rids, rmat = b_ids.value, b_ref.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            qn[qn == 0] = 1e-300
+            sims = (q / qn[:, None]) @ rmat.T
+            out_q, out_c, out_s = [], [], []
+            qids = pdf[id_col].to_numpy()
+            for i in range(len(pdf)):
+                row = sims[i]
+                self_mask = rids == qids[i]
+                row = np.where(self_mask, -np.inf, row)
+                n_cand = min(kk, row.size - int(self_mask.sum()))
+                if n_cand <= 0:
+                    continue
+                kth = np.partition(row, -n_cand)[-n_cand]
+                keep = np.flatnonzero(row >= kth - mg)
+                out_q.extend([qids[i]] * len(keep))
+                out_c.extend(rids[keep])
+                out_s.extend(row[keep])
+            yield pd.DataFrame(
+                {"q_id": out_q, "cand_id": out_c, "dcos": out_s}
+            )
+
+    cands = df.mapInPandas(
+        _candidates, schema="q_id bigint, cand_id bigint, dcos double"
+    )
+
+    vd = F.col(vec_col).cast("array<double>")
+    payload = df.select(
+        F.col(id_col).alias("__pid"),
+        F.struct(
+            vd.alias("v"),
+            _norm2_double(vd).alias("n2"),
+        ).alias("__pl"),
+    )
+    joined = (
+        cands.join(
+            payload.select(
+                F.col("__pid").alias("q_id"), F.col("__pl").alias("pa")
+            ),
+            "q_id",
+        )
+        .join(
+            payload.select(
+                F.col("__pid").alias("cand_id"), F.col("__pl").alias("pb")
+            ),
+            "cand_id",
+        )
+        .withColumn(
+            "cosine",
+            _dot_double(F.col("pa.v"), F.col("pb.v"))
+            / (F.sqrt(F.col("pa.n2")) * F.sqrt(F.col("pb.n2"))),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias(id_col),
+            F.col("cand_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "cosine",
+        )
     )
