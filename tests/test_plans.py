@@ -281,3 +281,38 @@ def test_observed_summary_matches_classic(spark, sf_dir):
         classic.valid_records,
     )
     assert res.summary is obs
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "docs_containment_pairs",
+        "docs_segment_line_dedup",
+        "docs_bloom_incremental_dedup",
+        "events_funnel_cohorts",
+        "emb_knn_join",
+        "docs_textrank_keywords",
+    ],
+)
+def test_round6_ops_have_no_cartesian_products(spark, sf_dir, name):
+    fn, _ = eq.REGISTRY[name]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_broadcasts_dup_set_and_funnel_is_two_exchanges(
+    spark, sf_dir
+):
+    import re
+
+    plan = _plan(eq.REGISTRY["docs_segment_line_dedup"][0](spark, sf_dir))
+    assert "BroadcastExchange" in plan  # dup-line set broadcast back
+
+    plan = _plan(eq.REGISTRY["events_funnel_cohorts"][0](spark, sf_dir))
+    shuffles = re.findall(r"\(\d+\) Exchange hashpartitioning", plan)
+    assert len(shuffles) <= 2  # user groupBy + cohort groupBy, no more
+
+
+def test_bloom_probe_broadcasts_bitmap(spark, sf_dir):
+    plan = _plan(eq.REGISTRY["docs_bloom_incremental_dedup"][0](spark, sf_dir))
+    assert "BroadcastExchange" in plan
