@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "docs_source_token_divergence",
     "docs_temperature_mixture",
     "events_user_narratives",
+    "docs_tokenizer_fertility",
+    "emb_knn_join",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch
@@ -93,7 +95,8 @@ BENCH_QUERIES = [
 # Their correctness runs in the driver gate like every other entry.
 #
 # Trained-artifact entries (docs_bpe_learn_merges, emb_ivf_topk,
-# docs_textrank_keywords): their builders run bounded training
+# docs_textrank_keywords, emb_knn_join's reference-matrix collect):
+# their builders run bounded training
 # actions at plan-construction time, and the prepared-plan cache
 # (plancache.py) reuses the trained artifact across the N timed runs
 # — so the reported number is the RE-QUERY cost against the held

@@ -389,3 +389,41 @@ def test_knn_join_small_n_and_duplicate_vectors(spark):
     assert out[(1, 1)] == 2 and out[(2, 1)] == 1
     assert out[(3, 1)] in (1, 2) and out[(3, 2)] in (1, 2)
     assert len(out) == 6
+
+
+# ------------------------------------------------- expectation suite
+def test_expectation_suite_detects_planted_violations(spark):
+    from universal_importer_duckdb_spark.operators.expectations import (
+        Expectation,
+        orphan_count,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", None), (1, "B", 5), (2, "Z", 200)],
+        "k bigint, status string, v int",
+    )
+    out = {
+        r["check_name"]: (r["passed"], r["observed_num"], r["observed_den"])
+        for r in run_expectations(
+            df,
+            [
+                Expectation("rows", "row_count_between", lo=1, hi=2),
+                Expectation("k_unique", "unique", column="k"),
+                Expectation("v_nulls", "null_fraction_at_most",
+                            column="v", num=1, den=4),
+                Expectation("v_max", "max_at_most", column="v", hi=100),
+                Expectation("status_dom", "values_in",
+                            column="status", values=("A", "B")),
+            ],
+        ).collect()
+    }
+    assert out["rows"] == (False, 3, 1)        # 3 not in [1,2]
+    assert out["k_unique"] == (False, 1, 1)    # one duplicate k
+    assert out["v_nulls"] == (False, 1, 3)     # 1/3 > 1/4
+    assert out["v_max"] == (False, 200, 1)
+    assert out["status_dom"] == (False, 1, 1)  # 'Z'
+
+    parent = spark.createDataFrame([(1,)], "k bigint")
+    fk = orphan_count(df, parent, "k", "k").collect()[0]
+    assert fk["passed"] is False and fk["observed_num"] == 1  # k=2 orphan

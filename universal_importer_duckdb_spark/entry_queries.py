@@ -5625,6 +5625,75 @@ FROM u GROUP BY 1
 """
 
 
+def orders_expectation_suite(spark, sf_dir):
+    """Suite-level data-quality gate (operators/expectations.py::
+    run_expectations): seven dataset-level checks — row-count window,
+    null-rate bound, key uniqueness, extremum bounds, value domain,
+    and referential integrity — evaluated in ONE aggregation pass
+    (plus one anti-join for the FK check). Observations are exact
+    integer numerator/denominator pairs, so the report hash-checks
+    cross-engine."""
+    from universal_importer_duckdb_spark.operators.expectations import (
+        Expectation,
+        orphan_count,
+        run_expectations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    suite = run_expectations(
+        orders,
+        [
+            Expectation("row_count", "row_count_between",
+                        lo=1, hi=10**12),
+            Expectation("priority_null_rate", "null_fraction_at_most",
+                        column="o_orderpriority", num=1, den=10),
+            Expectation("orderkey_unique", "unique", column="o_orderkey"),
+            Expectation("custkey_min", "min_at_least",
+                        column="o_custkey", lo=0),
+            Expectation("custkey_max", "max_at_most",
+                        column="o_custkey", hi=10**9),
+            Expectation("status_domain", "values_in",
+                        column="o_orderstatus", values=("F", "O", "P")),
+        ],
+    )
+    fk = orphan_count(orders, customer, "o_custkey", "c_custkey")
+    return suite.unionByName(fk)
+
+
+EXPECTATION_SUITE_SQL = """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+              AS BIGINT) AS e_null,
+         CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+              AS BIGINT) AS e_uni,
+         CAST(MIN(o_custkey) AS BIGINT) AS e_min,
+         CAST(MAX(o_custkey) AS BIGINT) AS e_max,
+         CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 END) AS BIGINT) AS e_dom
+  FROM orders),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS o FROM orders
+  WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = orders.o_custkey))
+SELECT 'row_count' AS check_name, n BETWEEN 1 AND 1000000000000 AS passed,
+       n AS observed_num, CAST(1 AS BIGINT) AS observed_den FROM a
+UNION ALL
+SELECT 'priority_null_rate', e_null * 10 <= 1 * n, e_null, n FROM a
+UNION ALL
+SELECT 'orderkey_unique', e_uni = 0, e_uni, CAST(1 AS BIGINT) FROM a
+UNION ALL
+SELECT 'custkey_min', e_min >= 0, e_min, CAST(1 AS BIGINT) FROM a
+UNION ALL
+SELECT 'custkey_max', e_max <= 1000000000, e_max, CAST(1 AS BIGINT) FROM a
+UNION ALL
+SELECT 'status_domain', e_dom = 0, e_dom, CAST(1 AS BIGINT) FROM a
+UNION ALL
+SELECT 'fk_o_custkey_in_c_custkey', o = 0, o, CAST(1 AS BIGINT) FROM fk
+"""
+
+
 def emb_knn_join(spark, sf_dir):
     """Exact cosine k-NN self-join, top-3 per vector (operators/
     similarity.py::knn_join_exact): Arrow-batched numpy GEMM generates
@@ -6054,6 +6123,9 @@ REGISTRY.update({
     ),
     "stream_funnel_cohorts": (stream_funnel_cohorts, STREAM_FUNNEL_SQL),
     "emb_knn_join": (emb_knn_join, EMB_KNN_JOIN_SQL),
+    "orders_expectation_suite": (
+        orders_expectation_suite, EXPECTATION_SUITE_SQL,
+    ),
 })
 
 
@@ -6163,10 +6235,11 @@ _R6_WINDOW = (
     # All of these lead the r7 roster, together with the two
     # late-round-6 entries born after the window filled —
     # docs_tokenizer_fertility (shares the in-window
-    # shipped-tokenizer path) and stream_funnel_cohorts (multi-batch
+    # shipped-tokenizer path), stream_funnel_cohorts (multi-batch
     # convergence certified in tests/test_round6_ops.py::
-    # test_streaming_funnel_converges_across_batches) — both locally
-    # parity-green at sf0.001 and sf0.01 this session.)
+    # test_streaming_funnel_converges_across_batches), and
+    # orders_expectation_suite (planted-violation unit test) — all
+    # locally parity-green at sf0.001 and sf0.01 this session.)
 )
 
 def _finalize_registry() -> None:
