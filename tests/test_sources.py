@@ -214,3 +214,41 @@ def test_read_source_dispatches_xml(spark, tmp_path):
     p = tmp_path / "t.xml"
     p.write_text("<rows><row><a>1</a></row><row><a>2</a></row></rows>")
     assert read_source(spark, str(p)).count() == 2
+
+
+def test_schema_evolution_merged_read_and_alignment(spark, tmp_path):
+    import pytest as _pytest
+
+    from universal_importer_duckdb_spark.sources.evolution import (
+        align_to_schema,
+        read_parquet_merged,
+    )
+
+    d = tmp_path / "evolved"
+    spark.createDataFrame([(1, 10)], "id int, v int").write.parquet(
+        str(d / "p=1")
+    )
+    spark.createDataFrame(
+        [(2, 20, "x")], "id int, v int, note string"
+    ).write.parquet(str(d / "p=2"))
+
+    merged = read_parquet_merged(spark, str(d))
+    assert set(merged.columns) >= {"id", "v", "note"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["note"] is None and rows[2]["note"] == "x"
+
+    # alignment: widen int->bigint, add missing col with default,
+    # drop extras
+    aligned = align_to_schema(
+        merged,
+        "id bigint, v bigint, score int, note string",
+        defaults={"score": 7},
+    )
+    assert [f.simpleString() for f in aligned.schema.fields] == [
+        "id:bigint", "v:bigint", "score:int", "note:string"
+    ]
+    assert all(r["score"] == 7 for r in aligned.collect())
+
+    # lossy evolution must raise, not truncate
+    with _pytest.raises(ValueError, match="lossy"):
+        align_to_schema(merged, "id tinyint, v int, note string")
