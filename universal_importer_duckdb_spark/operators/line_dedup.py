@@ -9,22 +9,24 @@ surviving lines re-joined. Reference anchor: none — the reference
 (main.py:188-240) stops at row-level dedup; this is north-star scope
 for the 100 TB training-data pipeline.
 
-Scale shape: explode lines (narrow), count distinct docs per line
-(one shuffle, map-side combinable), broadcast the duplicated-line set
-(boilerplate is a tiny fraction of distinct lines), anti-join, and
-reassemble with an order-preserving ``array_sort(collect_list)`` —
-the grouping key is the doc id, so the reassembly shuffle is the same
-exchange a doc-level groupBy would pay. No Python in the path.
+Scale shape: one corpus shuffle to count distinct docs per line
+(map-side combinable), the duplicated-line set broadcast back
+(boilerplate is a tiny fraction of distinct lines), then a
+dirty/clean split — documents carrying NO duplicated line (the large
+majority) are rebuilt from their in-row segment array with pure array
+expressions and never shuffled again; only the dirty minority pays
+the posexplode -> flag -> ordered-regroup reassembly. No Python in
+the path.
 
-The splitter is pluggable: real corpora split on newline; the test
-corpus is single-line space-separated text, so ``segment_expr`` can
-fabricate fixed-width word segments (the same dedup algebra at a
-sub-line granularity).
+The splitter is pluggable: real corpora split on newline
+(``newline_lines``); the test corpus is single-line space-separated
+text, so ``word_segments`` fabricates fixed-width word segments (the
+same dedup algebra at a sub-line granularity).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
