@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "events_user_narratives",
     "docs_tokenizer_fertility",
     "emb_knn_join",
+    "orders_expectation_suite",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch
