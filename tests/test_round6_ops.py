@@ -427,3 +427,53 @@ def test_expectation_suite_detects_planted_violations(spark):
     parent = spark.createDataFrame([(1,)], "k bigint")
     fk = orphan_count(df, parent, "k", "k").collect()[0]
     assert fk["passed"] is False and fk["observed_num"] == 1  # k=2 orphan
+
+
+# ------------------------------------------------------------- PQ
+def test_pq_reconstruction_determinism_and_adc_recall(spark, sf_dir):
+    import numpy as np
+
+    from universal_importer_duckdb_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebook,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = train_pq_codebook(emb, m=8, k=16)
+    assert cb.shape == (8, 16, 8)  # 64-dim / 8 subspaces
+    enc = pq_encode(emb, cb)
+    rows = enc.collect()
+    n = emb.count()
+    assert len(rows) == n
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+    # determinism: training + encoding replay identically
+    cb2 = train_pq_codebook(emb, m=8, k=16)
+    assert np.array_equal(cb, cb2)
+    rows2 = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb2).collect()}
+    assert {r["vec_id"]: r["codes"] for r in rows} == rows2
+
+    # reconstruction budget: quantized vectors stay close to unit-ish
+    # norm originals (random 64-dim embeddings have |x| ~ 1)
+    errs = np.array([r["recon_err"] for r in rows])
+    assert errs.mean() < 1.0  # far below the ~1.4 of a zero codebook
+
+    # ADC top-10 must substantially agree with the exact L2 top-10
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    q_id = min(vecs)
+    q = vecs[q_id]
+    adc = [
+        r["vec_id"]
+        for r in pq_adc_topk(enc, cb, list(q), topk=10).collect()
+    ]
+    exact = sorted(vecs, key=lambda i: ((vecs[i] - q) ** 2).sum())[:10]
+    assert q_id in adc[:3]  # the query itself quantizes nearest
+    # random embeddings have near-uniform pairwise distances — the
+    # hardest case for PQ — so pin "far above chance" rather than a
+    # production recall: random 10-of-500 overlap expects ~0.2 hits
+    assert len(set(adc) & set(exact)) >= 2

@@ -5625,6 +5625,24 @@ FROM u GROUP BY 1
 """
 
 
+def emb_pq_codes(spark, sf_dir):
+    """Product-quantization storage codes (operators/pq.py): 8
+    subspaces x 16 centroids trained on a bounded deterministic
+    sample, every vector encoded to 8 codes + exact reconstruction
+    error in one Arrow-batched pass. Float-iterative training (like
+    emb_ivf_topk) -> rows-only driver gate; reconstruction-error
+    budget, determinism, and ADC top-k recall vs the exact scan are
+    pinned in tests/test_round6_ops.py."""
+    from universal_importer_duckdb_spark.operators.pq import (
+        pq_encode,
+        train_pq_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq_codebook(emb, m=8, k=16)
+    return pq_encode(emb, cb)
+
+
 def orders_expectation_suite(spark, sf_dir):
     """Suite-level data-quality gate (operators/expectations.py::
     run_expectations): seven dataset-level checks — row-count window,
@@ -6126,6 +6144,9 @@ REGISTRY.update({
     "orders_expectation_suite": (
         orders_expectation_suite, EXPECTATION_SUITE_SQL,
     ),
+    # rows-only: PQ training is float-iterative k-means (same
+    # exemption as emb_ivf_topk); quality pinned in tests
+    "emb_pq_codes": (emb_pq_codes, None),
 })
 
 
