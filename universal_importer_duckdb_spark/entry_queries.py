@@ -5625,6 +5625,61 @@ FROM u GROUP BY 1
 """
 
 
+def events_top_journeys(spark, sf_dir):
+    """Path analysis: the top-20 session journeys (ordered event-type
+    sequences within 30-min-gap sessions). Session ids come from a
+    running sum over the per-user (ts, event_id) order — event_id
+    tiebreaks make the sequence deterministic (rows with null
+    event_id are excluded, matching the streaming entries' contract).
+    Two shuffles: the per-user window, then the journey count."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts") - F.lag("ts").over(w)) > F.lit(_NS_SESSION_GAP)),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("sid", F.sum(starts).over(w))
+    journeys = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        journeys.groupBy("journey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "journey")
+        .limit(20)
+    )
+
+
+def _top_journeys_sql() -> str:
+    return f"""
+WITH x AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+         lag(epoch_ns(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_id IS NOT NULL),
+s AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL OR tns - prev > {_NS_SESSION_GAP}
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY tns, event_id) AS sid
+  FROM x),
+j AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY tns, event_id) AS journey
+  FROM s GROUP BY user_id, sid)
+SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM j GROUP BY journey ORDER BY n_sessions DESC, journey LIMIT 20
+"""
+
+
 def emb_pq_codes(spark, sf_dir):
     """Product-quantization storage codes (operators/pq.py): 8
     subspaces x 16 centroids trained on a bounded deterministic
@@ -6147,6 +6202,7 @@ REGISTRY.update({
     # rows-only: PQ training is float-iterative k-means (same
     # exemption as emb_ivf_topk); quality pinned in tests
     "emb_pq_codes": (emb_pq_codes, None),
+    "events_top_journeys": (events_top_journeys, _top_journeys_sql()),
 })
 
 
@@ -6258,9 +6314,11 @@ _R6_WINDOW = (
     # docs_tokenizer_fertility (shares the in-window
     # shipped-tokenizer path), stream_funnel_cohorts (multi-batch
     # convergence certified in tests/test_round6_ops.py::
-    # test_streaming_funnel_converges_across_batches), and
-    # orders_expectation_suite (planted-violation unit test) — all
-    # locally parity-green at sf0.001 and sf0.01 this session.)
+    # test_streaming_funnel_converges_across_batches),
+    # orders_expectation_suite (planted-violation unit test),
+    # events_top_journeys, and emb_pq_codes (rows-only like IVF;
+    # determinism/error/recall pinned in tests) — all locally
+    # parity- or rows-green at sf0.001 and sf0.01 this session.)
 )
 
 def _finalize_registry() -> None:
