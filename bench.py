@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "docs_tokenizer_fertility",
     "emb_knn_join",
     "orders_expectation_suite",
+    "events_top_journeys",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch
