@@ -477,3 +477,18 @@ def test_pq_reconstruction_determinism_and_adc_recall(spark, sf_dir):
     # hardest case for PQ — so pin "far above chance" rather than a
     # production recall: random 10-of-500 overlap expects ~0.2 hits
     assert len(set(adc) & set(exact)) >= 2
+
+
+def test_pq_adc_entry_audit_column(spark):
+    from universal_importer_duckdb_spark.entry_queries import (
+        REGISTRY,
+    )
+
+    rows = REGISTRY["emb_pq_adc_topk"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 10
+    hits = sum(r["in_exact_topk"] for r in rows)
+    assert hits >= 2  # above-chance agreement with the true L2 top-10
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists)

@@ -5698,6 +5698,53 @@ def emb_pq_codes(spark, sf_dir):
     return pq_encode(emb, cb)
 
 
+def emb_pq_adc_topk(spark, sf_dir):
+    """PQ serving path with an in-query quality audit (operators/
+    pq.py::pq_adc_topk): top-10 by asymmetric distance against the
+    vec_id=0 query, each hit flagged ``in_exact_topk`` by an in-plan
+    join against the TRUE L2 top-10 computed from the raw vectors
+    with order-defined folds — the same self-audit pattern as
+    emb_ivf_topk. Rows-only gate (k-means artifact); the audit column
+    is pinned in tests."""
+    from universal_importer_duckdb_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebook,
+    )
+    from universal_importer_duckdb_spark.operators.similarity import (
+        _dot_double,
+        _norm2_double,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq_codebook(emb, m=8, k=16)
+    q = _query_vec(spark, sf_dir)
+    adc = pq_adc_topk(pq_encode(emb, cb), cb, q, topk=10)
+
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    vd = F.col("embedding").cast("array<double>")
+    l2 = (
+        _norm2_double(vd)
+        - 2 * _dot_double(vd, qlit)
+        + _norm2_double(qlit)
+    )
+    exact = (
+        emb.select("vec_id", l2.alias("l2"))
+        .orderBy("l2", "vec_id")
+        .limit(10)
+        .select(F.col("vec_id"), F.lit(True).alias("in_exact_topk"))
+    )
+    return (
+        adc.join(F.broadcast(exact), "vec_id", "left")
+        .select(
+            "vec_id",
+            "adc_dist",
+            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("adc_dist", "vec_id")
+    )
+
+
 def orders_expectation_suite(spark, sf_dir):
     """Suite-level data-quality gate (operators/expectations.py::
     run_expectations): seven dataset-level checks — row-count window,
@@ -6202,6 +6249,8 @@ REGISTRY.update({
     # rows-only: PQ training is float-iterative k-means (same
     # exemption as emb_ivf_topk); quality pinned in tests
     "emb_pq_codes": (emb_pq_codes, None),
+    # rows-only for the same reason; carries its own exactness audit
+    "emb_pq_adc_topk": (emb_pq_adc_topk, None),
     "events_top_journeys": (events_top_journeys, _top_journeys_sql()),
 })
 
