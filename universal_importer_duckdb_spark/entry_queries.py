@@ -5698,6 +5698,43 @@ def emb_pq_codes(spark, sf_dir):
     return pq_encode(emb, cb)
 
 
+def docs_top_collocations(spark, sf_dir):
+    """PMI-ranked collocations (operators/textrank.py::
+    top_collocations): adjacent bigrams scored c_xy*U/(c_x*c_y) —
+    PMI up to a corpus constant, ranking-exact from pure integer
+    inputs (the double ratio is computed from identical ints on both
+    engines). min_count=5 sifts noise; top 20."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+    from universal_importer_duckdb_spark.operators.textrank import (
+        top_collocations,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    return top_collocations(docs, top_k=20, min_count=5)
+
+
+TOP_COLLOCATIONS_SQL = """
+WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+adj AS (
+  SELECT l[i] AS a, l[i+1] AS b
+  FROM t, unnest(range(1, len(l))) AS u(i)),
+bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_xy
+       FROM adj GROUP BY a, b),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(l) AS w FROM t) WHERE w <> '' GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS u FROM uni)
+SELECT bi.a, bi.b, bi.c_xy,
+       (bi.c_xy * tot.u) / (ua.c * ub.c) AS pmi_ratio
+FROM bi
+JOIN uni ua ON ua.w = bi.a
+JOIN uni ub ON ub.w = bi.b, tot
+WHERE bi.c_xy >= 5
+ORDER BY pmi_ratio DESC, bi.a, bi.b LIMIT 20
+"""
+
+
 def emb_pq_adc_topk(spark, sf_dir):
     """PQ serving path with an in-query quality audit (operators/
     pq.py::pq_adc_topk): top-10 by asymmetric distance against the
@@ -6252,6 +6289,9 @@ REGISTRY.update({
     # rows-only for the same reason; carries its own exactness audit
     "emb_pq_adc_topk": (emb_pq_adc_topk, None),
     "events_top_journeys": (events_top_journeys, _top_journeys_sql()),
+    "docs_top_collocations": (
+        docs_top_collocations, TOP_COLLOCATIONS_SQL,
+    ),
 })
 
 
@@ -6365,8 +6405,9 @@ _R6_WINDOW = (
     # convergence certified in tests/test_round6_ops.py::
     # test_streaming_funnel_converges_across_batches),
     # orders_expectation_suite (planted-violation unit test),
-    # events_top_journeys, and emb_pq_codes (rows-only like IVF;
-    # determinism/error/recall pinned in tests) — all locally
+    # events_top_journeys, docs_top_collocations, and the PQ pair
+    # emb_pq_codes / emb_pq_adc_topk (rows-only like IVF;
+    # determinism/error/recall/audit pinned in tests) — all locally
     # parity- or rows-green at sf0.001 and sf0.01 this session.)
 )
 

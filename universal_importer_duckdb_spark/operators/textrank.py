@@ -169,3 +169,57 @@ nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
 SELECT word, CAST(rank AS BIGINT) AS rank FROM it{iterations}
 ORDER BY rank DESC, word LIMIT {top_k}
 """
+
+
+def top_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """PMI-ranked collocations: ordered adjacent bigrams scored by
+    (c_xy * U) / (c_x * c_y) — pointwise mutual information up to a
+    corpus-constant factor, so the RANKING is exact while every input
+    stays an exact integer (< 2^53, so the double ratio both engines
+    compute from identical ints is bit-identical). Corpus-scale work
+    is the same one explode + count the co-occurrence graph pays;
+    scoring joins run on the vocab-sized count tables.
+    """
+    toks = F.split(F.col(text_col), " ")
+    adj = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = docs.select(F.explode(adj).alias("p")).select("p.a", "p.b")
+    bi = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("bigint").alias("u"))
+    scored = (
+        bi.filter(F.col("c_xy") >= min_count)
+        .join(F.broadcast(uni.selectExpr("w AS a", "c AS c_a")), "a")
+        .join(F.broadcast(uni.selectExpr("w AS b", "c AS c_b")), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "c_xy",
+            (
+                (F.col("c_xy") * F.col("u"))
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ratio"), "a", "b").limit(top_k)
