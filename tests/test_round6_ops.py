@@ -492,3 +492,52 @@ def test_pq_adc_entry_audit_column(spark):
     assert hits >= 2  # above-chance agreement with the true L2 top-10
     dists = [r["adc_dist"] for r in rows]
     assert dists == sorted(dists)
+
+
+# --------------------------------------- near-dup recall audit
+def test_minhash_recall_vs_exact_jaccard_bruteforce(spark, sf_dir):
+    """End-to-end quality audit of the approximate dedup path: every
+    pair the exact O(n^2) Jaccard scan finds above threshold should
+    be recovered by MinHash-LSH at high rate (banding theory), and
+    every emitted pair must genuinely clear the threshold (the exact
+    verify guarantees precision = 1)."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, num_perm=32, bands=8, shingle_n=5,
+            jaccard_threshold=0.4, sample_mod=4,
+        ).collect()
+    }
+
+    # brute-force exact Jaccard on the same shingle definition
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+
+    def shingles(t):
+        toks = [w for w in t.split(" ") if w]
+        return {
+            " ".join(toks[i : i + 5]) for i in range(max(len(toks) - 4, 0))
+        }
+
+    sets = {i: shingles(t) for i, t in rows if t}
+    truth = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        a = ids[x]
+        for y in range(x + 1, len(ids)):
+            b = ids[y]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.4:
+                truth.add((a, b))
+
+    assert got <= truth  # precision 1.0: exact verify never lies
+    if truth:
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.8  # 8 bands x 4 rows at j>=0.4
