@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "emb_knn_join",
     "orders_expectation_suite",
     "events_top_journeys",
+    "docs_top_collocations",
+    "emb_pq_codes",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch
