@@ -541,3 +541,46 @@ def test_minhash_recall_vs_exact_jaccard_bruteforce(spark, sf_dir):
     if truth:
         recall = len(got & truth) / len(truth)
         assert recall >= 0.8  # 8 bands x 4 rows at j>=0.4
+
+
+# ------------------------------------------- contamination spans
+def test_contamination_spans_merge_overlapping_windows(spark):
+    from universal_importer_duckdb_spark.operators.corpus import (
+        contamination_spans,
+    )
+
+    bench = _mkdocs(spark, [(100, "b1 b2 b3 b4")])
+    docs = _mkdocs(
+        spark,
+        [
+            # one contaminated 4-gram window -> one span
+            (1, "x1 x2 b1 b2 b3 b4 b2 z1 z2"),
+            # two DISJOINT windows -> two spans
+            (2, "y1 b1 b2 b3 b4 y2 y3 b1 b2 b3 b4 y4"),
+            (3, "clean doc with no benchmark text at all"),
+        ],
+    )
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_grams"]
+        for r in contamination_spans(docs, bench, n=4).collect()
+    }
+    # doc 1: single window "b1 b2 b3 b4" at position 3 -> span 3..6
+    assert out[(1, 3, 6)] == 1
+    # doc 2: two disjoint windows -> two spans
+    assert out[(2, 2, 5)] == 1 and out[(2, 8, 11)] == 1
+    assert not any(d == 3 for d, _, _ in out)
+
+
+def test_contamination_spans_overlap_merge(spark):
+    from universal_importer_duckdb_spark.operators.corpus import (
+        contamination_spans,
+    )
+
+    # benchmark contains a 5-token run, so a doc containing the same
+    # run yields TWO overlapping 4-gram hits that must merge into one
+    bench = _mkdocs(spark, [(100, "b1 b2 b3 b4 b5")])
+    docs = _mkdocs(spark, [(1, "x b1 b2 b3 b4 b5 y")])
+    rows = contamination_spans(docs, bench, n=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["span_start"], r["span_end"], r["n_grams"]) == (2, 6, 2)

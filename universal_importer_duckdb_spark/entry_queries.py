@@ -5698,6 +5698,58 @@ def emb_pq_codes(spark, sf_dir):
     return pq_encode(emb, cb)
 
 
+def docs_contamination_spans(spark, sf_dir):
+    """Span-level decontamination (operators/corpus.py::
+    contamination_spans): the exact merged token intervals sharing an
+    8-gram with the benchmark (every-97th-doc stand-in, as in
+    docs_benchmark_contamination) — surgical excision instead of
+    whole-document drops. Gaps-and-islands interval merge per doc;
+    only contaminated windows shuffle. All-integer output, hash-exact
+    oracle."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        contamination_spans,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_spans(docs, bench, n=8)
+
+
+CONTAMINATION_SPANS_SQL = """
+WITH g AS (
+  SELECT doc_id, toks, len(toks) AS nt
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents)),
+pos AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(toks, i, i + 7), ' ')), 1, 7))::BIGINT AS gram
+  FROM g, unnest(range(1, nt - 6)) AS u(i)
+  WHERE nt >= 8),
+bg AS (SELECT DISTINCT gram FROM pos WHERE doc_id % 97 = 0),
+hits AS (SELECT p.doc_id, p.i AS s, p.i + 7 AS e
+         FROM pos p JOIN bg USING (gram)),
+isl AS (
+  SELECT *, CASE WHEN s > COALESCE(MAX(e) OVER (
+      PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS nw
+  FROM hits),
+isl2 AS (
+  SELECT *, SUM(nw) OVER (
+      PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
 def docs_top_collocations(spark, sf_dir):
     """PMI-ranked collocations (operators/textrank.py::
     top_collocations): adjacent bigrams scored c_xy*U/(c_x*c_y) —
@@ -6292,6 +6344,9 @@ REGISTRY.update({
     "docs_top_collocations": (
         docs_top_collocations, TOP_COLLOCATIONS_SQL,
     ),
+    "docs_contamination_spans": (
+        docs_contamination_spans, CONTAMINATION_SPANS_SQL,
+    ),
 })
 
 
@@ -6405,7 +6460,8 @@ _R6_WINDOW = (
     # convergence certified in tests/test_round6_ops.py::
     # test_streaming_funnel_converges_across_batches),
     # orders_expectation_suite (planted-violation unit test),
-    # events_top_journeys, docs_top_collocations, and the PQ pair
+    # events_top_journeys, docs_top_collocations,
+    # docs_contamination_spans, and the PQ pair
     # emb_pq_codes / emb_pq_adc_topk (rows-only like IVF;
     # determinism/error/recall/audit pinned in tests) — all locally
     # parity- or rows-green at sf0.001 and sf0.01 this session.)

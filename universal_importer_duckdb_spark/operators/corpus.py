@@ -548,3 +548,91 @@ def temperature_resample(
         )
         .drop("__thr", "__n_s")
     )
+
+
+def contamination_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level decontamination: instead of dropping every document
+    that shares an n-gram with the benchmark (benchmark_ngram_overlap
+    — wasteful when one quoted sentence taints a long document),
+    return the exact TOKEN SPANS to excise: overlapping contaminated
+    n-gram windows merged into maximal intervals per document.
+
+    Shape: positions ride along the hashed-gram explode (8-byte gram
+    + int offset per window), the benchmark gram set is distinct and
+    broadcast-sized, and the interval merge is the classic
+    gaps-and-islands — a running max(end) window PER DOCUMENT, so the
+    merge shuffles only contaminated windows, not the corpus. All
+    integer arithmetic; hash-exact in the oracle.
+
+    Output: one row per merged span —
+    ``(doc_id, span_start, span_end, n_grams)`` with 1-based token
+    positions, inclusive.
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    positioned = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("i"),
+                    _md5_28(
+                        F.array_join(F.slice(toks, i, n), " ")
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+
+    bench = (
+        word_ngrams_hashed(benchmark, n, text_col, id_col)
+        .select("gram")
+        .distinct()
+    )
+    hits = positioned.join(bench, "gram").select(
+        id_col,
+        F.col("i").alias("s"),
+        (F.col("i") + (n - 1)).alias("e"),
+    )
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "__new",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(
+            Window.partitionBy(id_col)
+            .orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("s").cast("bigint").alias("span_start"),
+            F.max("e").cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
