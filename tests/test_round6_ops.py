@@ -584,3 +584,29 @@ def test_contamination_spans_overlap_merge(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["span_start"], r["span_end"], r["n_grams"]) == (2, 6, 2)
+
+
+def test_excise_spans_surgical_removal(spark):
+    from universal_importer_duckdb_spark.operators.corpus import (
+        contamination_spans,
+        excise_spans,
+    )
+
+    bench = _mkdocs(spark, [(100, "b1 b2 b3 b4")])
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "keep1 b1 b2 b3 b4 keep2"),
+            (2, "all clean tokens here ok"),
+            (3, "b1 b2 b3 b4"),  # fully contaminated
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens_removed"], r["clean_text"])
+        for r in excise_spans(
+            docs, contamination_spans(docs, bench, n=4)
+        ).collect()
+    }
+    assert out[1] == (4, "keep1 keep2")
+    assert out[2] == (0, "all clean tokens here ok")
+    assert out[3] == (4, "")

@@ -5750,6 +5750,50 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+def docs_decontaminated_text(spark, sf_dir):
+    """Surgical decontamination applied (operators/corpus.py::
+    excise_spans over contamination_spans): tokens inside merged
+    contaminated spans dropped, the rest rejoined — the corpus a
+    span-level policy actually ships, with documents doc-level
+    screening would discard kept. (Spans index the lowered token
+    stream; excision filters the original tokens — counts align
+    because lowering never changes token boundaries.) Uncontaminated
+    docs pass through untouched with no re-tokenization."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        contamination_spans,
+        excise_spans,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return excise_spans(docs, contamination_spans(docs, bench, n=8))
+
+
+DECONTAMINATED_TEXT_SQL = f"""
+WITH spansq AS ({CONTAMINATION_SPANS_SQL}),
+agg AS (
+  SELECT doc_id,
+         list(span_start ORDER BY span_start) AS ss,
+         list(span_end ORDER BY span_start) AS ee,
+         CAST(SUM(span_end - span_start + 1) AS BIGINT) AS nrem
+  FROM spansq GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.nrem, 0) AS n_tokens_removed,
+       CASE WHEN a.doc_id IS NULL THEN d.text
+            -- COALESCE: DuckDB's array_to_string([]) is NULL where
+            -- Spark's array_join([]) is '' (fully-excised docs)
+            ELSE COALESCE(array_to_string(
+              list_filter(string_split(d.text, ' '),
+                (x, i) -> len(list_filter(a.ss,
+                    (s, k) -> s <= i AND i <= a.ee[k])) = 0), ' '), '')
+       END AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def docs_top_collocations(spark, sf_dir):
     """PMI-ranked collocations (operators/textrank.py::
     top_collocations): adjacent bigrams scored c_xy*U/(c_x*c_y) —
@@ -6347,6 +6391,9 @@ REGISTRY.update({
     "docs_contamination_spans": (
         docs_contamination_spans, CONTAMINATION_SPANS_SQL,
     ),
+    "docs_decontaminated_text": (
+        docs_decontaminated_text, DECONTAMINATED_TEXT_SQL,
+    ),
 })
 
 
@@ -6461,7 +6508,8 @@ _R6_WINDOW = (
     # test_streaming_funnel_converges_across_batches),
     # orders_expectation_suite (planted-violation unit test),
     # events_top_journeys, docs_top_collocations,
-    # docs_contamination_spans, and the PQ pair
+    # docs_contamination_spans, docs_decontaminated_text, and the
+    # PQ pair
     # emb_pq_codes / emb_pq_adc_topk (rows-only like IVF;
     # determinism/error/recall/audit pinned in tests) — all locally
     # parity- or rows-green at sf0.001 and sf0.01 this session.)

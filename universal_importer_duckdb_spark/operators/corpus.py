@@ -636,3 +636,52 @@ def contamination_spans(
         )
         .select(id_col, "span_start", "span_end", "n_grams")
     )
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply contamination_spans surgically: drop exactly the tokens
+    inside each document's merged spans and rejoin the rest — the
+    decontaminated corpus, keeping documents that doc-level screening
+    would discard whole.
+
+    The span list per document is tiny (merged intervals), so the
+    membership test is an in-row higher-order ``exists`` over the
+    collected span array — a narrow map after one broadcast-sized
+    join; uncontaminated documents pass through with their original
+    text untouched (no re-tokenization round-trip).
+
+    Output: ``(id, n_tokens_removed, clean_text)``.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint")
+        .alias("__nrem"),
+    )
+    toks = F.split(F.col(text_col), " ")
+    covered = lambda i: F.exists(  # noqa: E731 - tiny local predicate
+        F.col("__spans"),
+        lambda sp: (sp["span_start"] <= i) & (i <= sp["span_end"]),
+    )
+    cleaned = F.array_join(
+        F.filter(toks, lambda x, i0: ~covered(i0 + 1)), " "
+    )
+    return (
+        docs.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__nrem", F.lit(0)).cast("bigint").alias(
+                "n_tokens_removed"
+            ),
+            F.when(F.col("__spans").isNull(), F.col(text_col))
+            .otherwise(cleaned)
+            .alias("clean_text"),
+        )
+    )
