@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "events_top_journeys",
     "docs_top_collocations",
     "emb_pq_codes",
+    "docs_contamination_spans",
+    "docs_decontaminated_text",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch
