@@ -610,3 +610,26 @@ def test_excise_spans_surgical_removal(spark):
     assert out[1] == (4, "keep1 keep2")
     assert out[2] == (0, "all clean tokens here ok")
     assert out[3] == (4, "")
+
+
+# ------------------------------------------------- audio energy windows
+def test_audio_energy_windows_exact_partial_tail(spark):
+    from pyspark.sql import functions as F2
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        encode_wav_pcm16,
+        extract_audio_energy_windows,
+    )
+
+    samples = [3] * 10 + [-4] * 7  # 17 samples, window 8 -> 8+8+1
+    wav = encode_wav_pcm16(8000, 1, samples)
+    df = spark.createDataFrame([(1, bytearray(wav))], "item_id bigint, payload binary")
+    media = attach_media_column(df, "payload", "audio/wav", "item_id")
+    out = {
+        r["window_idx"]: (r["n_in_window"], r["sum_sq"])
+        for r in extract_audio_energy_windows(media, 8).collect()
+    }
+    assert out[0] == (8, 8 * 9)
+    assert out[1] == (8, 2 * 9 + 6 * 16)
+    assert out[2] == (1, 16)  # partial tail window kept

@@ -5750,6 +5750,52 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+def multimodal_audio_energy(spark, sf_dir):
+    """Windowed audio energy over REAL WAV decode (operators/
+    multimodal.py::extract_audio_energy_windows): per-item synthesized
+    varying PCM16 signal (sample j = ((id*31 + j*17) % 200) - 100),
+    decoded and folded into 32-sample windows of EXACT int64
+    sum-of-squares — the VAD/silence-screen shape, analytically
+    replayed by the oracle from the same sample formula."""
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        encode_wav_pcm16,
+        extract_audio_energy_windows,
+    )
+
+    @F.pandas_udf("binary")
+    def synth_wav(ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in ids:
+            i = int(doc_id)
+            n = 64 + i % 128
+            samples = [((i * 31 + j * 17) % 200) - 100 for j in range(n)]
+            out.append(encode_wav_pcm16(8000, 1, samples))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_media_column(
+        docs.withColumn("payload", synth_wav("doc_id")),
+        "payload", "audio/wav", "doc_id",
+    )
+    return extract_audio_energy_windows(media, window_samples=32)
+
+
+MULTIMODAL_AUDIO_ENERGY_SQL = """
+WITH d AS (
+  SELECT doc_id, 64 + doc_id % 128 AS n
+  FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT doc_id, j, ((doc_id * 31 + j * 17) % 200) - 100 AS v
+  FROM d, unnest(range(CAST(n AS BIGINT))) AS u(j)),
+w AS (SELECT doc_id, j // 32 AS window_idx, v FROM s)
+SELECT doc_id AS item_id, CAST(window_idx AS BIGINT) AS window_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_in_window,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM w GROUP BY doc_id, window_idx
+"""
+
+
 def docs_decontaminated_text(spark, sf_dir):
     """Surgical decontamination applied (operators/corpus.py::
     excise_spans over contamination_spans): tokens inside merged
@@ -6394,6 +6440,9 @@ REGISTRY.update({
     "docs_decontaminated_text": (
         docs_decontaminated_text, DECONTAMINATED_TEXT_SQL,
     ),
+    "multimodal_audio_energy": (
+        multimodal_audio_energy, MULTIMODAL_AUDIO_ENERGY_SQL,
+    ),
 })
 
 
@@ -6508,8 +6557,8 @@ _R6_WINDOW = (
     # test_streaming_funnel_converges_across_batches),
     # orders_expectation_suite (planted-violation unit test),
     # events_top_journeys, docs_top_collocations,
-    # docs_contamination_spans, docs_decontaminated_text, and the
-    # PQ pair
+    # docs_contamination_spans, docs_decontaminated_text,
+    # multimodal_audio_energy, and the PQ pair
     # emb_pq_codes / emb_pq_adc_topk (rows-only like IVF;
     # determinism/error/recall/audit pinned in tests) — all locally
     # parity- or rows-green at sf0.001 and sf0.01 this session.)

@@ -575,3 +575,73 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
         ).alias("frame_idx"),
         F.length(F.col("media.data")).alias("n_bytes"),
     )
+
+
+def decode_wav_samples(data: bytes) -> dict:
+    """Chunk-walk variant of :func:`decode_wav` that RETURNS the
+    PCM16 samples (int64 numpy array, data chunks concatenated) for
+    windowed analysis. Same format guards."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF header)")
+    pos = 12
+    rate = channels = None
+    parts = []
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+        if tag == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV supported")
+        elif tag == b"data":
+            chunk_n = len(body) // 2
+            parts.append(
+                np.frombuffer(body[: chunk_n * 2], dtype="<i2").astype(
+                    np.int64
+                )
+            )
+    samples = (
+        np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+    )
+    return {"sample_rate": rate, "n_channels": channels, "samples": samples}
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "item_id bigint, window_idx bigint, n_in_window bigint, sum_sq bigint"
+)
+
+
+def extract_audio_energy_windows(
+    df: DataFrame, window_samples: int = 32
+) -> DataFrame:
+    """Windowed audio energy: fixed-size sample windows, each emitting
+    its EXACT integer sum of squared samples (int16 squares summed in
+    int64 — no float ever, so the energy profile hash-checks
+    cross-engine; callers derive RMS/dB as a final display step). The
+    silence-detection / VAD-precursor shape: one Arrow-batched decode
+    pass, rows out proportional to audio length / window."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                media = r["media"]
+                d = decode_wav_samples(bytes(media["data"]))
+                s = d["samples"]
+                for w0 in range(0, len(s), window_samples):
+                    chunk = s[w0 : w0 + window_samples]
+                    rows.append(
+                        {
+                            "item_id": r["item_id"],
+                            "window_idx": w0 // window_samples,
+                            "n_in_window": len(chunk),
+                            "sum_sq": int(chunk @ chunk),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, AUDIO_ENERGY_SCHEMA)
