@@ -633,3 +633,33 @@ def test_audio_energy_windows_exact_partial_tail(spark):
     assert out[0] == (8, 8 * 9)
     assert out[1] == (8, 2 * 9 + 6 * 16)
     assert out[2] == (1, 16)  # partial tail window kept
+
+
+# ------------------------------------------------- image tiling
+def test_image_tiles_partial_edges_and_exact_sums(spark):
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        encode_png_gray,
+        extract_image_tiles,
+    )
+
+    # 10x5 image, tile 4 -> grid 3x2 with partial right/bottom tiles
+    w, h = 10, 5
+    rows = [[(r * w + x) % 256 for x in range(w)] for r in range(h)]
+    png = encode_png_gray(w, h, rows)
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "item_id bigint, payload binary"
+    )
+    media = attach_media_column(df, "payload", "image/png", "item_id")
+    out = {
+        (r["tile_y"], r["tile_x"]): (r["n_px"], r["luma_sum"])
+        for r in extract_image_tiles(media, 4).collect()
+    }
+    assert len(out) == 6  # 2 tile rows x 3 tile cols
+    for (ty, tx), (npx, s) in out.items():
+        want_px = [
+            rows[r][x]
+            for r in range(ty * 4, min(ty * 4 + 4, h))
+            for x in range(tx * 4, min(tx * 4 + 4, w))
+        ]
+        assert (npx, s) == (len(want_px), sum(want_px))

@@ -5796,6 +5796,61 @@ FROM w GROUP BY doc_id, window_idx
 """
 
 
+def multimodal_image_tiles(spark, sf_dir):
+    """ViT-style image patchification over REAL PNG decode (operators/
+    multimodal.py::extract_image_tiles): synthesized Up-filtered PNGs
+    with per-pixel varying values (v = (id*7 + r*13 + x*3) % 256),
+    decoded and cut into 8x8 tiles of EXACT integer luma sums — the
+    patch-embedding precursor, analytically replayed by the oracle
+    from the same pixel formula (any unfilter/tiling drift breaks the
+    hash)."""
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        encode_png_gray,
+        extract_image_tiles,
+    )
+
+    @F.pandas_udf("binary")
+    def synth_png(ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in ids:
+            i = int(doc_id)
+            w = 8 + i % 32
+            h = 8 + (i // 32) % 32
+            rows = [
+                [(i * 7 + r * 13 + x * 3) % 256 for x in range(w)]
+                for r in range(h)
+            ]
+            out.append(encode_png_gray(w, h, rows))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_media_column(
+        docs.withColumn("payload", synth_png("doc_id")),
+        "payload", "image/png", "doc_id",
+    )
+    return extract_image_tiles(media, tile=8)
+
+
+MULTIMODAL_IMAGE_TILES_SQL = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 32 AS w, 8 + (doc_id // 32) % 32 AS h
+  FROM documents WHERE doc_id < 200),
+px AS (
+  SELECT doc_id, r, x,
+         (doc_id * 7 + r * 13 + x * 3) % 256 AS v
+  FROM d,
+       unnest(range(CAST(h AS BIGINT))) AS ur(r),
+       unnest(range(CAST(w AS BIGINT))) AS ux(x))
+SELECT doc_id AS item_id,
+       CAST(r // 8 AS INTEGER) AS tile_y,
+       CAST(x // 8 AS INTEGER) AS tile_x,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS luma_sum
+FROM px GROUP BY doc_id, r // 8, x // 8
+"""
+
+
 def docs_decontaminated_text(spark, sf_dir):
     """Surgical decontamination applied (operators/corpus.py::
     excise_spans over contamination_spans): tokens inside merged
@@ -6443,6 +6498,9 @@ REGISTRY.update({
     "multimodal_audio_energy": (
         multimodal_audio_energy, MULTIMODAL_AUDIO_ENERGY_SQL,
     ),
+    "multimodal_image_tiles": (
+        multimodal_image_tiles, MULTIMODAL_IMAGE_TILES_SQL,
+    ),
 })
 
 
@@ -6558,7 +6616,8 @@ _R6_WINDOW = (
     # orders_expectation_suite (planted-violation unit test),
     # events_top_journeys, docs_top_collocations,
     # docs_contamination_spans, docs_decontaminated_text,
-    # multimodal_audio_energy, and the PQ pair
+    # multimodal_audio_energy, multimodal_image_tiles, and the
+    # PQ pair
     # emb_pq_codes / emb_pq_adc_topk (rows-only like IVF;
     # determinism/error/recall/audit pinned in tests) — all locally
     # parity- or rows-green at sf0.001 and sf0.01 this session.)

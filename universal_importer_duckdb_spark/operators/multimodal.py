@@ -164,6 +164,7 @@ def decode_png(data: bytes) -> dict:
         raise ValueError(f"bad PNG filter type {bad}")
     prev = np.zeros((width, channels), dtype=np.int64)
     total = 0
+    lines: list[np.ndarray] = []
     for y in range(height):
         ft = int(ftypes[y])
         cur = scan[y, 1:].astype(np.int64).reshape(width, channels)
@@ -197,11 +198,20 @@ def decode_png(data: bytes) -> dict:
                 upleft = up
         total += int(line.sum())
         prev = line
+        lines.append(line.astype(np.uint8))
     return {
         "width": width,
         "height": height,
         "n_channels": channels,
         "luma_sum": total,
+        # full decoded pixel grid (h, w, c) uint8 — windowed/tiled
+        # consumers (extract_image_tiles) read it; aggregate-only
+        # consumers ignore it
+        "pixels": (
+            np.stack(lines)
+            if lines
+            else np.zeros((0, width, channels), dtype=np.uint8)
+        ),
     }
 
 
@@ -645,3 +655,40 @@ def extract_audio_energy_windows(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, AUDIO_ENERGY_SCHEMA)
+
+
+IMAGE_TILES_SCHEMA = (
+    "item_id bigint, tile_y int, tile_x int, n_px bigint, luma_sum bigint"
+)
+
+
+def extract_image_tiles(df: DataFrame, tile: int = 8) -> DataFrame:
+    """Image patchification: fixed ``tile`` x ``tile`` pixel tiles
+    (ViT-patch layout; edge tiles partial), each emitting its EXACT
+    integer sample sum — the embedding-precursor statistic that stays
+    bit-reproducible cross-engine. One Arrow-batched decode pass; rows
+    out proportional to image area / tile²."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                media = r["media"]
+                d = decode_png(bytes(media["data"]))
+                px = d["pixels"].astype(np.int64)  # (h, w, c)
+                h, w = d["height"], d["width"]
+                for ty in range(0, h, tile):
+                    for tx in range(0, w, tile):
+                        block = px[ty : ty + tile, tx : tx + tile, :]
+                        rows.append(
+                            {
+                                "item_id": r["item_id"],
+                                "tile_y": ty // tile,
+                                "tile_x": tx // tile,
+                                "n_px": block.shape[0] * block.shape[1],
+                                "luma_sum": int(block.sum()),
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, IMAGE_TILES_SCHEMA)
