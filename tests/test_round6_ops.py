@@ -663,3 +663,40 @@ def test_image_tiles_partial_edges_and_exact_sums(spark):
             for x in range(tx * 4, min(tx * 4 + 4, w))
         ]
         assert (npx, s) == (len(want_px), sum(want_px))
+
+
+# ------------------------------------------------------ image resize
+def test_resize_images_roundtrip_exact(spark):
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        decode_png,
+        encode_png_gray,
+        resize_images,
+    )
+
+    w, h = 9, 6  # factor 2 -> 5x3 with a partial right column
+    rows = [[(r * w + x) * 4 % 256 for x in range(w)] for r in range(h)]
+    png = encode_png_gray(w, h, rows)
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "item_id bigint, payload binary"
+    )
+    media = attach_media_column(df, "payload", "image/png", "item_id")
+    out = resize_images(media, factor=2).collect()[0]
+    assert (out["out_width"], out["out_height"]) == (5, 3)
+
+    # the emitted bytes are a VALID png decoding to the exact
+    # floor-average blocks
+    d = decode_png(bytes(out["png"]))
+    got = d["pixels"][:, :, 0]
+    for by in range(3):
+        for bx in range(5):
+            block = [
+                rows[r][x]
+                for r in range(by * 2, min(by * 2 + 2, h))
+                for x in range(bx * 2, min(bx * 2 + 2, w))
+            ]
+            assert got[by][bx] == sum(block) // len(block)
+
+    # determinism: byte-identical re-run
+    again = resize_images(media, factor=2).collect()[0]
+    assert bytes(again["png"]) == bytes(out["png"])

@@ -692,3 +692,64 @@ def extract_image_tiles(df: DataFrame, tile: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, IMAGE_TILES_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = (
+    "item_id bigint, out_width int, out_height int, png binary"
+)
+
+
+def resize_gray_area(px: np.ndarray, factor: int) -> np.ndarray:
+    """Integer area-average downsample of a grayscale pixel grid by
+    ``factor`` (floor division of exact block sums — deterministic on
+    any platform, no float resampling kernels). Partial edge blocks
+    average over their true pixel count. Returns (h', w') uint8."""
+    h, w = px.shape[:2]
+    g = px.reshape(h, w)[..., None] if px.ndim == 2 else px
+    if g.shape[2] != 1:
+        raise NotImplementedError("area resize supports grayscale only")
+    g = g[:, :, 0].astype(np.int64)
+    oh = (h + factor - 1) // factor
+    ow = (w + factor - 1) // factor
+    out = np.empty((oh, ow), dtype=np.int64)
+    for by in range(oh):
+        for bx in range(ow):
+            block = g[
+                by * factor : (by + 1) * factor,
+                bx * factor : (bx + 1) * factor,
+            ]
+            out[by, bx] = block.sum() // block.size
+    return out.astype(np.uint8)
+
+
+def resize_images(df: DataFrame, factor: int = 2) -> DataFrame:
+    """mapInPandas grayscale resize: decode PNG, area-downsample by
+    ``factor``, re-encode PNG — the thumbnailing/normalization stage
+    of an image-corpus pipeline, end to end through the REAL codecs.
+    Deterministic integer arithmetic throughout, so resized bytes are
+    identical on every run and platform."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                media = r["media"]
+                d = decode_png(bytes(media["data"]))
+                if d["n_channels"] != 1:
+                    raise NotImplementedError("resize path is grayscale")
+                small = resize_gray_area(d["pixels"][:, :, 0], factor)
+                oh, ow = small.shape
+                png = encode_png_gray(
+                    ow, oh, [list(map(int, row)) for row in small]
+                )
+                rows.append(
+                    {
+                        "item_id": r["item_id"],
+                        "out_width": ow,
+                        "out_height": oh,
+                        "png": png,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
