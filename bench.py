@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "emb_pq_codes",
     "docs_contamination_spans",
     "docs_decontaminated_text",
+    "multimodal_audio_energy",
+    "multimodal_image_tiles",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch
