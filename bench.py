@@ -1,11 +1,18 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+Output contract (round-7 fix — the driver captures only the LAST 2000
+chars of stdout and parses the final JSON line; at 74 queries the
+single all-in-one line overflowed that window and BENCH_r06 recorded
+"parsed": null):
+  - line 1: the FULL result dict, one JSON line, for humans/logs; also
+    written to BENCH_DETAIL_last.json at the repo root.
+  - final line: a compact JSON summary — metric/value/unit/
+    calibration_sec/sf plus only the slowest few queries — kept well
+    under 1 KB at any query count so the driver's tail capture always
+    parses it.
 
-Each query is forced with a full action (collect) after a warm-up of
+Each query is forced with a full action (noop sink) after a warm-up of
 the session (first Spark job pays JVM/codegen startup; we exclude
 session construction but not per-query planning, which is part of the
 measured engine cost).
@@ -188,7 +195,33 @@ def main() -> int:
         "calibration_sec": round(cal, 3),
         "sf": sf,
     }
-    print(json.dumps(out))
+    # Full detail: first stdout line + a file, both outside the
+    # driver's 2000-char tail window. The driver parses the LAST line.
+    full = json.dumps(out)
+    print(full)
+    try:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL_last.json")
+        with open(detail_path, "w") as fh:
+            fh.write(full + "\n")
+    except OSError:
+        pass
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": out["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "calibration_sec": out["calibration_sec"],
+        "sf": sf,
+        "slowest": slowest,
+        "detail": "line 1 of stdout / BENCH_DETAIL_last.json",
+    }
+    line = json.dumps(summary)
+    if len(line) > 1500:  # paranoid: drop the per-query extras
+        summary.pop("slowest", None)
+        line = json.dumps(summary)
+    print(line)
     return 0
 
 

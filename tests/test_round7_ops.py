@@ -1,0 +1,359 @@
+"""Round-7 regressions: the r6 verdict/advice items.
+
+- testing._check_oracle_dtypes must red-flag decimal-emitting entries
+  (the orders_snapshot_drift driver red — hasher sees Python Decimal
+  vs the oracle's pandas float64).
+- line_level_dedup / top_collocations: the AQE size gate replaces the
+  unconditional broadcasts; broadcast and shuffle paths must emit
+  identical rows.
+- funnel stage-1: pre-1970 events must count (the old `us >= 0` floor
+  silently dropped them only on the Spark side).
+- bloom_might_contain: duplicate probe rows must survive the k-fold
+  explode/fold-back.
+- train_pq_codebook: the bounded sample is ordered, so the codebook
+  is invariant to partition layout.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------- dtype-guard hardening
+def test_dtype_guard_rejects_spark_decimal(spark, sf_dir):
+    """The r6 orders_snapshot_drift pattern (Spark DECIMAL output) must
+    fail fast in the local harness even when values match."""
+    from universal_importer_duckdb_spark.testing import (
+        _check_oracle_dtypes,
+        duckdb_connection,
+    )
+
+    con = duckdb_connection(sf_dir)
+    old_shape = spark.range(3).select(
+        F.col("id").cast("decimal(18,2)").alias("rev_a")
+    )
+    with pytest.raises(AssertionError, match="decimal"):
+        _check_oracle_dtypes(
+            old_shape,
+            con,
+            "SELECT CAST(1.0 AS DECIMAL(18,2)) AS rev_a",
+            "old_snapshot_drift_shape",
+        )
+    con.close()
+
+
+def test_dtype_guard_rejects_float_oracle_for_integral_spark(spark, sf_dir):
+    from universal_importer_duckdb_spark.testing import (
+        _check_oracle_dtypes,
+        duckdb_connection,
+    )
+
+    con = duckdb_connection(sf_dir)
+    df = spark.range(3).select(F.col("id").cast("bigint").alias("n"))
+    with pytest.raises(AssertionError, match="float64"):
+        _check_oracle_dtypes(
+            df, con, "SELECT 1.5::DOUBLE AS n", "int_vs_double"
+        )
+    con.close()
+
+
+def test_snapshot_drift_emits_doubles(spark, sf_dir):
+    from universal_importer_duckdb_spark import entry_queries as eq
+
+    df = eq.REGISTRY["orders_snapshot_drift"][0](spark, sf_dir)
+    types = dict(df.dtypes)
+    for c in ("rev_a", "rev_b", "rev_delta"):
+        assert types[c] == "double", f"{c} must be double, got {types[c]}"
+
+
+# ------------------------------------- broadcast-vs-shuffle size gates
+def _with_thresholds(spark, fn):
+    """Run fn() under the default autoBroadcastJoinThreshold and again
+    with broadcasts disabled (-1 forces shuffle joins); return both."""
+    default = fn().collect()
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        forced = fn().collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    return default, forced
+
+
+def test_line_dedup_identical_broadcast_or_shuffle(spark):
+    from universal_importer_duckdb_spark.operators.line_dedup import (
+        line_level_dedup,
+        word_segments,
+    )
+
+    boiler = "cookie banner accept all terms apply now click here ok"
+    rows = [
+        (i, f"{boiler} unique body {i} " + " ".join(f"w{i}_{j}" for j in range(12)))
+        for i in range(40)
+    ] + [(100 + i, " ".join(f"solo{i}_{j}" for j in range(25))) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        return line_level_dedup(
+            docs, splitter=lambda c: word_segments(c, 10)
+        ).orderBy("doc_id")
+
+    a, b = _with_thresholds(spark, run)
+    assert a == b
+    got = {r["doc_id"]: r for r in a}
+    assert got[0]["n_removed"] > 0  # boilerplate segment removed
+    assert got[100]["n_removed"] == 0
+    assert "solo0_0" in got[100]["clean_text"]
+
+
+def test_line_dedup_order_and_counts_match_bruteforce(spark):
+    """Pin the rewritten reassembly (filter + array_join) against a
+    per-row python brute force: order preserved, every occurrence of a
+    duplicated segment removed, n_removed counts occurrences."""
+    from universal_importer_duckdb_spark.operators.line_dedup import (
+        line_level_dedup,
+        word_segments,
+    )
+
+    w = 3
+    rows = [
+        (1, "a b c x y z a b c"),   # 'a b c' appears twice in doc 1
+        (2, "a b c q r s"),         # and in doc 2 -> duplicated
+        (3, "q r s t u v"),         # 'q r s' also duplicated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in line_level_dedup(
+            docs, splitter=lambda c: word_segments(c, w)
+        ).collect()
+    }
+
+    def segs(t):
+        toks = t.split(" ")
+        return [
+            " ".join(toks[i : i + w]) for i in range(0, len(toks), w)
+        ]
+
+    from collections import defaultdict
+
+    docs_per_seg = defaultdict(set)
+    for did, t in rows:
+        for s in segs(t):
+            docs_per_seg[s].add(did)
+    dup = {s for s, ids in docs_per_seg.items() if len(ids) >= 2}
+    for did, t in rows:
+        ss = segs(t)
+        keep = [s for s in ss if s not in dup]
+        assert out[did]["n_lines"] == len(ss)
+        assert out[did]["n_removed"] == len(ss) - len(keep)
+        assert out[did]["clean_text"] == " ".join(keep)
+
+
+def test_collocations_identical_broadcast_or_shuffle(spark):
+    from universal_importer_duckdb_spark.operators.textrank import (
+        top_collocations,
+    )
+
+    rows = [
+        (i, "new york is a big city and new york never sleeps at night")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        return top_collocations(docs, top_k=10, min_count=5)
+
+    a, b = _with_thresholds(spark, run)
+    assert a == b
+    assert a[0]["a"] is not None and len(a) > 0
+
+
+# --------------------------------------------------- funnel stage-1
+def test_funnel_counts_pre_1970_events(spark):
+    from universal_importer_duckdb_spark.operators.funnel import (
+        funnel_by_cohort,
+    )
+
+    # epoch-nanos BIGINT ts (the repo-normalized shape); user 1's view
+    # is BEFORE 1970 (negative), click/purchase after.
+    day_ns = 86_400_000_000_000
+    rows = [
+        (1, -3 * day_ns, "view"),
+        (1, 1 * day_ns, "click"),
+        (1, 2 * day_ns, "purchase"),
+        (2, 1 * day_ns, "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r["cohort_day"]: r for r in funnel_by_cohort(ev).collect()
+    }
+    assert -3 in got, f"pre-1970 stage-1 event dropped: {got}"
+    assert got[-3]["n_stage1"] == 1
+    assert got[-3]["n_stage3"] == 1
+
+
+# ------------------------------------------------------- bloom probes
+def test_bloom_probe_preserves_duplicate_rows(spark):
+    from universal_importer_duckdb_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    idx = spark.range(100).selectExpr("concat('k', id) AS k")
+    words = bloom_build(idx, "k", num_bits=1 << 12, num_hashes=4)
+    # probe contains the SAME key three times: the fold must return 3
+    # rows, not collapse them.
+    probe = spark.createDataFrame(
+        [("k1",), ("k1",), ("k1",), ("absent",)], "k string"
+    )
+    out = bloom_might_contain(probe, "k", words, 1 << 12, 4)
+    rows = out.collect()
+    assert len(rows) == 4
+    assert sum(1 for r in rows if r["k"] == "k1") == 3
+    assert all(r["might_contain"] for r in rows if r["k"] == "k1")
+
+
+# ------------------------------------------------- pq sample ordering
+def test_pq_codebook_invariant_to_partition_layout(spark, sf_dir):
+    import numpy as np
+
+    from universal_importer_duckdb_spark.operators.pq import (
+        train_pq_codebook,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb1 = train_pq_codebook(emb, m=8, k=16, sample_cap=64)
+    # scramble the physical layout: different partitioning, reversed
+    # within-partition order
+    scrambled = emb.repartition(7, F.col("vec_id") % 7).sortWithinPartitions(
+        F.desc("vec_id")
+    )
+    cb2 = train_pq_codebook(scrambled, m=8, k=16, sample_cap=64)
+    assert np.array_equal(cb1, cb2)
+
+
+# --------------------------------------------- textrank overflow guard
+def test_textrank_overflow_guard_fires(spark):
+    from universal_importer_duckdb_spark.operators import textrank as tr
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string"
+    )
+    old_scale = tr.SCALE
+    try:
+        tr.SCALE = 2**62  # any real edge weight now exceeds the cap
+        with pytest.raises(ValueError, match="BIGINT-safe cap"):
+            tr.textrank_keywords(docs, iterations=1, top_k=5)
+    finally:
+        tr.SCALE = old_scale
+
+
+def test_video_swap_point_without_av_raises_documented():
+    """The H.264/MP4/Matroska branch must raise the documented
+    install hint when av is absent (this container has no av), for
+    every recognized compressed-video container signature."""
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    payloads = (
+        b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16,   # MP4 ftyp box
+        b"\x1a\x45\xdf\xa3" + b"\x00" * 16,           # Matroska EBML
+        b"\x00\x00\x00\x01\x67" + b"\x00" * 16,       # Annex-B 4-byte
+        b"\x00\x00\x01\x67" + b"\x00" * 16,           # Annex-B 3-byte
+    )
+    for payload in payloads:
+        with pytest.raises(NotImplementedError, match="av"):
+            decode_media(payload, "video/mp4")
+
+
+def test_video_swap_point_uses_av_when_present(monkeypatch):
+    """Wiring test with a deterministic fake av: decode_media must
+    route MP4 payloads through av.open -> decode(video=0) and emit
+    the same feature keys as the pure-Python Y4M decoder."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _FakeFrame:
+        def __init__(self, fill):
+            self._fill = fill
+
+        def to_ndarray(self, format):
+            assert format == "gray"
+            return np.full((2, 4), self._fill, dtype=np.uint8)
+
+    class _FakeContainer:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, video):
+            assert video == 0
+            return iter([_FakeFrame(3), _FakeFrame(5), _FakeFrame(7)])
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda buf: _FakeContainer()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    out = decode_media(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
+    assert out == {
+        "kind": "video",
+        "width": 4,
+        "height": 2,
+        "n_frames": 3,
+        "n_sampled": 3,
+        "luma_sum": (3 + 5 + 7) * 8,
+    }
+
+
+def test_video_swap_point_frame_sampling(monkeypatch):
+    """sample_every skips decode work on skipped frames but still
+    counts them, matching decode_y4m's sampling contract."""
+    import sys
+    import types
+
+    import numpy as np
+
+    decoded = []
+
+    class _FakeFrame:
+        def __init__(self, fill):
+            self._fill = fill
+
+        def to_ndarray(self, format):
+            decoded.append(self._fill)
+            return np.full((2, 2), self._fill, dtype=np.uint8)
+
+    class _FakeContainer:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, video):
+            return iter([_FakeFrame(v) for v in (1, 2, 3, 4, 5)])
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda buf: _FakeContainer()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        _decode_video_av,
+    )
+
+    out = _decode_video_av(b"\x1a\x45\xdf\xa3" + b"\x00" * 8, sample_every=2)
+    assert out["n_frames"] == 5
+    assert out["n_sampled"] == 3
+    assert decoded == [1, 3, 5]
+    assert out["luma_sum"] == (1 + 3 + 5) * 4

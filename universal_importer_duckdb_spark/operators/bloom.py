@@ -85,7 +85,14 @@ def bloom_might_contain(
     "verify exactly".
     """
     cols = probe.columns
+    # Row identity for the k-fold explode/fold-back: grouping on the
+    # probe's own columns would silently collapse duplicate probe rows
+    # (and break on non-groupable column types) — the r6 advice row.
+    # monotonically_increasing_id is stable within this one plan (no
+    # shuffle between stamp and regroup), which is all the fold needs.
     with_pos = probe.withColumn(
+        "__rid", F.monotonically_increasing_id()
+    ).withColumn(
         "__p", F.explode(_positions(F.col(key_col), num_bits, num_hashes))
     ).withColumn("__widx", F.expr("__p div 64"))
     joined = with_pos.join(
@@ -102,8 +109,12 @@ def bloom_might_contain(
         ).cast("int"),
     )
     return (
-        joined.groupBy(*cols)
-        .agg((F.min("__hit") == 1).alias(flag_col))
+        joined.groupBy("__rid")
+        .agg(
+            *[F.first(c).alias(c) for c in cols],
+            (F.min("__hit") == 1).alias(flag_col),
+        )
+        .drop("__rid")
     )
 
 

@@ -514,7 +514,8 @@ def temperature_resample(
     so sampled sizes scale like n_s^(1/T) instead of n_s (the
     standard LLM-mixture flattening; T=1 keeps proportions, T=inf is
     uniform). Deterministic hash thresholding — a document is kept iff
-    ``xxhash64(id) pmod n_s < boost * floor(n_s^(1/T))`` — so the
+    ``md5_28(id) pmod n_s < boost * floor(n_s^(1/T))`` (the portable
+    28-bit md5-prefix hash, NOT xxhash64) — so the
     expected kept count is ~boost * n_s^(1/T) per source and reruns
     are reproducible with no RNG state.
 

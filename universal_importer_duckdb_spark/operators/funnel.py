@@ -74,7 +74,17 @@ def funnel_by_cohort(
     per_user = (
         ev.groupBy("user_id")
         .agg(F.collect_list(F.struct("us", "etype")).alias("evs"))
-        .withColumn("t1", earliest(F.col("evs"), s1, F.lit(0).cast("bigint")))
+        # LONG_MIN sentinel, not 0: the oracle has no lower bound on
+        # stage-1 timestamps, so a 0 floor would silently drop
+        # pre-1970 events only on the Spark side (r6 advice).
+        .withColumn(
+            "t1",
+            earliest(
+                F.col("evs"),
+                s1,
+                F.lit(-9223372036854775808).cast("bigint"),
+            ),
+        )
         .withColumn("t2", earliest(F.col("evs"), s2, F.col("t1")))
         .withColumn("t3", earliest(F.col("evs"), s3, F.col("t2")))
         .filter(F.col("t1").isNotNull())

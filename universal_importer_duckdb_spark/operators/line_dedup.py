@@ -10,13 +10,22 @@ surviving lines re-joined. Reference anchor: none — the reference
 for the 100 TB training-data pipeline.
 
 Scale shape: one corpus shuffle to count distinct docs per line
-(map-side combinable), the duplicated-line set broadcast back
-(boilerplate is a tiny fraction of distinct lines), then a
-dirty/clean split — documents carrying NO duplicated line (the large
-majority) are rebuilt from their in-row segment array with pure array
-expressions and never shuffled again; only the dirty minority pays
-the posexplode -> flag -> ordered-regroup reassembly. No Python in
-the path.
+(map-side combinable), then the per-document duplicate-line sets are
+built by joining the exploded lines against the (small) duplicated-
+line set and aggregating ONLY the matched rows — shuffle volume is
+proportional to the duplicate rate, not the corpus. Reassembly is
+pure array expressions on the original row (filter + array_join); no
+posexplode/regroup, no Python, and documents never shuffle.
+
+Broadcast size gate (r6 verdict watch item): neither the duplicated-
+line set nor the per-doc hit table is force-broadcast. A 100 TB web
+corpus can have 10^8+ distinct boilerplate lines — an unconditional
+``F.broadcast`` would OOM the driver. Both joins are declarative and
+AQE's ``spark.sql.autoBroadcastJoinThreshold`` (default 10 MB) is the
+gate: below it the runtime converts the exchange to a broadcast join
+(the bench path — boilerplate sets are tiny at test SFs), above it
+they stay shuffle joins keyed on line / doc id. Both paths emit
+identical rows (tests/test_round7_ops.py exercises both).
 
 The splitter is pluggable: real corpora split on newline
 (``newline_lines``); the test corpus is single-line space-separated
@@ -66,19 +75,12 @@ def line_level_dedup(
     lines are never counted as duplicates and are always dropped from
     the reassembled text (they carry no content either way).
     """
-    # Dirty/clean split: most documents contain NO boilerplate line
-    # (measured 22% dirty at sf0.1), so only the dirty minority pays
-    # the explode -> flag -> regroup reassembly; clean documents are
-    # rebuilt from their in-row segment array with pure array
-    # expressions — no second corpus-wide exchange. Both paths emit
-    # the same expressions (non-empty count, join of surviving
-    # segments in order), so the split is invisible in the output.
     from universal_importer_duckdb_spark.caching import scoped_cache
 
     segs = splitter(F.coalesce(F.col(text_col), F.lit("")))
-    # cached: the segmented array feeds three consumers (dup-set
-    # counting, the clean-side anti-join, the dirty-side reassembly);
-    # uncached, the splitter would re-run per consumer
+    # cached: the segmented array feeds the dup-set count, the per-doc
+    # hit aggregation, and the reassembly projection; uncached, the
+    # splitter would re-run per consumer
     base = scoped_cache(
         docs.select(
             F.col(id_col),
@@ -90,8 +92,7 @@ def line_level_dedup(
     # Duplicate-line set: an aggregation (map-side combinable — for
     # the common k=2 threshold "in >= 2 docs" is min(id) != max(id),
     # no count-distinct expansion) filtered down to just the
-    # boilerplate lines — a tiny fraction of distinct lines —
-    # and broadcast back.
+    # boilerplate lines.
     if min_dup_docs <= 2:
         seen = lines.groupBy("line").agg(
             (F.min(id_col) != F.max(id_col)).alias("__d")
@@ -102,40 +103,31 @@ def line_level_dedup(
         )
     dup = seen.filter("__d").select("line")
 
-    dirty_ids = (
-        lines.join(F.broadcast(dup), "line").select(id_col).distinct()
+    # Per-document duplicate-line sets: only (doc, line) pairs that
+    # actually match a duplicated line survive the join, so this
+    # aggregation shuffles a volume proportional to the duplicate
+    # rate. AQE picks broadcast vs shuffle for both joins (module
+    # docstring). collect_set is safe: a document's duplicate lines
+    # are a subset of its own segments — bounded by document size.
+    hits = (
+        lines.join(dup, "line")
+        .groupBy(id_col)
+        .agg(F.collect_set("line").alias("__dl"))
     )
 
-    clean_out = base.join(F.broadcast(dirty_ids), id_col, "left_anti").select(
-        id_col,
-        F.size("__ne").cast("bigint").alias("n_lines"),
-        F.lit(0).cast("bigint").alias("n_removed"),
-        F.array_join("__ne", joiner).alias("clean_text"),
-    )
-
-    d_lines = (
-        base.join(F.broadcast(dirty_ids), id_col, "left_semi")
-        .select(F.col(id_col), F.posexplode("__ne").alias("pos", "line"))
-        .join(
-            F.broadcast(dup.withColumn("__dup0", F.lit(True))),
-            "line",
-            "left",
+    # Reassembly never shuffles documents: one left join against the
+    # (duplicate-rate-sized) hit table, then pure array expressions —
+    # filter preserves original segment order.
+    keep = F.when(
+        F.col("__dl").isNull(), F.col("__ne")
+    ).otherwise(
+        F.filter(
+            F.col("__ne"), lambda s: ~F.array_contains(F.col("__dl"), s)
         )
-        .withColumn("__dup", F.coalesce("__dup0", F.lit(False)))
     )
-    dirty_out = d_lines.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        F.count(F.when(F.col("__dup"), 1)).cast("bigint").alias("n_removed"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(~F.col("__dup"), F.struct("pos", "line"))
-                    )
-                ),
-                lambda s: s["line"],
-            ),
-            joiner,
-        ).alias("clean_text"),
+    return base.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.size("__ne").cast("bigint").alias("n_lines"),
+        (F.size("__ne") - F.size(keep)).cast("bigint").alias("n_removed"),
+        F.array_join(keep, joiner).alias("clean_text"),
     )
-    return clean_out.unionByName(dirty_out)

@@ -428,19 +428,62 @@ def _decode_audio_soundfile(data: bytes) -> dict:
     }
 
 
+def _decode_video_av(data: bytes, sample_every: int = 1) -> dict:
+    """Compressed video (H.264 in MP4/Matroska, or raw Annex-B) via
+    the OPTIONAL av (PyAV/FFmpeg) dependency — the video half of the
+    codec swap-point, same feature-flag pattern as the PIL and
+    soundfile halves. Imported lazily per-item so environments
+    without av pay nothing; emits the same keys as
+    :func:`decode_y4m` (width, height, n_frames, n_sampled, integer
+    ``luma_sum`` over the sampled frames' 8-bit grayscale planes) so
+    downstream video features are container-agnostic."""
+    try:
+        import av
+    except ImportError as e:
+        raise NotImplementedError(
+            "compressed-video payload but av is not installed; "
+            "pip install av to enable the optional H.264/MP4/Matroska "
+            "video codec"
+        ) from e
+    import io
+
+    width = height = n_frames = n_sampled = 0
+    luma = 0
+    with av.open(io.BytesIO(data)) as container:
+        for frame in container.decode(video=0):
+            if n_frames % sample_every == 0:
+                arr = np.asarray(
+                    frame.to_ndarray(format="gray"), dtype=np.int64
+                )
+                height, width = arr.shape
+                luma += int(arr.sum())
+                n_sampled += 1
+            n_frames += 1
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "n_sampled": n_sampled,
+        "luma_sum": luma,
+    }
+
+
 _MP3_ID3_SIG = b"ID3"
 _FLAC_SIG = b"fLaC"
 _OGG_SIG = b"OggS"
+_MP4_FTYP = b"ftyp"  # box type at byte offset 4
+_MKV_EBML_SIG = b"\x1a\x45\xdf\xa3"
+_H264_ANNEXB_SIGS = (b"\x00\x00\x00\x01", b"\x00\x00\x01")
 
 
 def decode_media(data: bytes, media_type: str | None = None) -> dict:
     """Sniff + decode. PNG, WAV and uncompressed Y4M video decode for
     real (pure Python); JPEG routes through the optional-PIL swap-point
-    (:func:`_decode_jpeg_pil`) and MP3/FLAC/OGG through the optional-
-    soundfile one (:func:`_decode_audio_soundfile`) — each a clean
-    NotImplementedError with an install hint when the library is
-    absent; compressed video (H.264, ...) still needs av and raises
-    the documented error."""
+    (:func:`_decode_jpeg_pil`), MP3/FLAC/OGG through the optional-
+    soundfile one (:func:`_decode_audio_soundfile`), and compressed
+    video (H.264 in MP4/Matroska, raw Annex-B) through the optional-av
+    one (:func:`_decode_video_av`) — each a clean NotImplementedError
+    with an install hint when the library is absent."""
     if data is None:
         raise ValueError("no payload")
     if data.startswith(_PNG_SIG):
@@ -458,9 +501,15 @@ def decode_media(data: bytes, media_type: str | None = None) -> dict:
         return {"kind": "audio", **_decode_audio_soundfile(data)}
     if data.startswith(_Y4M_SIG):
         return {"kind": "video", **decode_y4m(data)}
+    if (
+        (len(data) >= 12 and data[4:8] == _MP4_FTYP)
+        or data.startswith(_MKV_EBML_SIG)
+        or data.startswith(_H264_ANNEXB_SIGS)
+    ):
+        return {"kind": "video", **_decode_video_av(data)}
     raise NotImplementedError(
-        f"no pure-Python codec for media_type={media_type!r}; "
-        "plug in av here"
+        f"no codec for media_type={media_type!r} (unrecognized "
+        "container signature)"
     )
 
 

@@ -30,8 +30,10 @@ def user_event_narratives(
     """One row per user: ``(user_id, n_events, narrative)``.
 
     Event rendering: ``t=<epoch_micros> <type> v=<cents>`` with the
-    value folded to integer cents (round-half-even via DECIMAL cast,
-    identical in Spark and DuckDB) — float-to-string formatting is the
+    value folded to integer cents (half-away-from-zero DECIMAL(18,2)
+    cast — both engines implement double->DECIMAL that way at scale 2,
+    see the entry_queries exactness notes) — float-to-string
+    formatting is the
     classic cross-engine divergence and is avoided entirely.
     """
     ts_type = dict(events.dtypes)[ts_col]

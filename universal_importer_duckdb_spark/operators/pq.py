@@ -55,11 +55,24 @@ def train_pq_codebook(
     sample_cap: int = 2048,
     iters: int = 5,
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """(m, k, d/m) codebook from a bounded deterministic sample."""
+    """(m, k, d/m) codebook from a bounded deterministic sample.
+
+    The sample is the first ``sample_cap`` vectors by ``id_col`` —
+    ordered BEFORE the limit, because Spark LIMIT without ORDER BY is
+    partition-layout-dependent (r6 advice): an unordered limit would
+    make the trained codebook (and every downstream code/ADC result)
+    reproducible only for one fixed file layout. A top-k-by-id sort of
+    cap rows is cheap at any scale (takeOrdered semantics: each
+    partition keeps at most cap rows)."""
     sample = [
         r[0]
-        for r in df.select(vec_col).limit(int(sample_cap)).collect()
+        for r in df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(int(sample_cap))
+        .select(vec_col)
+        .collect()
     ]
     x = np.array(sample, dtype=np.float64)
     d = x.shape[1]

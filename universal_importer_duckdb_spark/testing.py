@@ -60,18 +60,40 @@ _INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint"}
 
 def _check_oracle_dtypes(spark_df, con, sql: str, name: str) -> None:
     """Driver-hasher emulation: the driver materializes the oracle via
-    pandas (``.df()``), where DuckDB HUGEINT/UHUGEINT becomes float64
-    and hashes differently from Spark's int64 even when values are
-    equal (the r5 red rows). Flag any oracle column that pandas types
-    as float while Spark types it integral — the oracle SQL needs a
-    ``CAST(... AS BIGINT)``."""
+    pandas (``.df()``) and the Spark result via ``.collect()``, then
+    hashes the cell *representations*. Two bug classes are invisible to
+    this module's value comparison (``_norm_cell`` coerces both sides
+    to float) but red in the driver:
+
+    - DuckDB HUGEINT/UHUGEINT becomes float64 in pandas and hashes
+      differently from Spark's int64 even when values are equal (the
+      r5 red rows). The oracle SQL needs a ``CAST(... AS BIGINT)``.
+    - A Spark DECIMAL column materializes as Python ``Decimal`` objects
+      while the DuckDB oracle's DECIMAL materializes as float64 (the
+      r6 ``orders_snapshot_drift`` red row). Money results must follow
+      the module-docstring idiom: exact decimal sum → round(…, 2) →
+      ``cast("double")`` on BOTH engines.
+    - Any other integral-vs-float split across engines (e.g. DuckDB
+      DOUBLE/DECIMAL where Spark emits bigint).
+    """
+    spark_types = dict(spark_df.dtypes)
+    for col, st in spark_types.items():
+        if st.startswith("decimal"):
+            raise AssertionError(
+                f"[{name}] Spark column {col!r} is {st}: the driver "
+                f"hasher sees Python Decimal objects while the DuckDB "
+                f"oracle materializes decimals as float64 — emit DOUBLE "
+                f"via the decimal-sum/round/cast idiom instead"
+            )
     # DESCRIBE plans without executing — free even on expensive oracles.
     described = con.execute(f"DESCRIBE {sql}").fetchall()
-    spark_types = dict(spark_df.dtypes)
     for row in described:
         col, duck_type = row[0], row[1]
         st = spark_types.get(col)
-        if st in _INTEGRAL_SPARK and duck_type in ("HUGEINT", "UHUGEINT"):
+        if st in _INTEGRAL_SPARK and (
+            duck_type in ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT")
+            or duck_type.startswith("DECIMAL")
+        ):
             raise AssertionError(
                 f"[{name}] oracle column {col!r} is DuckDB {duck_type} "
                 f"(materializes as float64 in the driver's pandas hasher) "
