@@ -54,7 +54,11 @@ def test_no_forced_broadcast_on_scaling_tables():
     import re
     from pathlib import Path
 
-    src = Path(eq.__file__).read_text()
+    # eq is a thin spine since the r7 registry split — scan the
+    # chained section modules where the query bodies actually live.
+    spine = Path(eq.__file__)
+    sources = [spine] + sorted((spine.parent / "registry").glob("*.py"))
+    src = "\n".join(p.read_text() for p in sources)
     bad = re.findall(r"F\.broadcast\((?:cust|supp|part|avg_per_part|heavy)\b", src)
     assert bad == [], f"forced broadcast on SF-scaling relations: {bad}"
 

@@ -1,1069 +1,17 @@
-"""The driver-contract query registry: every operator from SURVEY.md §2
-plus the LLM-data-pipeline extensions, each as a (spark_fn, oracle_sql)
-pair. spark_fn(spark, sf_dir) -> DataFrame; oracle_sql is equivalent
-DuckDB SQL over the same parquet views (None → rows-only check).
-
-Cross-engine determinism rules (established empirically against
-DuckDB; see tests/test_oracle_parity.py):
-- float SUMs route through exact DECIMAL arithmetic: cast source
-  doubles to a small-scale decimal (they are 2/4-decimal values),
-  multiply in decimal (exact), SUM (exact), then round(sum, 2) and
-  cast to double. DuckDB's decimal->decimal CAST truncates while
-  Spark's rounds, so the only safe scale reduction is round(), which
-  both engines implement half-away-from-zero.
-- a decimal->double cast is bit-exact on both engines only while the
-  unscaled integer fits in 2^53 — keep scale*magnitude under that.
-- element-wise vector math: cast float arrays to double and use
-  ORDER-DEFINED left folds (Spark F.aggregate == DuckDB list_reduce)
-  — the former DECIMAL(33,13) product-cast idiom hit engine-divergent
-  round-half behavior on boundary values (r6 finding, see
-  operators/similarity.py strategy note).
-- Spark size()/row_number() are INT, DuckDB's are BIGINT — cast the
-  Spark side up.
-- events.parquet uses TIMESTAMP(NANOS): Spark needs
-  spark.sql.legacy.parquet.nanosAsLong=true and sees bigint nanos;
-  DuckDB sees TIMESTAMP_NS, bridged via epoch_ns().
+"""The driver-contract query registry: every operator from SURVEY.md
+§2 plus the LLM-data-pipeline extensions, each as a (spark_fn,
+oracle_sql) pair. The query/oracle definitions live in the chained
+section modules under ``registry/`` (core -> breadth -> advanced;
+split r7 for maintainability, no behavior change); this spine
+re-exports the full namespace, owns the driver-facing ``queries()``
+/ ``oracle_sql()`` API, and holds the window roster that rotates
+driver correctness coverage each round. The cross-engine
+determinism rules are documented in ``registry/core.py``.
 """
 
 from __future__ import annotations
 
-from typing import Callable
-
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-from universal_importer_duckdb_spark.caching import scoped_cache as _scoped_cache
-from universal_importer_duckdb_spark.functions.fixed_point import (
-    FixedSum,
-    fixed_point_agg,
-    scaled,
-)
-
-TODAY = "2026-08-13"  # injected "today" for age_gte determinism
-
-LINEITEM_COLS = [
-    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-    "l_linestatus", "l_shipdate",
-]
-
-
-_SCAN_MEMO: dict[tuple[int, str], DataFrame] = {}
-_TUNED_SESSIONS: set[int] = set()
-
-
-def _tune_once(spark: SparkSession) -> None:
-    """Apply the session confs every registry query depends on, once
-    per session — three py4j round-trips per table access otherwise
-    add fixed driver latency to precisely the sub-second queries."""
-    if id(spark) in _TUNED_SESSIONS:
-        return
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # wide validation predicates blow up constraint propagation
-    # (see session.py); guard any externally-built session too
-    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    # if events.parquet ever carries TIMESTAMP(NANOS) (older testdata
-    # generations did), read it as bigint nanos instead of erroring;
-    # harmless for µs-typed columns (the current generation), and must
-    # be set before the events scan is memoized
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # local-data split sizing (see session.py for the 100 TB guidance)
-    import os as _os
-
-    mpb = int(_os.environ.get("SPARK_GRAFT_MAX_PARTITION_MB", "16")) * 1024 * 1024
-    adv = int(_os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_MB", "16")) * 1024 * 1024
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(adv))
-    _TUNED_SESSIONS.add(id(spark))
-
-
-def _footer_rows(sf_dir: str, name: str) -> int | None:
-    """Row count straight from the parquet footer — pure metadata
-    read, no Spark job. Used as a size hint to gate plan shape (e.g.
-    skip the two-phase cosine's selection stage on tiny corpora);
-    ``None`` (multi-file dirs, missing footer) means \"unknown\", and
-    callers fall back to the scale-safe plan."""
-    try:
-        import pyarrow.parquet as pq
-
-        return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
-    except Exception:
-        return None
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _tune_once(spark)
-    # memoize the scan per (session, path): repeated file-listing +
-    # footer schema reads otherwise tax every query with fixed driver
-    # latency (DataFrames are immutable plans, so sharing is safe)
-    key = (id(spark), f"{sf_dir}/{name}.parquet")
-    df = _SCAN_MEMO.get(key)
-    if df is None:
-        df = spark.read.parquet(key[1])
-        if name == "events":
-            # Normalize ts to bigint epoch-nanos regardless of how the
-            # parquet stores it: timestamp[us] (current testdata) reads
-            # as TIMESTAMP_NTZ and is converted here; TIMESTAMP(NANOS)
-            # (older generations) already arrives as bigint nanos via
-            # nanosAsLong and passes through untouched. Every downstream
-            # consumer (tumbling/session buckets, as-of/range joins)
-            # does integer ns arithmetic on this column.
-            ts_type = df.schema["ts"].dataType
-            if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
-                df = df.withColumn(
-                    "ts",
-                    (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
-                        "bigint"
-                    ),
-                )
-        _SCAN_MEMO[key] = df
-    return df
-
-
-# --- deterministic money helpers (see module docstring) ---------------
-
-def _dec(col: str, typ: str = "decimal(15,2)"):
-    return F.col(col).cast(typ)
-
-
-def _one():
-    # built lazily: F.lit needs an active SparkContext at call time
-    return F.lit(1).cast("decimal(5,4)")
-
-
-def _msum(expr, alias: str):
-    """Exact decimal sum -> round 2 -> double (bit-identical in DuckDB
-    as CAST(round(SUM(expr), 2) AS DOUBLE))."""
-    return F.round(F.sum(expr), 2).cast("double").alias(alias)
-
-
-# scaled-int64 forms of the same measures (functions/fixed_point.py):
-# identical values, but the hot sum stays in long arithmetic instead
-# of BigDecimal. k = implied decimals.
-
-def _fx_ext2():
-    return scaled("l_extendedprice", 2)
-
-
-def _fx_disc_f4():
-    # (1 - l_discount) with 4 implied decimals
-    return F.lit(10**4).cast("bigint") - scaled("l_discount", 4, 5)
-
-
-def _fx_tax_f4():
-    return F.lit(10**4).cast("bigint") + scaled("l_tax", 4, 5)
-
-
-def _fx_revenue():
-    # l_extendedprice*(1-l_discount), k=6
-    return _fx_ext2() * _fx_disc_f4()
-
-
-# Deterministic "ingest order" for parquet sources: the full row is
-# the only total order the data guarantees ((l_orderkey, l_linenumber)
-# is NOT unique in the synthetic tables, but complete rows are) —
-# ties then can only occur between identical rows, which cannot change
-# output content. Scale-safe: no shuffle, the ordering rides the
-# dedup window's existing sort (SURVEY.md §7.3).
-_LI_COLS_SQL = ", ".join(LINEITEM_COLS)
-_LI_ORD_ASC = ", ".join(LINEITEM_COLS)
-_LI_ORD_DESC = ", ".join(f"{c} DESC" for c in LINEITEM_COLS)
-
-
-# ======================================================================
-# TPC-H-style analytics (the general SQL surface the reference
-# delegates to DuckDB; here delegated to Catalyst — SURVEY.md §4.2)
-# ======================================================================
-
-def q1_pricing_summary(spark, sf_dir):
-    """Exact fixed-point aggregation (functions/fixed_point.py): the
-    measures are scaled int64 per row, chunk-summed long-side in one
-    exchange — bit-identical to the decimal oracle, ~3x cheaper than
-    BigDecimal sum buffers."""
-    li = _t(spark, sf_dir, "lineitem")
-    flt = li.filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
-    )
-    qty2 = scaled("l_quantity", 2)
-    ext2 = _fx_ext2()
-    disc_f4 = _fx_disc_f4()
-    tax_f4 = _fx_tax_f4()
-    return fixed_point_agg(
-        flt,
-        ["l_returnflag", "l_linestatus"],
-        sums=[
-            FixedSum("sum_qty", qty2, 2),
-            FixedSum("sum_base_price", ext2, 2),
-            FixedSum("sum_disc_price", ext2 * disc_f4, 6),
-            FixedSum("sum_charge", ext2 * disc_f4 * tax_f4, 10),
-        ],
-        avgs=[("avg_qty", "sum_qty"), ("avg_price", "sum_base_price")],
-        count_alias="count_order",
-    )
-
-
-Q1_SQL = """
-SELECT l_returnflag, l_linestatus,
-  CAST(round(SUM(l_quantity::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_qty,
-  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_base_price,
-  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS sum_disc_price,
-  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))*(1::DECIMAL(5,4)+l_tax::DECIMAL(9,4))), 2) AS DOUBLE) AS sum_charge,
-  CAST(SUM(l_quantity::DECIMAL(15,2)) AS DOUBLE)/COUNT(*) AS avg_qty,
-  CAST(SUM(l_extendedprice::DECIMAL(15,2)) AS DOUBLE)/COUNT(*) AS avg_price,
-  COUNT(*) AS count_order
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-def q3_top_unshipped(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
-    )
-    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        cust, orders.o_custkey == cust.c_custkey
-    )
-    return (
-        fixed_point_agg(
-            joined,
-            ["l_orderkey", "o_orderdate", "o_orderpriority"],
-            sums=[FixedSum("revenue", _fx_revenue(), 6)],
-        )
-        .select(
-            "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
-            "o_orderpriority",
-            "revenue",
-        )
-        .orderBy(F.desc("revenue"), "l_orderkey")
-        .limit(10)
-    )
-
-
-Q3_SQL = """
-SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey LIMIT 10
-"""
-
-
-def q5_revenue_by_nation(spark, sf_dir):
-    region = _t(spark, sf_dir, "region")
-    nation = _t(spark, sf_dir, "nation")
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    )
-    return fixed_point_agg(
-        joined,
-        ["r_name", "n_name"],
-        sums=[FixedSum("revenue", _fx_revenue(), 6)],
-        count_alias="n_lineitems",
-    )
-
-
-Q5_SQL = """
-SELECT r_name, n_name,
-  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS revenue,
-  COUNT(*) AS n_lineitems
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name, n_name
-"""
-
-
-def top_customers(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        fixed_point_agg(
-            orders.select("o_custkey", "o_totalprice"),
-            ["o_custkey"],
-            sums=[FixedSum("revenue", scaled("o_totalprice", 2), 2)],
-            count_alias="n_orders",
-        )
-        .join(cust, F.col("o_custkey") == cust.c_custkey)
-        .select("c_custkey", "c_name", "revenue", "n_orders")
-        .orderBy(F.desc("revenue"), "c_custkey")
-        .limit(10)
-    )
-
-
-TOP_CUSTOMERS_SQL = """
-SELECT c_custkey, c_name,
-  CAST(round(SUM(o_totalprice::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue,
-  COUNT(*) AS n_orders
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10
-"""
-
-
-def rank_customers_by_segment(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return (
-        cust.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 3)
-        .select("c_mktsegment", "rk", "c_custkey", "c_name", "c_acctbal")
-    )
-
-
-RANK_SQL = """
-SELECT c_mktsegment, rk, c_custkey, c_name, c_acctbal FROM (
-  SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
-  FROM customer) WHERE rk <= 3
-"""
-
-
-def distinct_segments(spark, sf_dir):
-    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
-
-
-DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
-
-
-def except_customers_without_orders(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    ordc = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return cust.subtract(ordc)
-
-
-EXCEPT_SQL = "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
-
-
-def intersect_multi_status_customers(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    b = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return a.intersect(b)
-
-
-INTERSECT_SQL = """
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-"""
-
-
-def semi_join_open_order_customers(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    return cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
-
-
-SEMI_SQL = """
-SELECT * FROM customer c WHERE EXISTS
-  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
-"""
-
-
-def anti_join_customers_no_orders(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-
-
-ANTI_SQL = """
-SELECT * FROM customer c WHERE NOT EXISTS
-  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-"""
-
-
-# ======================================================================
-# Reference pipeline surface (SURVEY.md §2.2-2.4) on the driver tables
-# ======================================================================
-
-CUSTOMER_SCHEMA = {
-    "c_custkey": {"type": "int", "required": True},
-    "c_name": {"type": "str", "required": True},
-    "c_nationkey": {"type": "int", "required": True},
-    "c_acctbal": {"type": "float", "min": 0},
-    "c_mktsegment": {
-        "type": "str",
-        "pattern": "^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$",
-    },
-}
-
-
-def _validate_customer(spark, sf_dir):
-    from universal_importer_duckdb_spark.config.schema_compiler import compile_schema
-    from universal_importer_duckdb_spark.operators.validate import validate_dataframe
-
-    cust = _t(spark, sf_dir, "customer")
-    schema = compile_schema(CUSTOMER_SCHEMA)
-    return validate_dataframe(cust, schema)
-
-
-def validate_customer_valid(spark, sf_dir):
-    valid, _ = _validate_customer(spark, sf_dir)
-    return valid
-
-
-VALIDATE_VALID_SQL = """
-SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
-       CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal, c_mktsegment
-FROM customer
-WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL AND c_nationkey IS NOT NULL
-  AND NOT coalesce(c_acctbal < 0, FALSE)
-  AND NOT coalesce(NOT regexp_matches(c_mktsegment, '^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$'), FALSE)
-"""
-
-
-def validate_customer_errors(spark, sf_dir):
-    _, errors = _validate_customer(spark, sf_dir)
-    return errors.select("c_custkey", "errors")
-
-
-VALIDATE_ERRORS_SQL = """
-SELECT c_custkey, concat_ws('; ',
-  CASE WHEN c_custkey IS NULL THEN 'c_custkey: field required' END,
-  CASE WHEN c_name IS NULL THEN 'c_name: field required' END,
-  CASE WHEN c_nationkey IS NULL THEN 'c_nationkey: field required' END,
-  CASE WHEN c_acctbal < 0 THEN 'c_acctbal: value should be >= 0' END,
-  CASE WHEN NOT regexp_matches(c_mktsegment, '^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$')
-       THEN 'c_mktsegment: string should match pattern ''^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$''' END
-  ) AS errors
-FROM customer
-WHERE c_custkey IS NULL OR c_name IS NULL OR c_nationkey IS NULL
-   OR coalesce(c_acctbal < 0, FALSE)
-   OR coalesce(NOT regexp_matches(c_mktsegment, '^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$'), FALSE)
-"""
-
-
-def _dedup(spark, sf_dir, resolution, keys=("l_partkey", "l_suppkey")):
-    from universal_importer_duckdb_spark.operators.dedup import dedupe
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
-
-    li = spread_for_compute(_t(spark, sf_dir, "lineitem"), *keys)
-    kept, dups = dedupe(li, list(keys), resolution, LINEITEM_COLS)
-    return kept.select(*LINEITEM_COLS), dups.select(*LINEITEM_COLS)
-
-
-def _dedup_kept(spark, sf_dir, resolution, keys=("l_partkey", "l_suppkey")):
-    # Window form: lineitem's dup rate is low (~12%), where the
-    # WindowGroupLimit pre-filter beats min_by(struct) aggregation
-    # (measured at sf0.1: first 1.98s vs 2.41s, exclude_all 0.72s vs
-    # 2.29s). dedupe_keep_only stays the choice for duplicate-heavy
-    # inputs (see operators/dedup.py docstrings).
-    # Pre-spread on the dedup keys: testdata parquet is one row group,
-    # so the window's own exchange otherwise AQE-coalesces to ~3 tasks
-    # (measured 1.22 s -> 0.51 s at sf0.1). Hash-partitioning on the
-    # same keys satisfies the window's distribution, so there is still
-    # exactly ONE shuffle; no-op once the scan arrives in >= cores
-    # splits (cluster scale).
-    from universal_importer_duckdb_spark.operators.dedup import dedupe
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
-
-    li = spread_for_compute(_t(spark, sf_dir, "lineitem"), *keys)
-    kept, _ = dedupe(li, list(keys), resolution, LINEITEM_COLS)
-    return kept.select(*LINEITEM_COLS)
-
-
-def dedup_first_lineitem(spark, sf_dir):
-    return _dedup_kept(spark, sf_dir, "first")
-
-
-DEDUP_FIRST_SQL = f"""
-SELECT {_LI_COLS_SQL} FROM (
-  SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_ASC}) AS rn FROM lineitem
-) WHERE rn = 1
-"""
-
-
-def dedup_last_lineitem(spark, sf_dir):
-    return _dedup_kept(spark, sf_dir, "last")
-
-
-DEDUP_LAST_SQL = f"""
-SELECT {_LI_COLS_SQL} FROM (
-  SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_DESC}) AS rn FROM lineitem
-) WHERE rn = 1
-"""
-
-
-def dedup_exclude_all_lineitem(spark, sf_dir):
-    return _dedup_kept(spark, sf_dir, "exclude_all")
-
-
-DEDUP_EXCLUDE_SQL = f"""
-SELECT {_LI_COLS_SQL} FROM (
-  SELECT *, COUNT(*) OVER (PARTITION BY l_partkey, l_suppkey) AS c FROM lineitem
-) WHERE c = 1
-"""
-
-
-def dedup_duplicates_lineitem(spark, sf_dir):
-    return _dedup(spark, sf_dir, "first")[1]
-
-
-DEDUP_DUPS_SQL = f"""
-SELECT {_LI_COLS_SQL} FROM (
-  SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_ASC}) AS rn FROM lineitem
-) WHERE rn > 1
-"""
-
-
-def dedup_cascade_lineitem(spark, sf_dir):
-    from universal_importer_duckdb_spark.operators.dedup import dedupe_cascade_keep_only
-
-    li = _t(spark, sf_dir, "lineitem")
-    kept = dedupe_cascade_keep_only(
-        li, [["l_partkey", "l_suppkey"], ["l_orderkey"]], "first", LINEITEM_COLS
-    )
-    return kept.select(*LINEITEM_COLS)
-
-
-DEDUP_CASCADE_SQL = f"""
-WITH k1 AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_ASC}) AS rn FROM lineitem
-  ) WHERE rn = 1
-)
-SELECT {_LI_COLS_SQL} FROM (
-  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY {_LI_ORD_ASC}) AS rn2 FROM k1
-) WHERE rn2 = 1
-"""
-
-
-AGE_RULES = [{"field": "o_orderdate", "validation": "age_gte", "params": {"min_age": 28}}]
-
-
-def rule_age_gte_skip_orders(spark, sf_dir):
-    from universal_importer_duckdb_spark.operators.rules import execute_custom_validations
-
-    orders = _t(spark, sf_dir, "orders")
-    kept, _ = execute_custom_validations(orders, AGE_RULES, mode="skip", today=TODAY)
-    return kept
-
-
-AGE_SKIP_SQL = f"""
-SELECT * FROM orders
-WHERE NOT coalesce(date_part('year', age(DATE '{TODAY}', CAST(o_orderdate AS DATE))) < 28, FALSE)
-"""
-
-
-def rule_age_gte_invalid_orders(spark, sf_dir):
-    from universal_importer_duckdb_spark.operators.rules import execute_custom_validations
-
-    orders = _t(spark, sf_dir, "orders")
-    _, issues = execute_custom_validations(orders, AGE_RULES, mode="skip", today=TODAY)
-    return issues[0]["invalid"]
-
-
-AGE_INVALID_SQL = f"""
-SELECT * FROM orders
-WHERE date_part('year', age(DATE '{TODAY}', CAST(o_orderdate AS DATE))) < 28
-"""
-
-
-def projection_alias_orders(spark, sf_dir):
-    from universal_importer_duckdb_spark.operators.project import create_projections
-
-    orders = _t(spark, sf_dir, "orders")
-    projections = [
-        {
-            "name": "order_totals",
-            "type": "view",
-            "query": "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders",
-            "aliases": {"o_orderkey": "order_id"},
-        }
-    ]
-    out = create_projections(spark, "orders", orders, projections, orders.columns)
-    return out["order_totals"]
-
-
-PROJECTION_SQL = "SELECT o_orderkey AS order_id, o_totalprice, o_orderpriority FROM orders"
-
-
-LINEITEM_ENTITY_CONFIG = {
-    "transformations_config": {
-        "lineitem": {
-            "source": "(in-memory)",
-            "settings": {
-                "duplicate_resolution": "first",
-                "custom_validation_mode": "skip",
-                "unique_composite": [["l_partkey", "l_suppkey"]],
-            },
-            "validations": {
-                "schema": {
-                    "fields": {
-                        "l_orderkey": {"type": "int", "required": True},
-                        "l_partkey": {"type": "int", "required": True},
-                        "l_suppkey": {"type": "int", "required": True},
-                        "l_linenumber": {"type": "int"},
-                        "l_quantity": {"type": "float", "min": 2},
-                        "l_extendedprice": {"type": "float"},
-                        "l_discount": {"type": "float"},
-                        "l_tax": {"type": "float"},
-                        "l_returnflag": {"type": "str", "pattern": "^(A|N|R)$"},
-                        "l_linestatus": {"type": "str"},
-                        "l_shipdate": {"type": "str"},
-                    }
-                },
-                "custom": {
-                    "rules": [
-                        {
-                            "field": "l_shipdate",
-                            "validation": "age_gte",
-                            "params": {"min_age": 27},
-                        }
-                    ]
-                },
-            },
-        }
-    }
-}
-
-
-def _run_lineitem_pipeline(spark, sf_dir, compute_summary=True):
-    from universal_importer_duckdb_spark.plans.pipeline import run_pipeline
-
-    li = _t(spark, sf_dir, "lineitem")
-    return run_pipeline(
-        spark, LINEITEM_ENTITY_CONFIG, "lineitem", source_df=li, today=TODAY,
-        order_cols=LINEITEM_COLS, compute_summary=compute_summary,
-    )
-
-
-def pipeline_flagship(spark, sf_dir):
-    """The full reference pipeline in one lineage (SURVEY.md §7.1).
-    compute_summary=False: the stage frame is the only output, so the
-    whole pipeline is a single declarative plan — zero count actions."""
-    return _run_lineitem_pipeline(spark, sf_dir, compute_summary=False).stage
-
-
-PIPELINE_VALID_COND = """
-  l_orderkey IS NOT NULL AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
-  AND NOT coalesce(l_quantity < 2, FALSE)
-  AND NOT coalesce(NOT regexp_matches(l_returnflag, '^(A|N|R)$'), FALSE)
-"""
-
-PIPELINE_FLAGSHIP_SQL = f"""
-WITH valid AS (SELECT * FROM lineitem WHERE {PIPELINE_VALID_COND}),
-k1 AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_ASC}) AS rn FROM valid
-  ) WHERE rn = 1
-)
-SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_partkey AS BIGINT) AS l_partkey,
-       CAST(l_suppkey AS BIGINT) AS l_suppkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-       l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
-       CAST(l_shipdate AS VARCHAR) AS l_shipdate
-FROM k1
-WHERE NOT coalesce(date_part('year', age(DATE '{TODAY}', CAST(l_shipdate AS DATE))) < 27, FALSE)
-"""
-
-
-def pipeline_summary_lineitem(spark, sf_dir):
-    res = _run_lineitem_pipeline(spark, sf_dir)
-    s = res.summary
-    return spark.createDataFrame(
-        [
-            (
-                s.total_records,
-                s.schema_errors,
-                s.duplicates_removed,
-                s.custom_validation_errors,
-                s.valid_records,
-            )
-        ],
-        "total_records bigint, schema_errors bigint, duplicates_removed bigint, "
-        "custom_errors bigint, final_records bigint",
-    )
-
-
-def pipeline_summary_observed_lineitem(spark, sf_dir):
-    """The same funnel as pipeline_summary_lineitem, computed by the
-    ONE-ACTION observe path: Observation metric nodes planted at each
-    stage boundary (plans/pipeline.py compute_summary="observe"), all
-    harvested from a single noop-sink pass over the stage lineage —
-    zero extra scans, the way a 100 TB run reports its funnel. Same
-    oracle as the classic multi-action form, certifying the two
-    summary paths agree with the declarative SQL definition."""
-    from universal_importer_duckdb_spark.plans.pipeline import (
-        finalize_observed_summary,
-        run_pipeline,
-    )
-
-    li = _t(spark, sf_dir, "lineitem")
-    res = run_pipeline(
-        spark, LINEITEM_ENTITY_CONFIG, "lineitem", source_df=li,
-        today=TODAY, order_cols=LINEITEM_COLS,
-        compute_summary="observe",
-    )
-    res.stage.write.format("noop").mode("overwrite").save()
-    s = finalize_observed_summary(res)
-    return spark.createDataFrame(
-        [
-            (
-                s.total_records,
-                s.schema_errors,
-                s.duplicates_removed,
-                s.custom_validation_errors,
-                s.valid_records,
-            )
-        ],
-        "total_records bigint, schema_errors bigint, duplicates_removed bigint, "
-        "custom_errors bigint, final_records bigint",
-    )
-
-
-PIPELINE_SUMMARY_SQL = f"""
-WITH src AS (SELECT * FROM lineitem),
-valid AS (SELECT * FROM src WHERE {PIPELINE_VALID_COND}),
-k1 AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY {_LI_ORD_ASC}) AS rn FROM valid
-  ) WHERE rn = 1
-),
-fin AS (
-  SELECT * FROM k1
-  WHERE NOT coalesce(date_part('year', age(DATE '{TODAY}', CAST(l_shipdate AS DATE))) < 27, FALSE)
-)
-SELECT
-  (SELECT COUNT(*) FROM src) AS total_records,
-  (SELECT COUNT(*) FROM src) - (SELECT COUNT(*) FROM valid) AS schema_errors,
-  (SELECT COUNT(*) FROM valid) - (SELECT COUNT(*) FROM k1) AS duplicates_removed,
-  (SELECT COUNT(*) FROM k1 WHERE date_part('year', age(DATE '{TODAY}', CAST(l_shipdate AS DATE))) < 27) AS custom_errors,
-  (SELECT COUNT(*) FROM fin) AS final_records
-"""
-
-
-# ======================================================================
-# Events: time-series / sessionization / JSON (batch forms; streaming
-# equivalents live in universal_importer_duckdb_spark.streaming)
-# ======================================================================
-
-_NS_PER_HOUR = 3_600_000_000_000
-_NS_SESSION_GAP = 1_800_000_000_000  # 30 min
-
-
-def events_tumbling_hourly(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")  # ts is bigint nanos (nanosAsLong)
-    return (
-        ev.groupBy(
-            F.floor(F.col("ts") / F.lit(_NS_PER_HOUR)).cast("bigint").alias("bucket"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _msum(F.col("value").cast("decimal(15,2)"), "sum_value"),
-        )
-    )
-
-
-TUMBLING_SQL = f"""
-SELECT CAST(floor(epoch_ns(ts)/{_NS_PER_HOUR}) AS BIGINT) AS bucket, event_type,
-  COUNT(*) AS n_events,
-  CAST(round(SUM(value::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_value
-FROM events GROUP BY 1, 2
-"""
-
-
-def events_sessionization(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    starts = F.when(
-        F.lag("ts").over(w).isNull()
-        | ((F.col("ts") - F.lag("ts").over(w)) > F.lit(_NS_SESSION_GAP)),
-        1,
-    ).otherwise(0)
-    return (
-        ev.withColumn("is_start", starts)
-        .groupBy("user_id")
-        .agg(F.sum("is_start").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
-    )
-
-
-SESSION_SQL = f"""
-WITH x AS (
-  SELECT user_id, epoch_ns(ts) AS tns,
-         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-  FROM events)
-SELECT user_id,
-  CAST(SUM(CASE WHEN prev IS NULL OR tns - prev > {_NS_SESSION_GAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-  COUNT(*) AS n_events
-FROM x GROUP BY user_id
-"""
-
-
-def events_json_extract(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
-    )
-
-
-JSON_SQL = """
-SELECT event_id, event_type, CAST(props->>'$.k' AS BIGINT) AS k_value FROM events
-"""
-
-
-# ======================================================================
-# Documents: text analysis + dedup (LLM-data-pipeline extensions)
-# ======================================================================
-
-def _tokens(col: str = "text"):
-    return F.split(col, " ")
-
-
-def docs_token_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    toks = _tokens()
-    return docs.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.length("text").cast("bigint").alias("n_chars_measured"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
-    )
-
-
-TOKEN_STATS_SQL = """
-SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars_measured,
-       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
-FROM documents
-"""
-
-
-def docs_fingerprint_exact_dedup(spark, sf_dir):
-    """Exact dedup by content fingerprint: keep min doc_id per md5."""
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("fingerprint", F.md5(F.lower("text")))
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-    )
-
-
-FINGERPRINT_SQL = """
-SELECT md5(lower(text)) AS fingerprint, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
-FROM documents GROUP BY 1
-"""
-
-
-def _shingles(col: str):
-    return F.array_distinct(
-        F.expr(f"transform(sequence(1, greatest(length({col})-2, 1)), i -> substring({col}, i, 3))")
-    )
-
-
-def docs_ngram_topk_similar(spark, sf_dir):
-    """Character-3-gram Jaccard top-10 similar to doc 0 — brute-force
-    set-similarity baseline for near-dup detection."""
-    from universal_importer_duckdb_spark.operators.dedup_text import spread_for_compute
-
-    docs = _t(spark, sf_dir, "documents")
-    q = docs.filter(F.col("doc_id") == 0).select(_shingles("text").alias("qs"))
-    return (
-        spread_for_compute(docs.filter(F.col("doc_id") > 0), "doc_id")
-        .crossJoin(F.broadcast(q))
-        .select(
-            "doc_id",
-            (
-                F.size(F.array_intersect(_shingles("text"), F.col("qs")))
-                / F.size(F.array_union(_shingles("text"), F.col("qs")))
-            ).alias("jaccard"),
-        )
-        .orderBy(F.desc("jaccard"), "doc_id")
-        .limit(10)
-    )
-
-
-NGRAM_TOPK_SQL = """
-WITH s AS (
-  SELECT doc_id, list_distinct([substr(text, i, 3) for i in range(1, greatest(length(text)-2, 1)+1)]) AS sh
-  FROM documents),
-q AS (SELECT sh AS qs FROM s WHERE doc_id = 0)
-SELECT doc_id, len(list_intersect(sh, qs)) / len(list_distinct(list_concat(sh, qs))) AS jaccard
-FROM s, q WHERE doc_id > 0 ORDER BY jaccard DESC, doc_id LIMIT 10
-"""
-
-
-def docs_quality_scores(spark, sf_dir):
-    """Heuristic quality signals: alpha/space ratios + mean token length."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = _tokens()
-    return docs.select(
-        "doc_id",
-        (F.length(F.regexp_replace("text", "[^a-z]", "")) / F.length("text")).alias("alpha_ratio"),
-        (F.length(F.regexp_replace("text", "[^ ]", "")) / F.length("text")).alias("space_ratio"),
-        (
-            (F.length("text") - (F.size(toks) - F.lit(1))) / F.size(toks)
-        ).alias("mean_token_len"),
-    )
-
-
-QUALITY_SQL = """
-SELECT doc_id,
-  length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text) AS alpha_ratio,
-  length(regexp_replace(text, '[^ ]', '', 'g')) / length(text) AS space_ratio,
-  (length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS mean_token_len
-FROM documents
-"""
-
-
-_EN_MARKERS = ("the", "and", "of")
-_NON_EN_MARKERS = ("el", "la", "le", "der", "und")
-
-
-def _eq_lit(value):
-    # single-arg lambda factory: a two-param lambda would make PySpark
-    # pass the array index as the second argument
-    return lambda w: w == F.lit(value)
-
-
-def _marker_hits(markers):
-    toks = _tokens()
-    hits = None
-    for m in markers:
-        h = F.size(F.filter(toks, _eq_lit(m))).cast("bigint")
-        hits = h if hits is None else hits + h
-    return hits
-
-
-def docs_language_id(spark, sf_dir):
-    """Stopword-marker language heuristic (n-gram-free baseline)."""
-    docs = _t(spark, sf_dir, "documents")
-    en = _marker_hits(_EN_MARKERS)
-    non = _marker_hits(_NON_EN_MARKERS)
-    return docs.select(
-        "doc_id",
-        "lang",
-        en.alias("en_hits"),
-        non.alias("non_en_hits"),
-        F.when(en > non, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
-    )
-
-
-def _sql_marker_hits(markers):
-    parts = [f"len(list_filter(string_split(text,' '), w -> w = '{m}'))" for m in markers]
-    return " + ".join(parts)
-
-
-LANG_SQL = f"""
-SELECT doc_id, lang,
-  {_sql_marker_hits(_EN_MARKERS)} AS en_hits,
-  {_sql_marker_hits(_NON_EN_MARKERS)} AS non_en_hits,
-  CASE WHEN {_sql_marker_hits(_EN_MARKERS)} > {_sql_marker_hits(_NON_EN_MARKERS)}
-       THEN 'en' ELSE 'other' END AS pred_lang
-FROM documents
-"""
-
-
-# ======================================================================
-# Embeddings: similarity search
-# ======================================================================
-
-# Exact-score oracles replay Spark's sequential left fold with
-# DuckDB's list_reduce (identical association; 0.0 + x1 == x1), so
-# every emitted double is bit-identical with NO rounding step. The
-# previous DECIMAL(33,13)-cast idiom was dropped after the cast's
-# round-half mode was observed to differ between engines on boundary
-# values (see operators/similarity.py strategy note).
-_SQL_DOT = (
-    "list_reduce(list_apply(list_zip({a}, {b}), p -> p[1] * p[2]),"
-    " (acc, x) -> acc + x)"
-)
-_SQL_N2 = "list_reduce(list_apply({a}, x -> x * x), (acc, x) -> acc + x)"
-
-
-def emb_cosine_topk(spark, sf_dir):
-    """Exact cosine top-10 vs the vec_id=0 query vector — the exact
-    baseline for ANN. Two-phase: a JVM zip_with/aggregate double fold
-    selects 4k candidates (no Arrow round-trip), then the
-    order-defined exact fold re-ranks only those — bit-identical
-    output to the one-phase exact scan (same oracle), with the
-    re-rank cost cut from the corpus to 40 rows
-    (see cosine_topk_two_phase)."""
-    from universal_importer_duckdb_spark.operators.similarity import (
-        cosine_topk_two_phase,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
-    return cosine_topk_two_phase(
-        emb, _query_vec(spark, sf_dir), k=10, extra_cols=("label",)
-    )
-
-
-COSINE_TOPK_SQL = f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-s AS (SELECT vec_id, label,
-        {_SQL_DOT.format(a="embedding::DOUBLE[]", b="qv")} AS dot,
-        {_SQL_N2.format(a="embedding::DOUBLE[]")} AS n1,
-        {_SQL_N2.format(a="qv")} AS n2
-      FROM embeddings, q WHERE vec_id > 0)
-SELECT vec_id, label, dot/(sqrt(n1)*sqrt(n2)) AS cosine
-FROM s ORDER BY cosine DESC, vec_id LIMIT 10
-"""
-
-
-# ======================================================================
-# Registry
-# ======================================================================
-
-# name -> (spark_fn, oracle_sql | None)
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
-    "q5_revenue_by_nation": (q5_revenue_by_nation, Q5_SQL),
-    "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
-    "rank_customers_by_segment": (rank_customers_by_segment, RANK_SQL),
-    "distinct_segments": (distinct_segments, DISTINCT_SQL),
-    "except_customers_without_orders": (except_customers_without_orders, EXCEPT_SQL),
-    "intersect_multi_status_customers": (intersect_multi_status_customers, INTERSECT_SQL),
-    "semi_join_open_order_customers": (semi_join_open_order_customers, SEMI_SQL),
-    "anti_join_customers_no_orders": (anti_join_customers_no_orders, ANTI_SQL),
-    "validate_customer_valid": (validate_customer_valid, VALIDATE_VALID_SQL),
-    "validate_customer_errors": (validate_customer_errors, VALIDATE_ERRORS_SQL),
-    "dedup_first_lineitem": (dedup_first_lineitem, DEDUP_FIRST_SQL),
-    "dedup_last_lineitem": (dedup_last_lineitem, DEDUP_LAST_SQL),
-    "dedup_exclude_all_lineitem": (dedup_exclude_all_lineitem, DEDUP_EXCLUDE_SQL),
-    "dedup_duplicates_lineitem": (dedup_duplicates_lineitem, DEDUP_DUPS_SQL),
-    "dedup_cascade_lineitem": (dedup_cascade_lineitem, DEDUP_CASCADE_SQL),
-    "rule_age_gte_skip_orders": (rule_age_gte_skip_orders, AGE_SKIP_SQL),
-    "rule_age_gte_invalid_orders": (rule_age_gte_invalid_orders, AGE_INVALID_SQL),
-    "projection_alias_orders": (projection_alias_orders, PROJECTION_SQL),
-    "pipeline_flagship": (pipeline_flagship, PIPELINE_FLAGSHIP_SQL),
-    "pipeline_summary_lineitem": (pipeline_summary_lineitem, PIPELINE_SUMMARY_SQL),
-    # one-action observe variant; shares the in-window classic oracle,
-    # so it rides outside the 50-slot window until the r6 rotation
-    "pipeline_summary_observed_lineitem": (
-        pipeline_summary_observed_lineitem, PIPELINE_SUMMARY_SQL,
-    ),
-    "events_tumbling_hourly": (events_tumbling_hourly, TUMBLING_SQL),
-    "events_sessionization": (events_sessionization, SESSION_SQL),
-    "events_json_extract": (events_json_extract, JSON_SQL),
-    "docs_token_stats": (docs_token_stats, TOKEN_STATS_SQL),
-    "docs_fingerprint_exact_dedup": (docs_fingerprint_exact_dedup, FINGERPRINT_SQL),
-    "docs_ngram_topk_similar": (docs_ngram_topk_similar, NGRAM_TOPK_SQL),
-    "docs_quality_scores": (docs_quality_scores, QUALITY_SQL),
-    "docs_language_id": (docs_language_id, LANG_SQL),
-    "emb_cosine_topk": (emb_cosine_topk, COSINE_TOPK_SQL),
-}
+from universal_importer_duckdb_spark.registry.advanced import *  # noqa: F401,F403
 
 
 def queries():
@@ -1077,5431 +25,6 @@ def queries():
 def oracle_sql():
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
 
-
-# ======================================================================
-# Extension operators: near-dup dedup, ANN, quality filtering,
-# streaming (rows-only where the hash function is Spark-native)
-# ======================================================================
-
-def docs_quality_filter_ids(spark, sf_dir):
-    from universal_importer_duckdb_spark.operators.text_analysis import quality_filter
-
-    docs = _t(spark, sf_dir, "documents")
-    kept, _ = quality_filter(docs, min_tokens=10, min_alpha_ratio=0.5,
-                             max_digit_ratio=0.3, min_unique_token_ratio=0.1)
-    return kept.select("doc_id")
-
-
-QUALITY_FILTER_SQL = """
-WITH sig AS (
-  SELECT doc_id,
-    len(string_split(text, ' ')) AS n_tokens,
-    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
-    length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_ratio,
-    len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio
-  FROM documents)
-SELECT doc_id FROM sig
-WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3 AND uniq_ratio >= 0.1
-"""
-
-
-def docs_bpe_token_count(spark, sf_dir):
-    from universal_importer_duckdb_spark.operators.text_analysis import bpe_ish_token_count
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
-
-
-BPE_SQL = """
-SELECT doc_id, CAST(list_sum(list_transform(string_split_regex(text, '[^a-zA-Z0-9]+'),
-  w -> CASE WHEN length(w) = 0 THEN 0 ELSE 1 + CAST(floor(length(w)/4) AS BIGINT) END)) AS BIGINT) AS n_bpe_tokens
-FROM documents
-"""
-
-
-EVENTS_COLS = ["event_id", "user_id", "event_type", "value", "props"]
-
-
-def events_dedup_first_by_key(spark, sf_dir):
-    """Batch analog of streaming dropDuplicates: earliest event per
-    (user_id, event_type)."""
-    from universal_importer_duckdb_spark.operators.dedup import dedupe
-
-    ev = _t(spark, sf_dir, "events")
-    kept, _ = dedupe(ev, ["user_id", "event_type"], "first", ["ts", "event_id"])
-    # microseconds on both sides: DuckDB's parquet reader truncates
-    # TIMESTAMP(NANOS) to µs resolution
-    # integer DIV: a double division would lose precision at 1e18 ns
-    return kept.select(*EVENTS_COLS, F.expr("ts DIV 1000").alias("ts_us"))
-
-
-EVENTS_DEDUP_SQL = """
-SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us FROM (
-  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-  FROM events
-) WHERE rn = 1
-"""
-
-
-def docs_minhash_lsh_neardup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs in portable mode: shingles hashed
-    with md5_28 (reproducible in DuckDB, unlike xxhash64) and band
-    buckets keyed on raw signature component tuples, so the ENTIRE
-    pipeline — shingle→hash→sample→32 permutations→8-band bucketing→
-    bucket-size cap→σ-presift→exact-Jaccard verify — is replayed
-    bit-for-bit by the SQL oracle below. The xxhash64 scale path is
-    the operator default and keeps its own differential tests."""
-    from universal_importer_duckdb_spark.operators.dedup_text import minhash_lsh_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_perm=32, bands=8, shingle_n=5,
-                             jaccard_threshold=0.4, sample_mod=4,
-                             hasher="md5_28", portable_buckets=True)
-
-
-def _minhash_lsh_sql(num_perm: int = 32, bands: int = 8, shingle_n: int = 5,
-                     threshold: float = 0.4, sample_mod: int = 4,
-                     max_bucket_size: int = 50, presift_sigma: float = 3.0,
-                     src: str = "documents") -> str:
-    """DuckDB replica of the portable minhash_lsh_pairs: identical
-    md5_28 shingle hashing, identical seeded permutation params,
-    identical banding/cap/presift/verify arithmetic. ``src`` names the
-    relation/CTE supplying (doc_id, text) — lets composed pipelines
-    run the same replay on a filtered subset."""
-    import math as _math
-
-    from universal_importer_duckdb_spark.operators.dedup_text import _perm_params
-
-    r = num_perm // bands
-    params = _perm_params(num_perm)
-    h28 = lambda s: f"('0x'||substr(md5({s}),1,7))::BIGINT"  # noqa: E731
-    sig_terms = ",\n    ".join(
-        f"list_min(list_transform(hs, h -> (({a}*h+{b})%2147483647)))"
-        for (a, b) in params
-    )
-    band_selects = "\n  UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, {cs} FROM sigs".format(
-            b=b,
-            cs=", ".join(f"sig[{b * r + j + 1}] AS c{j}" for j in range(r)),
-        )
-        for b in range(bands)
-    )
-    ckey = ", ".join(["band"] + [f"c{j}" for j in range(r)])
-    cutoff = threshold - presift_sigma * _math.sqrt(
-        threshold * (1.0 - threshold) / num_perm
-    )
-    return f"""
-WITH h AS (
-  SELECT doc_id,
-    list_transform(range(1, greatest(length(text)-{shingle_n - 1}, 1)+1),
-                   i -> {h28(f"substr(text, i, {shingle_n})")}) AS hfull
-  FROM {src}),
-hs AS (
-  SELECT doc_id, hfull,
-    CASE WHEN len(list_filter(hfull, x -> x % {sample_mod} = 0)) > 0
-         THEN list_filter(hfull, x -> x % {sample_mod} = 0) ELSE hfull END AS hs
-  FROM h),
-sigs AS (
-  SELECT doc_id, [
-    {sig_terms}
-  ] AS sig FROM hs),
-bands AS (
-  {band_selects}),
-grp AS (SELECT {ckey}, COUNT(*) AS cnt FROM bands GROUP BY {ckey}),
-ok AS (SELECT {ckey} FROM grp WHERE cnt BETWEEN 2 AND {max_bucket_size}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b USING ({ckey}) JOIN ok USING ({ckey})
-  WHERE a.doc_id < b.doc_id),
-pres AS (
-  SELECT id_a, id_b FROM cand
-  JOIN sigs sa ON sa.doc_id = cand.id_a
-  JOIN sigs sb ON sb.doc_id = cand.id_b
-  WHERE len(list_filter(range(1, {num_perm + 1}), i -> sa.sig[i] = sb.sig[i]))
-        / {float(num_perm)!r} >= {cutoff!r}),
-shd AS (
-  SELECT doc_id, list_distinct(hfull) AS s, len(list_distinct(hfull)) AS n
-  FROM h),
-ver AS (
-  SELECT id_a, id_b, len(list_intersect(va.s, vb.s)) AS inter,
-         va.n AS na, vb.n AS nb
-  FROM pres JOIN shd va ON va.doc_id = id_a JOIN shd vb ON vb.doc_id = id_b)
-SELECT id_a, id_b, inter/(na+nb-inter) AS jaccard
-FROM ver WHERE inter/(na+nb-inter) >= {threshold!r}
-"""
-
-
-MINHASH_LSH_SQL = _minhash_lsh_sql()
-
-
-def docs_corpus_prep(spark, sf_dir):
-    """End-to-end training-corpus prep as ONE declarative lineage:
-    quality-filter → exact dedup (min doc_id per normalized-content
-    md5, map-side partial agg) → corpus-level token totals. The whole
-    chain is a single Catalyst plan — narrow quality predicates fused
-    into the scan, one shuffle for the dedup agg, one for the final
-    global agg — demonstrating that pipeline *composition* adds no
-    extra passes over the data."""
-    from universal_importer_duckdb_spark.operators.text_analysis import quality_filter
-
-    docs = _t(spark, sf_dir, "documents")
-    kept, _ = quality_filter(docs, min_tokens=10, min_alpha_ratio=0.5,
-                             max_digit_ratio=0.3, min_unique_token_ratio=0.1)
-    deduped = (
-        kept.withColumn("__fp", F.md5(F.lower("text")))
-        .groupBy("__fp")
-        .agg(F.min_by("text", "doc_id").alias("text"))
-    )
-    toks = F.split(F.col("text"), " ")
-    return deduped.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
-        F.sum(F.size(F.array_distinct(toks))).cast("bigint").alias("total_unique_tokens"),
-        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
-    )
-
-
-CORPUS_PREP_SQL = """
-WITH sig AS (
-  SELECT doc_id, text,
-    len(string_split(text, ' ')) AS n_tokens,
-    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
-    length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_ratio,
-    len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio
-  FROM documents),
-q AS (
-  SELECT doc_id, text FROM sig
-  WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3 AND uniq_ratio >= 0.1),
-d AS (SELECT arg_min(text, doc_id) AS text FROM q GROUP BY md5(lower(text)))
-SELECT COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-       CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_unique_tokens,
-       CAST(SUM(length(text)) AS BIGINT) AS total_chars
-FROM d
-"""
-
-
-def docs_simhash_neardup(spark, sf_dir):
-    """SimHash near-dup pairs in portable mode (md5-half token hashes,
-    fingerprint as two 32-bit ints) so the whole pipeline — token
-    hash→64 bit votes→4×16-bit chunk banding→bucket cap→hamming
-    verify — replays bit-for-bit in the SQL oracle. The xxhash64
-    single-int64 simhash_64 stays the operator default for scale."""
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        simhash_near_pairs_portable,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs_portable(docs, max_hamming=8)
-
-
-def _simhash_fp_terms(arr: str) -> str:
-    """SQL for one 32-bit SimHash half: majority bit votes over the
-    hashed-token list ``arr`` (requires a token count column ``n``)."""
-    return "\n     + ".join(
-        f"(CASE WHEN 2*len(list_filter({arr}, h -> (h>>{b})&1 = 1)) > n"
-        f" THEN {1 << b} ELSE 0 END)"
-        for b in range(32)
-    )
-
-
-def _simhash_sql(max_hamming: int = 8, max_bucket_size: int = 200) -> str:
-    """DuckDB replica of simhash_near_pairs_portable."""
-    fp_terms = _simhash_fp_terms
-
-    chunk_rows = "\n  UNION ALL ".join(
-        f"SELECT doc_id, fp_lo, fp_hi, {c} AS chunk, ({src}>>{sh})&65535 AS bkey FROM fp"
-        for c, (src, sh) in enumerate(
-            [("fp_lo", 0), ("fp_lo", 16), ("fp_hi", 0), ("fp_hi", 16)]
-        )
-    )
-    return f"""
-WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
-           FROM documents),
-hh AS (
-  SELECT doc_id, len(toks) AS n,
-    list_transform(toks, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS hi,
-    list_transform(toks, t -> ('0x'||substr(md5(t),9,8))::BIGINT) AS lo
-  FROM t),
-fp AS (
-  SELECT doc_id,
-    {fp_terms("lo")} AS fp_lo,
-    {fp_terms("hi")} AS fp_hi
-  FROM hh),
-chunks AS (
-  {chunk_rows}),
-grp AS (SELECT chunk, bkey, COUNT(*) AS cnt FROM chunks GROUP BY chunk, bkey),
-ok AS (SELECT chunk, bkey FROM grp WHERE cnt BETWEEN 2 AND {max_bucket_size}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.fp_lo AS ala, a.fp_hi AS aha, b.fp_lo AS bla, b.fp_hi AS bha
-  FROM chunks a JOIN chunks b USING (chunk, bkey) JOIN ok USING (chunk, bkey)
-  WHERE a.doc_id < b.doc_id)
-SELECT id_a, id_b, hamming FROM (
-  SELECT id_a, id_b,
-         bit_count(xor(ala, bla)) + bit_count(xor(aha, bha)) AS hamming
-  FROM cand)
-WHERE hamming <= {max_hamming}
-"""
-
-
-SIMHASH_SQL = _simhash_sql()
-
-
-def docs_rolling_sketch(spark, sf_dir):
-    """Winnowing sketch in portable form: md5 window hashes joined to
-    one scalar string per doc — scalar columns only (array outputs
-    crash the driver canonicalizer) and bit-reproducible in DuckDB."""
-    from universal_importer_duckdb_spark.operators.text_analysis import content_fingerprints
-
-    docs = _t(spark, sf_dir, "documents")
-    return content_fingerprints(docs, portable=True)
-
-
-# Mirrors rolling_fingerprint(window=8, k=4, hasher=md5): hash each
-# 8-token rolling window, distinct+sort, keep the 4 smallest, join.
-ROLLING_SKETCH_SQL = """
-WITH t AS (
-  SELECT doc_id, md5(lower(text)) AS md5_fingerprint,
-         string_split(text, ' ') AS toks
-  FROM documents),
-w AS (
-  SELECT doc_id, md5_fingerprint,
-         list_transform(
-           range(0, greatest(len(toks) - 8, 0) + 1),
-           i -> md5(array_to_string(toks[i + 1 : i + 8], ' '))) AS hashes
-  FROM t)
-SELECT doc_id, md5_fingerprint,
-       array_to_string(list_sort(list_distinct(hashes))[1:4], ',') AS rolling_sketch
-FROM w
-"""
-
-
-_QUERY_VEC_MEMO: dict[tuple[int, str], list[float]] = {}
-
-
-def _query_vec(spark, sf_dir):
-    # memoized per (session, sf): the 1-row collect is bounded but
-    # costs a full Spark job, and four registry queries need it
-    key = (id(spark), sf_dir)
-    qv = _QUERY_VEC_MEMO.get(key)
-    if qv is None:
-        emb = _t(spark, sf_dir, "embeddings")
-        row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
-        qv = _QUERY_VEC_MEMO[key] = [float(x) for x in row.embedding]
-    return qv
-
-
-def emb_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbours (the scale path for
-    emb_cosine_topk). Oracle: the SAME seeded hyperplane bucketing is
-    replayed in SQL (plane literals generated from the shared seed at
-    import), so the driver verifies multi-probe candidate selection +
-    exact DECIMAL re-rank end-to-end — the approximation is
-    deterministic, not unauditable."""
-    from universal_importer_duckdb_spark.operators.similarity import lsh_ann_topk
-
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
-    return lsh_ann_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=6,
-                        max_probe_hamming=2)
-
-
-def _emb_ann_lsh_sql(k: int = 10, n_planes: int = 6, max_probe_hamming: int = 2,
-                     dim: int = 64, seed: int = 42) -> str:
-    """DuckDB replica of lsh_ann_topk: identical seeded hyperplanes
-    (embedded as literals), identical sign-bit signature, identical
-    multi-probe hamming filter, identical order-defined cosine
-    re-rank."""
-    from universal_importer_duckdb_spark.operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(n_planes, dim, seed)
-
-    def bits(vec_expr: str) -> str:
-        return "\n     + ".join(
-            f"(CASE WHEN list_inner_product({vec_expr}, [{', '.join(repr(x) for x in p)}]) > 0"
-            f" THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-
-    return f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qv, {bits("embedding::DOUBLE[]")} AS qsig
-           FROM embeddings WHERE vec_id = 0),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {bits("embedding::DOUBLE[]")} AS sig
-      FROM embeddings WHERE vec_id > 0),
-cand AS (SELECT vec_id, e, qv FROM v, q
-         WHERE bit_count(xor(sig::BIGINT, qsig::BIGINT)) <= {max_probe_hamming}),
-s AS (SELECT vec_id,
-        {_SQL_DOT.format(a="e", b="qv")} AS dot,
-        {_SQL_N2.format(a="e")} AS n1,
-        {_SQL_N2.format(a="qv")} AS n2
-      FROM cand)
-SELECT vec_id, dot/(sqrt(n1)*sqrt(n2)) AS cosine
-FROM s ORDER BY cosine DESC, vec_id LIMIT {k}
-"""
-
-
-EMB_ANN_LSH_SQL = _emb_ann_lsh_sql()
-
-
-def emb_near_dup_pairs(spark, sf_dir):
-    """LSH-bucketed near-duplicate embedding pairs. threshold=0.4 /
-    n_planes=6 are tuned so the synthetic random-embedding tables
-    yield non-empty results at every SF (max pairwise cosine is only
-    ~0.5). The oracle replays the SAME seeded hyperplane bucketing in
-    SQL (plane literals are generated from the shared seed at import),
-    so the driver verifies bucketing + exact-cosine verify end-to-end
-    rather than a vacuous empty set."""
-    from universal_importer_duckdb_spark.operators.similarity import embedding_near_pairs
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_pairs(emb, cosine_threshold=0.4, n_planes=6)
-
-
-def _emb_near_dup_sql(threshold: float = 0.4, n_planes: int = 6, dim: int = 64,
-                      seed: int = 42) -> str:
-    """DuckDB replica of embedding_near_pairs: identical seeded
-    hyperplanes (embedded as literals), identical sign-bit bucket key,
-    identical order-defined cosine folding."""
-    from universal_importer_duckdb_spark.operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(n_planes, dim, seed)
-    bits = "\n     + ".join(
-        f"(CASE WHEN list_inner_product(e, [{', '.join(repr(x) for x in p)}]) > 0"
-        f" THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
-    return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-b AS (SELECT vec_id, e, {bits} AS bucket FROM v),
-p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.e AS ea, c.e AS eb
-      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
-s AS (SELECT id_a, id_b,
-        {_SQL_DOT.format(a="ea", b="eb")} AS dot,
-        {_SQL_N2.format(a="ea")} AS na,
-        {_SQL_N2.format(a="eb")} AS nb
-      FROM p)
-SELECT id_a, id_b, dot/(sqrt(na)*sqrt(nb)) AS cosine
-FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= {threshold}
-"""
-
-
-EMB_NEAR_DUP_SQL = _emb_near_dup_sql()
-
-
-def emb_quantize_int8(spark, sf_dir):
-    """Symmetric int8 vector quantization audit — the storage format
-    the 100 TB ANN path actually serves from (4x smaller than
-    float32, SIMD-friendly dot products). Per vector: the scale
-    (max|x|/127), the worst reconstruction error, and the count of
-    zeroed components. Every output is order-independent (max, count)
-    or a single deterministic double expression, so the audit
-    hash-checks cross-engine — certifying the quantizer before
-    anything is written in it. Pure higher-order array expressions; a
-    narrow map over the scan."""
-    emb = _t(spark, sf_dir, "embeddings")
-    vd = F.col("embedding").cast("array<double>")
-    emb = emb.select(
-        "vec_id",
-        vd.alias("__v"),
-        # floor at 1e-30 so an all-zero vector quantizes to zeros
-        # instead of dividing by zero (ANSI error here, engine-
-        # dependent NaN/error in the oracle)
-        (
-            F.greatest(
-                F.array_max(F.transform(vd, lambda x: F.abs(x))),
-                F.lit(1e-30),
-            )
-            / F.lit(127.0)
-        ).alias("scale"),
-    )
-    q = F.transform(
-        F.col("__v"), lambda x: F.round(x / F.col("scale")).cast("bigint")
-    )
-    err = F.zip_with(
-        F.col("__v"), q, lambda x, qq: F.abs(x - qq * F.col("scale"))
-    )
-    return emb.select(
-        "vec_id",
-        "scale",
-        F.array_max(err).alias("max_abs_err"),
-        F.size(F.filter(q, lambda v: v == 0)).cast("bigint").alias("n_zero"),
-    )
-
-
-QUANTIZE_INT8_SQL = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-s AS (SELECT vec_id, e,
-             greatest(list_max(list_transform(e, x -> abs(x))), 1e-30)
-               / 127.0 AS scale
-      FROM v),
-q AS (SELECT vec_id, e, scale,
-             list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
-      FROM s)
-SELECT vec_id, scale,
-       list_max(list_transform(list_zip(e, qv),
-                p -> abs(p[1] - p[2] * scale))) AS max_abs_err,
-       CAST(len(list_filter(qv, x -> x = 0)) AS BIGINT) AS n_zero
-FROM q
-"""
-
-
-def emb_hard_negatives(spark, sf_dir):
-    """Hard-negative mining (operators/similarity.py::
-    hard_negative_pairs): top-20 different-label pairs by exact cosine
-    among seeded-LSH bucket candidates — contrastive training's most
-    informative pairs, mined with approximate candidate generation +
-    exact scoring. cosine_floor=0.3 is tuned to the synthetic
-    near-random embeddings (max cross-label cosine ~0.51)."""
-    from universal_importer_duckdb_spark.operators.similarity import (
-        hard_negative_pairs,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return hard_negative_pairs(
-        emb, cosine_floor=0.3, k=20, n_planes=6
-    )
-
-
-def _emb_hard_negatives_sql(floor: float = 0.3, k: int = 20,
-                            n_planes: int = 6, dim: int = 64,
-                            seed: int = 42) -> str:
-    from universal_importer_duckdb_spark.operators.similarity import (
-        _hyperplanes,
-    )
-
-    planes = _hyperplanes(n_planes, dim, seed)
-    bits = "\n     + ".join(
-        f"(CASE WHEN list_inner_product(e, [{', '.join(repr(x) for x in p)}]) > 0"
-        f" THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
-    return f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-b0 AS (SELECT vec_id, label, e, {bits} AS bucket FROM v),
-b AS (SELECT vec_id, label, e, bucket FROM (
-        SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bn FROM b0)
-      WHERE bn <= 500),
-p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-             a.label AS label_a, c.label AS label_b, a.e AS ea, c.e AS eb
-      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-      WHERE a.label <> c.label),
-s AS (SELECT id_a, id_b, label_a, label_b,
-        {_SQL_DOT.format(a="ea", b="eb")} AS dot,
-        {_SQL_N2.format(a="ea")} AS na,
-        {_SQL_N2.format(a="eb")} AS nb
-      FROM p)
-SELECT id_a, id_b, label_a, label_b, dot/(sqrt(na)*sqrt(nb)) AS cosine
-FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= {floor}
-ORDER BY cosine DESC, id_a, id_b LIMIT {k}
-"""
-
-
-EMB_HARD_NEGATIVES_SQL = _emb_hard_negatives_sql()
-
-
-_STREAM_COUNTER = [0]
-
-
-def stream_tumbling_hourly(spark, sf_dir):
-    """Structured Streaming tumbling-window counts drained with an
-    availableNow trigger. The drain is a complete deterministic pass
-    over the source, so the batch-SQL oracle applies: window starts
-    are epoch-aligned hour floors of the µs event time."""
-    from universal_importer_duckdb_spark.streaming import events as se
-
-    _STREAM_COUNTER[0] += 1
-    stream = se.stream_events(spark, sf_dir)
-    out = se.run_available_now(
-        se.tumbling_counts(stream), f"q_stream_tumbling_{_STREAM_COUNTER[0]}",
-        output_mode="complete",
-    )
-    # Post-drain batch projection: timestamps → epoch µs (scalar,
-    # engine-portable; see parity rules in the module docstring).
-    return out.select(
-        F.unix_micros("window_start").alias("window_start_us"),
-        F.unix_micros("window_end").alias("window_end_us"),
-        "event_type",
-        "n_events",
-        "sum_value",
-    )
-
-
-STREAM_TUMBLING_SQL = """
-WITH e AS (
-  SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events)
-SELECT (us // 3600000000) * 3600000000 AS window_start_us,
-       (us // 3600000000) * 3600000000 + 3600000000 AS window_end_us,
-       event_type, COUNT(*) AS n_events,
-       CAST(round(SUM(value::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_value
-FROM e GROUP BY 1, 2, 3
-"""
-
-
-def stream_dedup_within_watermark(spark, sf_dir):
-    """Streaming first-wins dedup on event_id. event_id is unique in
-    the synthetic events table, so the drained result equals the full
-    (non-null) event set — which is exactly what makes the batch
-    oracle expressible while still exercising the streaming state
-    path."""
-    from universal_importer_duckdb_spark.streaming import events as se
-
-    _STREAM_COUNTER[0] += 1
-    stream = se.stream_events(spark, sf_dir)
-    out = se.run_available_now(
-        se.dedup_within_watermark(stream), f"q_stream_dedup_{_STREAM_COUNTER[0]}"
-    )
-    return out.select(
-        "event_id",
-        F.unix_micros("event_time").alias("us"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
-
-
-STREAM_DEDUP_SQL = """
-SELECT event_id, epoch_ns(ts) // 1000 AS us, user_id, event_type, value, props
-FROM events WHERE event_id IS NOT NULL
-"""
-
-
-def stream_enriched_segment_counts(spark, sf_dir):
-    """Stream-static dimension join drained with availableNow: events
-    enriched with the broadcast customer segment, tumbling hourly
-    counts per segment. The drain is a complete deterministic pass, so
-    the batch join+group SQL is the oracle (same epoch-µs projection
-    rules as stream_tumbling_hourly)."""
-    from universal_importer_duckdb_spark.streaming import events as se
-
-    _STREAM_COUNTER[0] += 1
-    stream = se.stream_events(spark, sf_dir)
-    customers = _t(spark, sf_dir, "customer")
-    out = se.run_available_now(
-        se.enriched_segment_counts(stream, customers),
-        f"q_stream_enriched_{_STREAM_COUNTER[0]}",
-        output_mode="complete",
-    )
-    return out.select(
-        F.unix_micros("window_start").alias("window_start_us"),
-        "c_mktsegment",
-        "n_events",
-    )
-
-
-STREAM_ENRICHED_SQL = """
-WITH e AS (
-  SELECT epoch_ns(ts) // 1000 AS us, user_id FROM events
-  WHERE event_id IS NOT NULL)
-SELECT (us // 3600000000) * 3600000000 AS window_start_us,
-       c.c_mktsegment, COUNT(*) AS n_events
-FROM e LEFT JOIN customer c ON e.user_id = c.c_custkey
-GROUP BY 1, 2
-"""
-
-
-def stream_simhash_neardup_dedup(spark, sf_dir):
-    """Streaming near-dup dedup: SimHash fingerprint columns on the
-    event stream, first-wins within the watermark per fingerprint
-    (streaming/events.simhash_neardup_dedup). Which row wins a
-    fingerprint within one microbatch is partition-order dependent, so
-    the drained result projects to the SURVIVING KEY SPACE — exactly
-    one row per distinct fingerprint seen — which is deterministic and
-    lets the oracle replay the fingerprint math bit-for-bit over the
-    same rows in SQL (same md5-halves majority-vote machinery as
-    docs_simhash_neardup)."""
-    from universal_importer_duckdb_spark.streaming import events as se
-
-    _STREAM_COUNTER[0] += 1
-    stream = se.stream_events(spark, sf_dir)
-    out = se.run_available_now(
-        se.simhash_neardup_dedup(stream),
-        f"q_stream_simhash_{_STREAM_COUNTER[0]}",
-    )
-    return out.select("fp_lo", "fp_hi").distinct()
-
-
-STREAM_SIMHASH_DEDUP_SQL = f"""
-WITH t AS (
-  SELECT string_split(coalesce(props, ''), ' ') AS toks
-  FROM events WHERE event_id IS NOT NULL),
-hh AS (
-  SELECT len(toks) AS n,
-    list_transform(toks, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS hi,
-    list_transform(toks, t -> ('0x'||substr(md5(t),9,8))::BIGINT) AS lo
-  FROM t)
-SELECT DISTINCT
-  {_simhash_fp_terms("lo")} AS fp_lo,
-  {_simhash_fp_terms("hi")} AS fp_hi
-FROM hh
-"""
-
-
-def multimodal_image_features(spark, sf_dir):
-    """Multimodal image path end-to-end with REAL decoding: synthesize
-    a valid PNG per document (dims and a per-row gray gradient derived
-    from doc_id; Up-filtered scanlines, so decode must actually
-    unfilter), wrap in the canonical media struct, then Arrow-batched
-    mapInPandas decode (signature+IHDR parse, zlib inflate, unfilter,
-    exact pixel sum). The oracle recomputes width/height/luma from the
-    same doc_id arithmetic — any decoder drift (wrong dims, bad
-    unfilter, off-by-one scanline) breaks the hash match."""
-    from universal_importer_duckdb_spark.operators.multimodal import (
-        attach_media_column,
-        encode_png_gray,
-        extract_image_features,
-    )
-
-    @F.pandas_udf("binary")
-    def synth_png(ids: pd.Series) -> pd.Series:
-        out = []
-        for doc_id in ids:
-            w = 8 + int(doc_id) % 32
-            h = 8 + (int(doc_id) // 32) % 32
-            rows = [[(int(doc_id) + r) % 256] * w for r in range(h)]
-            out.append(encode_png_gray(w, h, rows))
-        return pd.Series(out)
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    media = attach_media_column(
-        docs.withColumn("payload", synth_png("doc_id")),
-        "payload", "image/png", "doc_id",
-    )
-    return extract_image_features(media)
-
-
-def multimodal_video_features(spark, sf_dir):
-    """Multimodal VIDEO path end-to-end with REAL decoding of the
-    public uncompressed YUV4MPEG2 container (what `ffmpeg -f
-    yuv4mpegpipe` emits): synthesize a mono Y4M stream per document
-    (dims/frame-count/per-frame luma gradient derived from doc_id),
-    then mapInPandas header parse + FRAME walk with every-2nd-frame
-    sampling (skipped frames are seeked over, not decoded). The oracle
-    recomputes the sampled-frame luma from the same arithmetic —
-    header drift, frame-stride drift, or wrong sampling all break the
-    hash. Compressed codecs remain a documented NotImplementedError
-    (PyAV swap-point)."""
-    from universal_importer_duckdb_spark.operators.multimodal import (
-        attach_media_column,
-        encode_y4m_mono,
-        extract_video_features,
-    )
-
-    @F.pandas_udf("binary")
-    def synth_y4m(ids: pd.Series) -> pd.Series:
-        out = []
-        for doc_id in ids:
-            i = int(doc_id)
-            w = 4 + i % 8
-            h = 3 + i % 5
-            n_frames = 1 + i % 6
-            frames = [
-                bytes(((i * 7 + f * 13 + p) % 256) for p in range(w * h))
-                for f in range(n_frames)
-            ]
-            out.append(encode_y4m_mono(w, h, frames))
-        return pd.Series(out)
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    media = attach_media_column(
-        docs.withColumn("payload", synth_y4m("doc_id")),
-        "payload", "video/y4m", "doc_id",
-    )
-    return extract_video_features(media, sample_every=2)
-
-
-MULTIMODAL_VIDEO_SQL = """
-WITH d AS (
-  SELECT doc_id, 4 + doc_id % 8 AS width, 3 + doc_id % 5 AS height,
-         1 + doc_id % 6 AS n_frames
-  FROM documents WHERE doc_id < 200),
-fr AS (
-  SELECT doc_id, width, height, n_frames, unnest(range(0, n_frames)) AS f
-  FROM d),
-sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
-px AS (
-  SELECT doc_id, width, height, n_frames, f,
-         unnest(range(0, width * height)) AS p
-  FROM sampled),
-s AS (
-  SELECT doc_id, width, height, n_frames,
-         COUNT(DISTINCT f) AS n_sampled,
-         CAST(SUM((doc_id * 7 + f * 13 + p) % 256) AS BIGINT) AS luma_sum
-  FROM px GROUP BY doc_id, width, height, n_frames)
-SELECT doc_id AS item_id, 'video/y4m' AS media_type, width, height,
-       CAST(n_frames AS BIGINT) AS n_frames,
-       CAST(n_sampled AS BIGINT) AS n_sampled, luma_sum,
-       luma_sum / (width * height * n_sampled * 255) AS mean_luma
-FROM s
-"""
-
-
-MULTIMODAL_IMAGE_SQL = """
-WITH d AS (
-  SELECT doc_id, 8 + doc_id % 32 AS width, 8 + (doc_id // 32) % 32 AS height
-  FROM documents WHERE doc_id < 200),
-r AS (SELECT doc_id, width, height, unnest(range(0, height)) AS rr FROM d),
-s AS (SELECT doc_id, width, height,
-             CAST(SUM(((doc_id + rr) % 256) * width) AS BIGINT) AS luma_sum
-      FROM r GROUP BY doc_id, width, height)
-SELECT doc_id AS item_id, 'image/png' AS media_type, width, height, luma_sum,
-       luma_sum / (width * height * 255) AS mean_luma
-FROM s
-"""
-
-
-def multimodal_audio_features(spark, sf_dir):
-    """Multimodal audio path end-to-end with REAL decoding: synthesize
-    a valid PCM16 WAV per document (rate/length/amplitude derived from
-    doc_id), then mapInPandas RIFF-chunk decode with an exact integer
-    sum of squares for RMS. Constant amplitude A makes rms == A as an
-    exact double in both engines (A² and its mean are integers below
-    2^53, and IEEE sqrt is correctly rounded)."""
-    from universal_importer_duckdb_spark.operators.multimodal import (
-        attach_media_column,
-        encode_wav_pcm16,
-        extract_audio_features,
-    )
-
-    @F.pandas_udf("binary")
-    def synth_wav(ids: pd.Series) -> pd.Series:
-        out = []
-        for doc_id in ids:
-            i = int(doc_id)
-            rate = 8000 * (1 + i % 4)
-            n = 64 + i % 128
-            amp = 100 + (i % 500) * 50
-            out.append(encode_wav_pcm16(rate, 1, [amp] * n))
-        return pd.Series(out)
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    media = attach_media_column(
-        docs.withColumn("payload", synth_wav("doc_id")),
-        "payload", "audio/wav", "doc_id",
-    )
-    return extract_audio_features(media)
-
-
-MULTIMODAL_AUDIO_SQL = """
-WITH d AS (
-  SELECT doc_id, 8000 * (1 + doc_id % 4) AS sample_rate,
-         64 + doc_id % 128 AS n, 100 + (doc_id % 500) * 50 AS a
-  FROM documents WHERE doc_id < 200)
-SELECT doc_id AS item_id, 'audio/wav' AS media_type, sample_rate,
-       1 AS n_channels, CAST(n AS BIGINT) AS n_samples,
-       n / sample_rate AS duration_s, sqrt((a * a * n) / n) AS rms
-FROM d
-"""
-
-
-def stream_sliding_halfhour(spark, sf_dir):
-    """Overlapping sliding windows (1h window / 30m slide) over the
-    event stream. Each event lands in exactly two windows (starts at
-    floor(us/30m) and floor(us/30m)-1 slides) — the oracle unnests
-    that pair."""
-    from universal_importer_duckdb_spark.streaming import events as se
-
-    _STREAM_COUNTER[0] += 1
-    stream = se.stream_events(spark, sf_dir)
-    out = se.run_available_now(
-        se.sliding_counts(stream), f"q_stream_sliding_{_STREAM_COUNTER[0]}",
-        output_mode="complete",
-    )
-    return out.select(
-        F.unix_micros("window_start").alias("window_start_us"),
-        "event_type",
-        "n_events",
-    )
-
-
-STREAM_SLIDING_SQL = """
-WITH e AS (
-  SELECT (epoch_ns(ts) // 1000) // 1800000000 AS s0, event_type FROM events),
-u AS (
-  SELECT unnest([s0, s0 - 1]) AS s, event_type FROM e)
-SELECT s * 1800000000 AS window_start_us, event_type, COUNT(*) AS n_events
-FROM u GROUP BY s, event_type
-"""
-
-
-def stream_session_windows(spark, sf_dir):
-    """Gap-based session_window aggregation per user — the streaming
-    analog of events_sessionization. Spark session semantics: a
-    session's end is last_event + gap, and an event at >= the current
-    end starts a new session; the oracle replays that islands logic
-    with window functions."""
-    from universal_importer_duckdb_spark.streaming import events as se
-
-    _STREAM_COUNTER[0] += 1
-    stream = se.stream_events(spark, sf_dir)
-    out = se.run_available_now(
-        se.session_counts(stream), f"q_stream_session_{_STREAM_COUNTER[0]}",
-        output_mode="complete",
-    )
-    return out.select(
-        F.unix_micros("session_start").alias("session_start_us"),
-        F.unix_micros("session_end").alias("session_end_us"),
-        "user_id",
-        "n_events",
-    )
-
-
-STREAM_SESSION_SQL = """
-WITH e AS (
-  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
-m AS (
-  SELECT user_id, us,
-         CASE WHEN lag(us) OVER w IS NULL
-                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
-g AS (
-  SELECT user_id, us,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM m)
-SELECT MIN(us) AS session_start_us,
-       MAX(us) + 1800000000 AS session_end_us,
-       user_id, COUNT(*) AS n_events
-FROM g GROUP BY user_id, sid
-"""
-
-
-def stream_click_purchase_join(spark, sf_dir):
-    """Watermarked stream-stream interval join (click→purchase
-    attribution). The availableNow drain processes the single source
-    file in one micro-batch, so the inner join emits the complete
-    batch-equivalent result — which is why this streaming query CAN
-    carry a SQL oracle."""
-    from universal_importer_duckdb_spark.streaming import events as se
-
-    _STREAM_COUNTER[0] += 1
-    stream = se.stream_events(spark, sf_dir)
-    return se.run_available_now(
-        se.click_purchase_join(stream), f"q_stream_cpjoin_{_STREAM_COUNTER[0]}"
-    )
-
-
-STREAM_CP_JOIN_SQL = """
-SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-       p.value AS purchase_value,
-       epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
-FROM events c
-JOIN events p ON c.user_id = p.user_id
- AND c.event_type = 'click' AND p.event_type = 'purchase'
- AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-"""
-
-
-def emb_ivf_topk(spark, sf_dir):
-    """IVF approximate nearest neighbours: spherical-k-means lists +
-    probe-list pruning + exact re-rank (clustered-index alternative to
-    emb_ann_lsh_topk). Rows-only by the driver contract's iterative-
-    algorithm exemption (k-means training cannot be replayed in SQL),
-    but self-auditing: each returned row carries ``in_exact_topk``
-    (membership in the green exact emb_cosine_topk answer, computed in
-    the same job) and ``recall_at_k`` (their sum / k), so the
-    approximation quality is a checkable column, not a claim. On these
-    synthetic i.i.d.-gaussian embeddings the true top-k is spread
-    uniformly over lists, so recall ≈ nprobe/n_list by construction —
-    the deterministic seeded value is pinned in tests/test_extensions.py."""
-    from universal_importer_duckdb_spark.operators.similarity import (
-        cosine_topk_two_phase,
-        ivf_topk,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
-    qv = _query_vec(spark, sf_dir)
-    approx = ivf_topk(emb, qv, k=10, n_list=16, nprobe=4)
-    exact_ids = cosine_topk_two_phase(emb, qv, k=10).select("vec_id")
-    flagged = approx.join(
-        F.broadcast(exact_ids.withColumn("__hit", F.lit(1))), "vec_id", "left"
-    ).select(
-        "vec_id", "cosine", F.coalesce("__hit", F.lit(0)).alias("in_exact_topk")
-    )
-    w = Window.partitionBy()
-    return flagged.withColumn(
-        "recall_at_k", (F.sum("in_exact_topk").over(w) / F.lit(10.0))
-    )
-
-
-def stream_running_user_stats(spark, sf_dir):
-    """Custom stateful operator (applyInPandasWithState): running
-    per-user totals across micro-batches — per-key mutable state
-    beyond built-in windows. In update mode the memory sink appends a
-    row per (user, batch); max_by(n_events) keeps each user's final
-    totals regardless of how many micro-batches availableNow split
-    the source into, so the batch GROUP BY oracle applies."""
-    from universal_importer_duckdb_spark.streaming import events as se
-    from universal_importer_duckdb_spark.streaming.stateful import running_user_stats
-
-    _STREAM_COUNTER[0] += 1
-    stream = se.stream_events(spark, sf_dir)
-    out = se.run_available_now(
-        running_user_stats(stream), f"q_stream_stateful_{_STREAM_COUNTER[0]}",
-        output_mode="update",
-    )
-    return out.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max_by("total_value", "n_events").alias("total_value"),
-    )
-
-
-STREAM_STATEFUL_SQL = """
-SELECT user_id, COUNT(*) AS n_events,
-       CAST(round(SUM(value::DECIMAL(15,2)), 2) AS DOUBLE) AS total_value
-FROM events GROUP BY user_id
-"""
-
-
-def docs_neardup_clusters(spark, sf_dir):
-    """Near-dup PAIRS resolved into CLUSTERS (connected components by
-    min-label propagation) — the step that makes pairwise similarity
-    an actual dedup decision: keep exactly one doc per component.
-    Iterative (BSP rounds to the fixed point), but the fixed point
-    itself — min reachable doc_id — is declarative, so the oracle
-    replays it exactly with a recursive-CTE closure over the same
-    portable-minhash pair list."""
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        minhash_lsh_pairs,
-        neardup_clusters,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, num_perm=32, bands=8, shingle_n=5,
-                              jaccard_threshold=0.4, sample_mod=4,
-                              hasher="md5_28", portable_buckets=True)
-    return neardup_clusters(pairs, docs.select("doc_id"))
-
-
-NEARDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE
-p AS (SELECT id_a, id_b FROM ({MINHASH_LSH_SQL}) mh),
-e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-reach(n, m) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m
-)
-SELECT n AS doc_id, MIN(m) AS cluster_id, MIN(m) = n AS is_kept
-FROM reach GROUP BY n
-"""
-
-
-def emb_semdedup_clusters(spark, sf_dir):
-    """SemDeDup-style semantic dedup decision over EMBEDDINGS: LSH-
-    bucketed near-duplicate pairs (cosine >= 0.4, seeded hyperplanes)
-    resolved into connected components, keeping one representative
-    (min vec_id) per semantic cluster. The same pairs->clusters
-    machinery as docs_neardup_clusters, driven by vector similarity
-    instead of lexical MinHash — the dedup family that catches
-    paraphrases exact/lexical dedup misses. The oracle replays the
-    seeded bucketing + DECIMAL cosine verify, then the min-label
-    fixed point as a recursive-CTE closure."""
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        neardup_clusters,
-    )
-    from universal_importer_duckdb_spark.operators.similarity import (
-        embedding_near_pairs,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_pairs(
-        emb, cosine_threshold=0.4, n_planes=6
-    ).select("id_a", "id_b")
-    return neardup_clusters(pairs, emb.select("vec_id"), id_col="vec_id")
-
-
-EMB_SEMDEDUP_SQL = f"""
-WITH RECURSIVE
-p AS (SELECT id_a, id_b FROM ({EMB_NEAR_DUP_SQL}) np),
-e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-reach(n, m) AS (
-  SELECT vec_id, vec_id FROM embeddings
-  UNION
-  SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m
-)
-SELECT n AS vec_id, MIN(m) AS cluster_id, MIN(m) = n AS is_kept
-FROM reach GROUP BY n
-"""
-
-
-def docs_vocab_topk(spark, sf_dir):
-    """Corpus vocabulary: top-20 tokens by frequency (tokenizer
-    vocabulary-building primitive; k below the corpus vocabulary size
-    so the top-k truncation and tie-breaks are actually exercised).
-    One explode + one hash-aggregate with map-side combine +
-    per-partition top-k merge."""
-    from universal_importer_duckdb_spark.operators.text_analysis import vocabulary_topk
-
-    return vocabulary_topk(_t(spark, sf_dir, "documents"), k=20)
-
-
-VOCAB_TOPK_SQL = """
-SELECT token, COUNT(*) AS n
-FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
-WHERE token <> ''
-GROUP BY token ORDER BY n DESC, token LIMIT 20
-"""
-
-
-def docs_chunk_for_training(spark, sf_dir):
-    """Fixed-size token windows with overlap (32-token chunks, stride
-    24 — sized so the 10-99-token synthetic docs genuinely multi-chunk)
-    — the shaping step before LLM training/embedding. Emits the shape
-    (doc, chunk_idx, start, len) AND the materialized ``chunk_text``
-    slice — the actual training example a downstream tokenizer
-    consumes. Pure integer arithmetic plus one bounded explode and a
-    per-chunk token-array slice: narrow at any corpus size."""
-    from universal_importer_duckdb_spark.operators.text_analysis import chunk_documents
-
-    return chunk_documents(_t(spark, sf_dir, "documents"),
-                           chunk_size=32, stride=24)
-
-
-CHUNK_SQL = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-c AS (SELECT doc_id, toks, len(toks) AS n,
-             1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS k FROM t)
-SELECT doc_id, CAST(u AS BIGINT) AS chunk_idx,
-       CAST(u * 24 AS BIGINT) AS start_token,
-       CAST(least(32, n - u * 24) AS BIGINT) AS chunk_tokens,
-       array_to_string(list_slice(toks, u * 24 + 1,
-                                  u * 24 + least(32, n - u * 24)), ' ')
-         AS chunk_text
-FROM c, unnest(range(0, k)) AS t2(u)
-"""
-
-
-def docs_pii_scrub(spark, sf_dir):
-    """PII redaction + per-type counts. The synthetic corpus carries no
-    PII, so a deterministic per-doc suffix (doc_id-derived email/URL/
-    SSN-shaped spans) is appended first — the scrub then has real work
-    on every row and the oracle checks replacement AND counting
-    machinery non-vacuously."""
-    from universal_importer_duckdb_spark.operators.dedup_text import spread_for_compute
-    from universal_importer_duckdb_spark.operators.text_analysis import pii_scrub
-
-    # regex scrubbing is CPU-bound per row: spread the single-split
-    # local file across cores (no-op on wide inputs at real scale)
-    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    seeded = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
-            F.lit(" https://site"), F.col("doc_id"), F.lit(".example/x"),
-            F.when(F.col("doc_id") % 3 == 0,
-                   F.concat(F.lit(" ssn 123-45-"),
-                            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    return pii_scrub(seeded)
-
-
-_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_URL = "https?://[^ ]+"
-_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
-_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-_PII_ALT = "|".join([_PII_EMAIL, _PII_URL, _PII_SSN, _PII_IP])
-
-# DuckDB replica of the fused single-alternation-pass scrub: extract
-# all spans + split on the same alternation, classify each span by the
-# first pattern it fully matches (pattern order = priority), splice
-# replacement tokens between the segments.
-PII_SCRUB_SQL = f"""
-WITH seeded AS (
-  SELECT doc_id,
-         text || ' contact user' || doc_id || '@example.com'
-              || ' https://site' || doc_id || '.example/x'
-              || CASE WHEN doc_id % 3 = 0
-                      THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
-                      ELSE '' END AS text
-  FROM documents),
-x AS (
-  SELECT doc_id,
-         regexp_extract_all(text, '{_PII_ALT}') AS ms,
-         regexp_split_to_array(text, '{_PII_ALT}') AS segs
-  FROM seeded),
-y AS (
-  SELECT doc_id, ms, segs,
-         list_transform(ms, m -> CASE
-           WHEN regexp_full_match(m, '{_PII_EMAIL}') THEN '<EMAIL>'
-           WHEN regexp_full_match(m, '{_PII_URL}') THEN '<URL>'
-           WHEN regexp_full_match(m, '{_PII_SSN}') THEN '<SSN>'
-           ELSE '<IP>' END) AS toks
-  FROM x)
-SELECT doc_id,
-  segs[1] || array_to_string(
-    list_transform(range(1, len(ms) + 1), i -> toks[i] || segs[i + 1]), '')
-    AS clean_text,
-  CAST(len(list_filter(toks, t -> t = '<EMAIL>')) AS BIGINT) AS n_email,
-  CAST(len(list_filter(toks, t -> t = '<URL>')) AS BIGINT) AS n_url,
-  CAST(len(list_filter(toks, t -> t = '<SSN>')) AS BIGINT) AS n_ssn,
-  CAST(len(list_filter(toks, t -> t = '<IP>')) AS BIGINT) AS n_ip
-FROM y
-"""
-
-
-def docs_training_pipeline(spark, sf_dir):
-    """The full LLM training-corpus pipeline composed end-to-end:
-    quality filter → exact content dedup (min doc_id per normalized
-    md5) → near-dup CLUSTER dedup (portable MinHash pairs → connected
-    components → keep one representative per component) → fixed-size
-    token chunking. Returns the one-row corpus funnel — every count
-    depends on every upstream stage being exactly right, so the single
-    oracle row certifies the whole composition. Stage-level scale
-    shapes are each operator's own (narrow quality map, one dedup agg
-    shuffle, bucketed LSH, edge-sized BSP rounds, narrow chunking)."""
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        minhash_lsh_pairs,
-        neardup_clusters,
-    )
-    from universal_importer_duckdb_spark.operators.text_analysis import (
-        chunk_documents,
-        quality_filter,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    kept, _ = quality_filter(docs, min_tokens=10, min_alpha_ratio=0.5,
-                             max_digit_ratio=0.3, min_unique_token_ratio=0.1)
-    # the deduped frame fans out five ways (pair generation, cluster
-    # ids, survivor join, two funnel counts) — cache it, and the
-    # survivor frame (chunking + count). scoped_cache keeps cache()'s
-    # plan-equality reuse and registers both frames in the session
-    # ledger so long-lived sessions reclaim the storage via
-    # caching.release_scoped (no unbounded accumulation).
-    exact = (
-        kept.withColumn("__fp", F.md5(F.lower("text")))
-        .groupBy("__fp")
-        .agg(F.min("doc_id").alias("doc_id"), F.min_by("text", "doc_id").alias("text"))
-        .drop("__fp")
-    )
-    exact = _scoped_cache(exact)
-    pairs = minhash_lsh_pairs(exact, num_perm=32, bands=8, shingle_n=5,
-                              jaccard_threshold=0.4, sample_mod=4,
-                              hasher="md5_28", portable_buckets=True)
-    clusters = neardup_clusters(pairs, exact.select("doc_id"))
-    surv = _scoped_cache(exact.join(
-        clusters.filter("is_kept").select("doc_id"), "doc_id", "left_semi"
-    ))
-    chunks = chunk_documents(surv, chunk_size=32, stride=24)
-
-    def one(df, *aggs):
-        return F.broadcast(df.agg(*aggs))
-
-    return (
-        one(docs, F.count(F.lit(1)).alias("n_docs_in"))
-        .crossJoin(one(kept, F.count(F.lit(1)).alias("n_after_quality")))
-        .crossJoin(one(exact, F.count(F.lit(1)).alias("n_after_exact")))
-        .crossJoin(one(surv, F.count(F.lit(1)).alias("n_after_neardup")))
-        .crossJoin(
-            one(
-                chunks,
-                F.count(F.lit(1)).alias("total_chunks"),
-                F.sum("chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
-                # length of the MATERIALIZED chunk text — certifies the
-                # actual training-example payload inside the composed
-                # pipeline, not just the window arithmetic
-                F.sum(F.length("chunk_text")).cast("bigint")
-                .alias("total_chunk_chars"),
-            )
-        )
-    )
-
-
-TRAINING_PIPELINE_SQL = f"""
-WITH RECURSIVE
-sigq AS (
-  SELECT doc_id, text,
-    len(string_split(text, ' ')) AS n_tokens,
-    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
-    length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_ratio,
-    len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio
-  FROM documents),
-q AS (
-  SELECT doc_id, text FROM sigq
-  WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3 AND uniq_ratio >= 0.1),
-d AS (
-  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
-  FROM q GROUP BY md5(lower(text))),
-p AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(src="d")}) mh),
-e AS (SELECT id_a AS s, id_b AS dd FROM p UNION SELECT id_b, id_a FROM p),
-reach(n, m) AS (
-  SELECT doc_id, doc_id FROM d
-  UNION
-  SELECT r.n, e.dd FROM reach r JOIN e ON e.s = r.m),
-lab AS (SELECT n, MIN(m) AS cluster_id FROM reach GROUP BY n),
-surv AS (
-  SELECT d.doc_id, d.text FROM d JOIN lab ON d.doc_id = lab.n
-  WHERE lab.cluster_id = d.doc_id),
-ct AS (SELECT doc_id, string_split(text, ' ') AS toks,
-              len(string_split(text, ' ')) AS n FROM surv),
-ck AS (SELECT doc_id, toks, n,
-              1 + (greatest(n - 32, 0) + 23) // 24 AS k FROM ct),
-ch AS (SELECT doc_id, least(32, n - u * 24) AS chunk_tokens,
-              length(array_to_string(
-                list_slice(toks, u * 24 + 1, u * 24 + least(32, n - u * 24)),
-                ' ')) AS chunk_chars
-       FROM ck, unnest(range(0, k)) AS t2(u))
-SELECT
-  (SELECT COUNT(*) FROM documents) AS n_docs_in,
-  (SELECT COUNT(*) FROM q) AS n_after_quality,
-  (SELECT COUNT(*) FROM d) AS n_after_exact,
-  (SELECT COUNT(*) FROM surv) AS n_after_neardup,
-  (SELECT COUNT(*) FROM ch) AS total_chunks,
-  (SELECT CAST(SUM(chunk_tokens) AS BIGINT) FROM ch) AS total_chunk_tokens,
-  (SELECT CAST(SUM(chunk_chars) AS BIGINT) FROM ch) AS total_chunk_chars
-"""
-
-
-REGISTRY.update({
-    "docs_quality_filter_ids": (docs_quality_filter_ids, QUALITY_FILTER_SQL),
-    "docs_neardup_clusters": (docs_neardup_clusters, NEARDUP_CLUSTERS_SQL),
-    "docs_pii_scrub": (docs_pii_scrub, PII_SCRUB_SQL),
-    "docs_training_pipeline": (docs_training_pipeline, TRAINING_PIPELINE_SQL),
-    "docs_vocab_topk": (docs_vocab_topk, VOCAB_TOPK_SQL),
-    "docs_chunk_for_training": (docs_chunk_for_training, CHUNK_SQL),
-    "docs_bpe_token_count": (docs_bpe_token_count, BPE_SQL),
-    "events_dedup_first_by_key": (events_dedup_first_by_key, EVENTS_DEDUP_SQL),
-    "docs_corpus_prep": (docs_corpus_prep, CORPUS_PREP_SQL),
-    "docs_minhash_lsh_neardup": (docs_minhash_lsh_neardup, MINHASH_LSH_SQL),
-    "docs_simhash_neardup": (docs_simhash_neardup, SIMHASH_SQL),
-    "docs_rolling_sketch": (docs_rolling_sketch, ROLLING_SKETCH_SQL),
-    "emb_ann_lsh_topk": (emb_ann_lsh_topk, EMB_ANN_LSH_SQL),
-    "emb_ivf_topk": (emb_ivf_topk, None),
-    "emb_near_dup_pairs": (emb_near_dup_pairs, EMB_NEAR_DUP_SQL),
-    "emb_semdedup_clusters": (emb_semdedup_clusters, EMB_SEMDEDUP_SQL),
-    "stream_tumbling_hourly": (stream_tumbling_hourly, STREAM_TUMBLING_SQL),
-    "stream_dedup_within_watermark": (stream_dedup_within_watermark, STREAM_DEDUP_SQL),
-    "stream_simhash_neardup_dedup": (stream_simhash_neardup_dedup, STREAM_SIMHASH_DEDUP_SQL),
-    "stream_enriched_segment_counts": (stream_enriched_segment_counts, STREAM_ENRICHED_SQL),
-    "stream_sliding_halfhour": (stream_sliding_halfhour, STREAM_SLIDING_SQL),
-    "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
-    "stream_running_user_stats": (stream_running_user_stats, STREAM_STATEFUL_SQL),
-    "stream_click_purchase_join": (stream_click_purchase_join, STREAM_CP_JOIN_SQL),
-    "multimodal_image_features": (multimodal_image_features, MULTIMODAL_IMAGE_SQL),
-    "multimodal_audio_features": (multimodal_audio_features, MULTIMODAL_AUDIO_SQL),
-    "multimodal_video_features": (multimodal_video_features, MULTIMODAL_VIDEO_SQL),
-})
-
-
-def rollup_revenue(spark, sf_dir):
-    """ROLLUP subtotals (region, nation, grand total) — grouping-set
-    aggregation the reference lacks entirely (SURVEY.md §2.5 ABSENT)."""
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(
-            _msum(_dec("o_totalprice"), "revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-
-
-ROLLUP_SQL = """
-SELECT r_name, n_name,
-  CAST(round(SUM(o_totalprice::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue,
-  COUNT(*) AS n_orders
-FROM orders JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)
-"""
-
-
-def sql_passthrough_revenue(spark, sf_dir):
-    """Arbitrary config-style SQL through spark.sql over entity-named
-    temp views — the reference's projection-SQL entry path
-    (SURVEY.md §3.2) with full Spark SQL power."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql("""
-        SELECT c_mktsegment,
-               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue,
-               COUNT(*) AS n_orders
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment
-    """)
-
-
-SQL_PASSTHROUGH_SQL = """
-SELECT c_mktsegment,
-  CAST(round(SUM(o_totalprice::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue,
-  COUNT(*) AS n_orders
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-"""
-
-
-REGISTRY.update({
-    "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
-    "sql_passthrough_revenue": (sql_passthrough_revenue, SQL_PASSTHROUGH_SQL),
-})
-
-
-def q12_priority_shipmode(spark, sf_dir):
-    """Conditional aggregation (TPC-H q12 shape): urgent vs other
-    order counts per linestatus."""
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
-            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
-        )
-    )
-
-
-Q12_SQL = """
-SELECT l_linestatus,
-  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY l_linestatus
-"""
-
-
-def q13_customer_distribution(spark, sf_dir):
-    """Outer-join distribution (TPC-H q13 shape): how many customers
-    have k orders, including k = 0."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-Q13_SQL = """
-SELECT c_count, COUNT(*) AS custdist FROM (
-  SELECT c_custkey, COUNT(o_orderkey) AS c_count
-  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
-  GROUP BY c_custkey
-) GROUP BY c_count
-"""
-
-
-def q17_small_quantity_revenue(spark, sf_dir):
-    """Correlated scalar subquery (TPC-H q17 shape), decorrelated as a
-    per-part aggregate join: lineitems below 20%% of their part's
-    average quantity."""
-    li = _t(spark, sf_dir, "lineitem")
-    avg_per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
-    )
-    return (
-        li.join(avg_per_part, li.l_partkey == F.col("ap_partkey"))
-        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
-        .agg(
-            _msum(_dec("l_extendedprice"), "total_price"),
-            F.count(F.lit(1)).alias("n_small"),
-        )
-    )
-
-
-Q17_SQL = """
-WITH a AS (
-  SELECT l_partkey AS ap_partkey,
-         CAST(SUM(l_quantity::DECIMAL(15,2)) AS DOUBLE)/COUNT(*) AS avg_qty
-  FROM lineitem GROUP BY l_partkey)
-SELECT CAST(round(SUM(l_extendedprice::DECIMAL(15,2)), 2) AS DOUBLE) AS total_price,
-       COUNT(*) AS n_small
-FROM lineitem JOIN a ON l_partkey = ap_partkey
-WHERE l_quantity < 0.5 * avg_qty
-"""
-
-
-def like_filter_parts(spark, sf_dir):
-    """String pattern scan: LIKE with leading/trailing wildcards plus a
-    conjunction filter — the shape whose pushdown matters at scale."""
-    part = _t(spark, sf_dir, "part")
-    return part.filter(
-        F.col("p_name").like("%widget%") & (F.col("p_size") >= 10)
-    ).select("p_partkey", "p_name", "p_brand", "p_size")
-
-
-LIKE_SQL = """
-SELECT p_partkey, p_name, p_brand, p_size FROM part
-WHERE p_name LIKE '%widget%' AND p_size >= 10
-"""
-
-
-REGISTRY.update({
-    "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
-    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
-    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
-    "like_filter_parts": (like_filter_parts, LIKE_SQL),
-})
-
-
-def rolling_customer_spend(spark, sf_dir):
-    """Explicit window frame (ROWS BETWEEN): 3-order rolling spend per
-    customer in order-date order — frame specs the reference lacks
-    (SURVEY.md §2.6 ABSENT)."""
-    orders = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(-2, 0)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum(_dec("o_totalprice")).over(w), 2)
-        .cast("double")
-        .alias("rolling_spend_3"),
-    )
-
-
-ROLLING_SQL = """
-SELECT o_custkey, o_orderkey,
-  CAST(round(SUM(o_totalprice::DECIMAL(15,2)) OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_spend_3
-FROM orders
-"""
-
-
-def approx_distinct_customers_monthly(spark, sf_dir):
-    """Sketch-based distinct counting with a CERTIFIED error envelope
-    — the 100 TB cardinality path. COUNT(DISTINCT) forces a two-stage
-    expand shuffle of every key; HyperLogLog++ (approx_count_distinct,
-    rsd=2%) is a fixed-size MERGEABLE sketch: map-side partials, one
-    tiny shuffle, same cost profile at any scale. The emitted columns
-    are the per-month EXACT count plus an in-budget flag comparing the
-    (deterministic, seed-fixed) sketch estimate against it — so the
-    cross-engine oracle (which computes the exact count and asserts
-    the envelope as a literal) hash-certifies both the exact baseline
-    AND the claim that the sketch stayed inside its error budget; the
-    raw estimate itself is engine-specific and intentionally not
-    emitted (tests/test_extensions.py pins it locally). The budget is
-    max(5%, +/-2 absolute): Spark's HLL++ has no sparse mode, so tiny
-    groups carry quantization error (observed +/-1 at n=15) that a
-    pure relative bound misstates."""
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(
-            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
-        )
-        .agg(
-            F.count_distinct(F.col("o_custkey")).cast("bigint").alias("n_exact"),
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("__n_approx"),
-        )
-        .select(
-            "month",
-            "n_exact",
-            (
-                F.abs(F.col("__n_approx") - F.col("n_exact"))
-                <= F.greatest(F.col("n_exact") * 0.05, F.lit(2.0))
-            ).alias("approx_within_budget"),
-        )
-    )
-
-
-APPROX_DISTINCT_SQL = """
-SELECT date_trunc('month', o_orderdate)::DATE AS month,
-       COUNT(DISTINCT o_custkey) AS n_exact,
-       TRUE AS approx_within_budget
-FROM orders GROUP BY 1
-"""
-
-
-def monthly_revenue(spark, sf_dir):
-    """date_trunc time-bucketing of order revenue."""
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(
-            # DuckDB's date_trunc('month', ts) yields DATE; match it
-            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
-        )
-        .agg(
-            _msum(_dec("o_totalprice"), "revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-
-
-MONTHLY_SQL = """
-SELECT date_trunc('month', o_orderdate) AS month,
-  CAST(round(SUM(o_totalprice::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue,
-  COUNT(*) AS n_orders
-FROM orders GROUP BY 1
-"""
-
-
-def union_all_key_space(spark, sf_dir):
-    """UNION ALL with source tagging (set op the reference only
-    approximates with client-side concat — SURVEY.md §2.7)."""
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("key"), F.lit("customer").alias("src")
-    )
-    supp = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("key"), F.lit("supplier").alias("src")
-    )
-    return cust.unionByName(supp).groupBy("src").agg(
-        F.count(F.lit(1)).alias("n"), F.max("key").alias("max_key")
-    )
-
-
-UNION_SQL = """
-SELECT src, COUNT(*) AS n, MAX(key) AS max_key FROM (
-  SELECT c_custkey AS key, 'customer' AS src FROM customer
-  UNION ALL
-  SELECT s_suppkey AS key, 'supplier' AS src FROM supplier
-) GROUP BY src
-"""
-
-
-def in_subquery_sql(spark, sf_dir):
-    """IN (subquery) through the SQL surface — Catalyst rewrites it to
-    a semi join (the reference's dedup membership-test shape,
-    main.py:112-117)."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql("""
-        SELECT o_orderkey, o_custkey, o_orderstatus
-        FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-    """)
-
-
-IN_SUBQUERY_SQL = """
-SELECT o_orderkey, o_custkey, o_orderstatus
-FROM orders
-WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-"""
-
-
-REGISTRY.update({
-    "rolling_customer_spend": (rolling_customer_spend, ROLLING_SQL),
-    "monthly_revenue": (monthly_revenue, MONTHLY_SQL),
-    "approx_distinct_customers_monthly": (
-        approx_distinct_customers_monthly, APPROX_DISTINCT_SQL,
-    ),
-    "union_all_key_space": (union_all_key_space, UNION_SQL),
-    "in_subquery_sql": (in_subquery_sql, IN_SUBQUERY_SQL),
-})
-
-
-# ======================================================================
-# TPC-H breadth batch 2: q4/q6/q7/q9/q10/q14/q15/q16/q18/q19/q22
-# shapes (adapted to the synthetic tables: no partsupp, no
-# l_commitdate/l_receiptdate), plus CUBE and pivot
-# ======================================================================
-
-def q4_order_priority(spark, sf_dir):
-    """EXISTS with a cross-side inequality (q4 shape, adapted: lineitem
-    shipped after its order date stands in for commit/receipt lag)."""
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
-    return (
-        orders.join(li, cond, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-Q4_SQL = """
-SELECT o_orderpriority, COUNT(*) AS order_count
-FROM orders o
-WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
-GROUP BY o_orderpriority
-"""
-
-
-def q6_forecast_revenue(spark, sf_dir):
-    """Single-scan filtered aggregate (q6): the shape where predicate
-    pushdown to the parquet reader is the whole game at scale."""
-    li = _t(spark, sf_dir, "lineitem")
-    flt = li.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & F.col("l_discount").between(0.02, 0.06)
-        & (F.col("l_quantity") < 24)
-    )
-    return fixed_point_agg(
-        flt,
-        [],
-        sums=[FixedSum("revenue", _fx_ext2() * scaled("l_discount", 4, 5), 6)],
-        count_alias="n_rows",
-    )
-
-
-Q6_SQL = """
-SELECT CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*l_discount::DECIMAL(9,4)), 2) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_rows
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
-"""
-
-
-def q7_volume_shipping(spark, sf_dir):
-    """Two-nation shipping volume by year (q7): the same dimension
-    table broadcast twice under different roles."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
-    )
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
-    pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
-        .filter(pair)
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("bigint").alias("l_year"),
-        )
-        .agg(_msum(ext * (_one() - disc), "revenue"))
-    )
-
-
-Q7_SQL = """
-SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       date_part('year', l_shipdate) AS l_year,
-       CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation n1 ON s_nationkey = n1.n_nationkey
-JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-GROUP BY 1, 2, 3
-"""
-
-
-def q9_profit_by_nation_year(spark, sf_dir):
-    """Profit rollup (q9 shape; p_retailprice*quantity stands in for
-    the absent partsupp supplycost)."""
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    part = _t(spark, sf_dir, "part")
-    nation = _t(spark, sf_dir, "nation")
-    # cost = retailprice(2dp) * quantity(2dp): k=4, lifted to k=6 so
-    # the subtraction shares the revenue scale
-    cost6 = scaled("p_retailprice", 2) * scaled("l_quantity", 2) * F.lit(100).cast("bigint")
-    joined = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
-        .withColumn("nation", F.col("n_name"))
-        .withColumn("o_year", F.year("l_shipdate").cast("bigint"))
-    )
-    return fixed_point_agg(
-        joined,
-        ["nation", "o_year"],
-        sums=[FixedSum("sum_profit", _fx_revenue() - cost6, 6)],
-    )
-
-
-Q9_SQL = """
-SELECT n_name AS nation, date_part('year', l_shipdate) AS o_year,
-  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))
-              - p_retailprice::DECIMAL(15,2)*l_quantity::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_profit
-FROM lineitem JOIN part ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-GROUP BY 1, 2
-"""
-
-
-def q10_returned_items(spark, sf_dir):
-    """Top-20 customers by returned-item revenue (q10)."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_msum(ext * (_one() - disc), "revenue"))
-        .orderBy(F.desc("revenue"), "c_custkey")
-        .limit(20)
-    )
-
-
-Q10_SQL = """
-SELECT c_custkey, c_name, c_acctbal, n_name,
-  CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-GROUP BY 1, 2, 3, 4
-ORDER BY revenue DESC, c_custkey LIMIT 20
-"""
-
-
-def q14_promo_revenue(spark, sf_dir):
-    """Promotion revenue share (q14): conditional sum over a broadcast
-    part join; double division of two exact decimals is bit-stable."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
-    )
-    part = _t(spark, sf_dir, "part")
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
-    rev = ext * (_one() - disc)
-    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(5,4)"))).cast("double")
-    total = F.sum(rev).cast("double")
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .agg((F.lit(100.0) * promo / total).alias("promo_revenue_pct"))
-    )
-
-
-Q14_SQL = """
-SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-    THEN l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))
-    ELSE 0::DECIMAL(5,4) END) AS DOUBLE)
-  / CAST(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))) AS DOUBLE) AS promo_revenue_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-"""
-
-
-def q15_top_supplier(spark, sf_dir):
-    """Suppliers achieving the maximum quarterly revenue (q15): scalar
-    MAX subquery joined back on exact equality (exact because both
-    sides derive from the same exact-decimal rounding)."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
-    )
-    supp = _t(spark, sf_dir, "supplier")
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
-    rev = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(_msum(ext * (_one() - disc), "total_revenue"))
-    )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
-    return (
-        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
-        .join(supp, F.col("supplier_no") == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-Q15_SQL = """
-WITH rev AS (
-  SELECT l_suppkey AS supplier_no,
-    CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-  GROUP BY 1)
-SELECT s_suppkey, s_name, total_revenue
-FROM rev JOIN supplier ON supplier_no = s_suppkey
-WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
-"""
-
-
-def q16_supplier_part_count(spark, sf_dir):
-    """COUNT(DISTINCT) per part attribute (q16 shape, supplier keys
-    taken from lineitem in lieu of partsupp)."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
-    )
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-Q16_SQL = """
-SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
-GROUP BY 1, 2, 3
-"""
-
-
-def q18_large_orders(spark, sf_dir):
-    """Large-volume orders (q18): HAVING on a grouped sum, joined back
-    to orders and customers."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    big = fixed_point_agg(
-        li.select(F.col("l_orderkey").alias("big_okey"), "l_quantity"),
-        ["big_okey"],
-        sums=[FixedSum("sum_qty", scaled("l_quantity", 2), 2)],
-    ).filter(F.col("sum_qty") > 250)
-    return (
-        orders.join(big, orders.o_orderkey == F.col("big_okey"))
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
-        .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
-        .orderBy(F.desc("o_totalprice"), "o_orderkey")
-        .limit(100)
-    )
-
-
-Q18_SQL = """
-SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
-FROM orders
-JOIN (SELECT l_orderkey AS big_okey,
-        CAST(round(SUM(l_quantity::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_qty
-      FROM lineitem GROUP BY 1 HAVING sum_qty > 250) ON o_orderkey = big_okey
-JOIN customer ON o_custkey = c_custkey
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
-"""
-
-
-def q19_disjunctive_revenue(spark, sf_dir):
-    """Disjunction of conjunctive brand/size/quantity ranges (q19):
-    the OR-of-ANDs predicate Catalyst must not lose under pushdown."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
-    pred = (
-        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
-        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 20))
-        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 30))
-    )
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .filter(pred)
-        .agg(_msum(ext * (_one() - disc), "revenue"), F.count(F.lit(1)).alias("n_rows"))
-    )
-
-
-Q19_SQL = """
-SELECT CAST(round(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))), 2) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_rows
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
-   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
-"""
-
-
-def q22_idle_rich_customers(spark, sf_dir):
-    """Customers above the global positive-balance average with no
-    orders (q22 shape): scalar-average subquery + anti join, grouped
-    by market segment. The average routes through an exact decimal sum
-    so the threshold is bit-identical across engines."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0)
-        .agg(
-            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
-        )
-    )
-    return (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            _msum(_dec("c_acctbal"), "totacctbal"),
-        )
-    )
-
-
-Q22_SQL = """
-SELECT c_mktsegment, COUNT(*) AS numcust,
-  CAST(round(SUM(c_acctbal::DECIMAL(15,2)), 2) AS DOUBLE) AS totacctbal
-FROM customer c
-WHERE c_acctbal > (SELECT CAST(SUM(c_acctbal::DECIMAL(15,2)) AS DOUBLE)/COUNT(*)
-                   FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-GROUP BY c_mktsegment
-"""
-
-
-def cheapest_supplier_per_part(spark, sf_dir):
-    """Per-group argmin (q2 shape, lineitem unit price in lieu of
-    partsupp supplycost): window min with full-row tiebreak."""
-    li = _t(spark, sf_dir, "lineitem")
-    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
-    w = Window.partitionBy("l_partkey").orderBy(
-        "unit_price", "l_suppkey", "l_orderkey", "l_linenumber"
-    )
-    return (
-        li.select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", unit)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_partkey", "l_suppkey", "unit_price")
-    )
-
-
-CHEAPEST_SQL = """
-SELECT l_partkey, l_suppkey, unit_price FROM (
-  SELECT l_partkey, l_suppkey, l_extendedprice/l_quantity AS unit_price,
-    row_number() OVER (PARTITION BY l_partkey
-      ORDER BY l_extendedprice/l_quantity, l_suppkey, l_orderkey, l_linenumber) AS rn
-  FROM lineitem
-) WHERE rn = 1
-"""
-
-
-def cube_revenue(spark, sf_dir):
-    """CUBE over (region, nation): all grouping-set combinations
-    (complements rollup_revenue)."""
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .cube("r_name", "n_name")
-        .agg(
-            _msum(_dec("o_totalprice"), "revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-
-
-CUBE_SQL = """
-SELECT r_name, n_name,
-  CAST(round(SUM(o_totalprice::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue,
-  COUNT(*) AS n_orders
-FROM orders JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY CUBE (r_name, n_name)
-"""
-
-
-def pivot_status_by_segment(spark, sf_dir):
-    """Pivot order statuses into columns per market segment — Spark's
-    pivot() surfaced with a CASE-sum oracle."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_mktsegment")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .count()
-        .na.fill(0)
-        .select(
-            "c_mktsegment",
-            F.col("F").alias("n_f"),
-            F.col("O").alias("n_o"),
-            F.col("P").alias("n_p"),
-        )
-    )
-
-
-PIVOT_SQL = """
-SELECT c_mktsegment,
-  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-"""
-
-
-# ======================================================================
-# Function breadth: percentiles, analytic windows, string functions
-# ======================================================================
-
-def percentile_order_value(spark, sf_dir):
-    """Exact interpolated percentiles per order status — Spark
-    percentile() and DuckDB quantile_cont() share the
-    (1-d)*lower + d*upper definition and are bit-identical on these
-    inputs (verified empirically)."""
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
-            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
-            F.expr("percentile(o_totalprice, 0.99)").alias("p99_price"),
-        )
-    )
-
-
-PERCENTILE_SQL = """
-SELECT o_orderstatus,
-  quantile_cont(o_totalprice, 0.5) AS median_price,
-  quantile_cont(o_totalprice, 0.9) AS p90_price,
-  quantile_cont(o_totalprice, 0.99) AS p99_price
-FROM orders GROUP BY 1
-"""
-
-
-def window_analytics_orders(spark, sf_dir):
-    """Analytic-function breadth in one pass: lag/lead/first_value/
-    dense_rank/ntile over the per-customer order timeline (the
-    reference's only window function is ROW_NUMBER — SURVEY.md §2.6)."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
-        F.first("o_totalprice").over(w).alias("first_price"),
-        F.dense_rank().over(w).cast("bigint").alias("order_seq"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-    )
-
-
-WINDOW_ANALYTICS_SQL = """
-SELECT o_custkey, o_orderkey,
-  lag(o_totalprice) OVER w AS prev_price,
-  lead(o_totalprice) OVER w AS next_price,
-  first_value(o_totalprice) OVER w AS first_price,
-  dense_rank() OVER w AS order_seq,
-  ntile(4) OVER w AS quartile
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-"""
-
-
-def string_functions_customers(spark, sf_dir):
-    """Scalar string-function breadth (upper/substr/levenshtein/
-    reverse/translate/concat_ws) — the reference's only string ops are
-    regex match and error-message concat (SURVEY.md §2.8)."""
-    cust = _t(spark, sf_dir, "customer")
-    return cust.select(
-        "c_custkey",
-        F.upper("c_name").alias("upper_name"),
-        F.substring("c_name", 10, 9).alias("id_digits"),
-        F.levenshtein(F.col("c_name"), F.lit("Customer#000000000")).cast("bigint").alias("lev_dist"),
-        F.reverse(F.col("c_name")).alias("rev_name"),
-        F.translate(F.col("c_name"), "#0", "_x").alias("translated"),
-        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("seg_key"),
-    )
-
-
-STRING_FUNCS_SQL = """
-SELECT c_custkey,
-  upper(c_name) AS upper_name,
-  substr(c_name, 10, 9) AS id_digits,
-  levenshtein(c_name, 'Customer#000000000') AS lev_dist,
-  reverse(c_name) AS rev_name,
-  translate(c_name, '#0', '_x') AS translated,
-  concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key
-FROM customer
-"""
-
-
-REGISTRY.update({
-    "percentile_order_value": (percentile_order_value, PERCENTILE_SQL),
-    "window_analytics_orders": (window_analytics_orders, WINDOW_ANALYTICS_SQL),
-    "string_functions_customers": (string_functions_customers, STRING_FUNCS_SQL),
-})
-
-
-# ======================================================================
-# Rule-engine breadth (range/regex/set rules), referential integrity,
-# and skew-safe aggregation
-# ======================================================================
-
-MULTI_RULES = [
-    {"field": "o_totalprice", "validation": "range_between",
-     "params": {"min": 1000, "max": 500000}},
-    {"field": "o_orderpriority", "validation": "regex_match",
-     "params": {"pattern": "^[1-3]-"}},
-    {"field": "o_orderstatus", "validation": "value_in_set",
-     "params": {"allowed": ["F", "O"]}},
-]
-
-
-def rule_multi_skip_orders(spark, sf_dir):
-    """Three rule types applied sequentially in skip mode — the
-    pluggable-registry generalization of the reference's single
-    age_gte rule (SURVEY.md §2.4)."""
-    from universal_importer_duckdb_spark.operators.rules import execute_custom_validations
-
-    orders = _t(spark, sf_dir, "orders")
-    kept, _ = execute_custom_validations(orders, MULTI_RULES, mode="skip")
-    return kept
-
-
-RULE_MULTI_SQL = """
-SELECT * FROM orders
-WHERE NOT coalesce(o_totalprice < 1000 OR o_totalprice > 500000, FALSE)
-  AND NOT coalesce(NOT regexp_matches(o_orderpriority, '^[1-3]-'), FALSE)
-  AND NOT coalesce(o_orderstatus NOT IN ('F', 'O'), FALSE)
-"""
-
-
-def fk_orphan_orders(spark, sf_dir):
-    """Referential-integrity check as data: orders whose o_custkey has
-    no matching customer. customer scales with SF, so the lookup is
-    NOT hint-broadcast — AQE picks broadcast while it fits and falls
-    back to a shuffled anti join at scale."""
-    from universal_importer_duckdb_spark.operators.rules import referential_check
-
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    _, orphans = referential_check(
-        orders, cust, ["o_custkey"], ["c_custkey"], broadcast_lookup=False
-    )
-    return orphans.select("o_orderkey", "o_custkey")
-
-
-FK_ORPHAN_SQL = """
-SELECT o_orderkey, o_custkey FROM orders o
-WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-"""
-
-
-def salted_distinct_suppliers(spark, sf_dir):
-    """count(DISTINCT) via two-stage salted partial aggregation — the
-    skew-safe formulation (functions/skew.py) proven equivalent to the
-    plain COUNT(DISTINCT) oracle."""
-    from universal_importer_duckdb_spark.functions.skew import salted_count_distinct
-
-    li = _t(spark, sf_dir, "lineitem")
-    return salted_count_distinct(li, "l_returnflag", "l_suppkey", salt=8)
-
-
-SALTED_DISTINCT_SQL = """
-SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct_l_suppkey
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
-REGISTRY.update({
-    "rule_multi_skip_orders": (rule_multi_skip_orders, RULE_MULTI_SQL),
-    "fk_orphan_orders": (fk_orphan_orders, FK_ORPHAN_SQL),
-    "salted_distinct_suppliers": (salted_distinct_suppliers, SALTED_DISTINCT_SQL),
-})
-
-
-# ======================================================================
-# Temporal joins: as-of and interval range join (operators/temporal.py)
-# ======================================================================
-
-def events_asof_last_click(spark, sf_dir):
-    """For each purchase, the user's most recent click at-or-before it
-    (as-of backward join) — one shuffle on user_id via the
-    union+window formulation, matching DuckDB ASOF JOIN semantics."""
-    from universal_importer_duckdb_spark.operators.temporal import asof_join
-
-    ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    joined = asof_join(
-        purchases, clicks, on="user_id", ts_col="ts",
-        right_value_cols=["event_id", "ts", "value"],
-    )
-    return joined.select(
-        "event_id",
-        "user_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
-        F.col("asof_event_id").alias("click_event_id"),
-        F.expr("asof_ts DIV 1000").alias("click_ts_us"),
-        F.col("asof_value").alias("click_value"),
-    )
-
-
-ASOF_SQL = """
-SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-       c.event_id AS click_event_id, epoch_us(c.ts) AS click_ts_us,
-       c.value AS click_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
-"""
-
-_NS_5MIN = 300_000_000_000
-
-
-def events_range_join_error_windows(spark, sf_dir):
-    """Clicks falling inside the 5-minute window after each error
-    event, counted per incident (interval range join bucketized to an
-    equi shuffle join — fan-out <= 2 bucket copies per interval)."""
-    from universal_importer_duckdb_spark.operators.temporal import range_join_pairs
-
-    ev = _t(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("incident_id"), "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
-    )
-    pairs = range_join_pairs(
-        clicks, errors, on="user_id", point_ts="ts",
-        interval_start="ts", interval_len=_NS_5MIN,
-    )
-    counts = pairs.groupBy("incident_id").agg(
-        F.count(F.lit(1)).alias("n_clicks")
-    )
-    return (
-        errors.select("incident_id")
-        .join(counts, "incident_id", "left")
-        .na.fill({"n_clicks": 0})
-    )
-
-
-RANGE_JOIN_SQL = """
-SELECT e.event_id AS incident_id, count(c.event_id) AS n_clicks
-FROM (SELECT * FROM events WHERE event_type = 'error') e
-LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON c.user_id = e.user_id AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 5 MINUTE
-GROUP BY 1
-"""
-
-
-REGISTRY.update({
-    "events_asof_last_click": (events_asof_last_click, ASOF_SQL),
-    "events_range_join_error_windows": (events_range_join_error_windows, RANGE_JOIN_SQL),
-    "q4_order_priority": (q4_order_priority, Q4_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
-    "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q16_supplier_part_count": (q16_supplier_part_count, Q16_SQL),
-    "q18_large_orders": (q18_large_orders, Q18_SQL),
-    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
-    "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
-    "cheapest_supplier_per_part": (cheapest_supplier_per_part, CHEAPEST_SQL),
-    "cube_revenue": (cube_revenue, CUBE_SQL),
-    "pivot_status_by_segment": (pivot_status_by_segment, PIVOT_SQL),
-})
-
-
-# --- TPC-H breadth batch 3: q8 / q11 / q20 / q21 analogs --------------
-# The synthetic schema has no partsupp table and no commit/receipt
-# dates, so q11/q20/q21 are re-expressed on the available columns with
-# the same query SHAPE (scalar-subquery threshold, grouped-HAVING
-# semi-join, correlated EXISTS/NOT-EXISTS).
-
-
-def q8_market_share(spark, sf_dir):
-    """National market share (q8): share of NATION_3-supplied revenue
-    among PROMO parts sold to ASIA customers, by order year. Numerator
-    and denominator are exact decimal sums cast to double; their
-    division is then bit-stable across engines."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    part = _t(spark, sf_dir, "part")
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
-    vol = ext * (_one() - disc)
-    n_s = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    n_c = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rkey"))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(part.filter(F.col("p_type") == "PROMO"), li.l_partkey == F.col("p_partkey"))
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("c_rkey") == F.col("r_regionkey"))
-        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
-        .agg(
-            (
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)).cast("double")
-                / F.sum(vol).cast("double")
-            ).alias("mkt_share")
-        )
-    )
-
-
-Q8_SQL = """
-SELECT date_part('year', o_orderdate) AS o_year,
-       CAST(SUM(CASE WHEN n_s.n_name = 'NATION_3'
-           THEN l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4)) END) AS DOUBLE)
-     / CAST(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))) AS DOUBLE) AS mkt_share
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation n_s ON s_nationkey = n_s.n_nationkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation n_c ON c_nationkey = n_c.n_nationkey
-JOIN region ON n_c.n_regionkey = r_regionkey AND r_name = 'ASIA'
-GROUP BY 1
-"""
-
-
-def q11_important_parts(spark, sf_dir):
-    """Important-stock analog (q11, lineitem as the partsupp
-    surrogate): parts whose NATION_5-supplied revenue exceeds 0.1% of
-    the national total. The threshold comparison runs entirely in
-    exact decimal (value*1000 > total) — a double comparison would be
-    at the mercy of summation order on a borderline part."""
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
-    src = (
-        li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
-              F.col("s_nationkey") == F.col("n_nationkey"))
-    )
-    v = src.groupBy("l_partkey").agg(
-        F.sum(ext * (_one() - disc)).cast("decimal(18,6)").alias("__vdec")
-    )
-    total = v.agg(F.sum("__vdec").cast("decimal(22,6)").alias("__total"))
-    return (
-        v.crossJoin(F.broadcast(total))
-        .filter(F.col("__vdec") * F.lit(1000).cast("decimal(4,0)") > F.col("__total"))
-        .select("l_partkey", F.round(F.col("__vdec"), 2).cast("double").alias("part_value"))
-    )
-
-
-Q11_SQL = """
-WITH v AS (
-  SELECT l_partkey,
-         CAST(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))) AS DECIMAL(18,6)) AS vdec
-  FROM lineitem
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
-  GROUP BY l_partkey
-)
-SELECT l_partkey, CAST(round(vdec, 2) AS DOUBLE) AS part_value
-FROM v
-WHERE vdec * 1000::DECIMAL(4,0) > (SELECT CAST(SUM(vdec) AS DECIMAL(22,6)) FROM v)
-"""
-
-
-def q20_heavy_shippers(spark, sf_dir):
-    """Heavy-shipper analog (q20 shape): suppliers whose 1998 shipped
-    quantity of SMALL-type parts exceeds 50 — grouped-HAVING subquery
-    consumed via left-semi join. HAVING compares exact decimal sums."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    supp = _t(spark, sf_dir, "supplier")
-    heavy = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
-        )
-        .join(part.filter(F.col("p_type") == "SMALL"), li.l_partkey == F.col("p_partkey"))
-        .groupBy("l_suppkey")
-        .agg(F.sum(_dec("l_quantity")).alias("__q"))
-        .filter(F.col("__q") > F.lit(50).cast("decimal(15,2)"))
-    )
-    # heavy is post-aggregation keyed by supplier — at most |supplier|
-    # rows at any scale, so the semi join is always broadcastable
-    return supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
-        "s_suppkey", "s_name"
-    )
-
-
-Q20_SQL = """
-SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
-  SELECT l_suppkey FROM lineitem
-  JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
-  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
-  GROUP BY l_suppkey
-  HAVING SUM(l_quantity::DECIMAL(15,2)) > 50::DECIMAL(15,2)
-)
-"""
-
-
-def q21_waiting_suppliers(spark, sf_dir):
-    """Sole-blame analog (q21 shape, no receipt/commit dates in the
-    synthetic schema): per supplier, count returned lines ('R') on
-    finalized multi-supplier orders where no OTHER supplier had a
-    return. The correlated EXISTS / NOT EXISTS pair is evaluated as
-    ONE per-order aggregate (distinct suppliers, distinct R-suppliers)
-    joined back — one shuffle of (orderkey, suppkey) instead of two
-    self-join shuffles of the full table; 'no other R supplier' ⇔ the
-    order's distinct-R-supplier count is exactly 1 (it includes me)."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    supp = _t(spark, sf_dir, "supplier")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.size(F.collect_set("l_suppkey")).alias("__n_supp"),
-        F.size(
-            F.collect_set(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
-        ).alias("__n_r_supp"),
-    )
-    cand = (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(orders.filter(F.col("o_orderstatus") == "F"),
-              li.l_orderkey == F.col("o_orderkey"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("__n_supp") >= 2) & (F.col("__n_r_supp") == 1))
-    )
-    return (
-        cand.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-    )
-
-
-Q21_SQL = """
-SELECT s_name, count(*) AS numwait
-FROM supplier
-JOIN lineitem l1 ON s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
-JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
-WHERE EXISTS (
-  SELECT 1 FROM lineitem l2
-  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-) AND NOT EXISTS (
-  SELECT 1 FROM lineitem l3
-  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-    AND l3.l_returnflag = 'R'
-)
-GROUP BY s_name
-"""
-
-
-def q2_min_cost_supplier(spark, sf_dir):
-    """Min-cost supplier per part (q2 shape; lineitem supply totals
-    stand in for the absent partsupp supplycost): for every LARGE
-    part, the supplier(s) whose exact-decimal total supplied value is
-    the part's minimum, with supplier/nation detail. The correlated
-    scalar-min subquery is a window min over the per-(part, supplier)
-    aggregate — the agg output (|parts|×|suppliers| rows max) is tiny
-    relative to lineitem, so the second shuffle repartitions an
-    already-reduced frame; ties all surface, matching SQL semantics."""
-    from pyspark.sql import Window
-
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    ext, disc = _dec("l_extendedprice"), F.col("l_discount").cast("decimal(9,4)")
-    per = (
-        li.join(part.filter(F.col("p_type") == "LARGE"),
-                li.l_partkey == F.col("p_partkey"))
-        .groupBy("p_partkey", "p_brand", "l_suppkey")
-        .agg(F.sum(ext * (_one() - disc)).cast("decimal(22,6)").alias("__cost"))
-    )
-    w = Window.partitionBy("p_partkey")
-    return (
-        per.withColumn("__min", F.min("__cost").over(w))
-        .filter(F.col("__cost") == F.col("__min"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select(
-            "p_partkey", "p_brand", "s_name",
-            F.col("n_name").alias("supp_nation"),
-            F.round(F.col("__cost"), 2).cast("double").alias("supply_value"),
-        )
-    )
-
-
-Q2_SQL = """
-WITH per AS (
-  SELECT p_partkey, p_brand, l_suppkey,
-         CAST(SUM(l_extendedprice::DECIMAL(15,2)*(1::DECIMAL(5,4)-l_discount::DECIMAL(9,4))) AS DECIMAL(22,6)) AS cost
-  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
-  GROUP BY 1, 2, 3
-)
-SELECT p_partkey, p_brand, s_name, n_name AS supp_nation,
-       CAST(round(cost, 2) AS DOUBLE) AS supply_value
-FROM per
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-WHERE cost = (SELECT MIN(cost) FROM per p2 WHERE p2.p_partkey = per.p_partkey)
-"""
-
-
-REGISTRY.update({
-    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
-    "q8_market_share": (q8_market_share, Q8_SQL),
-    "q11_important_parts": (q11_important_parts, Q11_SQL),
-    "q20_heavy_shippers": (q20_heavy_shippers, Q20_SQL),
-    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
-})
-
-
-# ======================================================================
-# Corpus assembly (operators/corpus.py): split / mixing /
-# decontamination / sequence packing — round-5 additions
-# ======================================================================
-
-def docs_hash_split(spark, sf_dir):
-    """Deterministic train/val/test assignment by salted md5 of the
-    doc id (the only split rule stable under re-runs and incremental
-    ingest). Returns per-split counts — the whole assignment feeds the
-    aggregate, so the oracle certifies every row's bucket."""
-    from universal_importer_duckdb_spark.operators.corpus import hash_split
-
-    return (
-        hash_split(_t(spark, sf_dir, "documents"))
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("split")
-    )
-
-
-_SPLIT_B1 = int((1 << 28) * 0.98)
-_SPLIT_B2 = int((1 << 28) * 0.99)
-
-HASH_SPLIT_SQL = f"""
-WITH h AS (
-  SELECT ('0x'||substr(md5('split-v1:'||doc_id), 1, 7))::BIGINT AS hv
-  FROM documents)
-SELECT CASE WHEN hv < {_SPLIT_B1} THEN 'train'
-            WHEN hv < {_SPLIT_B2} THEN 'val' ELSE 'test' END AS split,
-       COUNT(*) AS n_docs
-FROM h GROUP BY 1 ORDER BY 1
-"""
-
-
-def docs_source_mixture(spark, sf_dir):
-    """Domain mixing: per-source hash-threshold downsampling (web
-    half-rate, synthetic 30%, everything else kept). Output is kept
-    docs per source — certifies the per-row keep decision via the
-    counts."""
-    from universal_importer_duckdb_spark.operators.corpus import (
-        source_mixture_sample,
-    )
-
-    kept = source_mixture_sample(
-        _t(spark, sf_dir, "documents"),
-        rates={"web": 0.5, "synthetic": 0.3},
-        default_rate=1.0,
-    )
-    return kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_kept")
-    ).orderBy("source")
-
-
-_MIX_WEB = int((1 << 28) * 0.5)
-_MIX_SYN = int((1 << 28) * 0.3)
-_MIX_DEF = 1 << 28
-
-SOURCE_MIXTURE_SQL = f"""
-WITH h AS (
-  SELECT source,
-         ('0x'||substr(md5('mix-v1:'||doc_id), 1, 7))::BIGINT AS hv
-  FROM documents)
-SELECT source, COUNT(*) AS n_kept
-FROM h
-WHERE hv < CASE source WHEN 'web' THEN {_MIX_WEB}
-                       WHEN 'synthetic' THEN {_MIX_SYN}
-                       ELSE {_MIX_DEF} END
-GROUP BY source ORDER BY source
-"""
-
-
-def docs_benchmark_contamination(spark, sf_dir):
-    """Decontamination screening (the GPT-3/Pile procedure): flag
-    training docs sharing any word 8-gram with the held-out benchmark
-    set. The synthetic stand-in benchmark is every 97th doc, so
-    contamination is non-vacuous (benchmark members flag themselves,
-    plus any true n-gram collisions). Per-doc overlap counts +
-    flags — full hash check."""
-    from universal_importer_duckdb_spark.operators.corpus import (
-        benchmark_ngram_overlap,
-    )
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
-
-    # per-gram md5 hashing is the CPU; spread the single-split local
-    # file across cores (no-op on wide inputs at real scale)
-    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    return benchmark_ngram_overlap(docs, bench, n=8)
-
-
-BENCHMARK_CONTAMINATION_SQL = """
-WITH g AS (
-  SELECT doc_id, toks, len(toks) AS nt
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)),
-dg AS (
-  SELECT doc_id, unnest(list_distinct(CASE WHEN nt >= 8 THEN
-    list_transform(range(1, nt - 6),
-      i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 7))::BIGINT)
-    ELSE [] END)) AS gram
-  FROM g),
-bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
-ov AS (
-  SELECT dg.doc_id, COUNT(*) AS n_overlap_ngrams
-  FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id)
-SELECT d.doc_id,
-       COALESCE(ov.n_overlap_ngrams, 0) AS n_overlap_ngrams,
-       COALESCE(ov.n_overlap_ngrams, 0) > 0 AS contaminated
-FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
-"""
-
-
-def docs_pack_sequences(spark, sf_dir):
-    """GPT-style sequence packing over the chunker's output: global
-    concat-and-split at 512 tokens via the two-level prefix sum
-    (operators/corpus.pack_token_sequences). Every chunk's
-    tokens_before/seq_id/seq_offset is hash-checked against the
-    oracle's one-level global window cumsum — certifying that the
-    scale-safe bucketed sum equals the textbook definition."""
-    from universal_importer_duckdb_spark.operators.corpus import (
-        pack_token_sequences,
-    )
-    from universal_importer_duckdb_spark.operators.text_analysis import (
-        chunk_documents,
-    )
-
-    chunks = chunk_documents(
-        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24,
-        with_text=False,
-    )
-    return pack_token_sequences(chunks, seq_len=512, bucket_width=64)
-
-
-PACK_SEQUENCES_SQL = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-c AS (SELECT doc_id, len(toks) AS n,
-             1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS k FROM t),
-ch AS (
-  SELECT doc_id, CAST(u AS BIGINT) AS chunk_idx,
-         CAST(least(32, n - u * 24) AS BIGINT) AS chunk_tokens
-  FROM c, unnest(range(0, k)) AS t2(u)),
-s AS (
-  SELECT doc_id, chunk_idx, chunk_tokens,
-         CAST(COALESCE(SUM(chunk_tokens) OVER (
-           ORDER BY doc_id, chunk_idx
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS tokens_before
-  FROM ch)
-SELECT doc_id, chunk_idx, chunk_tokens, tokens_before,
-       CAST(tokens_before // 512 AS BIGINT) AS seq_id,
-       CAST(tokens_before % 512 AS BIGINT) AS seq_offset
-FROM s
-"""
-
-
-def docs_source_token_stats_udaf(spark, sf_dir):
-    """True UDAF exemplar (SURVEY §2.9): a grouped-aggregate Arrow
-    pandas UDF computing per-source token-count statistics. The kernel
-    accumulates EXACT int64 sums (count, sum, sum of squares) in
-    numpy and derives mean and population variance each with ONE
-    double division of exact integers — the fixed-point discipline
-    that makes a Python aggregate bit-identical to the SQL oracle
-    regardless of summation order. Arrow moves each group once; the
-    aggregation state is three ints per group."""
-    import numpy as np
-
-    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
-    # agg() — the count is a pandas aggregate too
-    @F.pandas_udf("bigint")
-    def n_docs(n: pd.Series) -> int:
-        return len(n)
-
-    @F.pandas_udf("double")
-    def mean_tokens(n: pd.Series) -> float:
-        v = n.to_numpy(dtype=np.int64)
-        return float(int(v.sum()) / len(v))
-
-    @F.pandas_udf("double")
-    def var_tokens(n: pd.Series) -> float:
-        v = n.to_numpy(dtype=np.int64)
-        s = int(v.sum())
-        ssq = int(v @ v)
-        c = len(v)
-        return float((ssq * c - s * s) / (c * c))
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
-    )
-    return (
-        docs.groupBy("source")
-        .agg(
-            n_docs("n_tok").alias("n_docs"),
-            mean_tokens("n_tok").alias("mean_tokens"),
-            var_tokens("n_tok").alias("var_tokens"),
-        )
-        .orderBy("source")
-    )
-
-
-SOURCE_TOKEN_STATS_SQL = """
-WITH t AS (
-  SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents),
-a AS (
-  SELECT source, COUNT(*) AS c,
-         CAST(SUM(n_tok) AS BIGINT) AS s,
-         CAST(SUM(n_tok * n_tok) AS BIGINT) AS ssq
-  FROM t GROUP BY source)
-SELECT source, c AS n_docs,
-       s / c AS mean_tokens,
-       (ssq * c - s * s) / (c * c) AS var_tokens
-FROM a ORDER BY source
-"""
-
-
-def docs_repetition_signals(spark, sf_dir):
-    """Gopher/MassiveText repetition filters: top-bigram fraction +
-    adjacent-token repeat count per doc, with the repetitive flag.
-    Explode → two hash-aggs; exact-integer division once per doc."""
-    from universal_importer_duckdb_spark.operators.text_analysis import (
-        repetition_signals,
-    )
-
-    return repetition_signals(_t(spark, sf_dir, "documents"))
-
-
-REPETITION_SQL = """
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-b AS (
-  SELECT doc_id,
-         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs,
-         len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1])) AS adj
-  FROM t),
-e AS (SELECT doc_id, adj, unnest(bgs) AS bg FROM b),
-pb AS (SELECT doc_id, bg, COUNT(*) AS n, any_value(adj) AS adj
-       FROM e GROUP BY doc_id, bg),
-pd AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
-              CAST(MAX(n) AS BIGINT) AS top_bigram_n,
-              CAST(any_value(adj) AS BIGINT) AS n_adjacent_repeats
-       FROM pb GROUP BY doc_id)
-SELECT b.doc_id,
-       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
-       COALESCE(pd.top_bigram_n, 0) AS top_bigram_n,
-       CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
-            THEN pd.top_bigram_n / pd.n_bigrams ELSE 0.0 END AS top_bigram_frac,
-       COALESCE(pd.n_adjacent_repeats, b.adj) AS n_adjacent_repeats,
-       ((CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
-              THEN pd.top_bigram_n / pd.n_bigrams ELSE 0.0 END) > 0.2
-         AND COALESCE(pd.n_bigrams, 0) >= 10)
-         OR COALESCE(pd.n_adjacent_repeats, b.adj) >= 3 AS repetitive
-FROM b LEFT JOIN pd ON b.doc_id = pd.doc_id
-"""
-
-
-def docs_cross_doc_ngram_dup(spark, sf_dir):
-    """Cross-document duplicated 13-gram fraction per doc (Gopher's
-    memorized-span constant) — the inverted-index diagnostic that
-    measures whether dedup is done. Exact copies score 1.0."""
-    from universal_importer_duckdb_spark.operators.corpus import (
-        cross_doc_ngram_dup,
-    )
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
-
-    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    return cross_doc_ngram_dup(docs, n=13)
-
-
-CROSS_DOC_DUP_SQL = """
-WITH g AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-dg AS (
-  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 13 THEN
-    list_transform(range(1, len(toks) - 11),
-      i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i + 12), ' ')), 1, 7))::BIGINT)
-    ELSE [] END)) AS gram
-  FROM g),
-fr AS (SELECT gram, COUNT(*) AS dfc FROM dg GROUP BY gram),
-pd AS (
-  SELECT dg.doc_id, COUNT(*) AS n_grams,
-         CAST(SUM(CASE WHEN fr.dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
-  FROM dg JOIN fr USING (gram) GROUP BY dg.doc_id)
-SELECT d.doc_id,
-       CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
-       CAST(COALESCE(pd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
-       CASE WHEN COALESCE(pd.n_grams, 0) > 0
-            THEN pd.n_dup_grams / pd.n_grams ELSE 0.0 END AS dup_gram_frac
-FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-"""
-
-
-def docs_corpus_assembly_pipeline(spark, sf_dir):
-    """The COMPLETE corpus-assembly pipeline, every round-5 tier
-    composed end-to-end: source mixture sampling → quality filter →
-    exact content dedup → near-dup CLUSTER dedup → benchmark
-    decontamination (drop docs sharing an 8-gram with the held-out
-    set) → deterministic hash split → token chunking of the train
-    split → sequence packing at 512 tokens. One funnel row; every
-    count depends on every upstream stage being exactly right, so the
-    single oracle row certifies the whole composition. n_sequences
-    comes from the PACKED frame — ceil(max chunk END offset / 512),
-    where the end offset is tokens_before + chunk_tokens from the
-    two-level prefix sum — which the oracle checks against the closed
-    form ceil(total_tokens/512). The END offset (not max seq_id: a
-    boundary-straddling last chunk SPILLS into a sequence no chunk
-    starts in, so max(seq_id)+1 undercounts exactly then) is the
-    correct count, and equals the closed form iff the prefix sum is
-    exactly the dense global cumsum."""
-    from universal_importer_duckdb_spark.operators.corpus import (
-        benchmark_ngram_overlap,
-        hash_split,
-        pack_token_sequences,
-        source_mixture_sample,
-    )
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        minhash_lsh_pairs,
-        neardup_clusters,
-    )
-    from universal_importer_duckdb_spark.operators.text_analysis import (
-        chunk_documents,
-        quality_filter,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    mixed = source_mixture_sample(docs, rates={"web": 0.7}, default_rate=1.0)
-    kept, _ = quality_filter(mixed, min_tokens=10, min_alpha_ratio=0.5,
-                             max_digit_ratio=0.3, min_unique_token_ratio=0.1)
-    exact = _scoped_cache(
-        kept.withColumn("__fp", F.md5(F.lower("text")))
-        .groupBy("__fp")
-        .agg(F.min("doc_id").alias("doc_id"),
-             F.min_by("text", "doc_id").alias("text"))
-        .drop("__fp")
-    )
-    pairs = minhash_lsh_pairs(exact, num_perm=32, bands=8, shingle_n=5,
-                              jaccard_threshold=0.4, sample_mod=4,
-                              hasher="md5_28", portable_buckets=True)
-    clusters = neardup_clusters(pairs, exact.select("doc_id"))
-    surv = _scoped_cache(exact.join(
-        clusters.filter("is_kept").select("doc_id"), "doc_id", "left_semi"
-    ))
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    overlap = benchmark_ngram_overlap(surv, bench, n=8)
-    clean = _scoped_cache(surv.join(
-        overlap.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
-    ))
-    split = _scoped_cache(hash_split(clean))
-    train = split.filter(F.col("split") == "train")
-    chunks = _scoped_cache(
-        chunk_documents(train, chunk_size=32, stride=24, with_text=False)
-    )
-    packed = pack_token_sequences(chunks, seq_len=512, bucket_width=64)
-
-    def one(df, *aggs):
-        return F.broadcast(df.agg(*aggs))
-
-    return (
-        one(docs, F.count(F.lit(1)).alias("n_docs_in"))
-        .crossJoin(one(mixed, F.count(F.lit(1)).alias("n_after_mixture")))
-        .crossJoin(one(kept, F.count(F.lit(1)).alias("n_after_quality")))
-        .crossJoin(one(exact, F.count(F.lit(1)).alias("n_after_exact")))
-        .crossJoin(one(surv, F.count(F.lit(1)).alias("n_after_neardup")))
-        .crossJoin(one(clean, F.count(F.lit(1)).alias("n_after_decontam")))
-        .crossJoin(one(
-            split,
-            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
-            .cast("bigint").alias("n_train"),
-            F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
-            .cast("bigint").alias("n_val"),
-            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
-            .cast("bigint").alias("n_test"),
-        ))
-        .crossJoin(one(
-            chunks,
-            F.count(F.lit(1)).alias("total_chunks"),
-            F.sum("chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
-        ))
-        .crossJoin(one(
-            packed,
-            F.floor(
-                (F.coalesce(
-                    F.max(F.col("tokens_before") + F.col("chunk_tokens")),
-                    F.lit(0),
-                ) + F.lit(511)) / F.lit(512)
-            ).cast("bigint").alias("n_sequences"),
-        ))
-    )
-
-
-# split boundaries are the SAME 98/99% thresholds as docs_hash_split
-# (_SPLIT_B1/_SPLIT_B2 above) — one definition, or the two oracles
-# silently desynchronize
-_ASM_MIX_WEB = int((1 << 28) * 0.7)
-
-CORPUS_ASSEMBLY_SQL = f"""
-WITH RECURSIVE
-mix AS (
-  SELECT doc_id, text FROM documents
-  WHERE ('0x'||substr(md5('mix-v1:'||doc_id), 1, 7))::BIGINT
-        < CASE source WHEN 'web' THEN {_ASM_MIX_WEB} ELSE {1 << 28} END),
-sigq AS (
-  SELECT doc_id, text,
-    len(string_split(text, ' ')) AS n_tokens,
-    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
-    length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_ratio,
-    len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio
-  FROM mix),
-q AS (
-  SELECT doc_id, text FROM sigq
-  WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3 AND uniq_ratio >= 0.1),
-d AS (
-  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
-  FROM q GROUP BY md5(lower(text))),
-p AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(src="d")}) mh),
-e AS (SELECT id_a AS s, id_b AS dd FROM p UNION SELECT id_b, id_a FROM p),
-reach(n, m) AS (
-  SELECT doc_id, doc_id FROM d
-  UNION
-  SELECT r.n, e.dd FROM reach r JOIN e ON e.s = r.m),
-lab AS (SELECT n, MIN(m) AS cluster_id FROM reach GROUP BY n),
-surv AS (
-  SELECT d.doc_id, d.text FROM d JOIN lab ON d.doc_id = lab.n
-  WHERE lab.cluster_id = d.doc_id),
-sg AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM surv),
-sgr AS (
-  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8 THEN
-    list_transform(range(1, len(toks) - 6),
-      i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 7))::BIGINT)
-    ELSE [] END)) AS gram
-  FROM sg),
-bg AS (
-  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 8 THEN
-    list_transform(range(1, len(toks) - 6),
-      i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 7))::BIGINT)
-    ELSE [] END) AS gram
-  FROM (SELECT string_split(lower(text), ' ') AS toks
-        FROM documents WHERE doc_id % 97 = 0)),
-contaminated AS (SELECT DISTINCT sgr.doc_id FROM sgr JOIN bg USING (gram)),
-clean AS (
-  SELECT surv.doc_id, surv.text FROM surv
-  LEFT JOIN contaminated c ON surv.doc_id = c.doc_id
-  WHERE c.doc_id IS NULL),
-sp AS (
-  SELECT doc_id, text,
-    CASE WHEN ('0x'||substr(md5('split-v1:'||doc_id), 1, 7))::BIGINT < {_SPLIT_B1}
-         THEN 'train'
-         WHEN ('0x'||substr(md5('split-v1:'||doc_id), 1, 7))::BIGINT < {_SPLIT_B2}
-         THEN 'val' ELSE 'test' END AS split
-  FROM clean),
-ct AS (SELECT doc_id, len(string_split(text, ' ')) AS n
-       FROM sp WHERE split = 'train'),
-ck AS (SELECT doc_id, n, 1 + (greatest(n - 32, 0) + 23) // 24 AS k FROM ct),
-ch AS (SELECT doc_id, least(32, n - u * 24) AS chunk_tokens
-       FROM ck, unnest(range(0, k)) AS t2(u))
-SELECT
-  (SELECT COUNT(*) FROM documents) AS n_docs_in,
-  (SELECT COUNT(*) FROM mix) AS n_after_mixture,
-  (SELECT COUNT(*) FROM q) AS n_after_quality,
-  (SELECT COUNT(*) FROM d) AS n_after_exact,
-  (SELECT COUNT(*) FROM surv) AS n_after_neardup,
-  (SELECT COUNT(*) FROM clean) AS n_after_decontam,
-  (SELECT COUNT(*) FROM sp WHERE split = 'train') AS n_train,
-  (SELECT COUNT(*) FROM sp WHERE split = 'val') AS n_val,
-  (SELECT COUNT(*) FROM sp WHERE split = 'test') AS n_test,
-  (SELECT COUNT(*) FROM ch) AS total_chunks,
-  (SELECT CAST(SUM(chunk_tokens) AS BIGINT) FROM ch) AS total_chunk_tokens,
-  (SELECT CAST((SUM(chunk_tokens) + 511) // 512 AS BIGINT) FROM ch) AS n_sequences
-"""
-
-
-def docs_domain_cap(spark, sf_dir):
-    """Domain balancing: at most 10 docs per source, in doc_id order —
-    the web-corpus cap that stops one crawl domain from dominating the
-    mix. Runs the skew-safe two-stage top-k (operators/corpus.
-    cap_per_key: salted pre-sift bounds any hot key's final-window
-    input at k*salts); the oracle is the textbook one-stage window,
-    certifying the two-stage form computes the identical set."""
-    from universal_importer_duckdb_spark.operators.corpus import cap_per_key
-
-    return cap_per_key(
-        _t(spark, sf_dir, "documents"), "source", 10, ["doc_id"]
-    ).select("doc_id", "source", "rn")
-
-
-DOMAIN_CAP_SQL = """
-SELECT doc_id, source, rn FROM (
-  SELECT doc_id, source,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-  FROM documents) t
-WHERE rn <= 10
-"""
-
-
-def docs_stratified_sample(spark, sf_dir):
-    """Eval-set carving: a deterministic 15-doc uniform sample per
-    language, ranked by seeded md5 of the doc id (stable across
-    re-runs, repartitioning, and corpus growth — a new doc displaces
-    at most one sample member per stratum). The md5 order replays
-    exactly in the oracle's window."""
-    from universal_importer_duckdb_spark.operators.corpus import (
-        stratified_hash_sample,
-    )
-
-    return stratified_hash_sample(
-        _t(spark, sf_dir, "documents"), "lang", 15
-    ).select("doc_id", "lang", "rn")
-
-
-STRATIFIED_SAMPLE_SQL = """
-SELECT doc_id, lang, rn FROM (
-  SELECT doc_id, lang,
-         ROW_NUMBER() OVER (PARTITION BY lang
-           ORDER BY ('0x'||substr(md5('sample-v1:'||doc_id), 1, 7))::BIGINT,
-                    doc_id) AS rn
-  FROM documents) t
-WHERE rn <= 15
-"""
-
-
-def docs_char_trigram_familiarity(spark, sf_dir):
-    """Corpus-statistical gibberish scoring: mean document-frequency
-    ratio of each doc's distinct char trigrams (operators/
-    text_analysis.char_ngram_familiarity) — the model-free analog of
-    the CCNet LM-perplexity filter. Exact-integer inverted index; the
-    single final division is IEEE-identical cross-engine, so the
-    score is hash-checked, not approximated."""
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
-    from universal_importer_duckdb_spark.operators.text_analysis import (
-        char_ngram_familiarity,
-    )
-
-    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    return char_ngram_familiarity(docs)
-
-
-CHAR_TRIGRAM_FAMILIARITY_SQL = """
-WITH dg AS (
-  SELECT doc_id, unnest(list_distinct(
-    list_transform(range(1, length(lower(text)) - 1),
-                   i -> substr(lower(text), i, 3)))) AS g
-  FROM documents),
-gdf AS (SELECT g, COUNT(*) AS df FROM dg GROUP BY g),
-pd AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
-         CAST(SUM(df) AS BIGINT) AS df_sum
-  FROM dg JOIN gdf USING (g) GROUP BY doc_id),
-nd AS (SELECT COUNT(*) AS n_docs FROM documents)
-SELECT d.doc_id,
-       CAST(COALESCE(pd.n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams,
-       CASE WHEN pd.n_distinct_grams > 0
-            THEN pd.df_sum / (pd.n_distinct_grams * nd.n_docs)
-            ELSE 0.0 END AS familiarity
-FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN nd
-"""
-
-
-REGISTRY.update({
-    "docs_corpus_assembly_pipeline": (
-        docs_corpus_assembly_pipeline, CORPUS_ASSEMBLY_SQL,
-    ),
-    "docs_cross_doc_ngram_dup": (docs_cross_doc_ngram_dup, CROSS_DOC_DUP_SQL),
-    "docs_repetition_signals": (docs_repetition_signals, REPETITION_SQL),
-    "docs_source_token_stats_udaf": (
-        docs_source_token_stats_udaf, SOURCE_TOKEN_STATS_SQL,
-    ),
-    "docs_hash_split": (docs_hash_split, HASH_SPLIT_SQL),
-    "docs_source_mixture": (docs_source_mixture, SOURCE_MIXTURE_SQL),
-    "docs_benchmark_contamination": (
-        docs_benchmark_contamination, BENCHMARK_CONTAMINATION_SQL,
-    ),
-    "docs_pack_sequences": (docs_pack_sequences, PACK_SEQUENCES_SQL),
-    "docs_domain_cap": (docs_domain_cap, DOMAIN_CAP_SQL),
-    "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
-    "docs_char_trigram_familiarity": (
-        docs_char_trigram_familiarity, CHAR_TRIGRAM_FAMILIARITY_SQL,
-    ),
-})
-
-
-# ======================================================================
-# CDC / changelog algebra, SCD-2 history, weighted priority sampling,
-# keyword search, Z-order layout codes, certified quantile sketches
-# ======================================================================
-
-# 2024-01-16T00:00:00Z, the midpoint of the events timeline: the
-# snapshot/delta boundary for the incremental-merge entry
-_MERGE_SPLIT_NS = 1_705_363_200 * 1_000_000_000
-
-
-def events_changelog_state(spark, sf_dir):
-    """Changelog compaction to current state: events is an op-typed
-    CDC log over user_id ('error' = delete, anything else upsert);
-    latest (ts, event_id) wins. ONE hash-aggregate (max-struct with
-    map-side partials), not a window sort — the shape that survives a
-    100 TB log. The oracle replays it as the row_number window."""
-    from universal_importer_duckdb_spark.operators.changelog import (
-        changelog_current_state,
-    )
-
-    ev = _t(spark, sf_dir, "events")
-    state = changelog_current_state(
-        ev,
-        ["user_id"],
-        ["ts", "event_id"],
-        op_col="event_type",
-        delete_ops=("error",),
-        payload_cols=["value"],
-    )
-    return state.select(
-        "user_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
-        "event_id",
-        F.col("event_type").alias("last_op"),
-        F.col("value").alias("last_value"),
-        "n_versions",
-    )
-
-
-CHANGELOG_STATE_SQL = """
-WITH ranked AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn,
-         COUNT(*) OVER (PARTITION BY user_id) AS n_versions
-  FROM events)
-SELECT user_id, ts_us, event_id, event_type AS last_op,
-       value AS last_value, CAST(n_versions AS BIGINT) AS n_versions
-FROM ranked WHERE rn = 1 AND event_type <> 'error'
-"""
-
-
-def events_merge_upsert_state(spark, sf_dir):
-    """Incremental MERGE certification: snapshot the log below the
-    split timestamp, compact the rest into a delta (deletes retained
-    as tombstones), broadcast-MERGE the delta into the snapshot — and
-    the oracle checks the result equals the CURRENT STATE OF THE FULL
-    LOG, i.e. merge(state(log<T), compact(log>=T)) == state(log).
-    That algebra is what lets a 100 TB pipeline apply a day's CDC
-    batch without ever re-reading history; broadcast_delta means the
-    snapshot side never shuffles. (n_versions is not emitted: a
-    snapshot legitimately forgets the version counts of keys it
-    deleted, so only the merged STATE is oracle-comparable; the
-    additive version count is unit-tested.)"""
-    from universal_importer_duckdb_spark.operators.changelog import (
-        changelog_current_state,
-        merge_upsert,
-    )
-
-    ev = _t(spark, sf_dir, "events")
-    kw = dict(
-        key_cols=["user_id"],
-        seq_cols=["ts", "event_id"],
-        op_col="event_type",
-        delete_ops=("error",),
-        payload_cols=["value"],
-    )
-    base = changelog_current_state(ev.filter(F.col("ts") < _MERGE_SPLIT_NS), **kw)
-    delta = changelog_current_state(
-        ev.filter(F.col("ts") >= _MERGE_SPLIT_NS), keep_deletes=True, **kw
-    )
-    merged = merge_upsert(
-        base,
-        delta,
-        ["user_id"],
-        op_col="event_type",
-        delete_ops=("error",),
-        broadcast_delta=True,
-    )
-    return merged.select(
-        "user_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
-        "event_id",
-        F.col("event_type").alias("last_op"),
-        F.col("value").alias("last_value"),
-    )
-
-
-MERGE_UPSERT_SQL = """
-WITH ranked AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events)
-SELECT user_id, ts_us, event_id, event_type AS last_op, value AS last_value
-FROM ranked WHERE rn = 1 AND event_type <> 'error'
-"""
-
-
-def events_scd2_history(spark, sf_dir):
-    """SCD type-2 validity intervals over each user's purchase
-    timeline: every purchase holds [its ts, the next purchase's ts),
-    open-ended and flagged current for the latest. One window shuffle
-    partitioned by user."""
-    from universal_importer_duckdb_spark.operators.changelog import scd2_intervals
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    hist = scd2_intervals(
-        ev, ["user_id"], ["ts", "event_id"], payload_cols=["value"]
-    )
-    return hist.select(
-        "user_id",
-        "event_id",
-        "value",
-        F.expr("valid_from DIV 1000").alias("valid_from_us"),
-        F.expr("valid_to DIV 1000").alias("valid_to_us"),
-        "is_current",
-    )
-
-
-SCD2_SQL = """
-SELECT user_id, event_id, value,
-       epoch_us(ts) AS valid_from_us,
-       epoch_us(LEAD(ts) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id)) AS valid_to_us,
-       LEAD(ts) OVER (PARTITION BY user_id
-                      ORDER BY ts, event_id) IS NULL AS is_current
-FROM events WHERE event_type = 'purchase'
-"""
-
-
-def stream_incremental_upsert_state(spark, sf_dir):
-    """Streaming CDC upsert: drain the event stream through per-batch
-    compaction + seq-aware broadcast MERGE (streaming/upsert.py) and
-    emit the final current state. Batch-split-independent by
-    construction (last-write-wins on (ts, event_id) with tombstone
-    retention), so the oracle is simply the batch current state of
-    the full log."""
-    from universal_importer_duckdb_spark.streaming import events as se
-    from universal_importer_duckdb_spark.streaming.upsert import incremental_state
-
-    _STREAM_COUNTER[0] += 1
-    stream = se.stream_events(spark, sf_dir).select(
-        "user_id",
-        F.unix_micros(F.col("event_time")).alias("ts_us"),
-        "event_id",
-        "event_type",
-        "value",
-    )
-    state = incremental_state(
-        stream,
-        ["user_id"],
-        ["ts_us", "event_id"],
-        op_col="event_type",
-        delete_ops=("error",),
-        payload_cols=["value"],
-    )
-    return state.select(
-        "user_id",
-        "ts_us",
-        "event_id",
-        F.col("event_type").alias("last_op"),
-        F.col("value").alias("last_value"),
-    )
-
-
-def docs_priority_sample(spark, sf_dir):
-    """Weighted 100-doc sample by sequential Poisson (priority)
-    sampling, weight = n_chars: deterministic, transcendental-free,
-    replayed bit-exactly by the oracle (the priority is one double
-    division of two exact integers). Top-k is TakeOrderedAndProject —
-    no global sort at any corpus size."""
-    from universal_importer_duckdb_spark.operators.corpus import priority_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    return priority_sample(docs, 100, "n_chars").select(
-        "doc_id", "n_chars", "priority"
-    )
-
-
-PRIORITY_SAMPLE_SQL = """
-WITH p AS (
-  SELECT doc_id, n_chars,
-         ('0x'||substr(md5('prio-v1:'||doc_id), 1, 7))::BIGINT
-           / CAST(round(n_chars * 1000000) AS BIGINT) AS priority
-  FROM documents WHERE CAST(round(n_chars * 1000000) AS BIGINT) > 0)
-SELECT doc_id, n_chars, priority FROM p ORDER BY priority, doc_id LIMIT 100
-"""
-
-
-def docs_keyword_search_topk(spark, sf_dir):
-    """BM25-family keyword retrieval (rational idf — see search.py:
-    log-free so every arithmetic step is an IEEE op both engines
-    execute identically) for the query {hash, join, stream}: one
-    narrow tf/doclen map, one broadcast one-row corpus-stats
-    aggregate, TakeOrderedAndProject top-20."""
-    from universal_importer_duckdb_spark.operators.search import keyword_search_topk
-
-    docs = _t(spark, sf_dir, "documents")
-    return keyword_search_topk(docs, ("hash", "join", "stream"), k=20)
-
-
-def _bm25_term_sql(t: str) -> str:
-    ln = ("(1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *"
-          " ((doclen * n_docs) / sum_len)))")
-    return (
-        f"(((n_docs - df_{t}) + 0.5::DOUBLE) / (df_{t} + 0.5::DOUBLE))"
-        f" * (tf_{t} * 2.2::DOUBLE) / (tf_{t} + {ln})"
-    )
-
-
-KEYWORD_SEARCH_SQL = f"""
-WITH tf AS (
-  SELECT doc_id,
-         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
-                              x -> x = 'hash')) AS BIGINT) AS tf_hash,
-         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
-                              x -> x = 'join')) AS BIGINT) AS tf_join,
-         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
-                              x -> x = 'stream')) AS BIGINT) AS tf_stream,
-         CAST(len(string_split(lower(coalesce(text,'')), ' ')) AS BIGINT)
-           AS doclen
-  FROM documents),
-st AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(doclen) AS BIGINT) AS sum_len,
-         CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS df_hash,
-         CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS df_join,
-         CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS df_stream
-  FROM tf)
-SELECT doc_id, tf_hash, tf_join, tf_stream,
-       {_bm25_term_sql('hash')}
-     + {_bm25_term_sql('join')}
-     + {_bm25_term_sql('stream')} AS score
-FROM tf CROSS JOIN st
-ORDER BY score DESC, doc_id LIMIT 20
-"""
-
-
-def docs_tokens_udtf(spark, sf_dir):
-    """Python UDTF exemplar (completes the UDF/UDAF/stateful/codec API
-    matrix): an Arrow-optimized user-defined TABLE function emitting
-    (pos, token) rows per document through a LATERAL join. The
-    semantics are deliberately SQL-replayable (positional tokenize,
-    skip empties, keep original 1-based positions) so even the Python
-    table function gets a bit-exact oracle. The built-in explode
-    covers this in production plans — the entry certifies the API
-    path for logic that genuinely needs imperative Python row
-    generation."""
-    from pyspark.sql.functions import udtf
-
-    @udtf(returnType="pos: bigint, token: string", useArrow=True)
-    class TokenEmitter:
-        def eval(self, text: str):
-            for i, t in enumerate((text or "").split(" ")):
-                if t:
-                    yield i + 1, t
-
-    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
-    spark.udtf.register("token_emitter", TokenEmitter)
-    return spark.sql(
-        "SELECT t.doc_id, e.pos, e.token "
-        "FROM __udtf_docs t, LATERAL token_emitter(t.text) e"
-    )
-
-
-TOKENS_UDTF_SQL = """
-SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.t AS token
-FROM (SELECT doc_id, unnest([struct_pack(p := i, t := toks[i])
-                             for i in generate_series(1, len(toks))]) AS u
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
-WHERE u.t <> ''
-"""
-
-
-def docs_hybrid_search_rrf(spark, sf_dir):
-    """Hybrid retrieval: BM25 keyword top-50 and exact-cosine vector
-    top-50 fused by reciprocal-rank fusion (operators/search.py::
-    rrf_fuse) — the lexical+semantic retrieval stack in one
-    oracle-certified query. Both rankers are the already-certified
-    components (rational-idf BM25; DECIMAL cosine); ranks come from
-    deterministic (score desc, id) orderings, and the fuse is rank-
-    based 1/(60+r) arithmetic, identical IEEE ops both engines. The
-    rank windows run on 50-row frames, so their single-partition
-    execution is free; embeddings row i is document i's vector in the
-    synthetic schema."""
-    from universal_importer_duckdb_spark.operators.search import (
-        keyword_search_topk,
-        rrf_fuse,
-    )
-    from universal_importer_duckdb_spark.operators.similarity import (
-        cosine_topk_two_phase,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    # latency-bound interactive query: on a corpus known small (parquet
-    # footer), window-inline the corpus stats — one tokenization, no
-    # broadcast job, stage overlaps the vector branch (search.py
-    # docstring); unknown/large corpora keep the broadcast shape
-    n_docs_hint = _footer_rows(sf_dir, "documents")
-    kw = keyword_search_topk(
-        docs,
-        ("hash", "join", "stream"),
-        k=50,
-        stats="window" if n_docs_hint is not None and n_docs_hint <= 100_000 else "broadcast",
-    )
-    wk = Window.orderBy(F.desc("score"), "doc_id")
-    kwr = kw.select("doc_id", F.row_number().over(wk).alias("rank"))
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
-    vec = cosine_topk_two_phase(
-        emb,
-        _query_vec(spark, sf_dir),
-        k=50,
-        size_hint=_footer_rows(sf_dir, "embeddings"),
-    )
-    wv = Window.orderBy(F.desc("cosine"), "vec_id")
-    vecr = vec.select(
-        F.col("vec_id").alias("doc_id"), F.row_number().over(wv).alias("rank")
-    )
-    return rrf_fuse([kwr, vecr], k_rrf=60, k=20).withColumnsRenamed(
-        {"rank_0": "rank_kw", "rank_1": "rank_vec"}
-    )
-
-
-HYBRID_RRF_SQL = f"""
-WITH tf AS (
-  SELECT doc_id,
-         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
-                              x -> x = 'hash')) AS BIGINT) AS tf_hash,
-         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
-                              x -> x = 'join')) AS BIGINT) AS tf_join,
-         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
-                              x -> x = 'stream')) AS BIGINT) AS tf_stream,
-         CAST(len(string_split(lower(coalesce(text,'')), ' ')) AS BIGINT)
-           AS doclen
-  FROM documents),
-st AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(doclen) AS BIGINT) AS sum_len,
-         CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS df_hash,
-         CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS df_join,
-         CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS df_stream
-  FROM tf),
-kw AS (
-  SELECT doc_id,
-         {_bm25_term_sql('hash')}
-     + {_bm25_term_sql('join')}
-     + {_bm25_term_sql('stream')} AS score
-  FROM tf CROSS JOIN st ORDER BY score DESC, doc_id LIMIT 50),
-kwr AS (
-  SELECT doc_id,
-         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-           AS rank_kw
-  FROM kw),
-q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-s AS (SELECT vec_id,
-        {_SQL_DOT.format(a="embedding::DOUBLE[]", b="qv")} AS dot,
-        {_SQL_N2.format(a="embedding::DOUBLE[]")} AS n1,
-        {_SQL_N2.format(a="qv")} AS n2
-      FROM embeddings, q WHERE vec_id > 0),
-vec AS (SELECT vec_id, dot/(sqrt(n1)*sqrt(n2)) AS cosine
-        FROM s ORDER BY cosine DESC, vec_id LIMIT 50),
-vecr AS (
-  SELECT vec_id AS doc_id,
-         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
-           AS rank_vec
-  FROM vec)
-SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, k.rank_kw, v.rank_vec,
-       COALESCE(1.0/(60 + k.rank_kw), 0.0)
-         + COALESCE(1.0/(60 + v.rank_vec), 0.0) AS rrf_score
-FROM kwr k FULL OUTER JOIN vecr v ON k.doc_id = v.doc_id
-ORDER BY rrf_score DESC, doc_id LIMIT 20
-"""
-
-
-def orders_zorder_codes(spark, sf_dir):
-    """Z-order layout codes: Morton-interleave customer key and order
-    day so range-partitioning on the code yields files with tight
-    min/max stats on BOTH dimensions (multi-dim data skipping — the
-    100 TB scan-pruning lever). Pure integer shift/mask arithmetic,
-    whole-stage codegen, bit-identical in the oracle."""
-    from universal_importer_duckdb_spark.operators.layout import morton_code
-
-    orders = _t(spark, sf_dir, "orders")
-    zx = F.col("o_custkey").bitwiseAND(F.lit(65535)).cast("bigint")
-    zy = (
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
-        )
-        .cast("bigint")
-        .bitwiseAND(F.lit(65535).cast("bigint"))
-    )
-    base = orders.select(
-        "o_orderkey", zx.alias("zx"), zy.alias("zy")
-    )
-    return base.select(
-        "o_orderkey", "zx", "zy", morton_code("zx", "zy").alias("zcode")
-    )
-
-
-def _zorder_sql() -> str:
-    from universal_importer_duckdb_spark.operators.layout import morton_code_sql
-
-    return f"""
-WITH base AS (
-  SELECT o_orderkey,
-         (o_custkey & 65535) AS zx,
-         (date_diff('day', DATE '1992-01-01', o_orderdate::DATE) & 65535)
-           AS zy
-  FROM orders)
-SELECT o_orderkey, zx, zy, {morton_code_sql('zx', 'zy')} AS zcode FROM base
-"""
-
-
-def orders_quantile_envelope(spark, sf_dir):
-    """Grouped quantiles with a CERTIFIED sketch envelope — the
-    100 TB quantile path (same contract as the HLL++ entry): the
-    emitted p50/p90 are EXACT order statistics (rank = ceil(q*n) via
-    one window pass — the verifiable baseline), and the within-budget
-    flags compare Spark's mergeable GK sketch (percentile_approx,
-    accuracy 1000, map-side partials + one tiny shuffle — the shape
-    you'd actually run at scale) against them. The oracle recomputes
-    the exact order stats and asserts the envelope as a literal, so a
-    sketch drifting out of its ±5% budget fails the hash check."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    wc = Window.partitionBy("o_orderpriority")
-    r = (
-        orders.select("o_orderpriority", "o_totalprice", "o_orderkey")
-        .withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .withColumn("n", F.count(F.lit(1)).over(wc).cast("bigint"))
-    )
-    exact = r.groupBy("o_orderpriority").agg(
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("o_totalprice"))
-        ).alias("p50_exact"),
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("o_totalprice"))
-        ).alias("p90_exact"),
-    )
-    approx = orders.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("__a50"),
-        F.percentile_approx("o_totalprice", 0.9, 1000).alias("__a90"),
-    )
-    return exact.join(approx, "o_orderpriority").select(
-        "o_orderpriority",
-        "p50_exact",
-        "p90_exact",
-        (F.abs(F.col("__a50") - F.col("p50_exact")) <= F.col("p50_exact") * 0.05)
-        .alias("p50_within_budget"),
-        (F.abs(F.col("__a90") - F.col("p90_exact")) <= F.col("p90_exact") * 0.05)
-        .alias("p90_within_budget"),
-    )
-
-
-QUANTILE_ENVELOPE_SQL = """
-WITH r AS (
-  SELECT o_orderpriority, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice, o_orderkey) AS rn,
-         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-  FROM orders)
-SELECT o_orderpriority,
-       MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
-                THEN o_totalprice END) AS p50_exact,
-       MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
-                THEN o_totalprice END) AS p90_exact,
-       TRUE AS p50_within_budget, TRUE AS p90_within_budget
-FROM r GROUP BY o_orderpriority
-"""
-
-
-def orders_data_profile(spark, sf_dir):
-    """Dataset profiling (the "data card"): per-column null counts,
-    exact distinct cardinalities, and min/max ranges in ONE scan (a
-    single multi-aggregate with map-side partials; the unpivot to
-    long form runs on the one-row result). Money doubles render
-    through DECIMAL(15,2) and timestamps through DATE so the string
-    forms are cross-engine identical."""
-    from universal_importer_duckdb_spark.operators.profile import profile_table
-
-    orders = _t(spark, sf_dir, "orders")
-    return profile_table(
-        orders,
-        render={"o_totalprice": "decimal(15,2)", "o_orderdate": "date"},
-    )
-
-
-def _profile_block(col: str, cast_to: str | None = None) -> str:
-    e = f"CAST({col} AS {cast_to})" if cast_to else col
-    return f"""
-SELECT '{col}' AS "column",
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
-       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
-       CAST(MIN({e}) AS VARCHAR) AS min_value,
-       CAST(MAX({e}) AS VARCHAR) AS max_value
-FROM orders"""
-
-
-ORDERS_PROFILE_SQL = "\nUNION ALL\n".join(
-    _profile_block(c, t)
-    for c, t in (
-        ("o_orderkey", None),
-        ("o_custkey", None),
-        ("o_orderstatus", None),
-        ("o_totalprice", "DECIMAL(15,2)"),
-        ("o_orderdate", "DATE"),
-        ("o_orderpriority", None),
-    )
-)
-
-
-def part_fuzzy_matches(spark, sf_dir):
-    """Fuzzy entity resolution on part names (blocking + edit-distance
-    verify — operators/linkage.py): rows collapse to DISTINCT names
-    (one hash-agg), a last-token blocking key bounds pair generation to
-    within-block self-joins over the distinct frame (never rows², with
-    a hard max_block_size guard), and the JVM levenshtein verify runs
-    on candidates only. DuckDB's levenshtein has identical semantics,
-    so the whole block→pair→verify pipeline replays in the oracle."""
-    from universal_importer_duckdb_spark.operators.linkage import (
-        fuzzy_match_pairs,
-    )
-
-    part = _t(spark, sf_dir, "part")
-    return fuzzy_match_pairs(
-        part, text_col="p_name", id_col="p_partkey", max_distance=3
-    )
-
-
-FUZZY_MATCH_SQL = """
-WITH d AS (
-  SELECT p_name AS name,
-         CAST(MIN(p_partkey) AS BIGINT) AS rep_id,
-         CAST(COUNT(*) AS BIGINT) AS n_rows,
-         list_extract(string_split(p_name, ' '), -1) AS blk
-  FROM part GROUP BY p_name)
-SELECT a.name AS name_a, a.rep_id AS id_a, a.n_rows AS n_a,
-       b.name AS name_b, b.rep_id AS id_b, b.n_rows AS n_b,
-       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
-FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
-WHERE levenshtein(a.name, b.name) <= 3
-"""
-
-
-def events_resample_interpolate(spark, sf_dir):
-    """Time-series resample + gap fill (operators/temporal.py): hourly
-    buckets per event_type, empty buckets inside each type's observed
-    span filled by linear interpolation between neighboring observed
-    means. Per-bucket sums run in scaled int64 (exact under any
-    partitioning); the mean and interpolation are the IDENTICAL double
-    expression on both engines, so the raw doubles hash-match without
-    rounding."""
-    from universal_importer_duckdb_spark.operators.temporal import (
-        resample_interpolate,
-    )
-
-    events = _t(spark, sf_dir, "events")
-    return resample_interpolate(
-        events,
-        key_col="event_type",
-        ts_col="ts",
-        value_col="value",
-        bucket_ns=3_600_000_000_000,
-        round_digits=None,
-    )
-
-
-RESAMPLE_SQL = """
-WITH obs AS (
-  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS n_events,
-         SUM(CAST(round(value * 100) AS BIGINT)) AS sv
-  FROM events GROUP BY 1, 2),
-m AS (SELECT *, (sv / 100.0) / n_events AS mean FROM obs),
-span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
-         FROM obs GROUP BY 1),
-grid AS (SELECT event_type, UNNEST(generate_series(lo, hi)) AS bucket
-         FROM span),
-j AS (SELECT g.event_type, g.bucket, m.n_events, m.mean
-      FROM grid g LEFT JOIN m
-        ON g.event_type = m.event_type AND g.bucket = m.bucket),
-w AS (SELECT event_type, bucket, n_events, mean,
-        LAST_VALUE(CASE WHEN n_events IS NOT NULL
-                        THEN struct_pack(b := bucket, mn := mean) END
-                   IGNORE NULLS)
-          OVER (PARTITION BY event_type ORDER BY bucket
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
-        FIRST_VALUE(CASE WHEN n_events IS NOT NULL
-                         THEN struct_pack(b := bucket, mn := mean) END
-                    IGNORE NULLS)
-          OVER (PARTITION BY event_type ORDER BY bucket
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS q
-      FROM j)
-SELECT event_type, bucket,
-       COALESCE(n_events, 0) AS n_events,
-       CASE WHEN n_events IS NOT NULL THEN mean
-            ELSE p.mn + ((q.mn - p.mn) * (bucket - p.b)) / (q.b - p.b)
-       END AS mean_value,
-       n_events IS NULL AS interpolated
-FROM w
-"""
-
-
-def events_robust_outliers(spark, sf_dir):
-    """Per-type median/MAD outlier screen (operators/anomaly.py): the
-    |v - median| > 3.5*MAD robust-z rule evaluated ENTIRELY in exact
-    integer arithmetic (doubled scaled medians are exact integers on
-    both engines — see the module docstring), so counts and flags are
-    bit-identical under any partitioning. ONE exchange on the group
-    key: both medians run as window aggregates over the same
-    partitioning, and the final group-by reuses it."""
-    from universal_importer_duckdb_spark.operators.anomaly import (
-        robust_outlier_summary,
-    )
-
-    events = _t(spark, sf_dir, "events")
-    return robust_outlier_summary(
-        events, group_col="event_type", value_col="value"
-    )
-
-
-ROBUST_OUTLIERS_SQL = """
-WITH s AS (SELECT event_type AS grp,
-                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
-m AS (SELECT grp, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS med2,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM s GROUP BY grp),
-d AS (SELECT s.grp, m.n, m.med2, ABS(2 * s.v - m.med2) AS dev2
-      FROM s JOIN m ON s.grp = m.grp),
-md AS (SELECT grp, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad2
-       FROM d GROUP BY grp)
-SELECT d.grp AS event_type, d.n,
-       d.med2 / 200.0 AS median_value,
-       md.mad2 / 400.0 AS mad,
-       CAST(SUM(CASE WHEN 4 * d.dev2 > 7 * md.mad2 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_outliers,
-       MAX(d.dev2) / 200.0 AS max_abs_dev
-FROM d JOIN md ON d.grp = md.grp
-GROUP BY d.grp, d.n, d.med2, md.mad2
-"""
-
-
-N_BPE_MERGES = 8
-
-
-def docs_bpe_learn_merges(spark, sf_dir):
-    """Distributed BPE tokenizer induction (operators/bpe.py): 8 merge
-    rounds over the corpus word-frequency table. One corpus-sized
-    aggregation, then every round is one vocab-sized hash-agg whose
-    winner returns as a single-row argmax collect — the bounded
-    driver traffic inherent to BPE's sequential dependence — and the
-    merge applies as a literal narrow map. The delimited-string merge
-    uses replace-scan semantics verified identical across Spark/
-    DuckDB/Python, so the full learn loop replays bit-for-bit in the
-    oracle's 8 chained SQL stages."""
-    from universal_importer_duckdb_spark.operators.bpe import (
-        learn_bpe,
-        word_frequency_table,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    merges, _ = learn_bpe(
-        word_frequency_table(docs), n_merges=N_BPE_MERGES
-    )
-    return merges
-
-
-# Keyed by id(spark): the memoized vocab frame pins its session
-# object, so a dead session's id cannot be reused while its entry
-# lives — the risk is retention, not collision. The FIFO cap bounds
-# both the kept frames and the dead-session retention.
-_BPE_VOCAB_MEMO: dict[tuple[int, str, int], DataFrame] = {}
-_BPE_VOCAB_MEMO_CAP = 4
-
-
-def docs_bpe_token_counts(spark, sf_dir):
-    """BPE tokenizer APPLICATION: per-document token counts under the
-    vocabulary learned by docs_bpe_learn_merges — the number every
-    training-data pipeline needs per example (sequence packing,
-    pricing, curriculum). The trained vocabulary is memoized per
-    (session, corpus, rounds) — production trains a tokenizer ONCE
-    and serves the artifact, so repeat calls measure what repeats:
-    the encode (a word→symbol-count join + one per-doc aggregation).
-    The learn entry itself is never memoized — its measurement is the
-    training cost."""
-    from universal_importer_duckdb_spark.operators.bpe import (
-        bpe_token_counts,
-        learn_bpe,
-        word_frequency_table,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    key = (id(spark), sf_dir, N_BPE_MERGES)
-    vocab = _BPE_VOCAB_MEMO.get(key)
-    if vocab is None:
-        _, vocab = learn_bpe(
-            word_frequency_table(docs), n_merges=N_BPE_MERGES
-        )
-        while len(_BPE_VOCAB_MEMO) >= _BPE_VOCAB_MEMO_CAP:
-            _BPE_VOCAB_MEMO.pop(next(iter(_BPE_VOCAB_MEMO)))
-        _BPE_VOCAB_MEMO[key] = vocab
-    return bpe_token_counts(docs, vocab)
-
-
-def _bpe_sql_stages(n_merges: int) -> str:
-    """The learn loop as chained DuckDB CTEs (programmatically
-    generated like ORDERS_PROFILE_SQL): w{i} -> pair counts p{i} ->
-    best pair b{i} -> merged w{i+1}, with the winning pair spliced in
-    via scalar subqueries — the SQL mirror of the broadcast one-row
-    frame. Every stage is AS MATERIALIZED: DuckDB inlines plain CTEs
-    per reference, and the 4 scalar-subquery references per merge
-    stage would otherwise re-expand the whole chain 4^k times."""
-    stages = ["""wc AS MATERIALIZED (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
-        FROM documents)
-  WHERE word <> '' GROUP BY word),
-w0 AS MATERIALIZED (SELECT word, cnt,
-              regexp_replace(word, '(.)', '·\\1', 'g') || '·' AS d
-       FROM wc)"""]
-    for i in range(n_merges):
-        pat = (
-            f"'·' || (SELECT a FROM b{i}) || '·' || "
-            f"(SELECT b FROM b{i}) || '·'"
-        )
-        rep = (
-            f"'·' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || '·'"
-        )
-        stages.append(f"""p{i} AS MATERIALIZED (
-  SELECT pr[1] AS a, pr[2] AS b, SUM(cnt) AS c
-  FROM (SELECT cnt,
-               unnest([[s[j], s[j+1]] for j in generate_series(1, len(s)-1)])
-                 AS pr
-        FROM (SELECT cnt, string_split(trim(d, '·'), '·') AS s FROM w{i}))
-  GROUP BY 1, 2),
-b{i} AS MATERIALIZED (
-  SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
-w{i + 1} AS MATERIALIZED (
-  SELECT word, cnt,
-         replace(replace(d, {pat}, {rep}), {pat}, {rep}) AS d
-  FROM w{i})""")
-    return "WITH " + ",\n".join(stages)
-
-
-def _bpe_learn_sql(n_merges: int) -> str:
-    rows = "\nUNION ALL\n".join(
-        f"SELECT CAST({i + 1} AS BIGINT) AS round, a AS sym_a, b AS sym_b,"
-        f" CAST(c AS BIGINT) AS pair_count FROM b{i}"
-        for i in range(n_merges)
-    )
-    return f"{_bpe_sql_stages(n_merges)}\n{rows}"
-
-
-def _bpe_encode_sql(n_merges: int) -> str:
-    return f"""{_bpe_sql_stages(n_merges)},
-tok AS (SELECT word,
-               CAST(len(string_split(trim(d, '·'), '·')) AS BIGINT)
-                 AS n_syms
-        FROM w{n_merges}),
-dw AS (SELECT doc_id,
-              unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
-       FROM documents),
-per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-               CAST(SUM(COALESCE(n_syms,
-                                 CAST(length(word) AS BIGINT))) AS BIGINT)
-                 AS n_bpe_tokens
-        FROM (SELECT doc_id, word FROM dw WHERE word <> '')
-        LEFT JOIN tok USING (word) GROUP BY doc_id)
-SELECT d.doc_id, COALESCE(per.n_words, 0) AS n_words,
-       COALESCE(per.n_bpe_tokens, 0) AS n_bpe_tokens
-FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-"""
-
-
-_SHIPPED_MERGES_PATH = str(
-    __import__("pathlib").Path(__file__).parent
-    / "data"
-    / "shipped_merges.txt"
-)
-
-
-def docs_shipped_tokenizer_counts(spark, sf_dir):
-    """Token counts under a SHIPPED tokenizer file (operators/bpe.py::
-    load_merges_file + apply_merges): the GPT-2-style merges.txt in
-    data/shipped_merges.txt is parsed on the driver and replayed as a
-    chain of literal replace maps over the corpus word table — the
-    interop path a real corpus pipeline needs, since token budgets
-    must be counted under the TARGET model's tokenizer, not one
-    learned from the corpus at hand. No learn loop, no collects:
-    one corpus word-count aggregation, the literal merge chain
-    (narrow maps), then the same encode join as
-    docs_bpe_token_counts. The oracle replays the identical literal
-    replace chain (replace-scan semantics verified identical across
-    Spark/DuckDB/Python)."""
-    from universal_importer_duckdb_spark.operators.bpe import (
-        apply_merges,
-        bpe_token_counts,
-        load_merges_file,
-        word_frequency_table,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    merges = load_merges_file(_SHIPPED_MERGES_PATH)
-    vocab = apply_merges(word_frequency_table(docs), merges)
-    return bpe_token_counts(docs, vocab)
-
-
-def _shipped_tokenizer_sql() -> str:
-    """Oracle for docs_shipped_tokenizer_counts: the shipped merge
-    list is file content (not data-derived), so the replay is one
-    nested literal replace expression — no scalar subqueries, no
-    materialized stage chain."""
-    from universal_importer_duckdb_spark.operators.bpe import (
-        load_merges_file,
-    )
-
-    expr = "d"
-    for a, b in load_merges_file(_SHIPPED_MERGES_PATH):
-        pat = f"'·{a}·{b}·'"
-        rep = f"'·{a}{b}·'"
-        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
-    return f"""
-WITH wc AS (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
-        FROM documents)
-  WHERE word <> '' GROUP BY word),
-w0 AS (SELECT word, regexp_replace(word, '(.)', '·\\1', 'g') || '·' AS d
-       FROM wc),
-tok AS (SELECT word,
-               CAST(len(string_split(trim({expr}, '·'), '·')) AS BIGINT)
-                 AS n_syms
-        FROM w0),
-dw AS (SELECT doc_id,
-              unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
-       FROM documents),
-per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-               CAST(SUM(COALESCE(n_syms,
-                                 CAST(length(word) AS BIGINT))) AS BIGINT)
-                 AS n_bpe_tokens
-        FROM (SELECT doc_id, word FROM dw WHERE word <> '')
-        LEFT JOIN tok USING (word) GROUP BY doc_id)
-SELECT d.doc_id, COALESCE(per.n_words, 0) AS n_words,
-       COALESCE(per.n_bpe_tokens, 0) AS n_bpe_tokens
-FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-"""
-
-
-def docs_incremental_dedup(spark, sf_dir):
-    """Incremental ingest dedup (operators/dedup_text.py::
-    incremental_exact_dedup): the daily-batch shape — new documents
-    (doc_id % 10 = 0 simulates the arriving batch) are admitted only
-    if first-in-batch by fingerprint AND absent from the existing
-    corpus index. One batch-sized window + one anti-join; the corpus
-    is never rescanned."""
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        incremental_exact_dedup,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    batch = docs.filter(F.col("doc_id") % 10 == 0)
-    index = docs.filter(F.col("doc_id") % 10 != 0)
-    return incremental_exact_dedup(batch, index)
-
-
-INCREMENTAL_DEDUP_SQL = """
-WITH batch AS (
-  SELECT doc_id, md5(lower(text)) AS fingerprint
-  FROM documents WHERE doc_id % 10 = 0),
-idx AS (
-  SELECT DISTINCT md5(lower(text)) AS fingerprint
-  FROM documents WHERE doc_id % 10 <> 0),
-firsts AS (
-  SELECT doc_id, fingerprint,
-         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
-  FROM batch)
-SELECT doc_id, fingerprint FROM firsts f
-WHERE rn = 1 AND NOT EXISTS (
-  SELECT 1 FROM idx i WHERE i.fingerprint = f.fingerprint)
-"""
-
-
-def docs_budget_selection(spark, sf_dir):
-    """Token-budget corpus selection (operators/corpus.py::
-    budget_select): rank documents by uniqueness score and keep the
-    maximal best-first prefix under a 20k-token budget. The global
-    cumulative token count runs as the scale-safe two-level prefix
-    sum (score-quantized buckets), which the oracle's one-level
-    global window cumsum certifies — the same contract as
-    docs_pack_sequences. Score = distinct-token ratio, an exact
-    int/int division identical on both engines."""
-    from universal_importer_duckdb_spark.operators.corpus import budget_select
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    scored = docs.select(
-        "doc_id",
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
-        F.size(toks).cast("bigint").alias("n_tok"),
-    )
-    return budget_select(
-        scored, score_col="uniq_ratio", tokens_col="n_tok",
-        token_budget=20_000,
-    )
-
-
-BUDGET_SELECT_SQL = """
-WITH s AS (
-  SELECT doc_id,
-         len(list_distinct(string_split(text, ' ')))
-           / len(string_split(text, ' ')) AS score,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-  FROM documents),
-c AS (
-  SELECT doc_id, score, n_tokens,
-         CAST(COALESCE(SUM(n_tokens) OVER (
-           ORDER BY score DESC, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS tokens_before
-  FROM s)
-SELECT doc_id, score, n_tokens, tokens_before,
-       tokens_before + n_tokens <= 20000 AS selected
-FROM c
-"""
-
-
-def orders_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS (the general form rollup/cube
-    specialize): per-(priority, status) counts and revenue plus the
-    per-priority and grand-total sets in ONE aggregation pass —
-    Catalyst expands the sets before the shuffle, so map-side partials
-    still apply. grouping() flags disambiguate real NULLs from
-    subtotal rows; money sums use the exact-decimal recipe."""
-    orders = _t(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__gs_orders")
-    return spark.sql(f"""
-        SELECT o_orderpriority, o_orderstatus,
-               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
-               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 2)
-                    AS DOUBLE) AS revenue
-        FROM __gs_orders
-        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-                                (o_orderpriority), ())
-    """)
-
-
-GROUPING_SETS_SQL = """
-SELECT o_orderpriority, o_orderstatus,
-       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
-       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE)
-         AS revenue
-FROM orders
-GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-                        (o_orderpriority), ())
-"""
-
-
-def orders_compaction_plan(spark, sf_dir):
-    """Compaction planning — the operational answer to the small-files
-    problem at 100 TB: monthly partition sizes (row counts x an
-    estimated row width) greedily packed into ~4 MB compaction groups
-    via a cumulative-bytes DIV. The cumulative sum runs on the
-    PARTITION-level frame (hundreds of rows however big the table),
-    so its single-partition window is free; the only table-sized work
-    is one hash-agg with map-side partials."""
-    orders = _t(spark, sf_dir, "orders")
-    sizes = (
-        orders.groupBy(
-            F.date_trunc("month", F.col("o_orderdate").cast("date"))
-            .cast("date")
-            .cast("string")
-            .alias("month")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        .withColumn("est_bytes", F.col("n_rows") * 128)
-    )
-    w = Window.orderBy("month").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    target = 4 * 1024 * 1024
-    return sizes.select(
-        "month",
-        "n_rows",
-        "est_bytes",
-        F.coalesce(F.sum("est_bytes").over(w), F.lit(0)).alias(
-            "bytes_before"
-        ),
-    ).withColumn(
-        "compaction_group",
-        F.expr(f"bytes_before DIV {target}").cast("bigint"),
-    )
-
-
-COMPACTION_PLAN_SQL = """
-WITH s AS (
-  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR)
-           AS month,
-         CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(COUNT(*) AS BIGINT) * 128 AS est_bytes
-  FROM orders GROUP BY 1)
-SELECT month, n_rows, est_bytes,
-       CAST(COALESCE(SUM(est_bytes) OVER (
-         ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         0) AS BIGINT) AS bytes_before,
-       CAST(COALESCE(SUM(est_bytes) OVER (
-         ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         0) // 4194304 AS BIGINT) AS compaction_group
-FROM s
-"""
-
-
-def lineitem_content_checksum(spark, sf_dir):
-    """Order-independent table content checksum — the anti-entropy
-    primitive for verifying a 100 TB migration or replica without
-    moving the data: every row canonicalizes to one string, hashes
-    through md5 to a 60-bit integer, and the table reduces to
-    (row_count, xor of hashes, sum of low bits, min, max) — all
-    commutative aggregates with map-side partials, ONE scan, one tiny
-    shuffle. XOR catches content drift, the modular sum catches
-    duplicate-row cancellation XOR alone would miss. The canonical
-    form (explicit casts, fixed separator) and the hex-to-int
-    conversion are chosen to be byte-identical cross-engine — this
-    query IS the cross-engine verification."""
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
-
-    # Pre-spread: single-row-group testdata parquet pins the md5-per-row
-    # pass to one scan task; a round-robin repartition distributes the
-    # hashing across cores (the aggregates are commutative, so placement
-    # is free). No-op when the scan already arrives in >= cores splits.
-    li = spread_for_compute(_t(spark, sf_dir, "lineitem"))
-    # NULLs canonicalize to a sentinel BEFORE joining: concat_ws would
-    # silently skip them (shifting positions) and DuckDB's || would
-    # null the whole row string — explicit coalesce keeps the byte
-    # stream identical on both engines
-    def _c(col):
-        return F.coalesce(col.cast("string"), F.lit("␀"))
-
-    canon = F.concat_ws(
-        "|",
-        _c(F.col("l_orderkey")),
-        _c(F.col("l_partkey")),
-        _c(F.col("l_suppkey")),
-        _c(F.col("l_linenumber")),
-        _c(F.col("l_quantity").cast("decimal(15,2)")),
-        _c(F.col("l_extendedprice").cast("decimal(15,2)")),
-        _c(F.col("l_returnflag")),
-        _c(F.col("l_linestatus")),
-        _c(F.col("l_shipdate")),
-    )
-    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
-    return li.select(h.alias("__h")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.expr("CAST(bit_xor(__h) AS BIGINT)").alias("xor_hash"),
-        F.sum(F.col("__h") % F.lit(1_000_000_007)).cast("bigint").alias(
-            "sum_hash_mod"
-        ),
-        F.min("__h").alias("min_hash"),
-        F.max("__h").alias("max_hash"),
-    )
-
-
-CONTENT_CHECKSUM_SQL = """
-WITH h AS (
-  SELECT ('0x' || substr(md5(
-           COALESCE(CAST(l_orderkey AS VARCHAR), '␀') || '|' ||
-           COALESCE(CAST(l_partkey AS VARCHAR), '␀') || '|' ||
-           COALESCE(CAST(l_suppkey AS VARCHAR), '␀') || '|' ||
-           COALESCE(CAST(l_linenumber AS VARCHAR), '␀') || '|' ||
-           COALESCE(CAST(CAST(l_quantity AS DECIMAL(15,2)) AS VARCHAR),
-                    '␀') || '|' ||
-           COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS VARCHAR),
-                    '␀') || '|' ||
-           COALESCE(l_returnflag, '␀') || '|' ||
-           COALESCE(l_linestatus, '␀') || '|' ||
-           COALESCE(CAST(l_shipdate AS VARCHAR), '␀')), 1, 15))::BIGINT
-           AS v
-  FROM lineitem)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(bit_xor(v) AS BIGINT) AS xor_hash,
-       CAST(SUM(v % 1000000007) AS BIGINT) AS sum_hash_mod,
-       MIN(v) AS min_hash, MAX(v) AS max_hash
-FROM h
-"""
-
-
-def events_transition_matrix(spark, sf_dir):
-    """Markov transition counts over per-user event streams: one
-    window (lead over user_id-partitioned, ts-ordered events — a
-    single exchange on user_id) + one hash-agg. Tie-broken by
-    event_id so the sequence, and therefore every count, is
-    deterministic under any partitioning. The product-analytics
-    complement of sessionization/funnels."""
-    events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        events.select(
-            "event_type",
-            F.lead("event_type").over(w).alias("next_type"),
-        )
-        .filter(F.col("next_type").isNotNull())
-        .groupBy(
-            F.col("event_type").alias("from_type"),
-            F.col("next_type").alias("to_type"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
-    )
-
-
-TRANSITION_SQL = """
-WITH seq AS (
-  SELECT event_type,
-         LEAD(event_type) OVER (
-           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
-         ) AS next_type
-  FROM events)
-SELECT event_type AS from_type, next_type AS to_type,
-       CAST(COUNT(*) AS BIGINT) AS n_transitions
-FROM seq WHERE next_type IS NOT NULL
-GROUP BY 1, 2
-"""
-
-
-def events_retention_cohorts(spark, sf_dir):
-    """Cohort retention: users grouped by first-activity day, counted
-    per day-offset since their cohort day — the warehouse staple for
-    activation analysis. Two hash-aggs (per-user min day; distinct
-    user-days) joined on user_id and rolled up; all integer-day
-    arithmetic so counts are exact anywhere."""
-    events = _t(spark, sf_dir, "events")
-    day = F.expr("CAST(ts AS BIGINT) DIV 86400000000000")
-    user_days = events.select(
-        "user_id", day.alias("day")
-    ).distinct()
-    cohorts = user_days.groupBy("user_id").agg(
-        F.min("day").alias("cohort_day")
-    )
-    return (
-        user_days.join(cohorts, "user_id")
-        .groupBy(
-            "cohort_day",
-            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
-    )
-
-
-RETENTION_SQL = """
-WITH ud AS (
-  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
-  FROM events),
-c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
-SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
-       CAST(COUNT(*) AS BIGINT) AS n_users
-FROM ud JOIN c ON ud.user_id = c.user_id
-GROUP BY 1, 2
-"""
-
-
-REGISTRY.update({
-    "lineitem_content_checksum": (
-        lineitem_content_checksum, CONTENT_CHECKSUM_SQL,
-    ),
-    "orders_grouping_sets": (orders_grouping_sets, GROUPING_SETS_SQL),
-    "orders_compaction_plan": (orders_compaction_plan, COMPACTION_PLAN_SQL),
-    "emb_quantize_int8": (emb_quantize_int8, QUANTIZE_INT8_SQL),
-    "emb_hard_negatives": (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL),
-    "events_transition_matrix": (events_transition_matrix, TRANSITION_SQL),
-    "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
-    "docs_incremental_dedup": (docs_incremental_dedup, INCREMENTAL_DEDUP_SQL),
-    "docs_budget_selection": (docs_budget_selection, BUDGET_SELECT_SQL),
-    "docs_bpe_learn_merges": (
-        docs_bpe_learn_merges, _bpe_learn_sql(N_BPE_MERGES),
-    ),
-    "docs_bpe_token_counts": (
-        docs_bpe_token_counts, _bpe_encode_sql(N_BPE_MERGES),
-    ),
-    "docs_shipped_tokenizer_counts": (
-        docs_shipped_tokenizer_counts, _shipped_tokenizer_sql(),
-    ),
-    "part_fuzzy_matches": (part_fuzzy_matches, FUZZY_MATCH_SQL),
-    "events_resample_interpolate": (
-        events_resample_interpolate, RESAMPLE_SQL,
-    ),
-    "events_robust_outliers": (events_robust_outliers, ROBUST_OUTLIERS_SQL),
-    "orders_data_profile": (orders_data_profile, ORDERS_PROFILE_SQL),
-    "events_changelog_state": (events_changelog_state, CHANGELOG_STATE_SQL),
-    "events_merge_upsert_state": (events_merge_upsert_state, MERGE_UPSERT_SQL),
-    "events_scd2_history": (events_scd2_history, SCD2_SQL),
-    # the streaming upsert converges to the same state as the batch
-    # merge — they share the full-log-state oracle
-    "stream_incremental_upsert_state": (
-        stream_incremental_upsert_state, MERGE_UPSERT_SQL,
-    ),
-    "docs_priority_sample": (docs_priority_sample, PRIORITY_SAMPLE_SQL),
-    "docs_keyword_search_topk": (docs_keyword_search_topk, KEYWORD_SEARCH_SQL),
-    "docs_hybrid_search_rrf": (docs_hybrid_search_rrf, HYBRID_RRF_SQL),
-    "docs_tokens_udtf": (docs_tokens_udtf, TOKENS_UDTF_SQL),
-    "orders_zorder_codes": (orders_zorder_codes, _zorder_sql()),
-    "orders_quantile_envelope": (
-        orders_quantile_envelope, QUANTILE_ENVELOPE_SQL,
-    ),
-})
-
-
-# ======================================================================
-# Round 6: line-level dedup, Bloom-prefiltered ingest, containment
-# dedup, funnel analytics, curriculum staging
-# ======================================================================
-
-
-def docs_segment_line_dedup(spark, sf_dir):
-    """Falcon/RefinedWeb-style line-level dedup (operators/
-    line_dedup.py::line_level_dedup): remove every line occurring in
-    >= 2 distinct documents, keep each doc with surviving lines
-    re-joined in order. The test corpus is single-line, so the
-    pluggable splitter fabricates fixed 10-word segments — the same
-    explode -> count -> broadcast-anti-join -> ordered-reassembly
-    algebra a newline corpus would run."""
-    from universal_importer_duckdb_spark.operators.line_dedup import (
-        line_level_dedup,
-        word_segments,
-    )
-
-    # no spread_for_compute: the two line-dedup exchanges already
-    # fan the corpus out; a third pre-shuffle measured slower
-    docs = _t(spark, sf_dir, "documents")
-    return line_level_dedup(
-        docs,
-        min_dup_docs=2,
-        splitter=lambda c: word_segments(c, 10),
-        joiner=" ",
-    )
-
-
-SEGMENT_LINE_DEDUP_SQL = """
-WITH t AS (
-  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l
-  FROM documents),
-segs AS (
-  SELECT doc_id, i AS pos,
-         array_to_string(l[(i*10+1):(i*10+10)], ' ') AS line
-  FROM t, unnest(range(CAST(ceil(len(l)/10.0) AS BIGINT))) AS u(i)),
-nz AS (SELECT * FROM segs WHERE line <> ''),
-dup AS (SELECT line FROM nz
-        GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
-counted AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
-            FROM nz GROUP BY doc_id),
-kept AS (SELECT nz.* FROM nz
-         WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.line = nz.line)),
-re AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-              string_agg(line, ' ' ORDER BY pos) AS clean_text
-       FROM kept GROUP BY doc_id)
-SELECT d.doc_id,
-       CAST(COALESCE(c.n_lines, 0) AS BIGINT) AS n_lines,
-       CAST(COALESCE(c.n_lines, 0) - COALESCE(re.n_kept, 0) AS BIGINT)
-         AS n_removed,
-       COALESCE(re.clean_text, '') AS clean_text
-FROM documents d
-LEFT JOIN counted c USING (doc_id)
-LEFT JOIN re USING (doc_id)
-"""
-
-
-def docs_bloom_incremental_dedup(spark, sf_dir):
-    """Bloom-prefiltered incremental ingest dedup (operators/
-    bloom.py::bloom_incremental_dedup): same admit-contract as
-    docs_incremental_dedup (first-in-batch AND absent from index;
-    reference main.py:214's exclusionary semantics) but the index
-    membership test goes through a broadcast Bloom bitmap built from
-    DataFrame primitives — definite-new keys skip the exact anti-join
-    entirely, so shuffled volume scales with the duplicate rate, not
-    the batch. Bit-identical to the plain anti-join by construction
-    (no false negatives + exact verify of maybes)."""
-    from universal_importer_duckdb_spark.operators.bloom import (
-        bloom_incremental_dedup,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    batch = docs.filter(F.col("doc_id") % 7 == 0)
-    index = docs.filter(F.col("doc_id") % 7 != 0)
-    return bloom_incremental_dedup(batch, index)
-
-
-BLOOM_INCREMENTAL_DEDUP_SQL = """
-WITH batch AS (
-  SELECT doc_id, md5(lower(text)) AS fingerprint
-  FROM documents WHERE doc_id % 7 = 0),
-idx AS (
-  SELECT DISTINCT md5(lower(text)) AS fingerprint
-  FROM documents WHERE doc_id % 7 <> 0),
-firsts AS (
-  SELECT doc_id, fingerprint,
-         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
-  FROM batch)
-SELECT doc_id, fingerprint FROM firsts f
-WHERE rn = 1 AND NOT EXISTS (
-  SELECT 1 FROM idx i WHERE i.fingerprint = f.fingerprint)
-"""
-
-
-def docs_containment_pairs(spark, sf_dir):
-    """Substring-containment dedup (operators/containment.py::
-    containment_dedup_pairs): (contained, container) doc pairs where
-    one text occurs verbatim inside another — the truncated-recrawl /
-    syndication duplicate class that whole-text hashing misses.
-    Candidates come from rare-interior-5-gram blocking (lossless for
-    containees with >= 7 tokens); the oracle certifies against the
-    exact quadratic join."""
-    from universal_importer_duckdb_spark.operators.containment import (
-        containment_dedup_pairs,
-    )
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
-
-    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    return containment_dedup_pairs(docs)
-
-
-CONTAINMENT_PAIRS_SQL = """
-WITH d AS (
-  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS l,
-         len(string_split(text, ' ')) AS ntok
-  FROM documents)
-SELECT DISTINCT a.doc_id AS contained_id, b.doc_id AS container_id
-FROM d a JOIN d b ON a.doc_id <> b.doc_id
-WHERE a.ntok >= 7 AND position(a.text IN b.text) > 0
-  AND (a.l < b.l OR (a.l = b.l AND a.doc_id > b.doc_id))
-"""
-
-
-def events_funnel_cohorts(spark, sf_dir):
-    """Ordered view->click->purchase funnel by first-view cohort day
-    (operators/funnel.py::funnel_by_cohort): one shuffle, stage chain
-    resolved with array higher-order functions on per-user event
-    lists; all arithmetic in exact epoch-microsecond BIGINTs."""
-    from universal_importer_duckdb_spark.operators.funnel import (
-        funnel_by_cohort,
-    )
-
-    events = _t(spark, sf_dir, "events")
-    return funnel_by_cohort(events)
-
-
-FUNNEL_SQL = """
-WITH ev AS (
-  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
-  WHERE event_type IN ('view', 'click', 'purchase')),
-s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
-       WHERE event_type = 'view' GROUP BY user_id),
-s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e
-       JOIN s1 USING (user_id)
-       WHERE e.event_type = 'click' AND e.us >= s1.t1
-       GROUP BY e.user_id),
-s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e
-       JOIN s2 USING (user_id)
-       WHERE e.event_type = 'purchase' AND e.us >= s2.t2
-       GROUP BY e.user_id),
-u AS (SELECT s1.user_id, s1.t1, s2.t2, s3.t3
-      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
-SELECT t1 // 86400000000 AS cohort_day,
-       CAST(COUNT(*) AS BIGINT) AS n_stage1,
-       CAST(COUNT(t2) AS BIGINT) AS n_stage2,
-       CAST(COUNT(t3) AS BIGINT) AS n_stage3,
-       CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) AS total_conversion_micros
-FROM u GROUP BY 1
-"""
-
-
-def events_top_journeys(spark, sf_dir):
-    """Path analysis: the top-20 session journeys (ordered event-type
-    sequences within 30-min-gap sessions). Session ids come from a
-    running sum over the per-user (ts, event_id) order — event_id
-    tiebreaks make the sequence deterministic (rows with null
-    event_id are excluded, matching the streaming entries' contract).
-    Two shuffles: the per-user window, then the journey count."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    starts = F.when(
-        F.lag("ts").over(w).isNull()
-        | ((F.col("ts") - F.lag("ts").over(w)) > F.lit(_NS_SESSION_GAP)),
-        1,
-    ).otherwise(0)
-    sess = ev.withColumn("sid", F.sum(starts).over(w))
-    journeys = sess.groupBy("user_id", "sid").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("ts", "event_id", "event_type"))
-                ),
-                lambda s: s["event_type"],
-            ),
-            ">",
-        ).alias("journey")
-    )
-    return (
-        journeys.groupBy("journey")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
-        .orderBy(F.desc("n_sessions"), "journey")
-        .limit(20)
-    )
-
-
-def _top_journeys_sql() -> str:
-    return f"""
-WITH x AS (
-  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
-         lag(epoch_ns(ts)) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events WHERE event_id IS NOT NULL),
-s AS (
-  SELECT *, SUM(CASE WHEN prev IS NULL OR tns - prev > {_NS_SESSION_GAP}
-                THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY tns, event_id) AS sid
-  FROM x),
-j AS (
-  SELECT user_id, sid,
-         string_agg(event_type, '>' ORDER BY tns, event_id) AS journey
-  FROM s GROUP BY user_id, sid)
-SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_sessions
-FROM j GROUP BY journey ORDER BY n_sessions DESC, journey LIMIT 20
-"""
-
-
-def emb_pq_codes(spark, sf_dir):
-    """Product-quantization storage codes (operators/pq.py): 8
-    subspaces x 16 centroids trained on a bounded deterministic
-    sample, every vector encoded to 8 codes + exact reconstruction
-    error in one Arrow-batched pass. Float-iterative training (like
-    emb_ivf_topk) -> rows-only driver gate; reconstruction-error
-    budget, determinism, and ADC top-k recall vs the exact scan are
-    pinned in tests/test_round6_ops.py."""
-    from universal_importer_duckdb_spark.operators.pq import (
-        pq_encode,
-        train_pq_codebook,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    cb = train_pq_codebook(emb, m=8, k=16)
-    return pq_encode(emb, cb)
-
-
-def docs_contamination_spans(spark, sf_dir):
-    """Span-level decontamination (operators/corpus.py::
-    contamination_spans): the exact merged token intervals sharing an
-    8-gram with the benchmark (every-97th-doc stand-in, as in
-    docs_benchmark_contamination) — surgical excision instead of
-    whole-document drops. Gaps-and-islands interval merge per doc;
-    only contaminated windows shuffle. All-integer output, hash-exact
-    oracle."""
-    from universal_importer_duckdb_spark.operators.corpus import (
-        contamination_spans,
-    )
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
-
-    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    return contamination_spans(docs, bench, n=8)
-
-
-CONTAMINATION_SPANS_SQL = """
-WITH g AS (
-  SELECT doc_id, toks, len(toks) AS nt
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
-        FROM documents)),
-pos AS (
-  SELECT doc_id, i,
-         ('0x' || substr(md5(array_to_string(
-            list_slice(toks, i, i + 7), ' ')), 1, 7))::BIGINT AS gram
-  FROM g, unnest(range(1, nt - 6)) AS u(i)
-  WHERE nt >= 8),
-bg AS (SELECT DISTINCT gram FROM pos WHERE doc_id % 97 = 0),
-hits AS (SELECT p.doc_id, p.i AS s, p.i + 7 AS e
-         FROM pos p JOIN bg USING (gram)),
-isl AS (
-  SELECT *, CASE WHEN s > COALESCE(MAX(e) OVER (
-      PARTITION BY doc_id ORDER BY s
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-    THEN 1 ELSE 0 END AS nw
-  FROM hits),
-isl2 AS (
-  SELECT *, SUM(nw) OVER (
-      PARTITION BY doc_id ORDER BY s
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM isl)
-SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
-       CAST(MAX(e) AS BIGINT) AS span_end,
-       CAST(COUNT(*) AS BIGINT) AS n_grams
-FROM isl2 GROUP BY doc_id, island
-"""
-
-
-def multimodal_audio_energy(spark, sf_dir):
-    """Windowed audio energy over REAL WAV decode (operators/
-    multimodal.py::extract_audio_energy_windows): per-item synthesized
-    varying PCM16 signal (sample j = ((id*31 + j*17) % 200) - 100),
-    decoded and folded into 32-sample windows of EXACT int64
-    sum-of-squares — the VAD/silence-screen shape, analytically
-    replayed by the oracle from the same sample formula."""
-    from universal_importer_duckdb_spark.operators.multimodal import (
-        attach_media_column,
-        encode_wav_pcm16,
-        extract_audio_energy_windows,
-    )
-
-    @F.pandas_udf("binary")
-    def synth_wav(ids: pd.Series) -> pd.Series:
-        out = []
-        for doc_id in ids:
-            i = int(doc_id)
-            n = 64 + i % 128
-            samples = [((i * 31 + j * 17) % 200) - 100 for j in range(n)]
-            out.append(encode_wav_pcm16(8000, 1, samples))
-        return pd.Series(out)
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    media = attach_media_column(
-        docs.withColumn("payload", synth_wav("doc_id")),
-        "payload", "audio/wav", "doc_id",
-    )
-    return extract_audio_energy_windows(media, window_samples=32)
-
-
-MULTIMODAL_AUDIO_ENERGY_SQL = """
-WITH d AS (
-  SELECT doc_id, 64 + doc_id % 128 AS n
-  FROM documents WHERE doc_id < 200),
-s AS (
-  SELECT doc_id, j, ((doc_id * 31 + j * 17) % 200) - 100 AS v
-  FROM d, unnest(range(CAST(n AS BIGINT))) AS u(j)),
-w AS (SELECT doc_id, j // 32 AS window_idx, v FROM s)
-SELECT doc_id AS item_id, CAST(window_idx AS BIGINT) AS window_idx,
-       CAST(COUNT(*) AS BIGINT) AS n_in_window,
-       CAST(SUM(v * v) AS BIGINT) AS sum_sq
-FROM w GROUP BY doc_id, window_idx
-"""
-
-
-def multimodal_image_tiles(spark, sf_dir):
-    """ViT-style image patchification over REAL PNG decode (operators/
-    multimodal.py::extract_image_tiles): synthesized Up-filtered PNGs
-    with per-pixel varying values (v = (id*7 + r*13 + x*3) % 256),
-    decoded and cut into 8x8 tiles of EXACT integer luma sums — the
-    patch-embedding precursor, analytically replayed by the oracle
-    from the same pixel formula (any unfilter/tiling drift breaks the
-    hash)."""
-    from universal_importer_duckdb_spark.operators.multimodal import (
-        attach_media_column,
-        encode_png_gray,
-        extract_image_tiles,
-    )
-
-    @F.pandas_udf("binary")
-    def synth_png(ids: pd.Series) -> pd.Series:
-        out = []
-        for doc_id in ids:
-            i = int(doc_id)
-            w = 8 + i % 32
-            h = 8 + (i // 32) % 32
-            rows = [
-                [(i * 7 + r * 13 + x * 3) % 256 for x in range(w)]
-                for r in range(h)
-            ]
-            out.append(encode_png_gray(w, h, rows))
-        return pd.Series(out)
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    media = attach_media_column(
-        docs.withColumn("payload", synth_png("doc_id")),
-        "payload", "image/png", "doc_id",
-    )
-    return extract_image_tiles(media, tile=8)
-
-
-MULTIMODAL_IMAGE_TILES_SQL = """
-WITH d AS (
-  SELECT doc_id, 8 + doc_id % 32 AS w, 8 + (doc_id // 32) % 32 AS h
-  FROM documents WHERE doc_id < 200),
-px AS (
-  SELECT doc_id, r, x,
-         (doc_id * 7 + r * 13 + x * 3) % 256 AS v
-  FROM d,
-       unnest(range(CAST(h AS BIGINT))) AS ur(r),
-       unnest(range(CAST(w AS BIGINT))) AS ux(x))
-SELECT doc_id AS item_id,
-       CAST(r // 8 AS INTEGER) AS tile_y,
-       CAST(x // 8 AS INTEGER) AS tile_x,
-       CAST(COUNT(*) AS BIGINT) AS n_px,
-       CAST(SUM(v) AS BIGINT) AS luma_sum
-FROM px GROUP BY doc_id, r // 8, x // 8
-"""
-
-
-def docs_decontaminated_text(spark, sf_dir):
-    """Surgical decontamination applied (operators/corpus.py::
-    excise_spans over contamination_spans): tokens inside merged
-    contaminated spans dropped, the rest rejoined — the corpus a
-    span-level policy actually ships, with documents doc-level
-    screening would discard kept. (Spans index the lowered token
-    stream; excision filters the original tokens — counts align
-    because lowering never changes token boundaries.) Uncontaminated
-    docs pass through untouched with no re-tokenization."""
-    from universal_importer_duckdb_spark.operators.corpus import (
-        contamination_spans,
-        excise_spans,
-    )
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
-
-    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    return excise_spans(docs, contamination_spans(docs, bench, n=8))
-
-
-DECONTAMINATED_TEXT_SQL = f"""
-WITH spansq AS ({CONTAMINATION_SPANS_SQL}),
-agg AS (
-  SELECT doc_id,
-         list(span_start ORDER BY span_start) AS ss,
-         list(span_end ORDER BY span_start) AS ee,
-         CAST(SUM(span_end - span_start + 1) AS BIGINT) AS nrem
-  FROM spansq GROUP BY doc_id)
-SELECT d.doc_id,
-       COALESCE(a.nrem, 0) AS n_tokens_removed,
-       CASE WHEN a.doc_id IS NULL THEN d.text
-            -- COALESCE: DuckDB's array_to_string([]) is NULL where
-            -- Spark's array_join([]) is '' (fully-excised docs)
-            ELSE COALESCE(array_to_string(
-              list_filter(string_split(d.text, ' '),
-                (x, i) -> len(list_filter(a.ss,
-                    (s, k) -> s <= i AND i <= a.ee[k])) = 0), ' '), '')
-       END AS clean_text
-FROM documents d LEFT JOIN agg a USING (doc_id)
-"""
-
-
-def docs_top_collocations(spark, sf_dir):
-    """PMI-ranked collocations (operators/textrank.py::
-    top_collocations): adjacent bigrams scored c_xy*U/(c_x*c_y) —
-    PMI up to a corpus constant, ranking-exact from pure integer
-    inputs (the double ratio is computed from identical ints on both
-    engines). min_count=5 sifts noise; top 20."""
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
-    from universal_importer_duckdb_spark.operators.textrank import (
-        top_collocations,
-    )
-
-    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    return top_collocations(docs, top_k=20, min_count=5)
-
-
-TOP_COLLOCATIONS_SQL = """
-WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
-adj AS (
-  SELECT l[i] AS a, l[i+1] AS b
-  FROM t, unnest(range(1, len(l))) AS u(i)),
-bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_xy
-       FROM adj GROUP BY a, b),
-uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
-        FROM (SELECT unnest(l) AS w FROM t) WHERE w <> '' GROUP BY w),
-tot AS (SELECT CAST(SUM(c) AS BIGINT) AS u FROM uni)
-SELECT bi.a, bi.b, bi.c_xy,
-       (bi.c_xy * tot.u) / (ua.c * ub.c) AS pmi_ratio
-FROM bi
-JOIN uni ua ON ua.w = bi.a
-JOIN uni ub ON ub.w = bi.b, tot
-WHERE bi.c_xy >= 5
-ORDER BY pmi_ratio DESC, bi.a, bi.b LIMIT 20
-"""
-
-
-def emb_pq_adc_topk(spark, sf_dir):
-    """PQ serving path with an in-query quality audit (operators/
-    pq.py::pq_adc_topk): top-10 by asymmetric distance against the
-    vec_id=0 query, each hit flagged ``in_exact_topk`` by an in-plan
-    join against the TRUE L2 top-10 computed from the raw vectors
-    with order-defined folds — the same self-audit pattern as
-    emb_ivf_topk. Rows-only gate (k-means artifact); the audit column
-    is pinned in tests."""
-    from universal_importer_duckdb_spark.operators.pq import (
-        pq_adc_topk,
-        pq_encode,
-        train_pq_codebook,
-    )
-    from universal_importer_duckdb_spark.operators.similarity import (
-        _dot_double,
-        _norm2_double,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    cb = train_pq_codebook(emb, m=8, k=16)
-    q = _query_vec(spark, sf_dir)
-    adc = pq_adc_topk(pq_encode(emb, cb), cb, q, topk=10)
-
-    qlit = F.array(*[F.lit(float(x)) for x in q])
-    vd = F.col("embedding").cast("array<double>")
-    l2 = (
-        _norm2_double(vd)
-        - 2 * _dot_double(vd, qlit)
-        + _norm2_double(qlit)
-    )
-    exact = (
-        emb.select("vec_id", l2.alias("l2"))
-        .orderBy("l2", "vec_id")
-        .limit(10)
-        .select(F.col("vec_id"), F.lit(True).alias("in_exact_topk"))
-    )
-    return (
-        adc.join(F.broadcast(exact), "vec_id", "left")
-        .select(
-            "vec_id",
-            "adc_dist",
-            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
-        )
-        .orderBy("adc_dist", "vec_id")
-    )
-
-
-def orders_expectation_suite(spark, sf_dir):
-    """Suite-level data-quality gate (operators/expectations.py::
-    run_expectations): seven dataset-level checks — row-count window,
-    null-rate bound, key uniqueness, extremum bounds, value domain,
-    and referential integrity — evaluated in ONE aggregation pass
-    (plus one anti-join for the FK check). Observations are exact
-    integer numerator/denominator pairs, so the report hash-checks
-    cross-engine."""
-    from universal_importer_duckdb_spark.operators.expectations import (
-        Expectation,
-        orphan_count,
-        run_expectations,
-    )
-
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    suite = run_expectations(
-        orders,
-        [
-            Expectation("row_count", "row_count_between",
-                        lo=1, hi=10**12),
-            Expectation("priority_null_rate", "null_fraction_at_most",
-                        column="o_orderpriority", num=1, den=10),
-            Expectation("orderkey_unique", "unique", column="o_orderkey"),
-            Expectation("custkey_min", "min_at_least",
-                        column="o_custkey", lo=0),
-            Expectation("custkey_max", "max_at_most",
-                        column="o_custkey", hi=10**9),
-            Expectation("status_domain", "values_in",
-                        column="o_orderstatus", values=("F", "O", "P")),
-        ],
-    )
-    fk = orphan_count(orders, customer, "o_custkey", "c_custkey")
-    return suite.unionByName(fk)
-
-
-EXPECTATION_SUITE_SQL = """
-WITH a AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END)
-              AS BIGINT) AS e_null,
-         CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
-              AS BIGINT) AS e_uni,
-         CAST(MIN(o_custkey) AS BIGINT) AS e_min,
-         CAST(MAX(o_custkey) AS BIGINT) AS e_max,
-         CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
-                    THEN 1 END) AS BIGINT) AS e_dom
-  FROM orders),
-fk AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS o FROM orders
-  WHERE NOT EXISTS (
-    SELECT 1 FROM customer c WHERE c.c_custkey = orders.o_custkey))
-SELECT 'row_count' AS check_name, n BETWEEN 1 AND 1000000000000 AS passed,
-       n AS observed_num, CAST(1 AS BIGINT) AS observed_den FROM a
-UNION ALL
-SELECT 'priority_null_rate', e_null * 10 <= 1 * n, e_null, n FROM a
-UNION ALL
-SELECT 'orderkey_unique', e_uni = 0, e_uni, CAST(1 AS BIGINT) FROM a
-UNION ALL
-SELECT 'custkey_min', e_min >= 0, e_min, CAST(1 AS BIGINT) FROM a
-UNION ALL
-SELECT 'custkey_max', e_max <= 1000000000, e_max, CAST(1 AS BIGINT) FROM a
-UNION ALL
-SELECT 'status_domain', e_dom = 0, e_dom, CAST(1 AS BIGINT) FROM a
-UNION ALL
-SELECT 'fk_o_custkey_in_c_custkey', o = 0, o, CAST(1 AS BIGINT) FROM fk
-"""
-
-
-def emb_knn_join(spark, sf_dir):
-    """Exact cosine k-NN self-join, top-3 per vector (operators/
-    similarity.py::knn_join_exact): Arrow-batched numpy GEMM generates
-    candidates within a 1e-9 margin of the k-th double cosine, the
-    order-defined double folds re-score survivors — bit-equal to the
-    brute-force oracle. The bounded-broadcast contract (reference
-    matrix collected once) is the honest boundary of exact n^2 kNN;
-    emb_ann_lsh_topk / emb_ivf_topk are the corpus-scale paths."""
-    from universal_importer_duckdb_spark.operators.similarity import (
-        knn_join_exact,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return knn_join_exact(emb, k=3)
-
-
-# Order-defined double folds (list_reduce == Spark's F.aggregate left
-# fold) instead of the DECIMAL(33,13) idiom: the double->DECIMAL
-# cast's round-half mode differs between engines on boundary values,
-# which surfaces once EVERY vector's norm is touched (see
-# similarity.knn_join_exact docstring).
-EMB_KNN_JOIN_SQL = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-n AS (SELECT vec_id,
-             list_reduce(list_apply(e, x -> x * x),
-                         (a, x) -> a + x) AS n2
-      FROM v),
-c AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
-             list_reduce(
-               list_apply(list_zip(a.e, b.e), s -> s[1] * s[2]),
-               (acc, x) -> acc + x)
-               / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
-      FROM v a JOIN v b ON a.vec_id <> b.vec_id
-      JOIN n na ON na.vec_id = a.vec_id
-      JOIN n nb ON nb.vec_id = b.vec_id),
-r AS (SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rank FROM c)
-SELECT q_id AS vec_id, cand_id AS neighbor_id,
-       CAST(rank AS INTEGER) AS rank, cosine
-FROM r WHERE rank <= 3
-"""
-
-
-def stream_funnel_cohorts(spark, sf_dir):
-    """Streaming ordered funnel (streaming/funnel.py): per-user stage
-    chains maintained in applyInPandasWithState across micro-batches
-    — state keeps the stage-relevant timestamp lists, so the drained
-    result is bit-equal to the batch funnel no matter how availableNow
-    splits the source. Oracle = the batch funnel SQL under the
-    stream's event_id-not-null guard."""
-    from universal_importer_duckdb_spark.streaming import events as se
-    from universal_importer_duckdb_spark.streaming.funnel import (
-        finalize_funnel_cohorts,
-        streaming_funnel_stages,
-    )
-
-    _STREAM_COUNTER[0] += 1
-    stream = se.stream_events(spark, sf_dir)
-    drained = se.run_available_now(
-        streaming_funnel_stages(stream),
-        f"q_stream_funnel_{_STREAM_COUNTER[0]}",
-        output_mode="update",
-    )
-    return finalize_funnel_cohorts(drained)
-
-
-STREAM_FUNNEL_SQL = """
-WITH ev AS (
-  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
-  WHERE event_id IS NOT NULL
-    AND event_type IN ('view', 'click', 'purchase')),
-s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
-       WHERE event_type = 'view' GROUP BY user_id),
-s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e
-       JOIN s1 USING (user_id)
-       WHERE e.event_type = 'click' AND e.us >= s1.t1
-       GROUP BY e.user_id),
-s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e
-       JOIN s2 USING (user_id)
-       WHERE e.event_type = 'purchase' AND e.us >= s2.t2
-       GROUP BY e.user_id),
-u AS (SELECT s1.user_id, s1.t1, s2.t2, s3.t3
-      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
-SELECT t1 // 86400000000 AS cohort_day,
-       CAST(COUNT(*) AS BIGINT) AS n_stage1,
-       CAST(COUNT(t2) AS BIGINT) AS n_stage2,
-       CAST(COUNT(t3) AS BIGINT) AS n_stage3,
-       CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) AS total_conversion_micros
-FROM u GROUP BY 1
-"""
-
-
-def docs_curriculum_stages(spark, sf_dir):
-    """Curriculum-learning stage assignment (operators/corpus.py::
-    curriculum_stages): NTILE(4) over an exact integer difficulty
-    score (distinct-token count) with id tiebreak — deterministic,
-    ANSI-NTILE-portable ordering of the training corpus."""
-    from universal_importer_duckdb_spark.operators.corpus import (
-        curriculum_stages,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        F.size(F.array_distinct(F.split(F.col("text"), " ")))
-        .cast("bigint")
-        .alias("score"),
-    )
-    return curriculum_stages(scored, "score", n_stages=4)
-
-
-CURRICULUM_SQL = """
-WITH s AS (
-  SELECT doc_id,
-         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-           AS score
-  FROM documents)
-SELECT doc_id, score,
-       CAST(ntile(4) OVER (ORDER BY score, doc_id) AS INTEGER) AS stage
-FROM s
-"""
-
-
-def docs_textrank_keywords(spark, sf_dir):
-    """TextRank keyword extraction (operators/textrank.py::
-    textrank_keywords): 5 scaled-integer PageRank iterations over the
-    adjacent-word co-occurrence graph; corpus touched once for graph
-    construction, iteration runs on the Heaps-law-small vocab graph.
-    The oracle replays the identical integer floor-division recursion
-    unrolled as CTEs — bit-exact, no float drift."""
-    from universal_importer_duckdb_spark.operators.textrank import (
-        textrank_keywords,
-    )
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
-
-    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    return textrank_keywords(docs, iterations=5, top_k=50)
-
-
-def orders_snapshot_drift(spark, sf_dir):
-    """Snapshot drift report: compare two table snapshots (halves of
-    orders by key parity standing in for yesterday/today) per
-    o_orderstatus — row counts, exact DECIMAL revenue sums, distinct
-    customers, and their deltas. The data-ops check run before
-    promoting a new ingest; one union + one groupBy."""
-    orders = _t(spark, sf_dir, "orders")
-    tagged = orders.select(
-        "o_orderstatus",
-        "o_totalprice",
-        "o_custkey",
-        (F.col("o_orderkey") % 2 == 0).alias("is_a"),
-    )
-    return (
-        tagged.groupBy("o_orderstatus")
-        .agg(
-            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_a"),
-            F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_b"),
-            F.sum(F.when(F.col("is_a"), F.col("o_totalprice")))
-            .cast("decimal(18,2)")
-            .alias("rev_a"),
-            F.sum(F.when(~F.col("is_a"), F.col("o_totalprice")))
-            .cast("decimal(18,2)")
-            .alias("rev_b"),
-            F.countDistinct(F.when(F.col("is_a"), F.col("o_custkey")))
-            .cast("bigint")
-            .alias("cust_a"),
-            F.countDistinct(F.when(~F.col("is_a"), F.col("o_custkey")))
-            .cast("bigint")
-            .alias("cust_b"),
-        )
-        .select(
-            "o_orderstatus",
-            "n_a",
-            "n_b",
-            (F.col("n_b") - F.col("n_a")).cast("bigint").alias("n_delta"),
-            "rev_a",
-            "rev_b",
-            (F.col("rev_b") - F.col("rev_a"))
-            .cast("decimal(18,2)")
-            .alias("rev_delta"),
-            "cust_a",
-            "cust_b",
-        )
-    )
-
-
-SNAPSHOT_DRIFT_SQL = """
-SELECT o_orderstatus,
-       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_a,
-       CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_b,
-       CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
-            - SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_delta,
-       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END)
-            AS DECIMAL(18,2)) AS rev_a,
-       CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice END)
-            AS DECIMAL(18,2)) AS rev_b,
-       CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice END)
-            - SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END)
-            AS DECIMAL(18,2)) AS rev_delta,
-       CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END)
-            AS BIGINT) AS cust_a,
-       CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 <> 0 THEN o_custkey END)
-            AS BIGINT) AS cust_b
-FROM orders GROUP BY o_orderstatus
-"""
-
-
-def docs_source_token_divergence(spark, sf_dir):
-    """Per-source vocabulary divergence: which tokens are most over/
-    under-represented in each source vs the whole corpus. Score is
-    the exact integer cross-multiplication |c_sw * T - c_w * T_s|
-    (equivalent in ordering to |p_source - p_corpus| without any
-    float division); top 5 per source. The mixture-debugging view a
-    corpus pipeline runs after docs_source_mixture changes."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).filter(F.col("word") != "")
-    sw = toks.groupBy("source", "word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_sw")
-    )
-    wtot = toks.groupBy("word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_w")
-    )
-    stot = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("t_s")
-    )
-    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-    scored = (
-        sw.join(F.broadcast(wtot), "word")
-        .join(F.broadcast(stot), "source")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            "word",
-            F.abs(
-                F.col("c_sw") * F.col("t") - F.col("c_w") * F.col("t_s")
-            )
-            .cast("bigint")
-            .alias("divergence"),
-        )
-    )
-    w = Window.partitionBy("source").orderBy(
-        F.desc("divergence"), "word"
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("source", "word", "divergence", F.col("rnk").cast("int").alias("rnk"))
-    )
-
-
-SOURCE_TOKEN_DIVERGENCE_SQL = """
-WITH toks AS (
-  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
-nz AS (SELECT * FROM toks WHERE word <> ''),
-sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c_sw
-       FROM nz GROUP BY source, word),
-wtot AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_w FROM nz GROUP BY word),
-stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s
-         FROM nz GROUP BY source),
-tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM nz),
-scored AS (
-  SELECT sw.source, sw.word,
-         CAST(abs(sw.c_sw * tt.t - wtot.c_w * stot.t_s) AS BIGINT)
-           AS divergence
-  FROM sw JOIN wtot USING (word) JOIN stot USING (source), tt),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY source ORDER BY divergence DESC, word) AS rnk
-  FROM scored)
-SELECT source, word, divergence, CAST(rnk AS INTEGER) AS rnk
-FROM ranked WHERE rnk <= 5
-"""
-
-
-def docs_temperature_mixture(spark, sf_dir):
-    """Temperature-2 source rebalancing (operators/corpus.py::
-    temperature_resample): deterministic md5-threshold downsampling so
-    kept counts scale like sqrt(n_s) — the standard LLM-mixture
-    flattening. sqrt is IEEE-correctly-rounded, so the per-document
-    keep decision replays bit-exactly in the oracle. Zero corpus
-    shuffles (per-source thresholds broadcast back)."""
-    from universal_importer_duckdb_spark.operators.corpus import (
-        temperature_resample,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return temperature_resample(docs, "source", "doc_id", 2, 10).select(
-        "doc_id", "source"
-    )
-
-
-TEMPERATURE_MIXTURE_SQL = """
-WITH c AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
-  FROM documents GROUP BY source),
-t AS (
-  SELECT source, n_s,
-         10 * CAST(floor(sqrt(n_s)) AS BIGINT) AS thr
-  FROM c)
-SELECT d.doc_id, d.source
-FROM documents d JOIN t USING (source)
-WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
-       % t.n_s) < t.thr
-"""
-
-
-def events_user_narratives(spark, sf_dir):
-    """Structured-log -> LM-training-text serialization (operators/
-    narrative.py::user_event_narratives): each user's events rendered
-    deterministically (epoch micros, type, integer cents) and joined
-    in (ts, event_id) order — one shuffle, bounded per-user lists."""
-    from universal_importer_duckdb_spark.operators.narrative import (
-        user_event_narratives,
-    )
-
-    events = _t(spark, sf_dir, "events")
-    return user_event_narratives(events)
-
-
-USER_NARRATIVES_SQL = """
-WITH r AS (
-  SELECT user_id, epoch_us(ts) AS us, event_id,
-         't=' || CAST(epoch_us(ts) AS VARCHAR) || ' ' || event_type ||
-         ' v=' || COALESCE(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                                    AS BIGINT) AS VARCHAR), 'null')
-           AS line
-  FROM events)
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-       string_agg(line, ' | ' ORDER BY us, event_id) AS narrative
-FROM r GROUP BY user_id
-"""
-
-
-def docs_tokenizer_fertility(spark, sf_dir):
-    """Tokenizer fertility by source: chars per token under the
-    SHIPPED tokenizer (the compression-quality check run before
-    committing to a tokenizer for a new data mixture). Ratio emitted
-    as exact integer milli-chars-per-token — (1000*chars) div tokens
-    — so no float division crosses the engine boundary. NOT in the
-    r6 driver window: it shares the merge-replay path with the
-    in-window docs_shipped_tokenizer_counts; its own check leads r7."""
-    from universal_importer_duckdb_spark.operators.bpe import (
-        apply_merges,
-        bpe_token_counts,
-        load_merges_file,
-        word_frequency_table,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    merges = load_merges_file(_SHIPPED_MERGES_PATH)
-    vocab = apply_merges(word_frequency_table(docs), merges)
-    counts = bpe_token_counts(docs, vocab)
-    return (
-        docs.select("doc_id", "source", "n_chars")
-        .join(counts, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.sum("n_bpe_tokens").cast("bigint").alias("total_tokens"),
-        )
-        .select(
-            "source",
-            "total_chars",
-            "total_tokens",
-            F.expr(
-                "CASE WHEN total_tokens = 0 THEN NULL"
-                " ELSE (1000 * total_chars) div total_tokens END"
-            ).alias("fert_milli"),
-        )
-    )
-
-
-def _tokenizer_fertility_sql() -> str:
-    inner = _shipped_tokenizer_sql()
-    return f"""
-SELECT d.source,
-       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
-       CAST(SUM(base.n_bpe_tokens) AS BIGINT) AS total_tokens,
-       CASE WHEN SUM(base.n_bpe_tokens) = 0 THEN NULL
-            ELSE CAST((1000 * SUM(d.n_chars)) // SUM(base.n_bpe_tokens)
-                      AS BIGINT) END AS fert_milli
-FROM ({inner}) base JOIN documents d USING (doc_id)
-GROUP BY d.source
-"""
-
-
-def _textrank_oracle():
-    from universal_importer_duckdb_spark.operators.textrank import (
-        textrank_sql,
-    )
-
-    return textrank_sql(iterations=5, top_k=50)
-
-
-REGISTRY.update({
-    "docs_segment_line_dedup": (
-        docs_segment_line_dedup, SEGMENT_LINE_DEDUP_SQL,
-    ),
-    "docs_bloom_incremental_dedup": (
-        docs_bloom_incremental_dedup, BLOOM_INCREMENTAL_DEDUP_SQL,
-    ),
-    "docs_containment_pairs": (docs_containment_pairs, CONTAINMENT_PAIRS_SQL),
-    "events_funnel_cohorts": (events_funnel_cohorts, FUNNEL_SQL),
-    "docs_curriculum_stages": (docs_curriculum_stages, CURRICULUM_SQL),
-    "docs_textrank_keywords": (docs_textrank_keywords, _textrank_oracle()),
-    "orders_snapshot_drift": (orders_snapshot_drift, SNAPSHOT_DRIFT_SQL),
-    "docs_source_token_divergence": (
-        docs_source_token_divergence, SOURCE_TOKEN_DIVERGENCE_SQL,
-    ),
-    "docs_temperature_mixture": (
-        docs_temperature_mixture, TEMPERATURE_MIXTURE_SQL,
-    ),
-    "events_user_narratives": (events_user_narratives, USER_NARRATIVES_SQL),
-    "docs_tokenizer_fertility": (
-        docs_tokenizer_fertility, _tokenizer_fertility_sql(),
-    ),
-    "stream_funnel_cohorts": (stream_funnel_cohorts, STREAM_FUNNEL_SQL),
-    "emb_knn_join": (emb_knn_join, EMB_KNN_JOIN_SQL),
-    "orders_expectation_suite": (
-        orders_expectation_suite, EXPECTATION_SUITE_SQL,
-    ),
-    # rows-only: PQ training is float-iterative k-means (same
-    # exemption as emb_ivf_topk); quality pinned in tests
-    "emb_pq_codes": (emb_pq_codes, None),
-    # rows-only for the same reason; carries its own exactness audit
-    "emb_pq_adc_topk": (emb_pq_adc_topk, None),
-    "events_top_journeys": (events_top_journeys, _top_journeys_sql()),
-    "docs_top_collocations": (
-        docs_top_collocations, TOP_COLLOCATIONS_SQL,
-    ),
-    "docs_contamination_spans": (
-        docs_contamination_spans, CONTAMINATION_SPANS_SQL,
-    ),
-    "docs_decontaminated_text": (
-        docs_decontaminated_text, DECONTAMINATED_TEXT_SQL,
-    ),
-    "multimodal_audio_energy": (
-        multimodal_audio_energy, MULTIMODAL_AUDIO_ENERGY_SQL,
-    ),
-    "multimodal_image_tiles": (
-        multimodal_image_tiles, MULTIMODAL_IMAGE_TILES_SQL,
-    ),
-})
 
 
 # ======================================================================
@@ -6541,94 +64,108 @@ REGISTRY.update({
 # docs_stratified_sample / docs_char_trigram_familiarity, which have
 # never been driver-checked).
 #
-# Round-6 roster (below): clears BOTH r5 debts — the 5 entries that
+# Round-6 roster: cleared BOTH r5 debts — the 5 entries that
 # had never seen a driver hash-check, and the full r6-demoted set
 # promised in the r5 comments — plus the round's own changes: the
 # new shipped-tokenizer entry, the 3 re-cast oracles (the r5 HUGEINT
 # hash-fails), the NOT EXISTS incremental-dedup oracle, and every
 # query whose physical plan changed (spread_for_compute scans,
 # unique_buckets pair generation, per-vector norm folds).
-_R6_WINDOW = (
+# Result: 49/50 green; the one red (orders_snapshot_drift) was a
+# decimal-vs-float64 hasher-type mismatch, re-cast this round.
+#
+# Round-7 roster (below), honoring the r6 tail comment in full:
+#  1. The 11 entries that have never been driver-checked (born after
+#     the r6 window filled): docs_tokenizer_fertility,
+#     stream_funnel_cohorts, orders_expectation_suite, emb_pq_codes,
+#     emb_pq_adc_topk (rows-only pair), events_top_journeys,
+#     docs_top_collocations, docs_contamination_spans,
+#     docs_decontaminated_text, multimodal_audio_energy,
+#     multimodal_image_tiles. After this round, ever-driver-checked
+#     coverage is 156/156 — zero never-checked entries remain.
+#  2. The full r6-demoted set promised in the r6 comments (13 + the
+#     rows-only emb_ivf_topk), last driver-checked in r3 (r1 for
+#     IVF).
+#  3. Every entry whose implementation or oracle changed this round:
+#     orders_snapshot_drift (DOUBLE re-cast of the r6 hash-fail),
+#     docs_segment_line_dedup (matched-lines-only rewrite),
+#     events_funnel_cohorts (LONG_MIN stage-1 sentinel),
+#     docs_bloom_incremental_dedup (row-identity probe fold),
+#     docs_textrank_keywords (overflow guard),
+#     docs_incremental_dedup (r6 bench re-confirm item).
+#  4. Staleness fillers: the last two r3-era entries
+#     (q13, q17), then 17 r4-era entries (15 TPC-H shapes + the
+#     as-of/range joins). The 23 remaining r4-era entries
+#     (anti/except/intersect/semi set ops, validation family,
+#     pivot/cube, string/window analytics, salted distinct,
+#     union_all_key_space, fk_orphans, in_subquery, monthly_revenue,
+#     percentile, rank_customers, top_customers, distinct_segments,
+#     docs_vocab_topk, q16) and the whole r5-era block lead the r8
+#     roster.
+_R7_WINDOW = (
     # ---- never driver-checked (take window slots first) ----
-    "docs_cross_doc_ngram_dup",
-    "docs_source_token_stats_udaf",
-    "multimodal_video_features",
-    "pipeline_summary_observed_lineitem",
-    "stream_enriched_segment_counts",
-    # brand-new round-6 entries (shipped-tokenizer interop + the
-    # line-dedup / bloom-ingest / containment / funnel / curriculum
-    # additions)
-    "docs_shipped_tokenizer_counts",
-    "docs_segment_line_dedup",
-    "docs_bloom_incremental_dedup",
-    "docs_containment_pairs",
-    "events_funnel_cohorts",
-    "docs_curriculum_stages",
-    "docs_textrank_keywords",
-    "orders_snapshot_drift",
-    "docs_source_token_divergence",
-    "docs_temperature_mixture",
-    "events_user_narratives",
+    "docs_tokenizer_fertility",
+    "stream_funnel_cohorts",
+    "orders_expectation_suite",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
+    "events_top_journeys",
+    "docs_top_collocations",
+    "docs_contamination_spans",
+    "docs_decontaminated_text",
+    "multimodal_audio_energy",
+    "multimodal_image_tiles",
     # ---- changed this round: re-verify ----
-    # oracle CAST fixes (the r5 HUGEINT hash-fails)
-    "docs_pack_sequences", "docs_budget_selection",
-    "orders_compaction_plan",
-    # oracle NOT IN -> NOT EXISTS (null fingerprints)
+    "orders_snapshot_drift",
+    "docs_segment_line_dedup",
+    "events_funnel_cohorts",
+    "docs_bloom_incremental_dedup",
+    "docs_textrank_keywords",
     "docs_incremental_dedup",
-    # per-vector norm folds + unique_buckets pair generation; ALL
-    # exact-cosine entries re-verify after the r6 order-defined-fold
-    # migration (their emitted doubles changed in the last ulps), and
-    # the new exact kNN join enters
-    "emb_hard_negatives", "emb_near_dup_pairs", "emb_semdedup_clusters",
-    "emb_cosine_topk", "emb_ann_lsh_topk", "emb_knn_join",
-    # spread_for_compute on single-row-group scans
-    "dedup_first_lineitem", "dedup_last_lineitem",
-    "dedup_exclude_all_lineitem", "dedup_duplicates_lineitem",
-    "lineitem_content_checksum",
-    "docs_keyword_search_topk", "docs_hybrid_search_rrf",
-    # ---- the r5-roster r6-demoted set: promised re-checks ----
-    "rule_age_gte_skip_orders", "rule_age_gte_invalid_orders",
-    "dedup_cascade_lineitem", "pipeline_summary_lineitem",
-    "events_sessionization",
-    "docs_quality_scores", "docs_quality_filter_ids",
-    "docs_fingerprint_exact_dedup", "docs_ngram_topk_similar",
-    "events_dedup_first_by_key", "docs_corpus_prep",
-    "stream_dedup_within_watermark",
-    "q9_profit_by_nation_year",
-    "stream_sliding_halfhour", "stream_running_user_stats",
-    "stream_tumbling_hourly",
-    "events_tumbling_hourly",
-    # (Demoted to r7 to make room for the round-6 additions above
-    # (the window is a hard 50): q6_forecast_revenue,
-    # like_filter_parts, sql_passthrough_revenue, docs_token_stats,
-    # projection_alias_orders, q18_large_orders, docs_bpe_token_count,
-    # rollup_revenue, events_json_extract, docs_rolling_sketch,
-    # q12_priority_shipmode, rolling_customer_spend, docs_language_id
-    # — all r1-r3 driver-green trivial/unchanged shapes, locally
-    # parity-green every session — plus emb_ivf_topk as recorded in
-    # r5 (rows-only gate; recall pinned in tests/test_extensions.py).
-    # All of these lead the r7 roster, together with the two
-    # late-round-6 entries born after the window filled —
-    # docs_tokenizer_fertility (shares the in-window
-    # shipped-tokenizer path), stream_funnel_cohorts (multi-batch
-    # convergence certified in tests/test_round6_ops.py::
-    # test_streaming_funnel_converges_across_batches),
-    # orders_expectation_suite (planted-violation unit test),
-    # events_top_journeys, docs_top_collocations,
-    # docs_contamination_spans, docs_decontaminated_text,
-    # multimodal_audio_energy, multimodal_image_tiles, and the
-    # PQ pair
-    # emb_pq_codes / emb_pq_adc_topk (rows-only like IVF;
-    # determinism/error/recall/audit pinned in tests) — all locally
-    # parity- or rows-green at sf0.001 and sf0.01 this session.)
+    # ---- the r6-demoted set: promised re-checks (r3-era) ----
+    "q6_forecast_revenue",
+    "like_filter_parts",
+    "sql_passthrough_revenue",
+    "docs_token_stats",
+    "projection_alias_orders",
+    "q18_large_orders",
+    "docs_bpe_token_count",
+    "rollup_revenue",
+    "events_json_extract",
+    "docs_rolling_sketch",
+    "q12_priority_shipmode",
+    "rolling_customer_spend",
+    "docs_language_id",
+    "emb_ivf_topk",
+    # ---- staleness fillers: last r3-era, then r4-era ----
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_top_unshipped",
+    "q4_order_priority",
+    "q5_revenue_by_nation",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "events_asof_last_click",
+    "events_range_join_error_windows",
 )
 
+
 def _finalize_registry() -> None:
-    rank = {n: i for i, n in enumerate(_R6_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R7_WINDOW)}
 
     def key(kv: tuple[str, tuple]) -> int:
         name, _ = kv
-        return rank.get(name, len(_R6_WINDOW))
+        return rank.get(name, len(_R7_WINDOW))
 
     ordered = dict(sorted(REGISTRY.items(), key=key))
     REGISTRY.clear()

@@ -1,0 +1,2312 @@
+"""Registry sections: CDC / changelog algebra, SCD-2 history,
+weighted priority sampling, and the round-6 additions (line-level
+dedup, Bloom-prefiltered ingest, containment dedup, funnels,
+TextRank, PQ/ADC, expectation suites, span decontamination,
+journeys, collocations, audio/image kernels). Chained after
+``registry.breadth``.
+"""
+
+from __future__ import annotations
+
+from universal_importer_duckdb_spark.registry.breadth import *  # noqa: F401,F403
+
+
+
+# ======================================================================
+# CDC / changelog algebra, SCD-2 history, weighted priority sampling,
+# keyword search, Z-order layout codes, certified quantile sketches
+# ======================================================================
+
+# 2024-01-16T00:00:00Z, the midpoint of the events timeline: the
+# snapshot/delta boundary for the incremental-merge entry
+_MERGE_SPLIT_NS = 1_705_363_200 * 1_000_000_000
+
+
+def events_changelog_state(spark, sf_dir):
+    """Changelog compaction to current state: events is an op-typed
+    CDC log over user_id ('error' = delete, anything else upsert);
+    latest (ts, event_id) wins. ONE hash-aggregate (max-struct with
+    map-side partials), not a window sort — the shape that survives a
+    100 TB log. The oracle replays it as the row_number window."""
+    from universal_importer_duckdb_spark.operators.changelog import (
+        changelog_current_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    state = changelog_current_state(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+        payload_cols=["value"],
+    )
+    return state.select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+        "n_versions",
+    )
+
+
+CHANGELOG_STATE_SQL = """
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+  FROM events)
+SELECT user_id, ts_us, event_id, event_type AS last_op,
+       value AS last_value, CAST(n_versions AS BIGINT) AS n_versions
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def events_merge_upsert_state(spark, sf_dir):
+    """Incremental MERGE certification: snapshot the log below the
+    split timestamp, compact the rest into a delta (deletes retained
+    as tombstones), broadcast-MERGE the delta into the snapshot — and
+    the oracle checks the result equals the CURRENT STATE OF THE FULL
+    LOG, i.e. merge(state(log<T), compact(log>=T)) == state(log).
+    That algebra is what lets a 100 TB pipeline apply a day's CDC
+    batch without ever re-reading history; broadcast_delta means the
+    snapshot side never shuffles. (n_versions is not emitted: a
+    snapshot legitimately forgets the version counts of keys it
+    deleted, so only the merged STATE is oracle-comparable; the
+    additive version count is unit-tested.)"""
+    from universal_importer_duckdb_spark.operators.changelog import (
+        changelog_current_state,
+        merge_upsert,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    kw = dict(
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+        payload_cols=["value"],
+    )
+    base = changelog_current_state(ev.filter(F.col("ts") < _MERGE_SPLIT_NS), **kw)
+    delta = changelog_current_state(
+        ev.filter(F.col("ts") >= _MERGE_SPLIT_NS), keep_deletes=True, **kw
+    )
+    merged = merge_upsert(
+        base,
+        delta,
+        ["user_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+        broadcast_delta=True,
+    )
+    return merged.select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, ts_us, event_id, event_type AS last_op, value AS last_value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def events_scd2_history(spark, sf_dir):
+    """SCD type-2 validity intervals over each user's purchase
+    timeline: every purchase holds [its ts, the next purchase's ts),
+    open-ended and flagged current for the latest. One window shuffle
+    partitioned by user."""
+    from universal_importer_duckdb_spark.operators.changelog import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hist = scd2_intervals(
+        ev, ["user_id"], ["ts", "event_id"], payload_cols=["value"]
+    )
+    return hist.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.expr("valid_from DIV 1000").alias("valid_from_us"),
+        F.expr("valid_to DIV 1000").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_id, value,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)) AS valid_to_us,
+       LEAD(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) IS NULL AS is_current
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def stream_incremental_upsert_state(spark, sf_dir):
+    """Streaming CDC upsert: drain the event stream through per-batch
+    compaction + seq-aware broadcast MERGE (streaming/upsert.py) and
+    emit the final current state. Batch-split-independent by
+    construction (last-write-wins on (ts, event_id) with tombstone
+    retention), so the oracle is simply the batch current state of
+    the full log."""
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.upsert import incremental_state
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("event_time")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    state = incremental_state(
+        stream,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+        payload_cols=["value"],
+    )
+    return state.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def docs_priority_sample(spark, sf_dir):
+    """Weighted 100-doc sample by sequential Poisson (priority)
+    sampling, weight = n_chars: deterministic, transcendental-free,
+    replayed bit-exactly by the oracle (the priority is one double
+    division of two exact integers). Top-k is TakeOrderedAndProject —
+    no global sort at any corpus size."""
+    from universal_importer_duckdb_spark.operators.corpus import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return priority_sample(docs, 100, "n_chars").select(
+        "doc_id", "n_chars", "priority"
+    )
+
+
+PRIORITY_SAMPLE_SQL = """
+WITH p AS (
+  SELECT doc_id, n_chars,
+         ('0x'||substr(md5('prio-v1:'||doc_id), 1, 7))::BIGINT
+           / CAST(round(n_chars * 1000000) AS BIGINT) AS priority
+  FROM documents WHERE CAST(round(n_chars * 1000000) AS BIGINT) > 0)
+SELECT doc_id, n_chars, priority FROM p ORDER BY priority, doc_id LIMIT 100
+"""
+
+
+def docs_keyword_search_topk(spark, sf_dir):
+    """BM25-family keyword retrieval (rational idf — see search.py:
+    log-free so every arithmetic step is an IEEE op both engines
+    execute identically) for the query {hash, join, stream}: one
+    narrow tf/doclen map, one broadcast one-row corpus-stats
+    aggregate, TakeOrderedAndProject top-20."""
+    from universal_importer_duckdb_spark.operators.search import keyword_search_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_search_topk(docs, ("hash", "join", "stream"), k=20)
+
+
+def _bm25_term_sql(t: str) -> str:
+    ln = ("(1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *"
+          " ((doclen * n_docs) / sum_len)))")
+    return (
+        f"(((n_docs - df_{t}) + 0.5::DOUBLE) / (df_{t} + 0.5::DOUBLE))"
+        f" * (tf_{t} * 2.2::DOUBLE) / (tf_{t} + {ln})"
+    )
+
+
+KEYWORD_SEARCH_SQL = f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'hash')) AS BIGINT) AS tf_hash,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'join')) AS BIGINT) AS tf_join,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'stream')) AS BIGINT) AS tf_stream,
+         CAST(len(string_split(lower(coalesce(text,'')), ' ')) AS BIGINT)
+           AS doclen
+  FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(doclen) AS BIGINT) AS sum_len,
+         CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_hash,
+         CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_join,
+         CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_stream
+  FROM tf)
+SELECT doc_id, tf_hash, tf_join, tf_stream,
+       {_bm25_term_sql('hash')}
+     + {_bm25_term_sql('join')}
+     + {_bm25_term_sql('stream')} AS score
+FROM tf CROSS JOIN st
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def docs_tokens_udtf(spark, sf_dir):
+    """Python UDTF exemplar (completes the UDF/UDAF/stateful/codec API
+    matrix): an Arrow-optimized user-defined TABLE function emitting
+    (pos, token) rows per document through a LATERAL join. The
+    semantics are deliberately SQL-replayable (positional tokenize,
+    skip empties, keep original 1-based positions) so even the Python
+    table function gets a bit-exact oracle. The built-in explode
+    covers this in production plans — the entry certifies the API
+    path for logic that genuinely needs imperative Python row
+    generation."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string", useArrow=True)
+    class TokenEmitter:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                if t:
+                    yield i + 1, t
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("token_emitter", TokenEmitter)
+    return spark.sql(
+        "SELECT t.doc_id, e.pos, e.token "
+        "FROM __udtf_docs t, LATERAL token_emitter(t.text) e"
+    )
+
+
+TOKENS_UDTF_SQL = """
+SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.t AS token
+FROM (SELECT doc_id, unnest([struct_pack(p := i, t := toks[i])
+                             for i in generate_series(1, len(toks))]) AS u
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+WHERE u.t <> ''
+"""
+
+
+def docs_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 keyword top-50 and exact-cosine vector
+    top-50 fused by reciprocal-rank fusion (operators/search.py::
+    rrf_fuse) — the lexical+semantic retrieval stack in one
+    oracle-certified query. Both rankers are the already-certified
+    components (rational-idf BM25; DECIMAL cosine); ranks come from
+    deterministic (score desc, id) orderings, and the fuse is rank-
+    based 1/(60+r) arithmetic, identical IEEE ops both engines. The
+    rank windows run on 50-row frames, so their single-partition
+    execution is free; embeddings row i is document i's vector in the
+    synthetic schema."""
+    from universal_importer_duckdb_spark.operators.search import (
+        keyword_search_topk,
+        rrf_fuse,
+    )
+    from universal_importer_duckdb_spark.operators.similarity import (
+        cosine_topk_two_phase,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # latency-bound interactive query: on a corpus known small (parquet
+    # footer), window-inline the corpus stats — one tokenization, no
+    # broadcast job, stage overlaps the vector branch (search.py
+    # docstring); unknown/large corpora keep the broadcast shape
+    n_docs_hint = _footer_rows(sf_dir, "documents")
+    kw = keyword_search_topk(
+        docs,
+        ("hash", "join", "stream"),
+        k=50,
+        stats="window" if n_docs_hint is not None and n_docs_hint <= 100_000 else "broadcast",
+    )
+    wk = Window.orderBy(F.desc("score"), "doc_id")
+    kwr = kw.select("doc_id", F.row_number().over(wk).alias("rank"))
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    vec = cosine_topk_two_phase(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=50,
+        size_hint=_footer_rows(sf_dir, "embeddings"),
+    )
+    wv = Window.orderBy(F.desc("cosine"), "vec_id")
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wv).alias("rank")
+    )
+    return rrf_fuse([kwr, vecr], k_rrf=60, k=20).withColumnsRenamed(
+        {"rank_0": "rank_kw", "rank_1": "rank_vec"}
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'hash')) AS BIGINT) AS tf_hash,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'join')) AS BIGINT) AS tf_join,
+         CAST(len(list_filter(string_split(lower(coalesce(text,'')), ' '),
+                              x -> x = 'stream')) AS BIGINT) AS tf_stream,
+         CAST(len(string_split(lower(coalesce(text,'')), ' ')) AS BIGINT)
+           AS doclen
+  FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(doclen) AS BIGINT) AS sum_len,
+         CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_hash,
+         CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_join,
+         CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS df_stream
+  FROM tf),
+kw AS (
+  SELECT doc_id,
+         {_bm25_term_sql('hash')}
+     + {_bm25_term_sql('join')}
+     + {_bm25_term_sql('stream')} AS score
+  FROM tf CROSS JOIN st ORDER BY score DESC, doc_id LIMIT 50),
+kwr AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank_kw
+  FROM kw),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id,
+        {_SQL_DOT.format(a="embedding::DOUBLE[]", b="qv")} AS dot,
+        {_SQL_N2.format(a="embedding::DOUBLE[]")} AS n1,
+        {_SQL_N2.format(a="qv")} AS n2
+      FROM embeddings, q WHERE vec_id > 0),
+vec AS (SELECT vec_id, dot/(sqrt(n1)*sqrt(n2)) AS cosine
+        FROM s ORDER BY cosine DESC, vec_id LIMIT 50),
+vecr AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+           AS rank_vec
+  FROM vec)
+SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, k.rank_kw, v.rank_vec,
+       COALESCE(1.0/(60 + k.rank_kw), 0.0)
+         + COALESCE(1.0/(60 + v.rank_vec), 0.0) AS rrf_score
+FROM kwr k FULL OUTER JOIN vecr v ON k.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+def orders_zorder_codes(spark, sf_dir):
+    """Z-order layout codes: Morton-interleave customer key and order
+    day so range-partitioning on the code yields files with tight
+    min/max stats on BOTH dimensions (multi-dim data skipping — the
+    100 TB scan-pruning lever). Pure integer shift/mask arithmetic,
+    whole-stage codegen, bit-identical in the oracle."""
+    from universal_importer_duckdb_spark.operators.layout import morton_code
+
+    orders = _t(spark, sf_dir, "orders")
+    zx = F.col("o_custkey").bitwiseAND(F.lit(65535)).cast("bigint")
+    zy = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .bitwiseAND(F.lit(65535).cast("bigint"))
+    )
+    base = orders.select(
+        "o_orderkey", zx.alias("zx"), zy.alias("zy")
+    )
+    return base.select(
+        "o_orderkey", "zx", "zy", morton_code("zx", "zy").alias("zcode")
+    )
+
+
+def _zorder_sql() -> str:
+    from universal_importer_duckdb_spark.operators.layout import morton_code_sql
+
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         (o_custkey & 65535) AS zx,
+         (date_diff('day', DATE '1992-01-01', o_orderdate::DATE) & 65535)
+           AS zy
+  FROM orders)
+SELECT o_orderkey, zx, zy, {morton_code_sql('zx', 'zy')} AS zcode FROM base
+"""
+
+
+def orders_quantile_envelope(spark, sf_dir):
+    """Grouped quantiles with a CERTIFIED sketch envelope — the
+    100 TB quantile path (same contract as the HLL++ entry): the
+    emitted p50/p90 are EXACT order statistics (rank = ceil(q*n) via
+    one window pass — the verifiable baseline), and the within-budget
+    flags compare Spark's mergeable GK sketch (percentile_approx,
+    accuracy 1000, map-side partials + one tiny shuffle — the shape
+    you'd actually run at scale) against them. The oracle recomputes
+    the exact order stats and asserts the envelope as a literal, so a
+    sketch drifting out of its ±5% budget fails the hash check."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    r = (
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wc).cast("bigint"))
+    )
+    exact = r.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("o_totalprice"))
+        ).alias("p50_exact"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("o_totalprice"))
+        ).alias("p90_exact"),
+    )
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("__a50"),
+        F.percentile_approx("o_totalprice", 0.9, 1000).alias("__a90"),
+    )
+    return exact.join(approx, "o_orderpriority").select(
+        "o_orderpriority",
+        "p50_exact",
+        "p90_exact",
+        (F.abs(F.col("__a50") - F.col("p50_exact")) <= F.col("p50_exact") * 0.05)
+        .alias("p50_within_budget"),
+        (F.abs(F.col("__a90") - F.col("p90_exact")) <= F.col("p90_exact") * 0.05)
+        .alias("p90_within_budget"),
+    )
+
+
+QUANTILE_ENVELOPE_SQL = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders)
+SELECT o_orderpriority,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                THEN o_totalprice END) AS p50_exact,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                THEN o_totalprice END) AS p90_exact,
+       TRUE AS p50_within_budget, TRUE AS p90_within_budget
+FROM r GROUP BY o_orderpriority
+"""
+
+
+def orders_data_profile(spark, sf_dir):
+    """Dataset profiling (the "data card"): per-column null counts,
+    exact distinct cardinalities, and min/max ranges in ONE scan (a
+    single multi-aggregate with map-side partials; the unpivot to
+    long form runs on the one-row result). Money doubles render
+    through DECIMAL(15,2) and timestamps through DATE so the string
+    forms are cross-engine identical."""
+    from universal_importer_duckdb_spark.operators.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        render={"o_totalprice": "decimal(15,2)", "o_orderdate": "date"},
+    )
+
+
+def _profile_block(col: str, cast_to: str | None = None) -> str:
+    e = f"CAST({col} AS {cast_to})" if cast_to else col
+    return f"""
+SELECT '{col}' AS "column",
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(MIN({e}) AS VARCHAR) AS min_value,
+       CAST(MAX({e}) AS VARCHAR) AS max_value
+FROM orders"""
+
+
+ORDERS_PROFILE_SQL = "\nUNION ALL\n".join(
+    _profile_block(c, t)
+    for c, t in (
+        ("o_orderkey", None),
+        ("o_custkey", None),
+        ("o_orderstatus", None),
+        ("o_totalprice", "DECIMAL(15,2)"),
+        ("o_orderdate", "DATE"),
+        ("o_orderpriority", None),
+    )
+)
+
+
+def part_fuzzy_matches(spark, sf_dir):
+    """Fuzzy entity resolution on part names (blocking + edit-distance
+    verify — operators/linkage.py): rows collapse to DISTINCT names
+    (one hash-agg), a last-token blocking key bounds pair generation to
+    within-block self-joins over the distinct frame (never rows², with
+    a hard max_block_size guard), and the JVM levenshtein verify runs
+    on candidates only. DuckDB's levenshtein has identical semantics,
+    so the whole block→pair→verify pipeline replays in the oracle."""
+    from universal_importer_duckdb_spark.operators.linkage import (
+        fuzzy_match_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_match_pairs(
+        part, text_col="p_name", id_col="p_partkey", max_distance=3
+    )
+
+
+FUZZY_MATCH_SQL = """
+WITH d AS (
+  SELECT p_name AS name,
+         CAST(MIN(p_partkey) AS BIGINT) AS rep_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         list_extract(string_split(p_name, ' '), -1) AS blk
+  FROM part GROUP BY p_name)
+SELECT a.name AS name_a, a.rep_id AS id_a, a.n_rows AS n_a,
+       b.name AS name_b, b.rep_id AS id_b, b.n_rows AS n_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+"""
+
+
+def events_resample_interpolate(spark, sf_dir):
+    """Time-series resample + gap fill (operators/temporal.py): hourly
+    buckets per event_type, empty buckets inside each type's observed
+    span filled by linear interpolation between neighboring observed
+    means. Per-bucket sums run in scaled int64 (exact under any
+    partitioning); the mean and interpolation are the IDENTICAL double
+    expression on both engines, so the raw doubles hash-match without
+    rounding."""
+    from universal_importer_duckdb_spark.operators.temporal import (
+        resample_interpolate,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return resample_interpolate(
+        events,
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        bucket_ns=3_600_000_000_000,
+        round_digits=None,
+    )
+
+
+RESAMPLE_SQL = """
+WITH obs AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS sv
+  FROM events GROUP BY 1, 2),
+m AS (SELECT *, (sv / 100.0) / n_events AS mean FROM obs),
+span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+         FROM obs GROUP BY 1),
+grid AS (SELECT event_type, UNNEST(generate_series(lo, hi)) AS bucket
+         FROM span),
+j AS (SELECT g.event_type, g.bucket, m.n_events, m.mean
+      FROM grid g LEFT JOIN m
+        ON g.event_type = m.event_type AND g.bucket = m.bucket),
+w AS (SELECT event_type, bucket, n_events, mean,
+        LAST_VALUE(CASE WHEN n_events IS NOT NULL
+                        THEN struct_pack(b := bucket, mn := mean) END
+                   IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        FIRST_VALUE(CASE WHEN n_events IS NOT NULL
+                         THEN struct_pack(b := bucket, mn := mean) END
+                    IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS q
+      FROM j)
+SELECT event_type, bucket,
+       COALESCE(n_events, 0) AS n_events,
+       CASE WHEN n_events IS NOT NULL THEN mean
+            ELSE p.mn + ((q.mn - p.mn) * (bucket - p.b)) / (q.b - p.b)
+       END AS mean_value,
+       n_events IS NULL AS interpolated
+FROM w
+"""
+
+
+def events_robust_outliers(spark, sf_dir):
+    """Per-type median/MAD outlier screen (operators/anomaly.py): the
+    |v - median| > 3.5*MAD robust-z rule evaluated ENTIRELY in exact
+    integer arithmetic (doubled scaled medians are exact integers on
+    both engines — see the module docstring), so counts and flags are
+    bit-identical under any partitioning. ONE exchange on the group
+    key: both medians run as window aggregates over the same
+    partitioning, and the final group-by reuses it."""
+    from universal_importer_duckdb_spark.operators.anomaly import (
+        robust_outlier_summary,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return robust_outlier_summary(
+        events, group_col="event_type", value_col="value"
+    )
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH s AS (SELECT event_type AS grp,
+                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+m AS (SELECT grp, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS med2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s GROUP BY grp),
+d AS (SELECT s.grp, m.n, m.med2, ABS(2 * s.v - m.med2) AS dev2
+      FROM s JOIN m ON s.grp = m.grp),
+md AS (SELECT grp, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad2
+       FROM d GROUP BY grp)
+SELECT d.grp AS event_type, d.n,
+       d.med2 / 200.0 AS median_value,
+       md.mad2 / 400.0 AS mad,
+       CAST(SUM(CASE WHEN 4 * d.dev2 > 7 * md.mad2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       MAX(d.dev2) / 200.0 AS max_abs_dev
+FROM d JOIN md ON d.grp = md.grp
+GROUP BY d.grp, d.n, d.med2, md.mad2
+"""
+
+
+N_BPE_MERGES = 8
+
+
+def docs_bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE tokenizer induction (operators/bpe.py): 8 merge
+    rounds over the corpus word-frequency table. One corpus-sized
+    aggregation, then every round is one vocab-sized hash-agg whose
+    winner returns as a single-row argmax collect — the bounded
+    driver traffic inherent to BPE's sequential dependence — and the
+    merge applies as a literal narrow map. The delimited-string merge
+    uses replace-scan semantics verified identical across Spark/
+    DuckDB/Python, so the full learn loop replays bit-for-bit in the
+    oracle's 8 chained SQL stages."""
+    from universal_importer_duckdb_spark.operators.bpe import (
+        learn_bpe,
+        word_frequency_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = learn_bpe(
+        word_frequency_table(docs), n_merges=N_BPE_MERGES
+    )
+    return merges
+
+
+# Keyed by id(spark): the memoized vocab frame pins its session
+# object, so a dead session's id cannot be reused while its entry
+# lives — the risk is retention, not collision. The FIFO cap bounds
+# both the kept frames and the dead-session retention.
+_BPE_VOCAB_MEMO: dict[tuple[int, str, int], DataFrame] = {}
+_BPE_VOCAB_MEMO_CAP = 4
+
+
+def docs_bpe_token_counts(spark, sf_dir):
+    """BPE tokenizer APPLICATION: per-document token counts under the
+    vocabulary learned by docs_bpe_learn_merges — the number every
+    training-data pipeline needs per example (sequence packing,
+    pricing, curriculum). The trained vocabulary is memoized per
+    (session, corpus, rounds) — production trains a tokenizer ONCE
+    and serves the artifact, so repeat calls measure what repeats:
+    the encode (a word→symbol-count join + one per-doc aggregation).
+    The learn entry itself is never memoized — its measurement is the
+    training cost."""
+    from universal_importer_duckdb_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+        word_frequency_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (id(spark), sf_dir, N_BPE_MERGES)
+    vocab = _BPE_VOCAB_MEMO.get(key)
+    if vocab is None:
+        _, vocab = learn_bpe(
+            word_frequency_table(docs), n_merges=N_BPE_MERGES
+        )
+        while len(_BPE_VOCAB_MEMO) >= _BPE_VOCAB_MEMO_CAP:
+            _BPE_VOCAB_MEMO.pop(next(iter(_BPE_VOCAB_MEMO)))
+        _BPE_VOCAB_MEMO[key] = vocab
+    return bpe_token_counts(docs, vocab)
+
+
+def _bpe_sql_stages(n_merges: int) -> str:
+    """The learn loop as chained DuckDB CTEs (programmatically
+    generated like ORDERS_PROFILE_SQL): w{i} -> pair counts p{i} ->
+    best pair b{i} -> merged w{i+1}, with the winning pair spliced in
+    via scalar subqueries — the SQL mirror of the broadcast one-row
+    frame. Every stage is AS MATERIALIZED: DuckDB inlines plain CTEs
+    per reference, and the 4 scalar-subquery references per merge
+    stage would otherwise re-expand the whole chain 4^k times."""
+    stages = ["""wc AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word),
+w0 AS MATERIALIZED (SELECT word, cnt,
+              regexp_replace(word, '(.)', '·\\1', 'g') || '·' AS d
+       FROM wc)"""]
+    for i in range(n_merges):
+        pat = (
+            f"'·' || (SELECT a FROM b{i}) || '·' || "
+            f"(SELECT b FROM b{i}) || '·'"
+        )
+        rep = (
+            f"'·' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || '·'"
+        )
+        stages.append(f"""p{i} AS MATERIALIZED (
+  SELECT pr[1] AS a, pr[2] AS b, SUM(cnt) AS c
+  FROM (SELECT cnt,
+               unnest([[s[j], s[j+1]] for j in generate_series(1, len(s)-1)])
+                 AS pr
+        FROM (SELECT cnt, string_split(trim(d, '·'), '·') AS s FROM w{i}))
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (
+  SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(replace(d, {pat}, {rep}), {pat}, {rep}) AS d
+  FROM w{i})""")
+    return "WITH " + ",\n".join(stages)
+
+
+def _bpe_learn_sql(n_merges: int) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS round, a AS sym_a, b AS sym_b,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"{_bpe_sql_stages(n_merges)}\n{rows}"
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    return f"""{_bpe_sql_stages(n_merges)},
+tok AS (SELECT word,
+               CAST(len(string_split(trim(d, '·'), '·')) AS BIGINT)
+                 AS n_syms
+        FROM w{n_merges}),
+dw AS (SELECT doc_id,
+              unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+       FROM documents),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(COALESCE(n_syms,
+                                 CAST(length(word) AS BIGINT))) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM (SELECT doc_id, word FROM dw WHERE word <> '')
+        LEFT JOIN tok USING (word) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(per.n_words, 0) AS n_words,
+       COALESCE(per.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+# package-root data/ (this module moved into registry/ in the r7
+# split, so the anchor is the parent package, not this file's dir)
+_SHIPPED_MERGES_PATH = str(
+    __import__("pathlib").Path(__file__).resolve().parents[1]
+    / "data"
+    / "shipped_merges.txt"
+)
+
+
+def docs_shipped_tokenizer_counts(spark, sf_dir):
+    """Token counts under a SHIPPED tokenizer file (operators/bpe.py::
+    load_merges_file + apply_merges): the GPT-2-style merges.txt in
+    data/shipped_merges.txt is parsed on the driver and replayed as a
+    chain of literal replace maps over the corpus word table — the
+    interop path a real corpus pipeline needs, since token budgets
+    must be counted under the TARGET model's tokenizer, not one
+    learned from the corpus at hand. No learn loop, no collects:
+    one corpus word-count aggregation, the literal merge chain
+    (narrow maps), then the same encode join as
+    docs_bpe_token_counts. The oracle replays the identical literal
+    replace chain (replace-scan semantics verified identical across
+    Spark/DuckDB/Python)."""
+    from universal_importer_duckdb_spark.operators.bpe import (
+        apply_merges,
+        bpe_token_counts,
+        load_merges_file,
+        word_frequency_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = load_merges_file(_SHIPPED_MERGES_PATH)
+    vocab = apply_merges(word_frequency_table(docs), merges)
+    return bpe_token_counts(docs, vocab)
+
+
+def _shipped_tokenizer_sql() -> str:
+    """Oracle for docs_shipped_tokenizer_counts: the shipped merge
+    list is file content (not data-derived), so the replay is one
+    nested literal replace expression — no scalar subqueries, no
+    materialized stage chain."""
+    from universal_importer_duckdb_spark.operators.bpe import (
+        load_merges_file,
+    )
+
+    expr = "d"
+    for a, b in load_merges_file(_SHIPPED_MERGES_PATH):
+        pat = f"'·{a}·{b}·'"
+        rep = f"'·{a}{b}·'"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return f"""
+WITH wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word),
+w0 AS (SELECT word, regexp_replace(word, '(.)', '·\\1', 'g') || '·' AS d
+       FROM wc),
+tok AS (SELECT word,
+               CAST(len(string_split(trim({expr}, '·'), '·')) AS BIGINT)
+                 AS n_syms
+        FROM w0),
+dw AS (SELECT doc_id,
+              unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+       FROM documents),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(COALESCE(n_syms,
+                                 CAST(length(word) AS BIGINT))) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM (SELECT doc_id, word FROM dw WHERE word <> '')
+        LEFT JOIN tok USING (word) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(per.n_words, 0) AS n_words,
+       COALESCE(per.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup (operators/dedup_text.py::
+    incremental_exact_dedup): the daily-batch shape — new documents
+    (doc_id % 10 = 0 simulates the arriving batch) are admitted only
+    if first-in-batch by fingerprint AND absent from the existing
+    corpus index. One batch-sized window + one anti-join; the corpus
+    is never rescanned."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        incremental_exact_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_exact_dedup(batch, index)
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH batch AS (
+  SELECT doc_id, md5(lower(text)) AS fingerprint
+  FROM documents WHERE doc_id % 10 = 0),
+idx AS (
+  SELECT DISTINCT md5(lower(text)) AS fingerprint
+  FROM documents WHERE doc_id % 10 <> 0),
+firsts AS (
+  SELECT doc_id, fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM batch)
+SELECT doc_id, fingerprint FROM firsts f
+WHERE rn = 1 AND NOT EXISTS (
+  SELECT 1 FROM idx i WHERE i.fingerprint = f.fingerprint)
+"""
+
+
+def docs_budget_selection(spark, sf_dir):
+    """Token-budget corpus selection (operators/corpus.py::
+    budget_select): rank documents by uniqueness score and keep the
+    maximal best-first prefix under a 20k-token budget. The global
+    cumulative token count runs as the scale-safe two-level prefix
+    sum (score-quantized buckets), which the oracle's one-level
+    global window cumsum certifies — the same contract as
+    docs_pack_sequences. Score = distinct-token ratio, an exact
+    int/int division identical on both engines."""
+    from universal_importer_duckdb_spark.operators.corpus import budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+    )
+    return budget_select(
+        scored, score_col="uniq_ratio", tokens_col="n_tok",
+        token_budget=20_000,
+    )
+
+
+BUDGET_SELECT_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS score,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM s)
+SELECT doc_id, score, n_tokens, tokens_before,
+       tokens_before + n_tokens <= 20000 AS selected
+FROM c
+"""
+
+
+def orders_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube
+    specialize): per-(priority, status) counts and revenue plus the
+    per-priority and grand-total sets in ONE aggregation pass —
+    Catalyst expands the sets before the shuffle, so map-side partials
+    still apply. grouping() flags disambiguate real NULLs from
+    subtotal rows; money sums use the exact-decimal recipe."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(f"""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+"""
+
+
+def orders_compaction_plan(spark, sf_dir):
+    """Compaction planning — the operational answer to the small-files
+    problem at 100 TB: monthly partition sizes (row counts x an
+    estimated row width) greedily packed into ~4 MB compaction groups
+    via a cumulative-bytes DIV. The cumulative sum runs on the
+    PARTITION-level frame (hundreds of rows however big the table),
+    so its single-partition window is free; the only table-sized work
+    is one hash-agg with map-side partials."""
+    orders = _t(spark, sf_dir, "orders")
+    sizes = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .cast("string")
+            .alias("month")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("est_bytes", F.col("n_rows") * 128)
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    target = 4 * 1024 * 1024
+    return sizes.select(
+        "month",
+        "n_rows",
+        "est_bytes",
+        F.coalesce(F.sum("est_bytes").over(w), F.lit(0)).alias(
+            "bytes_before"
+        ),
+    ).withColumn(
+        "compaction_group",
+        F.expr(f"bytes_before DIV {target}").cast("bigint"),
+    )
+
+
+COMPACTION_PLAN_SQL = """
+WITH s AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR)
+           AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) * 128 AS est_bytes
+  FROM orders GROUP BY 1)
+SELECT month, n_rows, est_bytes,
+       CAST(COALESCE(SUM(est_bytes) OVER (
+         ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) AS BIGINT) AS bytes_before,
+       CAST(COALESCE(SUM(est_bytes) OVER (
+         ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) // 4194304 AS BIGINT) AS compaction_group
+FROM s
+"""
+
+
+def lineitem_content_checksum(spark, sf_dir):
+    """Order-independent table content checksum — the anti-entropy
+    primitive for verifying a 100 TB migration or replica without
+    moving the data: every row canonicalizes to one string, hashes
+    through md5 to a 60-bit integer, and the table reduces to
+    (row_count, xor of hashes, sum of low bits, min, max) — all
+    commutative aggregates with map-side partials, ONE scan, one tiny
+    shuffle. XOR catches content drift, the modular sum catches
+    duplicate-row cancellation XOR alone would miss. The canonical
+    form (explicit casts, fixed separator) and the hex-to-int
+    conversion are chosen to be byte-identical cross-engine — this
+    query IS the cross-engine verification."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    # Pre-spread: single-row-group testdata parquet pins the md5-per-row
+    # pass to one scan task; a round-robin repartition distributes the
+    # hashing across cores (the aggregates are commutative, so placement
+    # is free). No-op when the scan already arrives in >= cores splits.
+    li = spread_for_compute(_t(spark, sf_dir, "lineitem"))
+    # NULLs canonicalize to a sentinel BEFORE joining: concat_ws would
+    # silently skip them (shifting positions) and DuckDB's || would
+    # null the whole row string — explicit coalesce keeps the byte
+    # stream identical on both engines
+    def _c(col):
+        return F.coalesce(col.cast("string"), F.lit("␀"))
+
+    canon = F.concat_ws(
+        "|",
+        _c(F.col("l_orderkey")),
+        _c(F.col("l_partkey")),
+        _c(F.col("l_suppkey")),
+        _c(F.col("l_linenumber")),
+        _c(F.col("l_quantity").cast("decimal(15,2)")),
+        _c(F.col("l_extendedprice").cast("decimal(15,2)")),
+        _c(F.col("l_returnflag")),
+        _c(F.col("l_linestatus")),
+        _c(F.col("l_shipdate")),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return li.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("CAST(bit_xor(__h) AS BIGINT)").alias("xor_hash"),
+        F.sum(F.col("__h") % F.lit(1_000_000_007)).cast("bigint").alias(
+            "sum_hash_mod"
+        ),
+        F.min("__h").alias("min_hash"),
+        F.max("__h").alias("max_hash"),
+    )
+
+
+CONTENT_CHECKSUM_SQL = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(
+           COALESCE(CAST(l_orderkey AS VARCHAR), '␀') || '|' ||
+           COALESCE(CAST(l_partkey AS VARCHAR), '␀') || '|' ||
+           COALESCE(CAST(l_suppkey AS VARCHAR), '␀') || '|' ||
+           COALESCE(CAST(l_linenumber AS VARCHAR), '␀') || '|' ||
+           COALESCE(CAST(CAST(l_quantity AS DECIMAL(15,2)) AS VARCHAR),
+                    '␀') || '|' ||
+           COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS VARCHAR),
+                    '␀') || '|' ||
+           COALESCE(l_returnflag, '␀') || '|' ||
+           COALESCE(l_linestatus, '␀') || '|' ||
+           COALESCE(CAST(l_shipdate AS VARCHAR), '␀')), 1, 15))::BIGINT
+           AS v
+  FROM lineitem)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(v) AS BIGINT) AS xor_hash,
+       CAST(SUM(v % 1000000007) AS BIGINT) AS sum_hash_mod,
+       MIN(v) AS min_hash, MAX(v) AS max_hash
+FROM h
+"""
+
+
+def events_transition_matrix(spark, sf_dir):
+    """Markov transition counts over per-user event streams: one
+    window (lead over user_id-partitioned, ts-ordered events — a
+    single exchange on user_id) + one hash-agg. Tie-broken by
+    event_id so the sequence, and therefore every count, is
+    deterministic under any partitioning. The product-analytics
+    complement of sessionization/funnels."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+
+
+TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+         ) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, counted
+    per day-offset since their cohort day — the warehouse staple for
+    activation analysis. Two hash-aggs (per-user min day; distinct
+    user-days) joined on user_id and rolled up; all integer-day
+    arithmetic so counts are exact anywhere."""
+    events = _t(spark, sf_dir, "events")
+    day = F.expr("CAST(ts AS BIGINT) DIV 86400000000000")
+    user_days = events.select(
+        "user_id", day.alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    return (
+        user_days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+  FROM events),
+c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN c ON ud.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({
+    "lineitem_content_checksum": (
+        lineitem_content_checksum, CONTENT_CHECKSUM_SQL,
+    ),
+    "orders_grouping_sets": (orders_grouping_sets, GROUPING_SETS_SQL),
+    "orders_compaction_plan": (orders_compaction_plan, COMPACTION_PLAN_SQL),
+    "emb_quantize_int8": (emb_quantize_int8, QUANTIZE_INT8_SQL),
+    "emb_hard_negatives": (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL),
+    "events_transition_matrix": (events_transition_matrix, TRANSITION_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
+    "docs_incremental_dedup": (docs_incremental_dedup, INCREMENTAL_DEDUP_SQL),
+    "docs_budget_selection": (docs_budget_selection, BUDGET_SELECT_SQL),
+    "docs_bpe_learn_merges": (
+        docs_bpe_learn_merges, _bpe_learn_sql(N_BPE_MERGES),
+    ),
+    "docs_bpe_token_counts": (
+        docs_bpe_token_counts, _bpe_encode_sql(N_BPE_MERGES),
+    ),
+    "docs_shipped_tokenizer_counts": (
+        docs_shipped_tokenizer_counts, _shipped_tokenizer_sql(),
+    ),
+    "part_fuzzy_matches": (part_fuzzy_matches, FUZZY_MATCH_SQL),
+    "events_resample_interpolate": (
+        events_resample_interpolate, RESAMPLE_SQL,
+    ),
+    "events_robust_outliers": (events_robust_outliers, ROBUST_OUTLIERS_SQL),
+    "orders_data_profile": (orders_data_profile, ORDERS_PROFILE_SQL),
+    "events_changelog_state": (events_changelog_state, CHANGELOG_STATE_SQL),
+    "events_merge_upsert_state": (events_merge_upsert_state, MERGE_UPSERT_SQL),
+    "events_scd2_history": (events_scd2_history, SCD2_SQL),
+    # the streaming upsert converges to the same state as the batch
+    # merge — they share the full-log-state oracle
+    "stream_incremental_upsert_state": (
+        stream_incremental_upsert_state, MERGE_UPSERT_SQL,
+    ),
+    "docs_priority_sample": (docs_priority_sample, PRIORITY_SAMPLE_SQL),
+    "docs_keyword_search_topk": (docs_keyword_search_topk, KEYWORD_SEARCH_SQL),
+    "docs_hybrid_search_rrf": (docs_hybrid_search_rrf, HYBRID_RRF_SQL),
+    "docs_tokens_udtf": (docs_tokens_udtf, TOKENS_UDTF_SQL),
+    "orders_zorder_codes": (orders_zorder_codes, _zorder_sql()),
+    "orders_quantile_envelope": (
+        orders_quantile_envelope, QUANTILE_ENVELOPE_SQL,
+    ),
+})
+
+
+# ======================================================================
+# Round 6: line-level dedup, Bloom-prefiltered ingest, containment
+# dedup, funnel analytics, curriculum staging
+# ======================================================================
+
+
+def docs_segment_line_dedup(spark, sf_dir):
+    """Falcon/RefinedWeb-style line-level dedup (operators/
+    line_dedup.py::line_level_dedup): remove every line occurring in
+    >= 2 distinct documents, keep each doc with surviving lines
+    re-joined in order. The test corpus is single-line, so the
+    pluggable splitter fabricates fixed 10-word segments — the same
+    explode -> count -> broadcast-anti-join -> ordered-reassembly
+    algebra a newline corpus would run."""
+    from universal_importer_duckdb_spark.operators.line_dedup import (
+        line_level_dedup,
+        word_segments,
+    )
+
+    # no spread_for_compute: the two line-dedup exchanges already
+    # fan the corpus out; a third pre-shuffle measured slower
+    docs = _t(spark, sf_dir, "documents")
+    return line_level_dedup(
+        docs,
+        min_dup_docs=2,
+        splitter=lambda c: word_segments(c, 10),
+        joiner=" ",
+    )
+
+
+SEGMENT_LINE_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l
+  FROM documents),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(l[(i*10+1):(i*10+10)], ' ') AS line
+  FROM t, unnest(range(CAST(ceil(len(l)/10.0) AS BIGINT))) AS u(i)),
+nz AS (SELECT * FROM segs WHERE line <> ''),
+dup AS (SELECT line FROM nz
+        GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+counted AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM nz GROUP BY doc_id),
+kept AS (SELECT nz.* FROM nz
+         WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.line = nz.line)),
+re AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              string_agg(line, ' ' ORDER BY pos) AS clean_text
+       FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(c.n_lines, 0) - COALESCE(re.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       COALESCE(re.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN counted c USING (doc_id)
+LEFT JOIN re USING (doc_id)
+"""
+
+
+def docs_bloom_incremental_dedup(spark, sf_dir):
+    """Bloom-prefiltered incremental ingest dedup (operators/
+    bloom.py::bloom_incremental_dedup): same admit-contract as
+    docs_incremental_dedup (first-in-batch AND absent from index;
+    reference main.py:214's exclusionary semantics) but the index
+    membership test goes through a broadcast Bloom bitmap built from
+    DataFrame primitives — definite-new keys skip the exact anti-join
+    entirely, so shuffled volume scales with the duplicate rate, not
+    the batch. Bit-identical to the plain anti-join by construction
+    (no false negatives + exact verify of maybes)."""
+    from universal_importer_duckdb_spark.operators.bloom import (
+        bloom_incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    index = docs.filter(F.col("doc_id") % 7 != 0)
+    return bloom_incremental_dedup(batch, index)
+
+
+BLOOM_INCREMENTAL_DEDUP_SQL = """
+WITH batch AS (
+  SELECT doc_id, md5(lower(text)) AS fingerprint
+  FROM documents WHERE doc_id % 7 = 0),
+idx AS (
+  SELECT DISTINCT md5(lower(text)) AS fingerprint
+  FROM documents WHERE doc_id % 7 <> 0),
+firsts AS (
+  SELECT doc_id, fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM batch)
+SELECT doc_id, fingerprint FROM firsts f
+WHERE rn = 1 AND NOT EXISTS (
+  SELECT 1 FROM idx i WHERE i.fingerprint = f.fingerprint)
+"""
+
+
+def docs_containment_pairs(spark, sf_dir):
+    """Substring-containment dedup (operators/containment.py::
+    containment_dedup_pairs): (contained, container) doc pairs where
+    one text occurs verbatim inside another — the truncated-recrawl /
+    syndication duplicate class that whole-text hashing misses.
+    Candidates come from rare-interior-5-gram blocking (lossless for
+    containees with >= 7 tokens); the oracle certifies against the
+    exact quadratic join."""
+    from universal_importer_duckdb_spark.operators.containment import (
+        containment_dedup_pairs,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    return containment_dedup_pairs(docs)
+
+
+CONTAINMENT_PAIRS_SQL = """
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS l,
+         len(string_split(text, ' ')) AS ntok
+  FROM documents)
+SELECT DISTINCT a.doc_id AS contained_id, b.doc_id AS container_id
+FROM d a JOIN d b ON a.doc_id <> b.doc_id
+WHERE a.ntok >= 7 AND position(a.text IN b.text) > 0
+  AND (a.l < b.l OR (a.l = b.l AND a.doc_id > b.doc_id))
+"""
+
+
+def events_funnel_cohorts(spark, sf_dir):
+    """Ordered view->click->purchase funnel by first-view cohort day
+    (operators/funnel.py::funnel_by_cohort): one shuffle, stage chain
+    resolved with array higher-order functions on per-user event
+    lists; all arithmetic in exact epoch-microsecond BIGINTs."""
+    from universal_importer_duckdb_spark.operators.funnel import (
+        funnel_by_cohort,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_by_cohort(events)
+
+
+FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.us >= s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.us >= s2.t2
+       GROUP BY e.user_id),
+u AS (SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+SELECT t1 // 86400000000 AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_stage1,
+       CAST(COUNT(t2) AS BIGINT) AS n_stage2,
+       CAST(COUNT(t3) AS BIGINT) AS n_stage3,
+       CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) AS total_conversion_micros
+FROM u GROUP BY 1
+"""
+
+
+def events_top_journeys(spark, sf_dir):
+    """Path analysis: the top-20 session journeys (ordered event-type
+    sequences within 30-min-gap sessions). Session ids come from a
+    running sum over the per-user (ts, event_id) order — event_id
+    tiebreaks make the sequence deterministic (rows with null
+    event_id are excluded, matching the streaming entries' contract).
+
+    Two shuffles — the minimum for this computation (co-locate users,
+    then count journeys) — and the (user_id, sid) session aggregation
+    reuses the window's exchange (HashPartitioning(user_id) satisfies
+    the agg's clustering). Both exchanges get size-derived partition
+    counts (~64 MB per partition, floor 8): planner-time right-sizing
+    instead of shuffling 32 ways and letting AQE coalesce. Residual
+    gap vs the DuckDB oracle at sf0.1 is AQE's per-stage job
+    scheduling (~0.1 s/stage, constant in data size — measured 0.39 s
+    AQE-off vs 0.48 s AQE-on on identical plans); at cluster scale the
+    same plan is exchange-minimal.
+
+    r7 perf rewrite of the r6 4.1x weak item."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    nparts = _size_parts(ev, floor=8)
+    ev = ev.repartition(nparts, "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts") - F.lag("ts").over(w)) > F.lit(_NS_SESSION_GAP)),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("sid", F.sum(starts).over(w))
+    journeys = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        journeys.groupBy("journey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "journey")
+        .limit(20)
+    )
+
+
+def _top_journeys_sql() -> str:
+    return f"""
+WITH x AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+         lag(epoch_ns(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_id IS NOT NULL),
+s AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL OR tns - prev > {_NS_SESSION_GAP}
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY tns, event_id) AS sid
+  FROM x),
+j AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY tns, event_id) AS journey
+  FROM s GROUP BY user_id, sid)
+SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM j GROUP BY journey ORDER BY n_sessions DESC, journey LIMIT 20
+"""
+
+
+def emb_pq_codes(spark, sf_dir):
+    """Product-quantization storage codes (operators/pq.py): 8
+    subspaces x 16 centroids trained on a bounded deterministic
+    sample, every vector encoded to 8 codes + exact reconstruction
+    error in one Arrow-batched pass. Float-iterative training (like
+    emb_ivf_topk) -> rows-only driver gate; reconstruction-error
+    budget, determinism, and ADC top-k recall vs the exact scan are
+    pinned in tests/test_round6_ops.py."""
+    from universal_importer_duckdb_spark.operators.pq import (
+        pq_encode,
+        train_pq_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq_codebook(emb, m=8, k=16)
+    return pq_encode(emb, cb)
+
+
+def docs_contamination_spans(spark, sf_dir):
+    """Span-level decontamination (operators/corpus.py::
+    contamination_spans): the exact merged token intervals sharing an
+    8-gram with the benchmark (every-97th-doc stand-in, as in
+    docs_benchmark_contamination) — surgical excision instead of
+    whole-document drops. Gaps-and-islands interval merge per doc;
+    only contaminated windows shuffle. All-integer output, hash-exact
+    oracle."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        contamination_spans,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_spans(docs, bench, n=8)
+
+
+CONTAMINATION_SPANS_SQL = """
+WITH g AS (
+  SELECT doc_id, toks, len(toks) AS nt
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents)),
+pos AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(toks, i, i + 7), ' ')), 1, 7))::BIGINT AS gram
+  FROM g, unnest(range(1, nt - 6)) AS u(i)
+  WHERE nt >= 8),
+bg AS (SELECT DISTINCT gram FROM pos WHERE doc_id % 97 = 0),
+hits AS (SELECT p.doc_id, p.i AS s, p.i + 7 AS e
+         FROM pos p JOIN bg USING (gram)),
+isl AS (
+  SELECT *, CASE WHEN s > COALESCE(MAX(e) OVER (
+      PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS nw
+  FROM hits),
+isl2 AS (
+  SELECT *, SUM(nw) OVER (
+      PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+def multimodal_audio_energy(spark, sf_dir):
+    """Windowed audio energy over REAL WAV decode (operators/
+    multimodal.py::extract_audio_energy_windows): per-item synthesized
+    varying PCM16 signal (sample j = ((id*31 + j*17) % 200) - 100),
+    decoded and folded into 32-sample windows of EXACT int64
+    sum-of-squares — the VAD/silence-screen shape, analytically
+    replayed by the oracle from the same sample formula."""
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        encode_wav_pcm16,
+        extract_audio_energy_windows,
+    )
+
+    @F.pandas_udf("binary")
+    def synth_wav(ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in ids:
+            i = int(doc_id)
+            n = 64 + i % 128
+            samples = [((i * 31 + j * 17) % 200) - 100 for j in range(n)]
+            out.append(encode_wav_pcm16(8000, 1, samples))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_media_column(
+        docs.withColumn("payload", synth_wav("doc_id")),
+        "payload", "audio/wav", "doc_id",
+    )
+    return extract_audio_energy_windows(media, window_samples=32)
+
+
+MULTIMODAL_AUDIO_ENERGY_SQL = """
+WITH d AS (
+  SELECT doc_id, 64 + doc_id % 128 AS n
+  FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT doc_id, j, ((doc_id * 31 + j * 17) % 200) - 100 AS v
+  FROM d, unnest(range(CAST(n AS BIGINT))) AS u(j)),
+w AS (SELECT doc_id, j // 32 AS window_idx, v FROM s)
+SELECT doc_id AS item_id, CAST(window_idx AS BIGINT) AS window_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_in_window,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM w GROUP BY doc_id, window_idx
+"""
+
+
+def multimodal_image_tiles(spark, sf_dir):
+    """ViT-style image patchification over REAL PNG decode (operators/
+    multimodal.py::extract_image_tiles): synthesized Up-filtered PNGs
+    with per-pixel varying values (v = (id*7 + r*13 + x*3) % 256),
+    decoded and cut into 8x8 tiles of EXACT integer luma sums — the
+    patch-embedding precursor, analytically replayed by the oracle
+    from the same pixel formula (any unfilter/tiling drift breaks the
+    hash)."""
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        attach_media_column,
+        encode_png_gray,
+        extract_image_tiles,
+    )
+
+    @F.pandas_udf("binary")
+    def synth_png(ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in ids:
+            i = int(doc_id)
+            w = 8 + i % 32
+            h = 8 + (i // 32) % 32
+            rows = [
+                [(i * 7 + r * 13 + x * 3) % 256 for x in range(w)]
+                for r in range(h)
+            ]
+            out.append(encode_png_gray(w, h, rows))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_media_column(
+        docs.withColumn("payload", synth_png("doc_id")),
+        "payload", "image/png", "doc_id",
+    )
+    return extract_image_tiles(media, tile=8)
+
+
+MULTIMODAL_IMAGE_TILES_SQL = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 32 AS w, 8 + (doc_id // 32) % 32 AS h
+  FROM documents WHERE doc_id < 200),
+px AS (
+  SELECT doc_id, r, x,
+         (doc_id * 7 + r * 13 + x * 3) % 256 AS v
+  FROM d,
+       unnest(range(CAST(h AS BIGINT))) AS ur(r),
+       unnest(range(CAST(w AS BIGINT))) AS ux(x))
+SELECT doc_id AS item_id,
+       CAST(r // 8 AS INTEGER) AS tile_y,
+       CAST(x // 8 AS INTEGER) AS tile_x,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS luma_sum
+FROM px GROUP BY doc_id, r // 8, x // 8
+"""
+
+
+def docs_decontaminated_text(spark, sf_dir):
+    """Surgical decontamination applied (operators/corpus.py::
+    excise_spans over contamination_spans): tokens inside merged
+    contaminated spans dropped, the rest rejoined — the corpus a
+    span-level policy actually ships, with documents doc-level
+    screening would discard kept. (Spans index the lowered token
+    stream; excision filters the original tokens — counts align
+    because lowering never changes token boundaries.) Uncontaminated
+    docs pass through untouched with no re-tokenization."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        contamination_spans,
+        excise_spans,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return excise_spans(docs, contamination_spans(docs, bench, n=8))
+
+
+DECONTAMINATED_TEXT_SQL = f"""
+WITH spansq AS ({CONTAMINATION_SPANS_SQL}),
+agg AS (
+  SELECT doc_id,
+         list(span_start ORDER BY span_start) AS ss,
+         list(span_end ORDER BY span_start) AS ee,
+         CAST(SUM(span_end - span_start + 1) AS BIGINT) AS nrem
+  FROM spansq GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.nrem, 0) AS n_tokens_removed,
+       CASE WHEN a.doc_id IS NULL THEN d.text
+            -- COALESCE: DuckDB's array_to_string([]) is NULL where
+            -- Spark's array_join([]) is '' (fully-excised docs)
+            ELSE COALESCE(array_to_string(
+              list_filter(string_split(d.text, ' '),
+                (x, i) -> len(list_filter(a.ss,
+                    (s, k) -> s <= i AND i <= a.ee[k])) = 0), ' '), '')
+       END AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def docs_top_collocations(spark, sf_dir):
+    """PMI-ranked collocations (operators/textrank.py::
+    top_collocations): adjacent bigrams scored c_xy*U/(c_x*c_y) —
+    PMI up to a corpus constant, ranking-exact from pure integer
+    inputs (the double ratio is computed from identical ints on both
+    engines). min_count=5 sifts noise; top 20."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+    from universal_importer_duckdb_spark.operators.textrank import (
+        top_collocations,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    return top_collocations(docs, top_k=20, min_count=5)
+
+
+TOP_COLLOCATIONS_SQL = """
+WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+adj AS (
+  SELECT l[i] AS a, l[i+1] AS b
+  FROM t, unnest(range(1, len(l))) AS u(i)),
+bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_xy
+       FROM adj GROUP BY a, b),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(l) AS w FROM t) WHERE w <> '' GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS u FROM uni)
+SELECT bi.a, bi.b, bi.c_xy,
+       (bi.c_xy * tot.u) / (ua.c * ub.c) AS pmi_ratio
+FROM bi
+JOIN uni ua ON ua.w = bi.a
+JOIN uni ub ON ub.w = bi.b, tot
+WHERE bi.c_xy >= 5
+ORDER BY pmi_ratio DESC, bi.a, bi.b LIMIT 20
+"""
+
+
+def emb_pq_adc_topk(spark, sf_dir):
+    """PQ serving path with an in-query quality audit (operators/
+    pq.py::pq_adc_topk): top-10 by asymmetric distance against the
+    vec_id=0 query, each hit flagged ``in_exact_topk`` by an in-plan
+    join against the TRUE L2 top-10 computed from the raw vectors
+    with order-defined folds — the same self-audit pattern as
+    emb_ivf_topk. Rows-only gate (k-means artifact); the audit column
+    is pinned in tests."""
+    from universal_importer_duckdb_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebook,
+    )
+    from universal_importer_duckdb_spark.operators.similarity import (
+        _dot_double,
+        _norm2_double,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq_codebook(emb, m=8, k=16)
+    q = _query_vec(spark, sf_dir)
+    adc = pq_adc_topk(pq_encode(emb, cb), cb, q, topk=10)
+
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    vd = F.col("embedding").cast("array<double>")
+    l2 = (
+        _norm2_double(vd)
+        - 2 * _dot_double(vd, qlit)
+        + _norm2_double(qlit)
+    )
+    exact = (
+        emb.select("vec_id", l2.alias("l2"))
+        .orderBy("l2", "vec_id")
+        .limit(10)
+        .select(F.col("vec_id"), F.lit(True).alias("in_exact_topk"))
+    )
+    return (
+        adc.join(F.broadcast(exact), "vec_id", "left")
+        .select(
+            "vec_id",
+            "adc_dist",
+            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("adc_dist", "vec_id")
+    )
+
+
+def orders_expectation_suite(spark, sf_dir):
+    """Suite-level data-quality gate (operators/expectations.py::
+    run_expectations): seven dataset-level checks — row-count window,
+    null-rate bound, key uniqueness, extremum bounds, value domain,
+    and referential integrity — evaluated in ONE aggregation pass
+    (plus one anti-join for the FK check). Observations are exact
+    integer numerator/denominator pairs, so the report hash-checks
+    cross-engine."""
+    from universal_importer_duckdb_spark.operators.expectations import (
+        Expectation,
+        orphan_count,
+        run_expectations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    suite = run_expectations(
+        orders,
+        [
+            Expectation("row_count", "row_count_between",
+                        lo=1, hi=10**12),
+            Expectation("priority_null_rate", "null_fraction_at_most",
+                        column="o_orderpriority", num=1, den=10),
+            Expectation("orderkey_unique", "unique", column="o_orderkey"),
+            Expectation("custkey_min", "min_at_least",
+                        column="o_custkey", lo=0),
+            Expectation("custkey_max", "max_at_most",
+                        column="o_custkey", hi=10**9),
+            Expectation("status_domain", "values_in",
+                        column="o_orderstatus", values=("F", "O", "P")),
+        ],
+    )
+    fk = orphan_count(orders, customer, "o_custkey", "c_custkey")
+    return suite.unionByName(fk)
+
+
+EXPECTATION_SUITE_SQL = """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+              AS BIGINT) AS e_null,
+         CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+              AS BIGINT) AS e_uni,
+         CAST(MIN(o_custkey) AS BIGINT) AS e_min,
+         CAST(MAX(o_custkey) AS BIGINT) AS e_max,
+         CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 END) AS BIGINT) AS e_dom
+  FROM orders),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS o FROM orders
+  WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = orders.o_custkey))
+SELECT 'row_count' AS check_name, n BETWEEN 1 AND 1000000000000 AS passed,
+       n AS observed_num, CAST(1 AS BIGINT) AS observed_den FROM a
+UNION ALL
+SELECT 'priority_null_rate', e_null * 10 <= 1 * n, e_null, n FROM a
+UNION ALL
+SELECT 'orderkey_unique', e_uni = 0, e_uni, CAST(1 AS BIGINT) FROM a
+UNION ALL
+SELECT 'custkey_min', e_min >= 0, e_min, CAST(1 AS BIGINT) FROM a
+UNION ALL
+SELECT 'custkey_max', e_max <= 1000000000, e_max, CAST(1 AS BIGINT) FROM a
+UNION ALL
+SELECT 'status_domain', e_dom = 0, e_dom, CAST(1 AS BIGINT) FROM a
+UNION ALL
+SELECT 'fk_o_custkey_in_c_custkey', o = 0, o, CAST(1 AS BIGINT) FROM fk
+"""
+
+
+def emb_knn_join(spark, sf_dir):
+    """Exact cosine k-NN self-join, top-3 per vector (operators/
+    similarity.py::knn_join_exact): Arrow-batched numpy GEMM generates
+    candidates within a 1e-9 margin of the k-th double cosine, the
+    order-defined double folds re-score survivors — bit-equal to the
+    brute-force oracle. The bounded-broadcast contract (reference
+    matrix collected once) is the honest boundary of exact n^2 kNN;
+    emb_ann_lsh_topk / emb_ivf_topk are the corpus-scale paths."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        knn_join_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join_exact(emb, k=3)
+
+
+# Order-defined double folds (list_reduce == Spark's F.aggregate left
+# fold) instead of the DECIMAL(33,13) idiom: the double->DECIMAL
+# cast's round-half mode differs between engines on boundary values,
+# which surfaces once EVERY vector's norm is touched (see
+# similarity.knn_join_exact docstring).
+EMB_KNN_JOIN_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id,
+             list_reduce(list_apply(e, x -> x * x),
+                         (a, x) -> a + x) AS n2
+      FROM v),
+c AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+             list_reduce(
+               list_apply(list_zip(a.e, b.e), s -> s[1] * s[2]),
+               (acc, x) -> acc + x)
+               / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rank FROM c)
+SELECT q_id AS vec_id, cand_id AS neighbor_id,
+       CAST(rank AS INTEGER) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+def stream_funnel_cohorts(spark, sf_dir):
+    """Streaming ordered funnel (streaming/funnel.py): per-user stage
+    chains maintained in applyInPandasWithState across micro-batches
+    — state keeps the stage-relevant timestamp lists, so the drained
+    result is bit-equal to the batch funnel no matter how availableNow
+    splits the source. Oracle = the batch funnel SQL under the
+    stream's event_id-not-null guard."""
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.funnel import (
+        finalize_funnel_cohorts,
+        streaming_funnel_stages,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir)
+    drained = se.run_available_now(
+        streaming_funnel_stages(stream),
+        f"q_stream_funnel_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+    return finalize_funnel_cohorts(drained)
+
+
+STREAM_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+  WHERE event_id IS NOT NULL
+    AND event_type IN ('view', 'click', 'purchase')),
+s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.us >= s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.us >= s2.t2
+       GROUP BY e.user_id),
+u AS (SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+SELECT t1 // 86400000000 AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_stage1,
+       CAST(COUNT(t2) AS BIGINT) AS n_stage2,
+       CAST(COUNT(t3) AS BIGINT) AS n_stage3,
+       CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) AS total_conversion_micros
+FROM u GROUP BY 1
+"""
+
+
+def docs_curriculum_stages(spark, sf_dir):
+    """Curriculum-learning stage assignment (operators/corpus.py::
+    curriculum_stages): NTILE(4) over an exact integer difficulty
+    score (distinct-token count) with id tiebreak — deterministic,
+    ANSI-NTILE-portable ordering of the training corpus."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        curriculum_stages,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("score"),
+    )
+    return curriculum_stages(scored, "score", n_stages=4)
+
+
+CURRICULUM_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS score
+  FROM documents)
+SELECT doc_id, score,
+       CAST(ntile(4) OVER (ORDER BY score, doc_id) AS INTEGER) AS stage
+FROM s
+"""
+
+
+def docs_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (operators/textrank.py::
+    textrank_keywords): 5 scaled-integer PageRank iterations over the
+    adjacent-word co-occurrence graph; corpus touched once for graph
+    construction, iteration runs on the Heaps-law-small vocab graph.
+    The oracle replays the identical integer floor-division recursion
+    unrolled as CTEs — bit-exact, no float drift."""
+    from universal_importer_duckdb_spark.operators.textrank import (
+        textrank_keywords,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    return textrank_keywords(docs, iterations=5, top_k=50)
+
+
+def orders_snapshot_drift(spark, sf_dir):
+    """Snapshot drift report: compare two table snapshots (halves of
+    orders by key parity standing in for yesterday/today) per
+    o_orderstatus — row counts, exact DECIMAL revenue sums (emitted as
+    DOUBLE via the round-then-cast idiom, module docstring), distinct
+    customers, and their deltas. The data-ops check run before
+    promoting a new ingest; one union + one groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    tagged = orders.select(
+        "o_orderstatus",
+        _dec("o_totalprice").alias("price_dec"),
+        "o_custkey",
+        (F.col("o_orderkey") % 2 == 0).alias("is_a"),
+    )
+    sum_a = F.sum(F.when(F.col("is_a"), F.col("price_dec")))
+    sum_b = F.sum(F.when(~F.col("is_a"), F.col("price_dec")))
+    return (
+        tagged.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.round(sum_a, 2).cast("double").alias("rev_a"),
+            F.round(sum_b, 2).cast("double").alias("rev_b"),
+            # delta from the EXACT decimal sums, not the doubles:
+            # the decimal difference is exact, then one round/cast.
+            F.round(sum_b - sum_a, 2).cast("double").alias("rev_delta"),
+            F.countDistinct(F.when(F.col("is_a"), F.col("o_custkey")))
+            .cast("bigint")
+            .alias("cust_a"),
+            F.countDistinct(F.when(~F.col("is_a"), F.col("o_custkey")))
+            .cast("bigint")
+            .alias("cust_b"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_a",
+            "n_b",
+            (F.col("n_b") - F.col("n_a")).cast("bigint").alias("n_delta"),
+            "rev_a",
+            "rev_b",
+            "rev_delta",
+            "cust_a",
+            "cust_b",
+        )
+    )
+
+
+SNAPSHOT_DRIFT_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_a,
+       CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_b,
+       CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delta,
+       CAST(round(SUM(CASE WHEN o_orderkey % 2 = 0
+                      THEN o_totalprice::DECIMAL(15,2) END), 2)
+            AS DOUBLE) AS rev_a,
+       CAST(round(SUM(CASE WHEN o_orderkey % 2 <> 0
+                      THEN o_totalprice::DECIMAL(15,2) END), 2)
+            AS DOUBLE) AS rev_b,
+       CAST(round(SUM(CASE WHEN o_orderkey % 2 <> 0
+                      THEN o_totalprice::DECIMAL(15,2) END)
+            - SUM(CASE WHEN o_orderkey % 2 = 0
+                  THEN o_totalprice::DECIMAL(15,2) END), 2)
+            AS DOUBLE) AS rev_delta,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END)
+            AS BIGINT) AS cust_a,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 <> 0 THEN o_custkey END)
+            AS BIGINT) AS cust_b
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def docs_source_token_divergence(spark, sf_dir):
+    """Per-source vocabulary divergence: which tokens are most over/
+    under-represented in each source vs the whole corpus. Score is
+    the exact integer cross-multiplication |c_sw * T - c_w * T_s|
+    (equivalent in ordering to |p_source - p_corpus| without any
+    float division); top 5 per source. The mixture-debugging view a
+    corpus pipeline runs after docs_source_mixture changes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sw = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sw")
+    )
+    wtot = toks.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_w")
+    )
+    stot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t_s")
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    scored = (
+        sw.join(F.broadcast(wtot), "word")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "word",
+            F.abs(
+                F.col("c_sw") * F.col("t") - F.col("c_w") * F.col("t_s")
+            )
+            .cast("bigint")
+            .alias("divergence"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("divergence"), "word"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "word", "divergence", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SOURCE_TOKEN_DIVERGENCE_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+nz AS (SELECT * FROM toks WHERE word <> ''),
+sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c_sw
+       FROM nz GROUP BY source, word),
+wtot AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_w FROM nz GROUP BY word),
+stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s
+         FROM nz GROUP BY source),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM nz),
+scored AS (
+  SELECT sw.source, sw.word,
+         CAST(abs(sw.c_sw * tt.t - wtot.c_w * stot.t_s) AS BIGINT)
+           AS divergence
+  FROM sw JOIN wtot USING (word) JOIN stot USING (source), tt),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY divergence DESC, word) AS rnk
+  FROM scored)
+SELECT source, word, divergence, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def docs_temperature_mixture(spark, sf_dir):
+    """Temperature-2 source rebalancing (operators/corpus.py::
+    temperature_resample): deterministic md5-threshold downsampling so
+    kept counts scale like sqrt(n_s) — the standard LLM-mixture
+    flattening. sqrt is IEEE-correctly-rounded, so the per-document
+    keep decision replays bit-exactly in the oracle. Zero corpus
+    shuffles (per-source thresholds broadcast back)."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        temperature_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_resample(docs, "source", "doc_id", 2, 10).select(
+        "doc_id", "source"
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+  FROM documents GROUP BY source),
+t AS (
+  SELECT source, n_s,
+         10 * CAST(floor(sqrt(n_s)) AS BIGINT) AS thr
+  FROM c)
+SELECT d.doc_id, d.source
+FROM documents d JOIN t USING (source)
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+       % t.n_s) < t.thr
+"""
+
+
+def events_user_narratives(spark, sf_dir):
+    """Structured-log -> LM-training-text serialization (operators/
+    narrative.py::user_event_narratives): each user's events rendered
+    deterministically (epoch micros, type, integer cents) and joined
+    in (ts, event_id) order — one shuffle, bounded per-user lists."""
+    from universal_importer_duckdb_spark.operators.narrative import (
+        user_event_narratives,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return user_event_narratives(events)
+
+
+USER_NARRATIVES_SQL = """
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         't=' || CAST(epoch_us(ts) AS VARCHAR) || ' ' || event_type ||
+         ' v=' || COALESCE(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                    AS BIGINT) AS VARCHAR), 'null')
+           AS line
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(line, ' | ' ORDER BY us, event_id) AS narrative
+FROM r GROUP BY user_id
+"""
+
+
+def docs_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by source: chars per token under the
+    SHIPPED tokenizer (the compression-quality check run before
+    committing to a tokenizer for a new data mixture). Ratio emitted
+    as exact integer milli-chars-per-token — (1000*chars) div tokens
+    — so no float division crosses the engine boundary. NOT in the
+    r6 driver window: it shares the merge-replay path with the
+    in-window docs_shipped_tokenizer_counts; its own check leads r7."""
+    from universal_importer_duckdb_spark.operators.bpe import (
+        apply_merges,
+        bpe_token_counts,
+        load_merges_file,
+        word_frequency_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = load_merges_file(_SHIPPED_MERGES_PATH)
+    vocab = apply_merges(word_frequency_table(docs), merges)
+    counts = bpe_token_counts(docs, vocab)
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(counts, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "total_chars",
+            "total_tokens",
+            F.expr(
+                "CASE WHEN total_tokens = 0 THEN NULL"
+                " ELSE (1000 * total_chars) div total_tokens END"
+            ).alias("fert_milli"),
+        )
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    inner = _shipped_tokenizer_sql()
+    return f"""
+SELECT d.source,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(base.n_bpe_tokens) AS BIGINT) AS total_tokens,
+       CASE WHEN SUM(base.n_bpe_tokens) = 0 THEN NULL
+            ELSE CAST((1000 * SUM(d.n_chars)) // SUM(base.n_bpe_tokens)
+                      AS BIGINT) END AS fert_milli
+FROM ({inner}) base JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+def _textrank_oracle():
+    from universal_importer_duckdb_spark.operators.textrank import (
+        textrank_sql,
+    )
+
+    return textrank_sql(iterations=5, top_k=50)
+
+
+REGISTRY.update({
+    "docs_segment_line_dedup": (
+        docs_segment_line_dedup, SEGMENT_LINE_DEDUP_SQL,
+    ),
+    "docs_bloom_incremental_dedup": (
+        docs_bloom_incremental_dedup, BLOOM_INCREMENTAL_DEDUP_SQL,
+    ),
+    "docs_containment_pairs": (docs_containment_pairs, CONTAINMENT_PAIRS_SQL),
+    "events_funnel_cohorts": (events_funnel_cohorts, FUNNEL_SQL),
+    "docs_curriculum_stages": (docs_curriculum_stages, CURRICULUM_SQL),
+    "docs_textrank_keywords": (docs_textrank_keywords, _textrank_oracle()),
+    "orders_snapshot_drift": (orders_snapshot_drift, SNAPSHOT_DRIFT_SQL),
+    "docs_source_token_divergence": (
+        docs_source_token_divergence, SOURCE_TOKEN_DIVERGENCE_SQL,
+    ),
+    "docs_temperature_mixture": (
+        docs_temperature_mixture, TEMPERATURE_MIXTURE_SQL,
+    ),
+    "events_user_narratives": (events_user_narratives, USER_NARRATIVES_SQL),
+    "docs_tokenizer_fertility": (
+        docs_tokenizer_fertility, _tokenizer_fertility_sql(),
+    ),
+    "stream_funnel_cohorts": (stream_funnel_cohorts, STREAM_FUNNEL_SQL),
+    "emb_knn_join": (emb_knn_join, EMB_KNN_JOIN_SQL),
+    "orders_expectation_suite": (
+        orders_expectation_suite, EXPECTATION_SUITE_SQL,
+    ),
+    # rows-only: PQ training is float-iterative k-means (same
+    # exemption as emb_ivf_topk); quality pinned in tests
+    "emb_pq_codes": (emb_pq_codes, None),
+    # rows-only for the same reason; carries its own exactness audit
+    "emb_pq_adc_topk": (emb_pq_adc_topk, None),
+    "events_top_journeys": (events_top_journeys, _top_journeys_sql()),
+    "docs_top_collocations": (
+        docs_top_collocations, TOP_COLLOCATIONS_SQL,
+    ),
+    "docs_contamination_spans": (
+        docs_contamination_spans, CONTAMINATION_SPANS_SQL,
+    ),
+    "docs_decontaminated_text": (
+        docs_decontaminated_text, DECONTAMINATED_TEXT_SQL,
+    ),
+    "multimodal_audio_energy": (
+        multimodal_audio_energy, MULTIMODAL_AUDIO_ENERGY_SQL,
+    ),
+    "multimodal_image_tiles": (
+        multimodal_image_tiles, MULTIMODAL_IMAGE_TILES_SQL,
+    ),
+})
+
+
+# Chained-section export: star-import carries every module-level
+# name (including the underscore-prefixed shared helpers) to the
+# next registry section / the entry_queries spine.
+__all__ = [_n for _n in globals() if not _n.startswith("__")]
