@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "docs_decontaminated_text",
     "multimodal_audio_energy",
     "multimodal_image_tiles",
+    "docs_intradoc_segment_dedup",
+    "docs_split_leakage_audit",
+    "docs_dsir_importance",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

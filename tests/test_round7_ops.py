@@ -357,3 +357,145 @@ def test_video_swap_point_frame_sampling(monkeypatch):
     assert out["n_sampled"] == 3
     assert decoded == [1, 3, 5]
     assert out["luma_sum"] == (1 + 3 + 5) * 4
+
+
+# ------------------------------ round-7 additions: brute-force pins
+def test_intradoc_segment_dedup_matches_bruteforce(spark):
+    from universal_importer_duckdb_spark.operators.line_dedup import (
+        intradoc_segment_dedup,
+        word_segments,
+    )
+
+    w = 3
+    rows = [
+        (1, "a b c x y z a b c x y z q r"),  # 'a b c' + 'x y z' repeat
+        (2, "m n o p q r"),                   # nothing repeats
+        (3, "k k k k k k k k k"),             # one segment repeated 3x
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in intradoc_segment_dedup(
+            docs, splitter=lambda c: word_segments(c, w)
+        ).collect()
+    }
+
+    for did, t in rows:
+        toks = t.split(" ")
+        ss = [" ".join(toks[i : i + w]) for i in range(0, len(toks), w)]
+        seen, keep = set(), []
+        for s in ss:
+            if s not in seen:
+                seen.add(s)
+                keep.append(s)
+        assert out[did]["n_lines"] == len(ss)
+        assert out[did]["n_removed"] == len(ss) - len(keep)
+        assert out[did]["clean_text"] == " ".join(keep)
+
+
+def _py_split(doc_id: int) -> str:
+    import hashlib
+
+    hv = int(
+        hashlib.md5(f"split-v1:{doc_id}".encode()).hexdigest()[:7], 16
+    )
+    b1 = int((1 << 28) * 0.98)
+    b2 = int((1 << 28) * 0.99)
+    return "train" if hv < b1 else ("val" if hv < b2 else "test")
+
+
+def test_split_leakage_audit_matches_bruteforce(spark):
+    """Planted exact duplicates spread over enough ids that at least
+    one group straddles train/val|test; compare the full stratum
+    table against a python replay of the md5 split + fingerprint."""
+    import hashlib
+    from collections import defaultdict
+
+    from universal_importer_duckdb_spark.operators.corpus import (
+        split_leakage_audit,
+    )
+
+    # find ids landing in different splits so the straddle is certain
+    ids = list(range(1, 4000))
+    by_split = defaultdict(list)
+    for i in ids:
+        by_split[_py_split(i)].append(i)
+    assert by_split["val"] and by_split["test"]
+    dup_ids = (
+        by_split["train"][:2] + by_split["val"][:1] + by_split["test"][:1]
+    )
+    uniq_ids = [i for i in by_split["train"][2:12]]
+    rows = [(i, "Shared Boilerplate Text") for i in dup_ids] + [
+        (i, f"unique text {i}") for i in uniq_ids
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["n_splits"]: (r["n_groups"], r["n_docs"])
+        for r in split_leakage_audit(docs).collect()
+    }
+
+    groups = defaultdict(set)
+    counts = defaultdict(int)
+    for did, t in rows:
+        f = hashlib.md5(t.lower().encode()).hexdigest()
+        groups[f].add(_py_split(did))
+        counts[f] += 1
+    expect = defaultdict(lambda: [0, 0])
+    for f, splits in groups.items():
+        expect[len(splits)][0] += 1
+        expect[len(splits)][1] += counts[f]
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    assert 3 in got  # the planted group straddles all three splits
+
+
+def test_dsir_importance_matches_bruteforce(spark):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from universal_importer_duckdb_spark.operators.dsir import (
+        SCALE,
+        dsir_importance,
+    )
+
+    target_vocab = "alpha beta gamma delta".split()
+    noise_vocab = "zzz yyy xxx www vvv".split()
+    rows = []
+    for i in range(10):  # target docs: pure target vocab
+        rows.append((i, "tgt", " ".join(target_vocab * 3)))
+    for i in range(10, 20):  # mixed docs, increasingly off-target
+        k = i - 10
+        body = target_vocab * (10 - k) + noise_vocab * k
+        rows.append((i, "raw", " ".join(body)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = dsir_importance(
+        docs, is_target=F.col("source") == "tgt", n_buckets=64, top_k=20
+    ).collect()
+
+    # python replay
+    def bucket(wd):
+        return int(
+            hashlib.md5(f"dsir-v1:{wd}".encode()).hexdigest()[:7], 16
+        ) % 64
+
+    per_doc = {}
+    c_raw, c_t = Counter(), Counter()
+    for did, src, t in rows:
+        cnts = Counter(bucket(w) for w in t.lower().split(" ") if w)
+        per_doc[did] = cnts
+        for b, c in cnts.items():
+            c_raw[b] += c
+            if src == "tgt":
+                c_t[b] += c
+    expect = []
+    for did, cnts in per_doc.items():
+        n = sum(cnts.values())
+        s = sum(
+            c * (((c_t[b] + 1) * SCALE) // (c_raw[b] + 1))
+            for b, c in cnts.items()
+        )
+        expect.append((did, n, s // n))
+    expect.sort(key=lambda r: (-r[2], r[0]))
+    assert [(r["doc_id"], r["n_words"], r["score"]) for r in got] == expect
+    # ranking sanity: pure-target docs outrank the noisiest mixes
+    top10 = {r["doc_id"] for r in got[:10]}
+    assert 19 not in top10  # the most off-target doc is not on top

@@ -93,15 +93,18 @@ def oracle_sql():
 #     docs_bloom_incremental_dedup (row-identity probe fold),
 #     docs_textrank_keywords (overflow guard),
 #     docs_incremental_dedup (r6 bench re-confirm item).
-#  4. Staleness fillers: the last two r3-era entries
-#     (q13, q17), then 17 r4-era entries (15 TPC-H shapes + the
-#     as-of/range joins). The 23 remaining r4-era entries
+#  4. The three entries born this round (intra-doc segment dedup,
+#     split-leakage audit, DSIR importance) — checked in their birth
+#     round so the registry keeps zero never-checked entries.
+#  5. Staleness fillers: the last two r3-era entries
+#     (q13, q17), then 14 r4-era entries (TPC-H shapes + the
+#     as-of/range joins). The 26 remaining r4-era entries
 #     (anti/except/intersect/semi set ops, validation family,
 #     pivot/cube, string/window analytics, salted distinct,
 #     union_all_key_space, fk_orphans, in_subquery, monthly_revenue,
 #     percentile, rank_customers, top_customers, distinct_segments,
-#     docs_vocab_topk, q16) and the whole r5-era block lead the r8
-#     roster.
+#     docs_vocab_topk, q16, q20, q21, q22) and the whole r5-era block
+#     lead the r8 roster.
 _R7_WINDOW = (
     # ---- never driver-checked (take window slots first) ----
     "docs_tokenizer_fertility",
@@ -152,11 +155,12 @@ _R7_WINDOW = (
     "q14_promo_revenue",
     "q15_top_supplier",
     "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
     "events_asof_last_click",
     "events_range_join_error_windows",
+    # ---- born this round: checked immediately, no coverage debt ----
+    "docs_intradoc_segment_dedup",
+    "docs_split_leakage_audit",
+    "docs_dsir_importance",
 )
 
 

@@ -686,3 +686,45 @@ def excise_spans(
             .alias("clean_text"),
         )
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Train/eval leakage audit: exact-duplicate groups (md5 of
+    lowercased text) that straddle the deterministic hash split — a
+    document whose twin landed in ``val``/``test`` leaks the eval set
+    into training. Run after :func:`hash_split` and before shipping a
+    corpus; the same check at near-dup granularity is the
+    cluster-level follow-up (dedup_text.py clusters x this split).
+
+    Output is one row per observed ``n_splits`` value (how many
+    distinct splits a fingerprint group touches), with the number of
+    groups and documents in that stratum — ``n_splits >= 2`` rows are
+    the leaks, and the ``n_splits = 1`` row sizes the clean
+    population, so the aggregate certifies every document's
+    fingerprint AND split assignment.
+
+    Scale shape: fingerprint and split are narrow maps; one corpus
+    shuffle on the fingerprint (map-side combinable count + distinct
+    splits over <= 3 values), then a 3-row aggregate. No joins.
+    """
+    finger = F.md5(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    tagged = hash_split(docs, id_col=id_col, salt=salt).select(
+        F.col(id_col), finger.alias("fingerprint"), "split"
+    )
+    groups = tagged.groupBy("fingerprint").agg(
+        F.countDistinct("split").cast("bigint").alias("n_splits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return (
+        groups.groupBy("n_splits")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("n_splits")
+    )

@@ -131,3 +131,38 @@ def line_level_dedup(
         (F.size("__ne") - F.size(keep)).cast("bigint").alias("n_removed"),
         F.array_join(keep, joiner).alias("clean_text"),
     )
+
+
+def intradoc_segment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    splitter=newline_lines,
+    joiner: str = " ",
+) -> DataFrame:
+    """WITHIN-document line dedup: keep only the first occurrence of
+    each line/segment inside a single document (repeated in-page
+    boilerplate — nav blocks, pagination footers, scraped-template
+    repetition). The intra-document counterpart of
+    :func:`line_level_dedup`'s cross-document pass; training-data
+    pipelines typically run both.
+
+    Scale shape: a pure narrow map — ``array_distinct`` keeps the
+    first occurrence of each segment in original order, so the whole
+    operator is per-row array expressions with NO shuffle, no state,
+    and no Python. At 100 TB this runs at scan speed fused into
+    whatever stage reads the text.
+
+    Same output contract as line_level_dedup:
+    ``(id, n_lines, n_removed, clean_text)``; empty segments are
+    dropped from both the count and the reassembled text.
+    """
+    segs = splitter(F.coalesce(F.col(text_col), F.lit("")))
+    ne = F.filter(segs, lambda s: s != "")
+    kept = F.array_distinct(ne)
+    return docs.select(
+        F.col(id_col),
+        F.size(ne).cast("bigint").alias("n_lines"),
+        (F.size(ne) - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, joiner).alias("clean_text"),
+    )

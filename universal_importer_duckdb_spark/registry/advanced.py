@@ -2306,6 +2306,149 @@ REGISTRY.update({
 })
 
 
+# ======================================================================
+# Round 7: intra-document dedup, split-leakage audit, DSIR selection
+# ======================================================================
+
+def docs_intradoc_segment_dedup(spark, sf_dir):
+    """Within-document repeated-segment removal (operators/
+    line_dedup.py::intradoc_segment_dedup): first occurrence of each
+    10-word segment survives, later repeats are excised. A pure
+    narrow map (array_distinct + filter + array_join) — zero shuffles
+    at any corpus size; the cheapest dedup pass in the pipeline and
+    normally fused into the scan stage."""
+    from universal_importer_duckdb_spark.operators.line_dedup import (
+        intradoc_segment_dedup,
+        word_segments,
+    )
+
+    return intradoc_segment_dedup(
+        _t(spark, sf_dir, "documents"),
+        splitter=lambda c: word_segments(c, 10),
+    )
+
+
+INTRADOC_SEGMENT_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l
+  FROM documents),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(l[(i*10+1):(i*10+10)], ' ') AS line
+  FROM t, unnest(range(CAST(ceil(len(l)/10.0) AS BIGINT))) AS u(i)),
+nz AS (SELECT * FROM segs WHERE line <> ''),
+firsts AS (SELECT doc_id, line, MIN(pos) AS pos
+           FROM nz GROUP BY doc_id, line),
+re AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              string_agg(line, ' ' ORDER BY pos) AS clean_text
+       FROM firsts GROUP BY doc_id),
+counted AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM nz GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(c.n_lines, 0) - COALESCE(re.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       COALESCE(re.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN counted c USING (doc_id)
+LEFT JOIN re USING (doc_id)
+"""
+
+
+def docs_split_leakage_audit(spark, sf_dir):
+    """Train/eval leakage audit (operators/corpus.py::
+    split_leakage_audit): exact-fingerprint groups straddling the
+    deterministic hash split, reported per straddle width so the
+    3-row aggregate certifies every document's fingerprint and split
+    assignment. One corpus shuffle on the fingerprint, no joins."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        split_leakage_audit,
+    )
+
+    return split_leakage_audit(_t(spark, sf_dir, "documents"))
+
+
+_SLA_B1 = int((1 << 28) * 0.98)
+_SLA_B2 = int((1 << 28) * 0.99)
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH tagged AS (
+  SELECT md5(lower(COALESCE(text, ''))) AS fingerprint,
+         CASE WHEN hv < {_SLA_B1} THEN 'train'
+              WHEN hv < {_SLA_B2} THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT text,
+               ('0x'||substr(md5('split-v1:'||doc_id), 1, 7))::BIGINT AS hv
+        FROM documents)),
+groups AS (
+  SELECT fingerprint, COUNT(DISTINCT split) AS n_splits,
+         COUNT(*) AS n_docs
+  FROM tagged GROUP BY fingerprint)
+SELECT CAST(n_splits AS BIGINT) AS n_splits,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs
+FROM groups GROUP BY n_splits ORDER BY n_splits
+"""
+
+
+def docs_dsir_importance(spark, sf_dir):
+    """DSIR-style data selection (operators/dsir.py): top-20 documents
+    by scaled-integer importance of their hashed-unigram distribution
+    against the src0 target subset. Exploded pass with map-side
+    combine, vocab-bounded (2^14-row) stats table under AQE's
+    broadcast gate, exact BIGINT scoring — reproducible ranking on
+    both engines."""
+    from universal_importer_duckdb_spark.operators.dsir import (
+        dsir_importance,
+    )
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"),
+        is_target=F.col("source") == "src0",
+    )
+
+
+DSIR_IMPORTANCE_SQL = """
+WITH toks AS (
+  SELECT doc_id, t,
+         ('0x'||substr(md5('dsir-v1:'||w), 1, 7))::BIGINT % 16384 AS b
+  FROM (SELECT doc_id, (source = 'src0') AS t,
+               unnest(list_filter(
+                 string_split(lower(COALESCE(text, '')), ' '),
+                 x -> x <> '')) AS w
+        FROM documents)),
+per_doc AS (
+  SELECT doc_id, b, COUNT(*) AS cnt, bool_or(t) AS t
+  FROM toks GROUP BY doc_id, b),
+stats AS (
+  SELECT b, SUM(cnt) AS c_raw,
+         SUM(CASE WHEN t THEN cnt ELSE 0 END) AS c_t
+  FROM per_doc GROUP BY b),
+scored AS (
+  SELECT doc_id, SUM(cnt) AS n_words,
+         SUM(cnt * (((c_t + 1) * 1000000) // (c_raw + 1))) AS s
+  FROM per_doc JOIN stats USING (b)
+  GROUP BY doc_id)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(s // n_words AS BIGINT) AS score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+REGISTRY.update({
+    "docs_intradoc_segment_dedup": (
+        docs_intradoc_segment_dedup, INTRADOC_SEGMENT_DEDUP_SQL,
+    ),
+    "docs_split_leakage_audit": (
+        docs_split_leakage_audit, SPLIT_LEAKAGE_SQL,
+    ),
+    "docs_dsir_importance": (
+        docs_dsir_importance, DSIR_IMPORTANCE_SQL,
+    ),
+})
+
+
 # Chained-section export: star-import carries every module-level
 # name (including the underscore-prefixed shared helpers) to the
 # next registry section / the entry_queries spine.
