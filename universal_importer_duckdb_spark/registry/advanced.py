@@ -2316,14 +2316,19 @@ def docs_intradoc_segment_dedup(spark, sf_dir):
     10-word segment survives, later repeats are excised. A pure
     narrow map (array_distinct + filter + array_join) — zero shuffles
     at any corpus size; the cheapest dedup pass in the pipeline and
-    normally fused into the scan stage."""
+    normally fused into the scan stage. The entry spreads the
+    single-row-group test parquet across cores first (no-op on wide
+    inputs), the same idiom as the shingle/hash pipelines."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
     from universal_importer_duckdb_spark.operators.line_dedup import (
         intradoc_segment_dedup,
         word_segments,
     )
 
     return intradoc_segment_dedup(
-        _t(spark, sf_dir, "documents"),
+        spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id"),
         splitter=lambda c: word_segments(c, 10),
     )
 
