@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "docs_intradoc_segment_dedup",
     "docs_split_leakage_audit",
     "docs_dsir_importance",
+    "docs_cluster_canonical",
+    "docs_dsir_resample",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -551,3 +551,122 @@ def test_split_leakage_audit_has_no_joins(spark, sf_dir):
 
     plan = _fmt_plan(eq.REGISTRY["docs_split_leakage_audit"][0](spark, sf_dir))
     assert "Join" not in plan
+
+
+# -------------------- round-7 phase 2: canonical / streaming / resample
+def test_cluster_canonical_matches_bruteforce(spark):
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        cluster_canonical,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        # doc 2 and 3 tie on length -> canonical must be min id (2)
+        [(1, 5), (2, 9), (3, 9), (4, 7), (5, 3)],
+        "doc_id long, n_chars long",
+    )
+    got = {
+        r["cluster_id"]: (
+            r["n_members"],
+            r["canonical_doc_id"],
+            r["canonical_n_chars"],
+            r["n_chars_dropped"],
+        )
+        for r in cluster_canonical(clusters, docs).collect()
+    }
+    assert got == {
+        1: (3, 2, 9, 14),  # members 1,2,3; longest tie 2 vs 3 -> 2
+        4: (1, 4, 7, 0),
+        5: (1, 5, 3, 0),
+    }
+
+
+def test_stream_split_leakage_converges_across_batches(spark, tmp_path):
+    """Duplicate fingerprints split across micro-batches: the
+    streaming state must merge them and match the batch audit over
+    the union."""
+    import os
+
+    from universal_importer_duckdb_spark.operators.corpus import (
+        split_leakage_audit,
+    )
+    from universal_importer_duckdb_spark.streaming.docs import (
+        DOCS_RAW_SCHEMA,
+        finalize_fingerprint_splits,
+        stream_documents,
+        streaming_fingerprint_splits,
+    )
+
+    # ids chosen to land in different splits (see _py_split): build a
+    # cross-split duplicate whose copies arrive in DIFFERENT batches
+    from collections import defaultdict
+
+    by_split = defaultdict(list)
+    for i in range(1, 4000):
+        by_split[_py_split(i)].append(i)
+    a, b = by_split["train"][0], by_split["val"][0]
+    rows1 = [(a, "dup text", "en", "s", 8), (7, "only one", "en", "s", 8)]
+    rows2 = [(b, "dup text", "en", "s", 8), (8, "another", "en", "s", 7)]
+    d = tmp_path / "docs_stream"
+    os.makedirs(d)
+    spark.createDataFrame(rows1, DOCS_RAW_SCHEMA).coalesce(1).write.parquet(
+        str(d / "b1.parquet")
+    )
+    spark.createDataFrame(rows2, DOCS_RAW_SCHEMA).coalesce(1).write.parquet(
+        str(d / "b2.parquet")
+    )
+
+    stream = stream_documents(
+        spark, str(d) + "/*", glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        streaming_fingerprint_splits(stream)
+        .writeStream.format("memory")
+        .queryName("t_stream_leakage_conv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("t_stream_leakage_conv")
+    got = sorted(
+        tuple(r) for r in finalize_fingerprint_splits(drained).collect()
+    )
+    batch = spark.createDataFrame(rows1 + rows2, DOCS_RAW_SCHEMA)
+    want = sorted(tuple(r) for r in split_leakage_audit(batch).collect())
+    assert got == want
+    # the cross-batch duplicate really straddles two splits
+    assert any(r[0] == 2 for r in got)
+
+
+def test_dsir_resample_keep_rates_follow_scores(spark):
+    """Target-vocab docs (max score) are always kept; off-target docs
+    are kept at roughly score/max rate; counts certify per source."""
+    from universal_importer_duckdb_spark.operators.dsir import (
+        dsir_resample,
+        dsir_scores,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "tgt", "alpha beta gamma delta " * 5))
+    for i in range(40, 120):
+        rows.append((i, "raw", "zzz yyy xxx www " * 5))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    tgt = F.col("source") == "tgt"
+    out = {r["source"]: r for r in dsir_resample(docs, tgt).collect()}
+    assert out["tgt"]["n_docs"] == 40
+    # every max-score doc is kept: hv * mx < mx * 2^28 always
+    assert out["tgt"]["n_kept"] == 40
+    # off-target docs have strictly lower scores -> some are dropped
+    assert 0 <= out["raw"]["n_kept"] < out["raw"]["n_docs"]
+    # tokens_kept consistent with the kept docs' n_words
+    scores = dsir_scores(docs, tgt)
+    assert out["tgt"]["tokens_kept"] == (
+        scores.filter(F.col("doc_id") < 40)
+        .agg(F.sum("n_words"))
+        .first()[0]
+    )

@@ -944,3 +944,35 @@ def _bsp_min_label(
             "(pathological component diameter?); raise max_iters"
         )
     return labels
+
+
+def cluster_canonical(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-member selection per near-dup cluster: instead of
+    blindly keeping the min-id member, keep the LONGEST one (by
+    ``size_col``, min id on ties) — the standard "most complete copy"
+    policy when near-dups are truncations/excerpts of each other.
+
+    One aggregation (single shuffle on cluster_id): member count,
+    argmax by (size, -id) for the canonical, and the total size
+    dropped by deduplication. All-integer comparisons, so the choice
+    is deterministic and oracle-replayable; singletons are included,
+    certifying every document's cluster assignment.
+    """
+    joined = clusters.join(docs.select(id_col, size_col), id_col)
+    pick = F.struct(F.col(size_col), (-F.col(id_col)).alias("__nid"))
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max_by(id_col, pick).alias("canonical_" + id_col),
+            F.max(size_col).cast("bigint").alias("canonical_" + size_col),
+            (F.sum(size_col) - F.max(size_col))
+            .cast("bigint")
+            .alias(size_col + "_dropped"),
+        )
+    )

@@ -46,23 +46,21 @@ from universal_importer_duckdb_spark.operators.corpus import _md5_28
 SCALE = 10**6
 
 
-def dsir_importance(
+def dsir_scores(
     docs: DataFrame,
     is_target: Column,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1 << 14,
-    top_k: int = 20,
     salt: str = "dsir-v1",
 ) -> DataFrame:
-    """Top-``top_k`` documents by scaled-integer DSIR importance.
+    """Every document's scaled-integer DSIR importance.
 
     ``is_target`` marks the target ("what good data looks like")
     subset; every document — target rows included — is scored against
-    it. Returns ``(doc_id, n_words, score)`` where ``score`` is the
+    it. Returns ``(id, n_words, score)`` where ``score`` is the
     length-normalized scaled ratio (SCALE = proportions identical to
-    the target estimate), ordered by (score DESC, doc_id) for a
-    deterministic cut.
+    the target estimate).
     """
     words = (
         docs.select(
@@ -98,7 +96,7 @@ def dsir_importance(
         .alias("c_t"),
     )
     contrib = F.expr(f"((c_t + 1) * {SCALE}) div (c_raw + 1)")
-    scored = (
+    return (
         per_doc.join(stats, "b")
         .groupBy(id_col)
         .agg(
@@ -111,4 +109,79 @@ def dsir_importance(
             F.expr("__s div n_words").cast("bigint").alias("score"),
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 14,
+    top_k: int = 20,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Top-``top_k`` documents by DSIR importance, ordered by
+    (score DESC, id) for a deterministic cut."""
+    scored = dsir_scores(
+        docs, is_target, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, salt=salt,
+    )
     return scored.orderBy(F.desc("score"), id_col).limit(top_k)
+
+
+_HASH_SPACE = 1 << 28
+
+
+def dsir_resample(
+    docs: DataFrame,
+    is_target: Column,
+    by_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 14,
+    salt: str = "dsir-v1",
+    keep_salt: str = "dsir-keep-v1",
+) -> DataFrame:
+    """The resampling half of DSIR: keep each document with
+    probability proportional to its importance (score / max_score),
+    decided by the deterministic hash-threshold idiom —
+    ``md5_28(keep_salt:id) * max_score < score * 2^28`` — so the
+    sample is reproducible with no RNG state and a document's fate
+    never changes when other documents arrive. All-integer compare
+    (28-bit hash x scaled score stays far under 2^63).
+
+    Returns the per-``by_col`` selection report
+    ``(by, n_docs, n_kept, tokens_kept)`` — the aggregate runs over
+    every document's keep decision, so it certifies the whole sample.
+    The max score is a 1-row broadcast; the score join is
+    corpus-by-key under AQE's gate.
+    """
+    scored = dsir_scores(
+        docs, is_target, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, salt=salt,
+    )
+    mx = scored.agg(F.max("score").alias("__mx"))
+    hv = _md5_28(
+        F.concat(F.lit(keep_salt + ":"), F.col(id_col).cast("string"))
+    )
+    sel = (
+        scored.join(docs.select(id_col, by_col), id_col)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            by_col,
+            "n_words",
+            (hv * F.col("__mx") < F.col("score") * F.lit(_HASH_SPACE))
+            .alias("__keep"),
+        )
+    )
+    return (
+        sel.groupBy(by_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("__keep"), F.col("n_words")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy(by_col)
+    )

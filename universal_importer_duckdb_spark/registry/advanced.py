@@ -2441,6 +2441,135 @@ LIMIT 20
 """
 
 
+def docs_cluster_canonical(spark, sf_dir):
+    """Quality-aware canonical selection per near-dup cluster
+    (operators/dedup_text.py::cluster_canonical): resolve MinHash-LSH
+    pairs into connected components, then keep the LONGEST member
+    (min id on ties) instead of the arbitrary min-id one — the "most
+    complete copy" dedup policy. One aggregation past the cluster
+    labels; the oracle replays the recursive-CTE closure and the
+    integer argmax."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        cluster_canonical,
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_perm=32, bands=8, shingle_n=5,
+                              jaccard_threshold=0.4, sample_mod=4,
+                              hasher="md5_28", portable_buckets=True)
+    clusters = neardup_clusters(pairs, docs.select("doc_id"))
+    return cluster_canonical(clusters, docs)
+
+
+CLUSTER_CANONICAL_SQL = f"""
+WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM ({MINHASH_LSH_SQL}) mh),
+e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m
+),
+labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id
+           FROM reach GROUP BY n),
+j AS (SELECT l.cluster_id, l.doc_id, d.n_chars
+      FROM labels l JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+  FROM j),
+agg AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+               SUM(n_chars) AS total_chars
+        FROM j GROUP BY cluster_id)
+SELECT a.cluster_id, a.n_members,
+       r.doc_id AS canonical_doc_id,
+       CAST(r.n_chars AS BIGINT) AS canonical_n_chars,
+       CAST(a.total_chars - r.n_chars AS BIGINT) AS n_chars_dropped
+FROM agg a JOIN ranked r ON r.cluster_id = a.cluster_id AND r.rn = 1
+"""
+
+
+def stream_split_leakage(spark, sf_dir):
+    """Streaming twin of docs_split_leakage_audit (streaming/docs.py):
+    per-fingerprint split sets maintained by a streaming aggregation
+    in update mode — each micro-batch shuffles only its own arrivals
+    against the state store, so continuous corpus ingest gets the
+    leakage audit incrementally instead of a per-batch rescan. The
+    drained state folds to the identical stratum table no matter how
+    availableNow splits the source (multi-batch convergence pinned in
+    tests/test_round7_ops.py), so the batch oracle applies."""
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.docs import (
+        finalize_fingerprint_splits,
+        stream_documents,
+        streaming_fingerprint_splits,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    stream = stream_documents(spark, sf_dir)
+    drained = se.run_available_now(
+        streaming_fingerprint_splits(stream),
+        f"q_stream_leakage_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+    return finalize_fingerprint_splits(drained)
+
+
+def docs_dsir_resample(spark, sf_dir):
+    """The resampling half of DSIR (operators/dsir.py::dsir_resample):
+    keep each document with probability score/max_score via the
+    deterministic md5-threshold idiom, reported per source — the
+    selection that actually builds the target-shaped corpus from the
+    importance scores. All-integer keep decisions; the oracle replays
+    scoring, the 1-row max, and every threshold compare."""
+    from universal_importer_duckdb_spark.operators.dsir import (
+        dsir_resample,
+    )
+
+    return dsir_resample(
+        _t(spark, sf_dir, "documents"),
+        is_target=F.col("source") == "src0",
+    )
+
+
+DSIR_RESAMPLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, t,
+         ('0x'||substr(md5('dsir-v1:'||w), 1, 7))::BIGINT % 16384 AS b
+  FROM (SELECT doc_id, (source = 'src0') AS t,
+               unnest(list_filter(
+                 string_split(lower(COALESCE(text, '')), ' '),
+                 x -> x <> '')) AS w
+        FROM documents)),
+per_doc AS (
+  SELECT doc_id, b, COUNT(*) AS cnt, bool_or(t) AS t
+  FROM toks GROUP BY doc_id, b),
+stats AS (
+  SELECT b, SUM(cnt) AS c_raw,
+         SUM(CASE WHEN t THEN cnt ELSE 0 END) AS c_t
+  FROM per_doc GROUP BY b),
+scored AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         CAST(SUM(cnt * (((c_t + 1) * 1000000) // (c_raw + 1)))
+              // SUM(cnt) AS BIGINT) AS score
+  FROM per_doc JOIN stats USING (b)
+  GROUP BY doc_id),
+mx AS (SELECT MAX(score) AS mx FROM scored),
+sel AS (
+  SELECT d.source, s.n_words,
+         (('0x'||substr(md5('dsir-keep-v1:'||s.doc_id), 1, 7))::BIGINT
+            * mx.mx) < (s.score * 268435456) AS keep
+  FROM scored s JOIN documents d USING (doc_id), mx)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM sel GROUP BY source ORDER BY source
+"""
+
+
 REGISTRY.update({
     "docs_intradoc_segment_dedup": (
         docs_intradoc_segment_dedup, INTRADOC_SEGMENT_DEDUP_SQL,
@@ -2450,6 +2579,15 @@ REGISTRY.update({
     ),
     "docs_dsir_importance": (
         docs_dsir_importance, DSIR_IMPORTANCE_SQL,
+    ),
+    "docs_cluster_canonical": (
+        docs_cluster_canonical, CLUSTER_CANONICAL_SQL,
+    ),
+    "stream_split_leakage": (
+        stream_split_leakage, SPLIT_LEAKAGE_SQL,
+    ),
+    "docs_dsir_resample": (
+        docs_dsir_resample, DSIR_RESAMPLE_SQL,
     ),
 })
 

@@ -1,0 +1,80 @@
+"""Streaming source + operators over the documents table.
+
+Same file-stream pattern as ``streaming/events.py``: the sf directory
+is the stream root with a glob filter so only documents.parquet is
+listed. Document streams model continuous corpus ingest — the
+curation checks (split-leakage below) then run incrementally instead
+of re-scanning the corpus per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCS_RAW_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def stream_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream over document parquet in ``sf_dir`` (glob-filtered
+    so sibling tables are not listed). ``max_files_per_trigger``
+    throttles availableNow draining into multiple micro-batches —
+    used by the convergence tests."""
+    reader = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(f"{sf_dir}/")
+
+
+def streaming_fingerprint_splits(docs: DataFrame, salt: str = "split-v1") -> DataFrame:
+    """Incremental split-leakage state: per content fingerprint, the
+    set of splits its copies have landed in and the copy count —
+    maintained by a streaming aggregation (update mode), so each
+    micro-batch shuffles only its own arrivals against the state
+    store. The fingerprint/split stamping is the identical narrow map
+    the batch audit uses (operators/corpus.py), so the drained state
+    converges to the batch answer however the source is split into
+    batches.
+    """
+    from universal_importer_duckdb_spark.operators.corpus import hash_split
+
+    tagged = hash_split(docs, id_col="doc_id", salt=salt).select(
+        F.md5(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+        .alias("fingerprint"),
+        "split",
+    )
+    return tagged.groupBy("fingerprint").agg(
+        F.collect_set("split").alias("splits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+
+
+def finalize_fingerprint_splits(drained: DataFrame) -> DataFrame:
+    """Fold the update-mode emissions (one row per fingerprint per
+    batch that changed it) down to the final state — n_docs strictly
+    increases on every emitted update, so max_by(n_docs) is the last
+    state — then reduce to the batch audit's stratum table
+    ``(n_splits, n_groups, n_docs)``."""
+    last = drained.groupBy("fingerprint").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.size(F.max_by("splits", "n_docs")).cast("bigint").alias("n_splits"),
+    )
+    return (
+        last.groupBy("n_splits")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("n_splits")
+    )
