@@ -670,3 +670,19 @@ def test_dsir_resample_keep_rates_follow_scores(spark):
         .agg(F.sum("n_words"))
         .first()[0]
     )
+
+
+def test_dsir_resample_counts_wordless_docs(spark):
+    """Empty/null-text docs have no score row but must still appear
+    in n_docs (never kept)."""
+    from universal_importer_duckdb_spark.operators.dsir import (
+        dsir_resample,
+    )
+
+    rows = [(1, "s0", "alpha beta"), (2, "s1", ""), (3, "s1", None),
+            (4, "s1", "alpha zzz")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in
+           dsir_resample(docs, F.col("source") == "s0").collect()}
+    assert out["s1"]["n_docs"] == 3
+    assert out["s1"]["n_kept"] <= 1  # the wordless docs are never kept

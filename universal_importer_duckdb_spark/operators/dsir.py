@@ -164,14 +164,20 @@ def dsir_resample(
     hv = _md5_28(
         F.concat(F.lit(keep_salt + ":"), F.col(id_col).cast("string"))
     )
+    # LEFT join from the corpus: a wordless document has no score row
+    # but must still be counted (score treated as 0 -> never kept), so
+    # n_docs really covers every input document.
     sel = (
-        scored.join(docs.select(id_col, by_col), id_col)
+        docs.select(id_col, by_col)
+        .join(scored, id_col, "left")
         .crossJoin(F.broadcast(mx))
         .select(
             by_col,
-            "n_words",
-            (hv * F.col("__mx") < F.col("score") * F.lit(_HASH_SPACE))
-            .alias("__keep"),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            (
+                hv * F.col("__mx")
+                < F.coalesce("score", F.lit(0)) * F.lit(_HASH_SPACE)
+            ).alias("__keep"),
         )
     )
     return (

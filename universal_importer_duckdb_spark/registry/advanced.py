@@ -2558,10 +2558,10 @@ scored AS (
   GROUP BY doc_id),
 mx AS (SELECT MAX(score) AS mx FROM scored),
 sel AS (
-  SELECT d.source, s.n_words,
-         (('0x'||substr(md5('dsir-keep-v1:'||s.doc_id), 1, 7))::BIGINT
-            * mx.mx) < (s.score * 268435456) AS keep
-  FROM scored s JOIN documents d USING (doc_id), mx)
+  SELECT d.source, COALESCE(s.n_words, 0) AS n_words,
+         (('0x'||substr(md5('dsir-keep-v1:'||d.doc_id), 1, 7))::BIGINT
+            * mx.mx) < (COALESCE(s.score, 0) * 268435456) AS keep
+  FROM documents d LEFT JOIN scored s USING (doc_id), mx)
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT)
