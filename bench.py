@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "docs_dsir_importance",
     "docs_cluster_canonical",
     "docs_dsir_resample",
+    "docs_shipped_quality",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

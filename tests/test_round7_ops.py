@@ -686,3 +686,72 @@ def test_dsir_resample_counts_wordless_docs(spark):
            dsir_resample(docs, F.col("source") == "s0").collect()}
     assert out["s1"]["n_docs"] == 3
     assert out["s1"]["n_kept"] <= 1  # the wordless docs are never kept
+
+
+# ------------------------------------- shipped linear quality model
+def test_quality_weights_loader_validates(tmp_path):
+    import pytest as _pytest
+
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        load_quality_weights,
+    )
+
+    ok = tmp_path / "w.tsv"
+    ok.write_text("#hdr\nthe\t10\nspam\t-20\n")
+    assert load_quality_weights(str(ok)) == {"the": 10, "spam": -20}
+
+    dup = tmp_path / "dup.tsv"
+    dup.write_text("the\t10\nthe\t20\n")
+    with _pytest.raises(ValueError, match="duplicate"):
+        load_quality_weights(str(dup))
+
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("The\t10\n")
+    with _pytest.raises(ValueError, match="not normalized"):
+        load_quality_weights(str(bad))
+
+    malformed = tmp_path / "m.tsv"
+    malformed.write_text("the 10\n")
+    with _pytest.raises(ValueError, match="token<TAB>weight"):
+        load_quality_weights(str(malformed))
+
+
+def test_quality_model_scores_match_bruteforce(spark):
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        quality_model_scores,
+    )
+
+    w = {"good": 100, "bad": -300}
+    rows = [
+        (1, "good good neutral"),    # raw 200, n 3, logit 66
+        (2, "bad good"),             # raw -200, n 2, logit -100
+        (3, ""),                     # wordless: all zeros
+        (4, None),
+        (5, "BAD Good"),             # lowercased: raw -200
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["raw_milli"], r["logit_milli"], r["is_quality"]
+        )
+        for r in quality_model_scores(docs, w).collect()
+    }
+    assert got == {
+        1: (3, 200, 66, True),
+        2: (2, -200, -100, False),
+        3: (0, 0, 0, True),
+        4: (0, 0, 0, True),
+        5: (2, -200, -100, False),
+    }
+
+
+def test_quality_model_is_shuffle_free(spark):
+    import re
+
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        quality_model_scores,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = _fmt_plan(quality_model_scores(docs, {"a": 1}))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)

@@ -1,0 +1,123 @@
+"""Shipped linear quality model: score documents under an EXTERNAL
+bag-of-words weight file.
+
+Production pipelines filter web text with a trained quality classifier
+(a fasttext-style linear model is the standard first tier — cf. CCNet
+/ GPT-3 / RedPajama data recipes). Reference anchor: none — the
+reference (main.py) has no model-based filtering; this is north-star
+scope for the 100 TB pipeline. The model arrives as an ARTIFACT, not
+corpus-learned state — the same interop contract as the shipped
+GPT-2-style ``merges.txt`` (operators/bpe.py::load_merges_file): a
+TSV of ``token<TAB>integer milli-weight`` rows, ``#``/blank lines
+skipped.
+
+Scoring is exact integer arithmetic: a document's raw score is the
+sum of its tokens' milli-weights (repeats count), and its logit is
+``raw div n_words`` (integer division) — bit-identical across
+engines, partitionings, and reduction orders, so the quality gate is
+reproducible anywhere.
+
+Scale shape: the weight table folds into the plan as a LITERAL map,
+so scoring is a pure narrow map (higher-order fold over the token
+array) — zero shuffles, no join, no Python; at 100 TB it runs fused
+into the scan like the other per-row text signals. A model too large
+to inline as a literal (100k+ features) would switch to the exploded
+join against a broadcast weight table; the shipped-artifact loader
+and scoring contract stay identical.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHIPPED_WEIGHTS_PATH = str(
+    pathlib.Path(__file__).resolve().parents[1]
+    / "data"
+    / "shipped_quality_weights.tsv"
+)
+
+
+def load_quality_weights(path: str = SHIPPED_WEIGHTS_PATH) -> dict[str, int]:
+    """Parse a ``token<TAB>integer`` TSV; ``#``/blank lines skipped.
+    Tokens are validated as already-normalized (lowercase, no spaces)
+    and unique — a duplicate row would make the scoring
+    order-dependent, so it is a loader error, not a data condition."""
+    weights: dict[str, int] = {}
+    with open(path, encoding="utf-8") as fh:
+        for ln, raw in enumerate(fh, 1):
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            if len(parts) != 2:
+                raise ValueError(
+                    f"{path}:{ln}: expected 'token<TAB>weight', got {line!r}"
+                )
+            tok, wt = parts
+            if not tok or tok != tok.lower() or " " in tok:
+                raise ValueError(
+                    f"{path}:{ln}: token {tok!r} is not normalized"
+                )
+            if tok in weights:
+                raise ValueError(f"{path}:{ln}: duplicate token {tok!r}")
+            weights[tok] = int(wt)
+    if not weights:
+        raise ValueError(f"{path}: no weight rows")
+    return weights
+
+
+def quality_model_scores(
+    docs: DataFrame,
+    weights: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Per-document linear quality score under ``weights``.
+
+    Returns ``(id, n_words, raw_milli, logit_milli, is_quality)``:
+    ``raw_milli`` the exact integer sum of token weights,
+    ``logit_milli = raw_milli div n_words`` (0 for wordless docs),
+    ``is_quality = logit_milli >= threshold_milli``.
+    """
+    pairs: list = []
+    for tok, wt in sorted(weights.items()):
+        pairs.append(F.lit(tok))
+        pairs.append(F.lit(int(wt)).cast("bigint"))
+    wmap = F.create_map(*pairs)
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    raw = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.coalesce(wmap[w], F.lit(0).cast("bigint")),
+    )
+    n = F.size(toks).cast("bigint")
+    return (
+        docs.select(
+            F.col(id_col),
+            n.alias("n_words"),
+            raw.cast("bigint").alias("raw_milli"),
+        )
+        .selectExpr(
+            id_col,
+            "n_words",
+            "raw_milli",
+            # integer div truncates toward zero in both engines for the
+            # positive divisor; wordless docs pin logit to 0
+            "CASE WHEN n_words > 0 THEN raw_milli div n_words "
+            "ELSE CAST(0 AS BIGINT) END AS logit_milli",
+        )
+        .selectExpr(
+            id_col,
+            "n_words",
+            "raw_milli",
+            "logit_milli",
+            f"logit_milli >= {int(threshold_milli)} AS is_quality",
+        )
+    )

@@ -2570,7 +2570,62 @@ FROM sel GROUP BY source ORDER BY source
 """
 
 
+def docs_shipped_quality(spark, sf_dir):
+    """Model-based quality gate under the SHIPPED linear weight file
+    (operators/quality_model.py, data/shipped_quality_weights.tsv) —
+    the fasttext-style first-tier web filter, arriving as an external
+    artifact like the shipped tokenizer. Scoring folds the weight
+    table into the plan as a literal map: a pure narrow map, zero
+    shuffles, exact integer milli-logits on both engines."""
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        load_quality_weights,
+        quality_model_scores,
+    )
+
+    return quality_model_scores(
+        _t(spark, sf_dir, "documents"), load_quality_weights()
+    )
+
+
+def _shipped_quality_sql() -> str:
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        load_quality_weights,
+    )
+
+    rows = ", ".join(
+        f"('{tok}', {wt})"
+        for tok, wt in sorted(load_quality_weights().items())
+    )
+    return f"""
+WITH w(tok, wt) AS (VALUES {rows}),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(lower(COALESCE(text, '')), ' '),
+           x -> x <> '')) AS tok
+  FROM documents),
+counted AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COALESCE(SUM(w.wt), 0) AS BIGINT) AS raw_milli
+  FROM toks t LEFT JOIN w USING (tok) GROUP BY t.doc_id),
+scored AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.n_words, 0) AS BIGINT) AS n_words,
+         CAST(COALESCE(c.raw_milli, 0) AS BIGINT) AS raw_milli,
+         CASE WHEN COALESCE(c.n_words, 0) > 0
+              THEN CAST(c.raw_milli // c.n_words AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS logit_milli
+  FROM documents d LEFT JOIN counted c USING (doc_id))
+SELECT doc_id, n_words, raw_milli, logit_milli,
+       logit_milli >= 0 AS is_quality
+FROM scored
+"""
+
+
 REGISTRY.update({
+    "docs_shipped_quality": (
+        docs_shipped_quality, _shipped_quality_sql(),
+    ),
     "docs_intradoc_segment_dedup": (
         docs_intradoc_segment_dedup, INTRADOC_SEGMENT_DEDUP_SQL,
     ),
