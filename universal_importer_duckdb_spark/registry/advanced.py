@@ -2576,14 +2576,20 @@ def docs_shipped_quality(spark, sf_dir):
     the fasttext-style first-tier web filter, arriving as an external
     artifact like the shipped tokenizer. Scoring folds the weight
     table into the plan as a literal map: a pure narrow map, zero
-    shuffles, exact integer milli-logits on both engines."""
+    shuffles, exact integer milli-logits on both engines. The entry
+    spreads the single-row-group test parquet across cores first
+    (no-op on wide inputs)."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
     from universal_importer_duckdb_spark.operators.quality_model import (
         load_quality_weights,
         quality_model_scores,
     )
 
     return quality_model_scores(
-        _t(spark, sf_dir, "documents"), load_quality_weights()
+        spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id"),
+        load_quality_weights(),
     )
 
 
