@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "docs_cluster_canonical",
     "docs_dsir_resample",
     "docs_shipped_quality",
+    "docs_dedup_cascade",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

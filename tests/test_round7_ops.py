@@ -755,3 +755,34 @@ def test_quality_model_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     plan = _fmt_plan(quality_model_scores(docs, {"a": 1}))
     assert not re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+
+
+def test_dedup_cascade_stage_accounting(spark, sf_dir):
+    """Stage totals are monotone non-increasing, stage 0 matches the
+    raw corpus, and stage 3's doc count equals the number of distinct
+    stage-2 fingerprints."""
+    from universal_importer_duckdb_spark import entry_queries as eq
+    from universal_importer_duckdb_spark.operators.line_dedup import (
+        intradoc_segment_dedup,
+        line_level_dedup,
+        word_segments,
+    )
+
+    out = {r["stage"]: r for r in
+           eq.REGISTRY["docs_dedup_cascade"][0](spark, sf_dir).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    chars = [out[s]["total_chars"] for s in (0, 1, 2, 3)]
+    assert chars == sorted(chars, reverse=True)
+    docs = eq._t(spark, sf_dir, "documents")
+    n = docs.count()
+    raw_chars = docs.selectExpr(
+        "sum(length(coalesce(text, ''))) v").first()["v"]
+    assert out[0]["n_docs"] == n and out[0]["total_chars"] == raw_chars
+    assert out[1]["n_docs"] == n and out[2]["n_docs"] == n
+
+    split = lambda c: word_segments(c, 10)  # noqa: E731
+    s1 = intradoc_segment_dedup(docs, splitter=split).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    s2 = line_level_dedup(s1, min_dup_docs=2, splitter=split).select(
+        F.md5(F.lower(F.col("clean_text"))).alias("fp"))
+    assert out[3]["n_docs"] == s2.distinct().count()

@@ -2628,9 +2628,133 @@ FROM scored
 """
 
 
+def docs_dedup_cascade(spark, sf_dir):
+    """The full dedup funnel in one pipeline — the order a production
+    corpus actually runs it: (1) intra-document segment dedup (narrow
+    map), (2) cross-document line-level dedup over the cleaned text,
+    (3) exact-fingerprint doc dedup (min id kept) over the result.
+    Output is the per-stage accounting table
+    ``(stage, n_docs, total_chars)`` (stage 0 = raw input) — the char
+    totals are sensitive to every transformed byte at every stage, so
+    the 4-row aggregate certifies the whole cascade end to end.
+
+    Scale shape: stage 1 fuses into the scan; stage 2 is the
+    line-dedup algebra (shuffle volume ~ duplicate rate); stage 3 is
+    one map-side-combinable fingerprint aggregation. Stages share one
+    scoped cache of the intermediate text, so the corpus is read
+    once."""
+    from universal_importer_duckdb_spark.caching import scoped_cache
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+    from universal_importer_duckdb_spark.operators.line_dedup import (
+        intradoc_segment_dedup,
+        line_level_dedup,
+        word_segments,
+    )
+
+    split = lambda c: word_segments(c, 10)  # noqa: E731
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+
+    def stage_stats(df, text_col, stage):
+        return df.select(
+            F.lit(stage).cast("bigint").alias("stage"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__len"),
+        ).groupBy("stage").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__len").cast("bigint").alias("total_chars"),
+        )
+
+    s1 = scoped_cache(
+        intradoc_segment_dedup(docs, splitter=split)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    s2 = scoped_cache(
+        line_level_dedup(s1, min_dup_docs=2, splitter=split)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    # stage 3: exact dedup on the fully line-cleaned text, min id kept
+    s3 = (
+        s2.groupBy(F.md5(F.lower(F.col("text"))).alias("__fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+    )
+    return (
+        stage_stats(docs, "text", 0)
+        .unionByName(stage_stats(s1, "text", 1))
+        .unionByName(stage_stats(s2, "text", 2))
+        .unionByName(stage_stats(s3, "text", 3))
+        .orderBy("stage")
+    )
+
+
+def _seg_dedup_block(src: str, text_col: str, out: str) -> str:
+    """SQL block: cross-doc 10-word-segment line dedup of
+    ``src(doc_id, text_col)`` into ``out(doc_id, text)``."""
+    return f"""
+{out}_t AS (
+  SELECT doc_id, string_split(COALESCE({text_col}, ''), ' ') AS l
+  FROM {src}),
+{out}_segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(l[(i*10+1):(i*10+10)], ' ') AS line
+  FROM {out}_t, unnest(range(CAST(ceil(len(l)/10.0) AS BIGINT))) AS u(i)),
+{out}_nz AS (SELECT * FROM {out}_segs WHERE line <> ''),
+{out}_dup AS (SELECT line FROM {out}_nz
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+{out}_kept AS (SELECT nz.* FROM {out}_nz nz
+               WHERE NOT EXISTS (SELECT 1 FROM {out}_dup d
+                                 WHERE d.line = nz.line)),
+{out}_re AS (SELECT doc_id,
+                    string_agg(line, ' ' ORDER BY pos) AS clean_text
+             FROM {out}_kept GROUP BY doc_id),
+{out} AS (SELECT s.doc_id, COALESCE(r.clean_text, '') AS text
+          FROM {src} s LEFT JOIN {out}_re r USING (doc_id))"""
+
+
+DEDUP_CASCADE_SQL = f"""
+WITH
+s0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+-- stage 1: intra-doc first-occurrence segment dedup
+i_t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM s0),
+i_segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(l[(i*10+1):(i*10+10)], ' ') AS line
+  FROM i_t, unnest(range(CAST(ceil(len(l)/10.0) AS BIGINT))) AS u(i)),
+i_nz AS (SELECT * FROM i_segs WHERE line <> ''),
+i_first AS (SELECT doc_id, line, MIN(pos) AS pos
+            FROM i_nz GROUP BY doc_id, line),
+i_re AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text
+         FROM i_first GROUP BY doc_id),
+s1 AS (SELECT s0.doc_id, COALESCE(i_re.clean_text, '') AS text
+       FROM s0 LEFT JOIN i_re USING (doc_id)),
+-- stage 2: cross-doc line-level dedup over the cleaned text
+{_seg_dedup_block('s1', 'text', 's2')},
+-- stage 3: exact-fingerprint doc dedup, min id kept
+s3 AS (
+  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM s2 GROUP BY md5(lower(text)))
+SELECT CAST(0 AS BIGINT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM s0
+UNION ALL
+SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(length(text)) AS BIGINT) FROM s1
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(length(text)) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(length(text)) AS BIGINT) FROM s3
+ORDER BY stage
+"""
+
+
 REGISTRY.update({
     "docs_shipped_quality": (
         docs_shipped_quality, _shipped_quality_sql(),
+    ),
+    "docs_dedup_cascade": (
+        docs_dedup_cascade, DEDUP_CASCADE_SQL,
     ),
     "docs_intradoc_segment_dedup": (
         docs_intradoc_segment_dedup, INTRADOC_SEGMENT_DEDUP_SQL,
