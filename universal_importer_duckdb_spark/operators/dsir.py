@@ -143,24 +143,25 @@ def dsir_resample(
     keep_salt: str = "dsir-keep-v1",
 ) -> DataFrame:
     """The resampling half of DSIR: keep each document with
-    probability proportional to its importance (score / max_score),
-    decided by the deterministic hash-threshold idiom —
-    ``md5_28(keep_salt:id) * max_score < score * 2^28`` — so the
-    sample is reproducible with no RNG state and a document's fate
-    never changes when other documents arrive. All-integer compare
-    (28-bit hash x scaled score stays far under 2^63).
+    probability equal to its importance (score / SCALE — the score is
+    the length-normalized ratio and is <= SCALE by construction, since
+    every bucket has c_target <= c_raw), decided by the deterministic
+    hash-threshold idiom — ``md5_28(keep_salt:id) * SCALE < score *
+    2^28`` — so the sample is reproducible with no RNG state and a
+    document's fate never changes when other documents arrive.
+    All-integer compare (28-bit hash x scaled score stays far under
+    2^63); no max-renormalization pass, so the plan is the score
+    pipeline plus one corpus-by-key join (AQE-gated) and the final
+    aggregate.
 
     Returns the per-``by_col`` selection report
     ``(by, n_docs, n_kept, tokens_kept)`` — the aggregate runs over
     every document's keep decision, so it certifies the whole sample.
-    The max score is a 1-row broadcast; the score join is
-    corpus-by-key under AQE's gate.
     """
     scored = dsir_scores(
         docs, is_target, text_col=text_col, id_col=id_col,
         n_buckets=n_buckets, salt=salt,
     )
-    mx = scored.agg(F.max("score").alias("__mx"))
     hv = _md5_28(
         F.concat(F.lit(keep_salt + ":"), F.col(id_col).cast("string"))
     )
@@ -170,12 +171,11 @@ def dsir_resample(
     sel = (
         docs.select(id_col, by_col)
         .join(scored, id_col, "left")
-        .crossJoin(F.broadcast(mx))
         .select(
             by_col,
             F.coalesce("n_words", F.lit(0)).alias("n_words"),
             (
-                hv * F.col("__mx")
+                hv * F.lit(SCALE)
                 < F.coalesce("score", F.lit(0)) * F.lit(_HASH_SPACE)
             ).alias("__keep"),
         )

@@ -2519,11 +2519,11 @@ def stream_split_leakage(spark, sf_dir):
 
 def docs_dsir_resample(spark, sf_dir):
     """The resampling half of DSIR (operators/dsir.py::dsir_resample):
-    keep each document with probability score/max_score via the
+    keep each document with probability score/SCALE via the
     deterministic md5-threshold idiom, reported per source — the
     selection that actually builds the target-shaped corpus from the
     importance scores. All-integer keep decisions; the oracle replays
-    scoring, the 1-row max, and every threshold compare."""
+    the scoring and every threshold compare."""
     from universal_importer_duckdb_spark.operators.dsir import (
         dsir_resample,
     )
@@ -2556,12 +2556,11 @@ scored AS (
               // SUM(cnt) AS BIGINT) AS score
   FROM per_doc JOIN stats USING (b)
   GROUP BY doc_id),
-mx AS (SELECT MAX(score) AS mx FROM scored),
 sel AS (
   SELECT d.source, COALESCE(s.n_words, 0) AS n_words,
          (('0x'||substr(md5('dsir-keep-v1:'||d.doc_id), 1, 7))::BIGINT
-            * mx.mx) < (COALESCE(s.score, 0) * 268435456) AS keep
-  FROM documents d LEFT JOIN scored s USING (doc_id), mx)
+            * 1000000) < (COALESCE(s.score, 0) * 268435456) AS keep
+  FROM documents d LEFT JOIN scored s USING (doc_id))
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT)
