@@ -53,60 +53,79 @@ def dsir_scores(
     id_col: str = "doc_id",
     n_buckets: int = 1 << 14,
     salt: str = "dsir-v1",
+    carry_cols: tuple[str, ...] = (),
+    include_wordless: bool = False,
 ) -> DataFrame:
     """Every document's scaled-integer DSIR importance.
 
     ``is_target`` marks the target ("what good data looks like")
     subset; every document — target rows included — is scored against
-    it. Returns ``(id, n_words, score)`` where ``score`` is the
-    length-normalized scaled ratio (SCALE = proportions identical to
-    the target estimate).
+    it. Returns ``(id, *carry_cols, n_words, score)`` where ``score``
+    is the length-normalized scaled ratio (SCALE = proportions
+    identical to the target estimate).
+
+    ``carry_cols`` rides doc-constant columns through the scoring
+    aggregations so callers (dsir_resample) need no second corpus
+    scan + join; ``include_wordless=True`` keeps empty/null-text
+    documents in the output via explode_outer (n_words 0, score 0) —
+    off by default so the ranking surface stays words-only.
     """
-    words = (
-        docs.select(
-            F.col(id_col),
-            is_target.alias("__t"),
-            F.explode(
-                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
-            ).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .select(
-            F.col(id_col),
-            "__t",
-            (
-                _md5_28(F.concat(F.lit(salt + ":"), F.col("w")))
-                % F.lit(n_buckets)
-            ).alias("b"),
-        )
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    explode = F.explode_outer if include_wordless else F.explode
+    words = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        is_target.alias("__t"),
+        explode(toks).alias("w"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        "__t",
+        F.when(
+            F.col("w").isNotNull(),
+            _md5_28(F.concat(F.lit(salt + ":"), F.col("w")))
+            % F.lit(n_buckets),
+        ).alias("b"),
     )
     # one exploded pass feeds both consumers below
     from universal_importer_duckdb_spark.caching import scoped_cache
 
     per_doc = scoped_cache(
         words.groupBy(id_col, "b").agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.count("b").cast("bigint").alias("cnt"),
             F.max("__t").alias("__t"),
+            *[F.first(c).alias(c) for c in carry_cols],
         )
     )
-    stats = per_doc.groupBy("b").agg(
+    stats = per_doc.filter(F.col("b").isNotNull()).groupBy("b").agg(
         F.sum("cnt").cast("bigint").alias("c_raw"),
         F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("c_t"),
     )
     contrib = F.expr(f"((c_t + 1) * {SCALE}) div (c_raw + 1)")
+    join_how = "left" if include_wordless else "inner"
     return (
-        per_doc.join(stats, "b")
+        per_doc.join(stats, "b", join_how)
         .groupBy(id_col)
         .agg(
+            *[F.first(c).alias(c) for c in carry_cols],
             F.sum("cnt").cast("bigint").alias("n_words"),
-            F.sum(F.col("cnt") * contrib).cast("bigint").alias("__s"),
+            F.sum(F.col("cnt") * F.coalesce(contrib, F.lit(0)))
+            .cast("bigint")
+            .alias("__s"),
         )
         .select(
             id_col,
+            *carry_cols,
             "n_words",
-            F.expr("__s div n_words").cast("bigint").alias("score"),
+            F.expr(
+                "CASE WHEN n_words > 0 THEN __s div n_words "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).cast("bigint").alias("score"),
         )
     )
 
@@ -157,28 +176,25 @@ def dsir_resample(
     Returns the per-``by_col`` selection report
     ``(by, n_docs, n_kept, tokens_kept)`` — the aggregate runs over
     every document's keep decision, so it certifies the whole sample.
+    ``by_col`` and the wordless documents (score 0, never kept) ride
+    through the scoring pass itself (carry_cols + explode_outer), so
+    the corpus is scanned exactly once and there is no second
+    corpus-sized join.
     """
     scored = dsir_scores(
         docs, is_target, text_col=text_col, id_col=id_col,
         n_buckets=n_buckets, salt=salt,
+        carry_cols=(by_col,), include_wordless=True,
     )
     hv = _md5_28(
         F.concat(F.lit(keep_salt + ":"), F.col(id_col).cast("string"))
     )
-    # LEFT join from the corpus: a wordless document has no score row
-    # but must still be counted (score treated as 0 -> never kept), so
-    # n_docs really covers every input document.
-    sel = (
-        docs.select(id_col, by_col)
-        .join(scored, id_col, "left")
-        .select(
-            by_col,
-            F.coalesce("n_words", F.lit(0)).alias("n_words"),
-            (
-                hv * F.lit(SCALE)
-                < F.coalesce("score", F.lit(0)) * F.lit(_HASH_SPACE)
-            ).alias("__keep"),
-        )
+    sel = scored.select(
+        by_col,
+        "n_words",
+        (hv * F.lit(SCALE) < F.col("score") * F.lit(_HASH_SPACE)).alias(
+            "__keep"
+        ),
     )
     return (
         sel.groupBy(by_col)
