@@ -12,6 +12,13 @@
   explode/fold-back.
 - train_pq_codebook: the bounded sample is ordered, so the codebook
   is invariant to partition layout.
+- decode_media: H.264/MP4/Matroska route through the optional-av
+  swap-point (install-hint error absent the lib, fake-av wiring +
+  frame sampling when present).
+- round-7 additions: intra-doc segment dedup, split-leakage audit
+  (batch + streaming convergence), DSIR importance/resample, cluster
+  canonical selection, shipped-weights quality model, and the 3-stage
+  dedup cascade — brute-force pins and plan shapes.
 """
 
 from __future__ import annotations
