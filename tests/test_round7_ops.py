@@ -793,3 +793,23 @@ def test_dedup_cascade_stage_accounting(spark, sf_dir):
     s2 = line_level_dedup(s1, min_dup_docs=2, splitter=split).select(
         F.md5(F.lower(F.col("clean_text"))).alias("fp"))
     assert out[3]["n_docs"] == s2.distinct().count()
+
+
+def test_stream_shipped_quality_matches_batch(spark, sf_dir):
+    """Stateless streaming map: the drained append output is
+    row-identical to the batch quality entry."""
+    from universal_importer_duckdb_spark import entry_queries as eq
+
+    got = sorted(
+        tuple(r)
+        for r in eq.REGISTRY["stream_shipped_quality"][0](
+            spark, sf_dir
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in eq.REGISTRY["docs_shipped_quality"][0](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == want

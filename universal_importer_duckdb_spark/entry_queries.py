@@ -82,7 +82,7 @@ def oracle_sql():
 #     docs_top_collocations, docs_contamination_spans,
 #     docs_decontaminated_text, multimodal_audio_energy,
 #     multimodal_image_tiles. After this round, ever-driver-checked
-#     coverage is 164/164 — zero never-checked entries remain.
+#     coverage is 165/165 — zero never-checked entries remain.
 #  2. The full r6-demoted set promised in the r6 comments (13 + the
 #     rows-only emb_ivf_topk), last driver-checked in r3 (r1 for
 #     IVF).
@@ -93,21 +93,21 @@ def oracle_sql():
 #     docs_bloom_incremental_dedup (row-identity probe fold),
 #     docs_textrank_keywords (overflow guard),
 #     docs_incremental_dedup (r6 bench re-confirm item).
-#  4. The eight entries born this round (intra-doc segment dedup,
+#  4. The nine entries born this round (intra-doc segment dedup,
 #     split-leakage audit + streaming twin, DSIR importance +
 #     resample, cluster-canonical selection, shipped-weights quality
-#     model, the 3-stage dedup cascade) — checked in their birth
-#     round so the registry keeps zero never-checked entries.
+#     model + its streaming ingest twin, the 3-stage dedup cascade)
+#     — checked in their birth round so the registry keeps zero
+#     never-checked entries.
 #  5. Staleness fillers: the last two r3-era entries
-#     (q13, q17), then 9 r4-era entries (TPC-H shapes + the
-#     as-of/range joins). The 28 remaining r4-era entries
+#     (q13, q17), then 8 r4-era entries (TPC-H shapes + the
+#     as-of/range joins). The 29 remaining r4-era entries
 #     (anti/except/intersect/semi set ops, validation family,
 #     pivot/cube, string/window analytics, salted distinct,
 #     union_all_key_space, fk_orphans, in_subquery, monthly_revenue,
 #     percentile, rank_customers, top_customers, distinct_segments,
-#     docs_vocab_topk, q10, q11, q14, q15, q16, q19, q20, q21, q22) and the
-#     whole
-#     r5-era block lead the r8 roster.
+#     docs_vocab_topk, q8, q10, q11, q14, q15, q16, q19, q20, q21,
+#     q22) and the whole r5-era block lead the r8 roster.
 _R7_WINDOW = (
     # ---- never driver-checked (take window slots first) ----
     "docs_tokenizer_fertility",
@@ -152,7 +152,6 @@ _R7_WINDOW = (
     "q4_order_priority",
     "q5_revenue_by_nation",
     "q7_volume_shipping",
-    "q8_market_share",
     "events_asof_last_click",
     "events_range_join_error_windows",
     # ---- born this round: checked immediately, no coverage debt ----
@@ -164,6 +163,7 @@ _R7_WINDOW = (
     "docs_dsir_resample",
     "docs_shipped_quality",
     "docs_dedup_cascade",
+    "stream_shipped_quality",
 )
 
 

@@ -2748,7 +2748,36 @@ ORDER BY stage
 """
 
 
+def stream_shipped_quality(spark, sf_dir):
+    """Streaming twin of docs_shipped_quality (streaming/docs.py::
+    streaming_quality_scores): the shipped linear quality model scored
+    at ingest — a stateless narrow map, so the drained append-mode
+    output is row-identical to the batch entry however availableNow
+    splits the source, and the batch oracle applies directly. The
+    production placement of a first-tier quality filter: score (and
+    gate) documents as they arrive."""
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        load_quality_weights,
+    )
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.docs import (
+        stream_documents,
+        streaming_quality_scores,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    stream = stream_documents(spark, sf_dir)
+    return se.run_available_now(
+        streaming_quality_scores(stream, load_quality_weights()),
+        f"q_stream_quality_{_STREAM_COUNTER[0]}",
+        output_mode="append",
+    )
+
+
 REGISTRY.update({
+    "stream_shipped_quality": (
+        stream_shipped_quality, _shipped_quality_sql(),
+    ),
     "docs_shipped_quality": (
         docs_shipped_quality, _shipped_quality_sql(),
     ),

@@ -78,3 +78,17 @@ def finalize_fingerprint_splits(drained: DataFrame) -> DataFrame:
         )
         .orderBy("n_splits")
     )
+
+
+def streaming_quality_scores(docs: DataFrame, weights: dict[str, int]) -> DataFrame:
+    """The shipped linear quality model applied at INGEST: a stateless
+    narrow map (operators/quality_model.py — literal-map fold), so it
+    runs on a stream exactly as on a batch, with no state store and
+    no watermark. The production placement of a first-tier quality
+    filter: score documents as they arrive, before they ever land in
+    the corpus."""
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        quality_model_scores,
+    )
+
+    return quality_model_scores(docs, weights)
