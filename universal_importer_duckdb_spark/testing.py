@@ -75,9 +75,23 @@ def _check_oracle_dtypes(spark_df, con, sql: str, name: str) -> None:
       ``cast("double")`` on BOTH engines.
     - Any other integral-vs-float split across engines (e.g. DuckDB
       DOUBLE/DECIMAL where Spark emits bigint).
+    - A container-typed (array/map/struct) Spark output column: the
+      driver's pandas canonicalizer ``sort_values`` raises
+      ``TypeError: unhashable type`` on list cells, killing even the
+      rows-only gate (the r7 ``emb_pq_codes`` red row). Entries must
+      emit scalars only.
     """
     spark_types = dict(spark_df.dtypes)
     for col, st in spark_types.items():
+        if st.startswith(("array", "map", "struct")):
+            raise AssertionError(
+                f"[{name}] Spark column {col!r} is {st}: the driver "
+                f"canonicalizer sorts the result frame in pandas, and "
+                f"sort_values on a container-typed column raises "
+                f"TypeError: unhashable type (the r7 emb_pq_codes red "
+                f"row) — flatten it first (concat_ws for arrays, "
+                f"posexplode to scalar rows, or project struct fields)"
+            )
         if st.startswith("decimal"):
             raise AssertionError(
                 f"[{name}] Spark column {col!r} is {st}: the driver "
