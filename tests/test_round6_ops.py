@@ -456,8 +456,10 @@ def test_pq_reconstruction_determinism_and_adc_recall(spark, sf_dir):
     assert {r["vec_id"]: r["codes"] for r in rows} == rows2
 
     # reconstruction budget: quantized vectors stay close to unit-ish
-    # norm originals (random 64-dim embeddings have |x| ~ 1)
-    errs = np.array([r["recon_err"] for r in rows])
+    # norm originals (random 64-dim embeddings have |x| ~ 1). recon_d2
+    # is the integer squared distance in the 10^-6-quantized space;
+    # sqrt/QSCALE converts back to float-equivalent L2.
+    errs = np.array([np.sqrt(r["recon_d2"]) / 1e6 for r in rows])
     assert errs.mean() < 1.0  # far below the ~1.4 of a zero codebook
 
     # ADC top-10 must substantially agree with the exact L2 top-10
@@ -490,7 +492,7 @@ def test_pq_adc_entry_audit_column(spark):
     assert len(rows) == 10
     hits = sum(r["in_exact_topk"] for r in rows)
     assert hits >= 2  # above-chance agreement with the true L2 top-10
-    dists = [r["adc_dist"] for r in rows]
+    dists = [r["adc_d2"] for r in rows]
     assert dists == sorted(dists)
 
 

@@ -52,3 +52,80 @@ def test_dtype_guard_rejects_container_columns(spark, sf_dir):
             struct_shape, con, "SELECT {'a': 1} AS s", "struct_shape"
         )
     con.close()
+
+
+# --------------------------------------------------- integer k-means
+def test_int_kmeans_determinism_and_quantize_guard():
+    import numpy as np
+
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        QOFFSET,
+        QSCALE,
+        int_lloyds,
+        quantize_np,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 0.2, size=(200, 8))
+    xq = quantize_np(x)
+    assert (xq > 0).all()
+    c1 = int_lloyds(xq, 8, 5, list(range(8)))
+    c2 = int_lloyds(xq.copy(), 8, 5, list(range(8)))
+    assert np.array_equal(c1, c2)
+    assert c1.dtype == np.int64
+    # centroids stay inside the quantized value range
+    assert c1.min() > 0 and c1.max() < 2 * QOFFSET
+    # the positivity contract hard-fails instead of silently flooring
+    with pytest.raises(ValueError, match="positive-BIGINT"):
+        quantize_np(np.array([[-(QOFFSET / QSCALE) - 0.5]]))
+
+
+def test_int_kmeans_empty_cluster_keeps_previous_centroid():
+    import numpy as np
+
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        int_lloyds,
+        quantize_np,
+    )
+
+    # two identical points as init: cluster 1 starts identical to
+    # cluster 0, every point assigns to the lower id, and cluster 1
+    # must keep its (duplicate) centroid rather than divide by zero
+    x = quantize_np(np.array([[0.1, 0.1], [0.1, 0.1], [0.2, 0.2]]))
+    cent = int_lloyds(x, 2, 3, [0, 1])
+    assert np.array_equal(cent[1], x[1])
+
+
+def test_dsir_plan_has_no_cache_and_one_broadcastable_stats_side(spark, sf_dir):
+    """r7 verdict item: dsir_resample scoped-cached a corpus-scale
+    (doc, bucket) frame. The r8 shape must keep the whole score
+    pipeline pure lineage — no InMemoryRelation anywhere in the
+    plan."""
+    from universal_importer_duckdb_spark.operators.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dsir_resample(docs, is_target=F.col("source") == "src0")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan
+
+
+def test_dsir_overflow_guard_trips():
+    """The (c_t+1)*SCALE BIGINT bound is enforced at runtime (r7
+    advice): an artificially tiny cap must raise, not wrap."""
+    import universal_importer_duckdb_spark.operators.dsir as dsir_mod
+    from universal_importer_duckdb_spark.session import get_spark
+
+    spark = get_spark()
+    docs = spark.createDataFrame(
+        [(1, "a a a", "src0"), (2, "a b", "src1")],
+        "doc_id bigint, text string, source string",
+    )
+    old = dsir_mod.SCALE
+    dsir_mod.SCALE = 2**62  # cap becomes 1 -> any bucket overflows
+    try:
+        with pytest.raises(Exception, match="BIGINT-safe"):
+            dsir_mod.dsir_scores(
+                docs, is_target=F.col("source") == "src0"
+            ).collect()
+    finally:
+        dsir_mod.SCALE = old

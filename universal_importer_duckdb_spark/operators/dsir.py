@@ -74,47 +74,70 @@ def dsir_scores(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
         lambda w: w != "",
     )
+    bucket = _md5_28(F.concat(F.lit(salt + ":"), F.col("w"))) % F.lit(
+        n_buckets
+    )
+    # Pass 1 — vocab-bounded bucket stats straight off the token
+    # stream: one map-side-combinable aggregate, NO (doc, bucket)
+    # intermediate and NO cache (the r7 shape scoped-cached a
+    # corpus-scale per-doc frame to feed this 2^14-row table; at
+    # 100 TB a second narrow scan is strictly cheaper than
+    # materializing ~|corpus tokens| rows — see README scale notes).
+    stats = (
+        docs.select(is_target.alias("__t"), F.explode(toks).alias("w"))
+        .select("__t", bucket.alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_t"),
+        )
+    )
+    # Overflow guard (r7 advice, textrank precedent): (c_t+1)*SCALE
+    # must stay under 2^63 — Spark would wrap silently in non-ANSI
+    # mode while DuckDB errors, diverging the engines. textrank's
+    # driver-side pre-check would force a second execution of the
+    # stats aggregate (its edge list is checkpointed; this lineage is
+    # not), so the guard rides IN the contrib expression instead:
+    # assert_true returns NULL on pass, so the WHEN arm always takes,
+    # and Catalyst cannot prune it away. Evaluated once per stats row
+    # (vocab-bounded), not per token.
+    c_t_cap = (2**63 - 1) // SCALE - 1
+    contrib_val = F.expr(f"((c_t + 1) * {SCALE}) div (c_raw + 1)")
+    contrib_guarded = F.when(
+        F.assert_true(
+            F.col("c_t") <= F.lit(c_t_cap),
+            f"dsir_scores: target bucket count exceeds the BIGINT-safe "
+            f"cap {c_t_cap} for SCALE={SCALE}; raise n_buckets or "
+            f"lower SCALE",
+        ).isNull(),
+        contrib_val,
+    )
+    stats = stats.select("b", contrib_guarded.alias("contrib"))
+    # Pass 2 — per-token contribution via the bucket join (2^14-row
+    # build side: AQE converts it to a broadcast join at any corpus
+    # size), folded per document in one map-side-combinable aggregate.
+    # Summing contrib per TOKEN is the same integer sum as the old
+    # per-(doc,bucket) cnt*contrib — order-free BIGINT addition.
     explode = F.explode_outer if include_wordless else F.explode
     words = docs.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        is_target.alias("__t"),
         explode(toks).alias("w"),
     ).select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        "__t",
-        F.when(
-            F.col("w").isNotNull(),
-            _md5_28(F.concat(F.lit(salt + ":"), F.col("w")))
-            % F.lit(n_buckets),
-        ).alias("b"),
+        F.when(F.col("w").isNotNull(), bucket).alias("b"),
     )
-    # one exploded pass feeds both consumers below
-    from universal_importer_duckdb_spark.caching import scoped_cache
-
-    per_doc = scoped_cache(
-        words.groupBy(id_col, "b").agg(
-            F.count("b").cast("bigint").alias("cnt"),
-            F.max("__t").alias("__t"),
-            *[F.first(c).alias(c) for c in carry_cols],
-        )
-    )
-    stats = per_doc.filter(F.col("b").isNotNull()).groupBy("b").agg(
-        F.sum("cnt").cast("bigint").alias("c_raw"),
-        F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(0))
-        .cast("bigint")
-        .alias("c_t"),
-    )
-    contrib = F.expr(f"((c_t + 1) * {SCALE}) div (c_raw + 1)")
     join_how = "left" if include_wordless else "inner"
     return (
-        per_doc.join(stats, "b", join_how)
+        words.join(stats, "b", join_how)
         .groupBy(id_col)
         .agg(
             *[F.first(c).alias(c) for c in carry_cols],
-            F.sum("cnt").cast("bigint").alias("n_words"),
-            F.sum(F.col("cnt") * F.coalesce(contrib, F.lit(0)))
+            F.count("b").cast("bigint").alias("n_words"),
+            F.sum(F.coalesce(F.col("contrib"), F.lit(0)))
             .cast("bigint")
             .alias("__s"),
         )

@@ -300,49 +300,53 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_size: int = 2048,
-    iters: int = 8,
-    seed: int = 42,
+    iters: int = 5,
 ):
-    """Spherical k-means centroids for IVF, trained driver-side on a
-    deterministic hash-ordered sample. The collect is bounded at
-    ``sample_size`` rows regardless of corpus size (per-partition
-    top-k under the hood), so training stays O(sample·n_list·dim) on
-    the driver even at 100 TB; the resulting centroid matrix
-    (n_list×dim floats) ships to executors inside the assignment
-    UDF's closure. Returns a (n_list, dim) float64 numpy array of
-    unit-norm centroids."""
-    rows = (
-        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("__h"))
-        .orderBy("__h")
-        .limit(sample_size)
-        .collect()
+    """IVF centroid lists trained driver-side with the deterministic
+    scaled-integer Lloyd's (operators/int_kmeans.py) on a bounded
+    hash-ordered sample. The collect is capped at ``sample_size`` rows
+    regardless of corpus size (per-partition top-k under the hood), so
+    training stays O(sample·n_list·dim) on the driver even at 100 TB;
+    the integer centroid matrix ships to executors inside the
+    assignment UDF's closure. Lists are squared-L2 in the quantized
+    space — on (near-)unit-norm embeddings the L2 ranking equals the
+    cosine ranking the pre-r8 spherical variant produced, and unlike
+    it the artifact is exactly replayable in SQL (ivf_topk_sql).
+    Returns a (n_list, dim) int64 numpy array."""
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        collect_hash_ordered_sample,
+        init_indices,
+        int_lloyds,
+        quantize_np,
     )
-    X = np.asarray([list(r.v) for r in rows], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(n_list, len(X)), replace=False)]
-    for _ in range(iters):
-        assign = (X @ C.T).argmax(axis=1)
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                c = members.sum(axis=0)
-                C[j] = c / max(np.linalg.norm(c), 1e-12)
-    return C
+
+    ids, x = collect_hash_ordered_sample(df, id_col, vec_col, sample_size)
+    return int_lloyds(quantize_np(x), n_list, iters, init_indices(ids, n_list))
 
 
 def ivf_assign_udf(centroids):
-    """Arrow-batched nearest-centroid assignment: one numpy matmul per
-    batch instead of n_list interpreted array-fold expressions per row
-    — this is the 100 TB write path (assignments are computed once at
-    ingest and stored as a partition/cluster column)."""
-    C = np.asarray(centroids, dtype=np.float64)
+    """Arrow-batched nearest-centroid assignment (integer argmin, ties
+    to the smaller list id): one numpy pass per batch instead of
+    n_list interpreted array-fold expressions per row — this is the
+    100 TB write path (assignments are computed once at ingest and
+    stored as a partition/cluster column)."""
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        int_argmin_dists,
+        quantize_np,
+    )
+
+    C = np.asarray(centroids, dtype=np.int64)
 
     @F.pandas_udf("int")
     def assign(batch: pd.Series) -> pd.Series:
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in batch], dtype=np.float64)
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series((M @ C.T).argmax(axis=1).astype("int32"))
+        M = quantize_np(
+            np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch],
+                dtype=np.float64,
+            )
+        )
+        a, _ = int_argmin_dists(M, C)
+        return pd.Series(a.astype("int32"))
 
     return assign
 
@@ -356,20 +360,21 @@ def ivf_topk(
     n_list: int = 16,
     nprobe: int = 4,
     sample_size: int = 2048,
-    seed: int = 42,
 ) -> DataFrame:
     """IVF approximate top-k (the clustered-index alternative to
-    ``lsh_ann_topk``): spherical-k-means lists, probe the ``nprobe``
-    lists whose centroids are nearest the query, exact cosine re-rank
-    inside them. Expected scan fraction ≈ nprobe/n_list; recall rises
-    with nprobe (nprobe = n_list degenerates to the exact scan). In a
-    stored table the list id is a partition column, so probing is
-    partition pruning — the non-probed ~(1-nprobe/n_list) of the
-    corpus is never read."""
-    C = ivf_train_centroids(df, n_list, vec_col, id_col, sample_size, seed=seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    probe = [int(j) for j in (C @ q).argsort()[::-1][:nprobe]]
+    ``lsh_ann_topk``): integer-k-means lists, probe the ``nprobe``
+    lists whose centroids are nearest the query (integer L2, ties to
+    the smaller list id), exact cosine re-rank inside them. Expected
+    scan fraction ≈ nprobe/n_list; recall rises with nprobe (nprobe =
+    n_list degenerates to the exact scan). In a stored table the list
+    id is a partition column, so probing is partition pruning — the
+    non-probed ~(1-nprobe/n_list) of the corpus is never read."""
+    from universal_importer_duckdb_spark.operators.int_kmeans import quantize_np
+
+    C = ivf_train_centroids(df, n_list, vec_col, id_col, sample_size)
+    qq = quantize_np(np.asarray(query_vec, dtype=np.float64))
+    qd = ((C - qq[None, :]) ** 2).sum(axis=1, dtype=np.int64)
+    probe = sorted(range(len(C)), key=lambda c: (qd[c], c))[:nprobe]
     assign = ivf_assign_udf(C)
     from universal_importer_duckdb_spark.operators.dedup_text import spread_for_compute
 
@@ -379,6 +384,77 @@ def ivf_topk(
         .filter(F.col("__list").isin(probe))
     )
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_topk_sql(
+    k: int = 10,
+    n_list: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    sample_size: int = 2048,
+    iters: int = 5,
+    sql_dot: str = "",
+    sql_n2: str = "",
+) -> str:
+    """DuckDB oracle for emb_ivf_topk: replay the integer k-means
+    training, full-table list assignment, nprobe probe selection, and
+    the order-defined exact cosine re-rank + exact-top-k audit.
+    ``sql_dot``/``sql_n2`` are the registry's list_reduce fold
+    templates (bit-identical to Spark's F.aggregate folds)."""
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        SAMPLE_SALT,
+        kmeans_ctes,
+        sql_md5_28,
+        sql_qdim,
+    )
+
+    samp_hash = sql_md5_28(f"'{SAMPLE_SALT}:'||vec_id")
+    dims = ", ".join(
+        f"{sql_qdim('embedding', i)} AS d{i}" for i in range(1, dim + 1)
+    )
+    dist_pc = " + ".join(
+        f"(p.d{i}-c.d{i})*(p.d{i}-c.d{i})" for i in range(1, dim + 1)
+    )
+    dist_cq = " + ".join(
+        f"(c.d{i}-q.d{i})*(c.d{i}-q.d{i})" for i in range(1, dim + 1)
+    )
+    dot = sql_dot.format(a="e.embedding::DOUBLE[]", b="qv")
+    n2v = sql_n2.format(a="e.embedding::DOUBLE[]")
+    n2q = sql_n2.format(a="qv")
+    return f"""
+WITH
+pts0 AS MATERIALIZED (SELECT vec_id AS pid, {dims} FROM embeddings WHERE vec_id > 0),
+sampids AS MATERIALIZED (SELECT pid FROM pts0
+            ORDER BY {samp_hash.replace("vec_id", "pid")}, pid
+            LIMIT {sample_size}),
+pts AS MATERIALIZED (SELECT p.* FROM pts0 p JOIN sampids USING (pid)),
+{kmeans_ctes('pts', dim, n_list, iters, 'cents')},
+qp AS (SELECT {dims} FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT c.cid FROM cents c, qp q
+          ORDER BY {dist_cq}, c.cid LIMIT {nprobe}),
+asg AS MATERIALIZED (SELECT pid, cid FROM (
+    SELECT p.pid, c.cid,
+           row_number() OVER (PARTITION BY p.pid
+                              ORDER BY {dist_pc}, c.cid) AS rn
+    FROM pts0 p JOIN cents c ON TRUE) WHERE rn = 1),
+cand AS (SELECT pid FROM asg JOIN probe USING (cid)),
+qv_t AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+topk AS (
+  SELECT vec_id, cosine FROM (
+    SELECT e.vec_id, {dot} / (sqrt({n2v}) * sqrt({n2q})) AS cosine
+    FROM embeddings e JOIN cand ON cand.pid = e.vec_id, qv_t)
+  ORDER BY cosine DESC, vec_id LIMIT {k}),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id, {dot} / (sqrt({n2v}) * sqrt({n2q})) AS cosine
+    FROM embeddings e, qv_t WHERE e.vec_id > 0)
+  ORDER BY cosine DESC, vec_id LIMIT {k})
+SELECT t.vec_id, t.cosine,
+       CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END AS in_exact_topk,
+       SUM(CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END) OVER ()
+         / {float(k)} AS recall_at_k
+FROM topk t LEFT JOIN exact x ON x.vec_id = t.vec_id
+"""
 
 
 def embedding_near_pairs(

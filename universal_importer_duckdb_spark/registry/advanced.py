@@ -1480,12 +1480,15 @@ FROM j GROUP BY journey ORDER BY n_sessions DESC, journey LIMIT 20
 
 def emb_pq_codes(spark, sf_dir):
     """Product-quantization storage codes (operators/pq.py): 8
-    subspaces x 16 centroids trained on a bounded deterministic
-    sample, every vector encoded to 8 codes + exact reconstruction
-    error in one Arrow-batched pass. Float-iterative training (like
-    emb_ivf_topk) -> rows-only driver gate; reconstruction-error
-    budget, determinism, and ADC top-k recall vs the exact scan are
-    pinned in tests/test_round6_ops.py."""
+    subspaces x 16 centroids trained with the deterministic
+    scaled-integer Lloyd's (operators/int_kmeans.py) on a bounded
+    hash-ordered sample, every vector encoded to 8 codes + exact
+    integer squared reconstruction distance in one Arrow-batched
+    pass. r8: the former rows-only exemption is retired — the oracle
+    replays the training/encode pipeline exactly; codes are emitted
+    '-'-joined (the raw array<int> was the r7 driver-canonicalizer
+    red). Reconstruction budget and ADC recall stay pinned in
+    tests/test_round6_ops.py."""
     from universal_importer_duckdb_spark.operators.pq import (
         pq_encode,
         train_pq_codebook,
@@ -1493,7 +1496,11 @@ def emb_pq_codes(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     cb = train_pq_codebook(emb, m=8, k=16)
-    return pq_encode(emb, cb)
+    return pq_encode(emb, cb).select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
+        "recon_d2",
+    )
 
 
 def docs_contamination_spans(spark, sf_dir):
@@ -1732,12 +1739,12 @@ ORDER BY pmi_ratio DESC, bi.a, bi.b LIMIT 20
 
 def emb_pq_adc_topk(spark, sf_dir):
     """PQ serving path with an in-query quality audit (operators/
-    pq.py::pq_adc_topk): top-10 by asymmetric distance against the
-    vec_id=0 query, each hit flagged ``in_exact_topk`` by an in-plan
-    join against the TRUE L2 top-10 computed from the raw vectors
-    with order-defined folds — the same self-audit pattern as
-    emb_ivf_topk. Rows-only gate (k-means artifact); the audit column
-    is pinned in tests."""
+    pq.py::pq_adc_topk): top-10 by integer asymmetric distance
+    against the vec_id=0 query, each hit flagged ``in_exact_topk`` by
+    an in-plan join against the TRUE L2 top-10 computed from the raw
+    vectors with order-defined folds — the same self-audit pattern as
+    emb_ivf_topk. r8: integer-k-means training makes the whole path
+    oracle-replayable; the rows-only gate is retired."""
     from universal_importer_duckdb_spark.operators.pq import (
         pq_adc_topk,
         pq_encode,
@@ -1770,10 +1777,10 @@ def emb_pq_adc_topk(spark, sf_dir):
         adc.join(F.broadcast(exact), "vec_id", "left")
         .select(
             "vec_id",
-            "adc_dist",
+            "adc_d2",
             F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
         )
-        .orderBy("adc_dist", "vec_id")
+        .orderBy("adc_d2", "vec_id")
     )
 
 
@@ -2255,6 +2262,18 @@ def _textrank_oracle():
     return textrank_sql(iterations=5, top_k=50)
 
 
+def _pq_codes_oracle():
+    from universal_importer_duckdb_spark.operators.pq import pq_codes_sql
+
+    return pq_codes_sql(m=8, k=16, dim=64)
+
+
+def _pq_adc_oracle():
+    from universal_importer_duckdb_spark.operators.pq import pq_adc_sql
+
+    return pq_adc_sql(m=8, k=16, dim=64, sql_dot=_SQL_DOT, sql_n2=_SQL_N2)
+
+
 REGISTRY.update({
     "docs_segment_line_dedup": (
         docs_segment_line_dedup, SEGMENT_LINE_DEDUP_SQL,
@@ -2282,11 +2301,10 @@ REGISTRY.update({
     "orders_expectation_suite": (
         orders_expectation_suite, EXPECTATION_SUITE_SQL,
     ),
-    # rows-only: PQ training is float-iterative k-means (same
-    # exemption as emb_ivf_topk); quality pinned in tests
-    "emb_pq_codes": (emb_pq_codes, None),
-    # rows-only for the same reason; carries its own exactness audit
-    "emb_pq_adc_topk": (emb_pq_adc_topk, None),
+    # r8: integer-k-means training is SQL-replayable — full oracles
+    # (operators/pq.py builders); the rows-only class is retired
+    "emb_pq_codes": (emb_pq_codes, _pq_codes_oracle()),
+    "emb_pq_adc_topk": (emb_pq_adc_topk, _pq_adc_oracle()),
     "events_top_journeys": (events_top_journeys, _top_journeys_sql()),
     "docs_top_collocations": (
         docs_top_collocations, TOP_COLLOCATIONS_SQL,

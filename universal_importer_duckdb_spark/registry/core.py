@@ -1995,17 +1995,18 @@ JOIN events p ON c.user_id = p.user_id
 
 
 def emb_ivf_topk(spark, sf_dir):
-    """IVF approximate nearest neighbours: spherical-k-means lists +
+    """IVF approximate nearest neighbours: integer-k-means lists +
     probe-list pruning + exact re-rank (clustered-index alternative to
-    emb_ann_lsh_topk). Rows-only by the driver contract's iterative-
-    algorithm exemption (k-means training cannot be replayed in SQL),
-    but self-auditing: each returned row carries ``in_exact_topk``
-    (membership in the green exact emb_cosine_topk answer, computed in
-    the same job) and ``recall_at_k`` (their sum / k), so the
-    approximation quality is a checkable column, not a claim. On these
+    emb_ann_lsh_topk). r8: training is the deterministic scaled-integer
+    Lloyd's (operators/int_kmeans.py), so the whole path — sample,
+    centroids, assignment, probe, order-defined cosine re-rank — is
+    replayed by the SQL oracle (similarity.ivf_topk_sql) and the old
+    rows-only exemption is retired. Still self-auditing: each row
+    carries ``in_exact_topk`` (membership in the exact top-10 computed
+    in the same job) and ``recall_at_k`` (their sum / k). On these
     synthetic i.i.d.-gaussian embeddings the true top-k is spread
     uniformly over lists, so recall ≈ nprobe/n_list by construction —
-    the deterministic seeded value is pinned in tests/test_extensions.py."""
+    the deterministic value is pinned in tests/test_extensions.py."""
     from universal_importer_duckdb_spark.operators.similarity import (
         cosine_topk_two_phase,
         ivf_topk,
@@ -2023,6 +2024,17 @@ def emb_ivf_topk(spark, sf_dir):
     w = Window.partitionBy()
     return flagged.withColumn(
         "recall_at_k", (F.sum("in_exact_topk").over(w) / F.lit(10.0))
+    )
+
+
+def _ivf_topk_oracle():
+    from universal_importer_duckdb_spark.operators.similarity import (
+        ivf_topk_sql,
+    )
+
+    return ivf_topk_sql(
+        k=10, n_list=16, nprobe=4, dim=64,
+        sql_dot=_SQL_DOT, sql_n2=_SQL_N2,
     )
 
 
@@ -2371,7 +2383,7 @@ REGISTRY.update({
     "docs_simhash_neardup": (docs_simhash_neardup, SIMHASH_SQL),
     "docs_rolling_sketch": (docs_rolling_sketch, ROLLING_SKETCH_SQL),
     "emb_ann_lsh_topk": (emb_ann_lsh_topk, EMB_ANN_LSH_SQL),
-    "emb_ivf_topk": (emb_ivf_topk, None),
+    "emb_ivf_topk": (emb_ivf_topk, _ivf_topk_oracle()),
     "emb_near_dup_pairs": (emb_near_dup_pairs, EMB_NEAR_DUP_SQL),
     "emb_semdedup_clusters": (emb_semdedup_clusters, EMB_SEMDEDUP_SQL),
     "stream_tumbling_hourly": (stream_tumbling_hourly, STREAM_TUMBLING_SQL),
