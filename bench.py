@@ -128,6 +128,30 @@ BENCH_QUERIES = [
 # iterations incl. graph construction).
 
 
+def build_summary_line(
+    timings: dict[str, float], calibration_sec: float, sf: float | None
+) -> str:
+    """The driver-facing FINAL stdout line: compact JSON that must
+    stay well inside the driver's 2000-char tail capture at ANY query
+    count (the r6 truncation bug class). Slowest-8 extras are dropped
+    whole if the line would exceed the budget."""
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "calibration_sec": round(calibration_sec, 3),
+        "sf": sf,
+        "slowest": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8]),
+        "detail": "line 1 of stdout / BENCH_DETAIL_last.json",
+    }
+    line = json.dumps(summary)
+    if len(line) > 1000:  # paranoid: drop the per-query extras
+        summary.pop("slowest", None)
+        line = json.dumps(summary)
+    return line
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -213,22 +237,7 @@ def main() -> int:
             fh.write(full + "\n")
     except OSError:
         pass
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
-    summary = {
-        "metric": "headline_queries_total_runtime",
-        "value": out["value"],
-        "unit": "sec",
-        "n_queries": len(timings),
-        "calibration_sec": out["calibration_sec"],
-        "sf": sf,
-        "slowest": slowest,
-        "detail": "line 1 of stdout / BENCH_DETAIL_last.json",
-    }
-    line = json.dumps(summary)
-    if len(line) > 1500:  # paranoid: drop the per-query extras
-        summary.pop("slowest", None)
-        line = json.dumps(summary)
-    print(line)
+    print(build_summary_line(timings, cal, sf))
     return 0
 
 

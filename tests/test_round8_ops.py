@@ -54,6 +54,31 @@ def test_dtype_guard_rejects_container_columns(spark, sf_dir):
     con.close()
 
 
+# -------------------------------------------------- bench tail bound
+def test_bench_summary_line_bounded_at_any_query_count():
+    """r7 verdict item: the driver parses only the LAST ~2000 chars of
+    bench stdout; the final summary line must stay under 1 KB no
+    matter how many registry queries the bench grows to."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_summary_line
+
+    timings = {
+        f"some_quite_long_query_name_number_{i:04d}": i * 0.001
+        for i in range(300)
+    }
+    line = build_summary_line(timings, 0.123, 0.1)
+    assert len(line) < 1024
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 300
+    assert parsed["metric"] == "headline_queries_total_runtime"
+    # tiny registries keep the slowest extras
+    small = build_summary_line({"q1": 0.5, "q2": 0.25}, 0.1, 0.01)
+    assert len(small) < 1024 and "slowest" in json.loads(small)
+
+
 # --------------------------------------------------- integer k-means
 def test_int_kmeans_determinism_and_quantize_guard():
     import numpy as np
@@ -107,6 +132,39 @@ def test_dsir_plan_has_no_cache_and_one_broadcastable_stats_side(spark, sf_dir):
     df = dsir_resample(docs, is_target=F.col("source") == "src0")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" not in plan
+
+
+def test_quality_loader_rejects_quoted_tokens(tmp_path):
+    """r7 advice: a weight token containing an apostrophe would break
+    (or silently alter) the SQL VALUES oracle — loader error."""
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        load_quality_weights,
+    )
+
+    p = tmp_path / "w.tsv"
+    p.write_text("good\t5\ndon't\t-3\n")
+    with pytest.raises(ValueError, match="quote"):
+        load_quality_weights(str(p))
+
+
+def test_annexb_sniff_requires_plausible_nal_header():
+    """r7 advice: an arbitrary blob starting 00 00 01 must fall
+    through to the unrecognized-container error, not route to the av
+    decoder; a real Annex-B prefix (valid NAL header) still routes."""
+    from universal_importer_duckdb_spark.operators.multimodal import (
+        _looks_like_annexb,
+        decode_media,
+    )
+
+    junk = b"\x00\x00\x01\xff" + b"\x00" * 16  # forbidden_zero_bit set
+    assert not _looks_like_annexb(junk)
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        decode_media(junk)
+    # SPS NAL (type 7) after a 4-byte start code: plausible Annex-B
+    assert _looks_like_annexb(b"\x00\x00\x00\x01\x67" + b"\x00" * 16)
+    # type 0 and type 24+ are undefined nal_unit_types
+    assert not _looks_like_annexb(b"\x00\x00\x01\x00")
+    assert not _looks_like_annexb(b"\x00\x00\x01\x78")
 
 
 def test_dsir_overflow_guard_trips():

@@ -211,6 +211,27 @@ def apply_merges(
     return w
 
 
+def vocab_symbol_counts(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(word, n_syms) under a SHIPPED merge list, from a bare
+    ``word``-column frame (typically a distinct-word vocabulary).
+    Same delimited-symbol-string construction and per-merge replay as
+    :func:`word_frequency_table` + :func:`apply_merges`, but with no
+    corpus frequencies attached — for aggregate consumers (fertility,
+    budget screens) that only need symbols-per-word, this keeps the
+    merge replay on a vocab-sized frame and skips the corpus-count
+    columns entirely."""
+    d = F.concat(
+        F.regexp_replace(F.col("word"), "(.)", DELIM + "$1"),
+        F.lit(DELIM),
+    )
+    w = apply_merges(words.withColumn("d", d), merges)
+    return w.select(
+        "word", F.size(_symbols()).cast("bigint").alias("n_syms")
+    )
+
+
 def bpe_token_counts(
     df: DataFrame,
     vocab: DataFrame,

@@ -598,12 +598,15 @@ def contamination_spans(
         ).alias("g"),
     ).select(id_col, F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
 
-    bench = (
-        word_ngrams_hashed(benchmark, n, text_col, id_col)
-        .select("gram")
-        .distinct()
+    # left-semi against the (non-deduplicated) benchmark gram stream:
+    # each window matches at most once regardless of how many
+    # benchmark docs share the gram, so the explicit distinct — and
+    # its shuffle exchange — is unnecessary (r8 stage-count trim; the
+    # oracle's JOIN-against-distinct produces the identical hit set)
+    bench = word_ngrams_hashed(benchmark, n, text_col, id_col).select(
+        "gram"
     )
-    hits = positioned.join(bench, "gram").select(
+    hits = positioned.join(bench, "gram", "left_semi").select(
         id_col,
         F.col("i").alias("s"),
         (F.col("i") + (n - 1)).alias("e"),

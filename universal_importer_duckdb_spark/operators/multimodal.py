@@ -476,6 +476,22 @@ _MKV_EBML_SIG = b"\x1a\x45\xdf\xa3"
 _H264_ANNEXB_SIGS = (b"\x00\x00\x00\x01", b"\x00\x00\x01")
 
 
+def _looks_like_annexb(data: bytes) -> bool:
+    """Raw Annex-B sniff, hardened (r7 advice): a bare 00 00 01 start
+    code is a 3-byte prefix weak enough that arbitrary binary blobs
+    would get routed to the av decoder and die with a misleading
+    install-av/decode error. Require a plausible NAL header byte
+    right after the start code too: forbidden_zero_bit clear and
+    nal_unit_type in the H.264-defined 1..23 range."""
+    for sig in _H264_ANNEXB_SIGS:
+        if data.startswith(sig):
+            if len(data) <= len(sig):
+                return False
+            nal = data[len(sig)]
+            return (nal & 0x80) == 0 and 1 <= (nal & 0x1F) <= 23
+    return False
+
+
 def decode_media(data: bytes, media_type: str | None = None) -> dict:
     """Sniff + decode. PNG, WAV and uncompressed Y4M video decode for
     real (pure Python); JPEG routes through the optional-PIL swap-point
@@ -504,7 +520,7 @@ def decode_media(data: bytes, media_type: str | None = None) -> dict:
     if (
         (len(data) >= 12 and data[4:8] == _MP4_FTYP)
         or data.startswith(_MKV_EBML_SIG)
-        or data.startswith(_H264_ANNEXB_SIGS)
+        or _looks_like_annexb(data)
     ):
         return {"kind": "video", **_decode_video_av(data)}
     raise NotImplementedError(

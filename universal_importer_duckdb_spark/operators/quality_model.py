@@ -61,6 +61,14 @@ def load_quality_weights(path: str = SHIPPED_WEIGHTS_PATH) -> dict[str, int]:
                 raise ValueError(
                     f"{path}:{ln}: token {tok!r} is not normalized"
                 )
+            if "'" in tok or "\\" in tok:
+                # r7 advice: the oracle embeds tokens in a SQL VALUES
+                # literal (escaped there too, but a quote/backslash in
+                # a weight token is a malformed artifact, not data)
+                raise ValueError(
+                    f"{path}:{ln}: token {tok!r} contains a quote/"
+                    f"backslash — not a valid normalized weight token"
+                )
             if tok in weights:
                 raise ValueError(f"{path}:{ln}: duplicate token {tok!r}")
             weights[tok] = int(wt)
@@ -82,6 +90,17 @@ def quality_model_scores(
     ``raw_milli`` the exact integer sum of token weights,
     ``logit_milli = raw_milli div n_words`` (0 for wordless docs),
     ``is_quality = logit_milli >= threshold_milli``.
+
+    Contract note (r7 advice): a WORDLESS document has logit 0 and
+    therefore passes the gate under the default ``threshold_milli=0``
+    (0 >= 0). That is deliberate — this model scores token evidence,
+    and an empty document presents none, so the linear gate is
+    neutral on it, identically in both engines. Callers building a
+    corpus filter must combine the gate with a minimum-length screen
+    (``n_words`` is emitted precisely so ``is_quality AND n_words >=
+    k`` is a one-expression follow-up), or raise ``threshold_milli``
+    above 0; silently flipping wordless docs to False here would make
+    ``is_quality`` disagree with its own documented logit definition.
     """
     pairs: list = []
     for tok, wt in sorted(weights.items()):

@@ -1519,7 +1519,10 @@ def docs_contamination_spans(spark, sf_dir):
     )
 
     docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    # benchmark side stays UN-spread: the %97 filter then pushes into
+    # the parquet scan, and the tiny subset skips the repartition
+    # exchange entirely (r8 stage-count trim)
+    bench = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
     return contamination_spans(docs, bench, n=8)
 
 
@@ -1674,8 +1677,12 @@ def docs_decontaminated_text(spark, sf_dir):
     )
 
     docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    return excise_spans(docs, contamination_spans(docs, bench, n=8))
+    # benchmark side UN-spread (filter pushdown, no repartition) and
+    # the excise rebuild runs on the raw scan — a narrow map that
+    # inherits the input's own partitioning (r8 stage-count trim)
+    raw = _t(spark, sf_dir, "documents")
+    bench = raw.filter(F.col("doc_id") % 97 == 0)
+    return excise_spans(raw, contamination_spans(docs, bench, n=8))
 
 
 DECONTAMINATED_TEXT_SQL = f"""
@@ -2206,27 +2213,56 @@ def docs_tokenizer_fertility(spark, sf_dir):
     SHIPPED tokenizer (the compression-quality check run before
     committing to a tokenizer for a new data mixture). Ratio emitted
     as exact integer milli-chars-per-token — (1000*chars) div tokens
-    — so no float division crosses the engine boundary. NOT in the
-    r6 driver window: it shares the merge-replay path with the
-    in-window docs_shipped_tokenizer_counts; its own check leads r7."""
+    — so no float division crosses the engine boundary.
+
+    r8 plan fix (r7 perf item): the old shape ran the merge replay on
+    the full corpus frequency table and then joined per-doc counts
+    back to the corpus TWICE on doc_id. Fertility is a per-source
+    aggregate, so no per-doc frame is needed at all: the word stream
+    carries ``source`` (one map-side-combinable (source, word)
+    count), the merge replay runs once on the distinct-word
+    vocabulary (bpe.vocab_symbol_counts), and one vocab-sized join +
+    a tiny per-source aggregate finish the job. Same integer totals,
+    zero corpus-row joins."""
     from universal_importer_duckdb_spark.operators.bpe import (
-        apply_merges,
-        bpe_token_counts,
         load_merges_file,
-        word_frequency_table,
+        vocab_symbol_counts,
     )
 
     docs = _t(spark, sf_dir, "documents")
     merges = load_merges_file(_SHIPPED_MERGES_PATH)
-    vocab = apply_merges(word_frequency_table(docs), merges)
-    counts = bpe_token_counts(docs, vocab)
-    return (
-        docs.select("doc_id", "source", "n_chars")
-        .join(counts, "doc_id")
+    sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tok = vocab_symbol_counts(sw.select("word").distinct(), merges)
+    tokens = (
+        sw.join(tok, "word")
         .groupBy("source")
         .agg(
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.sum("n_bpe_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("cnt") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("total_tokens")
+        )
+    )
+    chars = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("total_chars")
+    )
+    return (
+        chars.join(tokens, "source", "left")
+        .select(
+            "source",
+            "total_chars",
+            F.coalesce("total_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
         )
         .select(
             "source",
@@ -2416,16 +2452,22 @@ FROM groups GROUP BY n_splits ORDER BY n_splits
 def docs_dsir_importance(spark, sf_dir):
     """DSIR-style data selection (operators/dsir.py): top-20 documents
     by scaled-integer importance of their hashed-unigram distribution
-    against the src0 target subset. Exploded pass with map-side
-    combine, vocab-bounded (2^14-row) stats table under AQE's
-    broadcast gate, exact BIGINT scoring — reproducible ranking on
-    both engines."""
+    against the src0 target subset. r8 shape: the per-word
+    distribution counts are a vocab-bounded checkpointed artifact,
+    the contribution table broadcasts under a measured row-count
+    gate, and the score pass is one explode + broadcast join + hash
+    aggregate — exact BIGINT scoring, reproducible ranking on both
+    engines. Spreads the single-row-group test parquet across cores
+    first (no-op on wide inputs)."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
     from universal_importer_duckdb_spark.operators.dsir import (
         dsir_importance,
     )
 
     return dsir_importance(
-        _t(spark, sf_dir, "documents"),
+        spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id"),
         is_target=F.col("source") == "src0",
     )
 
@@ -2541,13 +2583,18 @@ def docs_dsir_resample(spark, sf_dir):
     deterministic md5-threshold idiom, reported per source — the
     selection that actually builds the target-shaped corpus from the
     importance scores. All-integer keep decisions; the oracle replays
-    the scoring and every threshold compare."""
+    the scoring and every threshold compare. Spreads the
+    single-row-group test parquet across cores first (no-op on wide
+    inputs)."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
     from universal_importer_duckdb_spark.operators.dsir import (
         dsir_resample,
     )
 
     return dsir_resample(
-        _t(spark, sf_dir, "documents"),
+        spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id"),
         is_target=F.col("source") == "src0",
     )
 
@@ -2615,8 +2662,10 @@ def _shipped_quality_sql() -> str:
         load_quality_weights,
     )
 
+    # single quotes doubled (r7 advice): the loader rejects quoted
+    # tokens outright, but the SQL builder must not depend on that
     rows = ", ".join(
-        f"('{tok}', {wt})"
+        "('{}', {})".format(tok.replace("'", "''"), wt)
         for tok, wt in sorted(load_quality_weights().items())
     )
     return f"""
