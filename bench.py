@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "docs_dsir_resample",
     "docs_shipped_quality",
     "docs_dedup_cascade",
+    "emb_kmeans_clusters",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

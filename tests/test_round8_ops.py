@@ -79,6 +79,64 @@ def test_bench_summary_line_bounded_at_any_query_count():
     assert len(small) < 1024 and "slowest" in json.loads(small)
 
 
+# --------------------------------------------- round-8-born operators
+def test_kmeans_clusters_assignment_properties(spark, sf_dir):
+    """Every vector is assigned; d2 is the true minimum over the
+    trained centroids (spot-checked by brute force on a few rows);
+    the assignment is bit-stable across runs."""
+    import numpy as np
+
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        int_argmin_dists,
+        quantize_np,
+    )
+    from universal_importer_duckdb_spark.operators.similarity import (
+        ivf_train_centroids,
+        kmeans_clusters,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_clusters(emb, n_clusters=16)
+    rows = {r.vec_id: (r.cluster, r.d2) for r in out.collect()}
+    assert len(rows) == emb.count()
+    assert all(0 <= c < 16 for c, _ in rows.values())
+    again = {r.vec_id: (r.cluster, r.d2) for r in kmeans_clusters(emb, n_clusters=16).collect()}
+    assert rows == again
+    # brute-force a few vectors against the same trained centroids
+    C = ivf_train_centroids(emb, 16)
+    sample = emb.orderBy("vec_id").limit(5).collect()
+    xq = quantize_np(np.asarray([list(r.embedding) for r in sample], dtype=np.float64))
+    a, dd = int_argmin_dists(xq, C)
+    for r, cl, d2 in zip(sample, a, dd):
+        assert rows[r.vec_id] == (int(cl), int(d2))
+
+
+def test_streaming_dsir_scores_match_batch(spark, sf_dir):
+    """The ingest-time DSIR twin must equal the batch scores: same
+    artifact, stateless score path, whole-doc rows."""
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.operators.dsir import (
+        dsir_contribution_artifact,
+        dsir_score_with_artifact,
+    )
+    from universal_importer_duckdb_spark import entry_queries as eq
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    artifact = dsir_contribution_artifact(
+        docs, is_target=F.col("source") == "src0"
+    )
+    batch = {
+        r.doc_id: (r.n_words, r.score)
+        for r in dsir_score_with_artifact(docs, artifact).collect()
+    }
+    streamed = {
+        r.doc_id: (r.n_words, r.score)
+        for r in eq.REGISTRY["stream_dsir_scores"][0](spark, sf_dir).collect()
+    }
+    assert batch == streamed and len(batch) > 0
+
+
 # --------------------------------------------------- integer k-means
 def test_int_kmeans_determinism_and_quantize_guard():
     import numpy as np

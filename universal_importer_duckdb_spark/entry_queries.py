@@ -74,105 +74,110 @@ def oracle_sql():
 # Result: 49/50 green; the one red (orders_snapshot_drift) was a
 # decimal-vs-float64 hasher-type mismatch, re-cast this round.
 #
-# Round-7 roster (below), honoring the r6 tail comment in full:
-#  1. The 11 entries that have never been driver-checked (born after
-#     the r6 window filled): docs_tokenizer_fertility,
-#     stream_funnel_cohorts, orders_expectation_suite, emb_pq_codes,
-#     emb_pq_adc_topk (rows-only pair), events_top_journeys,
-#     docs_top_collocations, docs_contamination_spans,
-#     docs_decontaminated_text, multimodal_audio_energy,
-#     multimodal_image_tiles. After this round, ever-driver-checked
-#     coverage is 165/165 — zero never-checked entries remain.
-#  2. The full r6-demoted set promised in the r6 comments (13 + the
-#     rows-only emb_ivf_topk), last driver-checked in r3 (r1 for
-#     IVF).
-#  3. Every entry whose implementation or oracle changed this round:
-#     orders_snapshot_drift (DOUBLE re-cast of the r6 hash-fail),
-#     docs_segment_line_dedup (matched-lines-only rewrite),
-#     events_funnel_cohorts (LONG_MIN stage-1 sentinel),
-#     docs_bloom_incremental_dedup (row-identity probe fold),
-#     docs_textrank_keywords (overflow guard),
-#     docs_incremental_dedup (r6 bench re-confirm item).
-#  4. The nine entries born this round (intra-doc segment dedup,
-#     split-leakage audit + streaming twin, DSIR importance +
-#     resample, cluster-canonical selection, shipped-weights quality
-#     model + its streaming ingest twin, the 3-stage dedup cascade)
-#     — checked in their birth round so the registry keeps zero
-#     never-checked entries.
-#  5. Staleness fillers: the last two r3-era entries
-#     (q13, q17), then 8 r4-era entries (TPC-H shapes + the
-#     as-of/range joins). The 29 remaining r4-era entries
-#     (anti/except/intersect/semi set ops, validation family,
-#     pivot/cube, string/window analytics, salted distinct,
-#     union_all_key_space, fk_orphans, in_subquery, monthly_revenue,
-#     percentile, rank_customers, top_customers, distinct_segments,
-#     docs_vocab_topk, q8, q10, q11, q14, q15, q16, q19, q20, q21,
-#     q22) and the whole r5-era block lead the r8 roster.
-_R7_WINDOW = (
-    # ---- never driver-checked (take window slots first) ----
-    "docs_tokenizer_fertility",
-    "stream_funnel_cohorts",
-    "orders_expectation_suite",
+# Round-7 roster: cleared the never-checked backlog (11 entries), the
+# r6-demoted set, every r7-changed entry, the nine r7-born operators,
+# and 10 staleness fillers — after r7, all 165 entries had been
+# driver-checked at least once (47/50 green; the emb_pq_codes red was
+# the array<int> canonicalizer crash, fixed this round).
+#
+# Round-8 roster (below), honoring the r7 tail comment:
+#  1. Every entry whose implementation or oracle changed this round:
+#     the PQ/IVF family (integer-k-means rewrite — emb_pq_codes /
+#     emb_pq_adc_topk / emb_ivf_topk now carry full value-hash
+#     oracles for the first time; their hash-green here retires the
+#     rows-only class), the DSIR pair (artifact restructure), and the
+#     four decontamination/collocation/fertility perf rewrites.
+#  2. The FULL 32-entry r4-era staleness backlog named by the r7
+#     comment — the oldest driver certifications on the board.
+#  3. 9 r5-era fillers, prioritized by touched-module risk: the
+#     multimodal feature pair (decode_media sniff hardened r8), the
+#     BPE pair (bpe.py gained vocab_symbol_counts r8),
+#     emb_quantize_int8 (similarity.py rewritten r8), plus
+#     pipeline_flagship and the MinHash/SimHash/cluster dedup family.
+#  4. The two r8-born entries (emb_kmeans_clusters,
+#     stream_dsir_scores) take the last slots so the registry keeps
+#     zero never-checked entries; docs_simhash_neardup and
+#     docs_neardup_clusters move to the r9 head to make room.
+#  The remaining r5-era entries (plus the two displaced dedup
+#  entries, which go FIRST) lead the r9 roster:
+#  docs_simhash_neardup, docs_neardup_clusters,
+#  approx_distinct_customers_monthly, docs_benchmark_contamination,
+#  docs_char_trigram_familiarity, docs_chunk_for_training,
+#  docs_corpus_assembly_pipeline, docs_domain_cap, docs_hash_split,
+#  docs_pii_scrub, docs_priority_sample, docs_repetition_signals,
+#  docs_source_mixture, docs_stratified_sample, docs_tokens_udtf,
+#  docs_training_pipeline, events_changelog_state,
+#  events_merge_upsert_state, events_resample_interpolate,
+#  events_retention_cohorts, events_robust_outliers,
+#  events_scd2_history, events_transition_matrix,
+#  orders_data_profile, orders_grouping_sets,
+#  orders_quantile_envelope, orders_zorder_codes, part_fuzzy_matches,
+#  stream_click_purchase_join, stream_incremental_upsert_state,
+#  stream_session_windows, stream_simhash_neardup_dedup.
+_R8_WINDOW = (
+    # ---- changed this round: re-verify (PQ/IVF first hash checks) ----
     "emb_pq_codes",
     "emb_pq_adc_topk",
-    "events_top_journeys",
+    "emb_ivf_topk",
+    "docs_dsir_importance",
+    "docs_dsir_resample",
     "docs_top_collocations",
+    "docs_tokenizer_fertility",
     "docs_contamination_spans",
     "docs_decontaminated_text",
-    "multimodal_audio_energy",
-    "multimodal_image_tiles",
-    # ---- changed this round: re-verify ----
-    "orders_snapshot_drift",
-    "docs_segment_line_dedup",
-    "events_funnel_cohorts",
-    "docs_bloom_incremental_dedup",
-    "docs_textrank_keywords",
-    "docs_incremental_dedup",
-    # ---- the r6-demoted set: promised re-checks (r3-era) ----
-    "q6_forecast_revenue",
-    "like_filter_parts",
-    "sql_passthrough_revenue",
-    "docs_token_stats",
-    "projection_alias_orders",
-    "q18_large_orders",
-    "docs_bpe_token_count",
-    "rollup_revenue",
-    "events_json_extract",
-    "docs_rolling_sketch",
-    "q12_priority_shipmode",
-    "rolling_customer_spend",
-    "docs_language_id",
-    "emb_ivf_topk",
-    # ---- staleness fillers: last r3-era, then r4-era ----
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_top_unshipped",
-    "q4_order_priority",
-    "q5_revenue_by_nation",
-    "q7_volume_shipping",
-    "events_asof_last_click",
-    "events_range_join_error_windows",
+    # ---- the full r4-era staleness backlog (last checked r4) ----
+    "anti_join_customers_no_orders",
+    "cheapest_supplier_per_part",
+    "cube_revenue",
+    "distinct_segments",
+    "docs_vocab_topk",
+    "except_customers_without_orders",
+    "fk_orphan_orders",
+    "in_subquery_sql",
+    "intersect_multi_status_customers",
+    "monthly_revenue",
+    "percentile_order_value",
+    "pivot_status_by_segment",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q8_market_share",
+    "rank_customers_by_segment",
+    "rule_multi_skip_orders",
+    "salted_distinct_suppliers",
+    "semi_join_open_order_customers",
+    "string_functions_customers",
+    "top_customers",
+    "union_all_key_space",
+    "validate_customer_errors",
+    "validate_customer_valid",
+    "window_analytics_orders",
+    # ---- r5-era fillers (touched-module risk first) ----
+    "multimodal_audio_features",
+    "multimodal_image_features",
+    "docs_bpe_learn_merges",
+    "docs_bpe_token_counts",
+    "emb_quantize_int8",
+    "pipeline_flagship",
+    "docs_minhash_lsh_neardup",
     # ---- born this round: checked immediately, no coverage debt ----
-    "docs_intradoc_segment_dedup",
-    "docs_split_leakage_audit",
-    "docs_dsir_importance",
-    "docs_cluster_canonical",
-    "stream_split_leakage",
-    "docs_dsir_resample",
-    "docs_shipped_quality",
-    "docs_dedup_cascade",
-    "stream_shipped_quality",
+    "emb_kmeans_clusters",
+    "stream_dsir_scores",
 )
 
 
 def _finalize_registry() -> None:
-    rank = {n: i for i, n in enumerate(_R7_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R8_WINDOW)}
 
     def key(kv: tuple[str, tuple]) -> int:
         name, _ = kv
-        return rank.get(name, len(_R7_WINDOW))
+        return rank.get(name, len(_R8_WINDOW))
 
     ordered = dict(sorted(REGISTRY.items(), key=key))
     REGISTRY.clear()

@@ -61,34 +61,27 @@ SCALE = 10**6
 BROADCAST_VOCAB_ROWS = 500_000
 
 
-def dsir_scores(
-    docs: DataFrame,
-    is_target: Column,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_buckets: int = 1 << 14,
-    salt: str = "dsir-v1",
-    carry_cols: tuple[str, ...] = (),
-    include_wordless: bool = False,
-) -> DataFrame:
-    """Every document's scaled-integer DSIR importance.
-
-    ``is_target`` marks the target ("what good data looks like")
-    subset; every document — target rows included — is scored against
-    it. Returns ``(id, *carry_cols, n_words, score)`` where ``score``
-    is the length-normalized scaled ratio (SCALE = proportions
-    identical to the target estimate).
-
-    ``carry_cols`` rides doc-constant columns through the scoring
-    aggregations so callers (dsir_resample) need no second corpus
-    scan + join; ``include_wordless=True`` keeps empty/null-text
-    documents in the output via explode_outer (n_words 0, score 0) —
-    off by default so the ranking surface stays words-only.
-    """
-    toks = F.filter(
+def _toks(text_col: str) -> Column:
+    return F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
         lambda w: w != "",
     )
+
+
+def dsir_contribution_artifact(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    n_buckets: int = 1 << 14,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Build (and materialize) the per-word contribution table — THE
+    held DSIR artifact: ``(w, contrib)`` where contrib is the
+    scaled-integer smoothed target/raw likelihood ratio of the word's
+    hash bucket. Vocab-bounded by construction; downstream scoring
+    (batch ``dsir_score_with_artifact`` or the streaming ingest twin)
+    folds it per document with one corpus pass and no hashing."""
+    toks = _toks(text_col)
     bucket = _md5_28(F.concat(F.lit(salt + ":"), F.col("w"))) % F.lit(
         n_buckets
     )
@@ -143,19 +136,33 @@ def dsir_scores(
     # scoring execution pays exactly one corpus pass. This is the
     # vocab-bounded materialization discipline (textrank edges, BPE
     # words), never corpus-bounded like the r7 scoped-cache.
-    contrib_w = (
+    return (
         vw.join(stats.select("b", contrib_guarded.alias("contrib")), "b")
         .select("w", "contrib")
         .localCheckpoint()
     )
-    # Pass 2 — score: explode once more and fold each token's
-    # precomputed word contribution per document. The contrib side is
-    # vocab-bounded and left declarative: AQE broadcasts it below the
-    # size gate (the bench path) and falls back to a shuffle join on
-    # the word for 10^8-word web-scale vocabularies. Summing contrib
-    # per TOKEN is the same integer sum as the old per-(doc,bucket)
-    # cnt*contrib — order-free BIGINT addition.
-    if contrib_w.count() <= BROADCAST_VOCAB_ROWS:  # free: checkpointed
+
+
+def dsir_score_with_artifact(
+    docs: DataFrame,
+    contrib_w: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+    include_wordless: bool = False,
+) -> DataFrame:
+    """Score documents (batch frame OR readStream frame — the plan is
+    a stateless explode + stream-static-joinable lookup + per-doc
+    aggregation) against a held contribution artifact. One corpus
+    pass: explode and fold each token's precomputed word contribution
+    per document. The contrib side is vocab-bounded: under
+    BROADCAST_VOCAB_ROWS (measured — a checkpointed frame carries no
+    catalog stats for AQE) it broadcasts explicitly, above it the
+    join stays declarative keyed on the word. Summing contrib per
+    TOKEN is an order-free BIGINT addition, so scores are
+    engine-exact."""
+    toks = _toks(text_col)
+    if not docs.isStreaming and contrib_w.count() <= BROADCAST_VOCAB_ROWS:
         contrib_w = F.broadcast(contrib_w)
     explode = F.explode_outer if include_wordless else F.explode
     words = docs.select(
@@ -189,6 +196,39 @@ def dsir_scores(
                 "ELSE CAST(0 AS BIGINT) END"
             ).cast("bigint").alias("score"),
         )
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 14,
+    salt: str = "dsir-v1",
+    carry_cols: tuple[str, ...] = (),
+    include_wordless: bool = False,
+) -> DataFrame:
+    """Every document's scaled-integer DSIR importance: build the
+    contribution artifact from ``docs`` itself, then score ``docs``
+    against it (see dsir_contribution_artifact /
+    dsir_score_with_artifact for the two halves — the streaming twin
+    scores a readStream against the batch-built artifact).
+
+    ``is_target`` marks the target ("what good data looks like")
+    subset; every document — target rows included — is scored against
+    it. Returns ``(id, *carry_cols, n_words, score)`` where ``score``
+    is the length-normalized scaled ratio (SCALE = proportions
+    identical to the target estimate). ``carry_cols`` must be
+    doc-constant (they join the per-doc grouping key);
+    ``include_wordless=True`` keeps empty/null-text documents in the
+    output via explode_outer (n_words 0, score 0)."""
+    contrib_w = dsir_contribution_artifact(
+        docs, is_target, text_col=text_col, n_buckets=n_buckets, salt=salt
+    )
+    return dsir_score_with_artifact(
+        docs, contrib_w, text_col=text_col, id_col=id_col,
+        carry_cols=carry_cols, include_wordless=include_wordless,
     )
 
 

@@ -351,6 +351,97 @@ def ivf_assign_udf(centroids):
     return assign
 
 
+def kmeans_clusters(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    iters: int = 5,
+) -> DataFrame:
+    """Corpus-wide k-means cluster assignment — the primitive under
+    semantic dedup (SemDeDup prunes within-cluster near-duplicates),
+    curriculum/mixture balancing by semantic cluster, and IVF ingest
+    (the assignment IS the list id written at storage time, making
+    probe-time pruning partition pruning). Centroids come from the
+    deterministic scaled-integer Lloyd's on a bounded hash-ordered
+    sample; every vector then gets ``(cluster, d2)`` — integer argmin
+    id (ties to the smaller cluster) and exact integer squared L2
+    distance to its centroid — in one Arrow-batched pass with the
+    centroid matrix in the UDF closure. All-integer output, so the
+    full assignment is hash-exact in the SQL replay
+    (kmeans_clusters_sql)."""
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        int_argmin_dists,
+        quantize_np,
+    )
+
+    C = ivf_train_centroids(df, n_clusters, vec_col, id_col, sample_size, iters)
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = quantize_np(
+                np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                    dtype=np.float64,
+                )
+            )
+            a, dd = int_argmin_dists(xq, C)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cluster": a.astype("int64"),
+                    "d2": dd,
+                }
+            )
+
+    return df.mapInPandas(
+        _assign, schema="vec_id bigint, cluster bigint, d2 bigint"
+    )
+
+
+def kmeans_clusters_sql(
+    n_clusters: int = 16,
+    dim: int = 64,
+    sample_size: int = 2048,
+    iters: int = 5,
+) -> str:
+    """DuckDB oracle for kmeans_clusters: replay the integer training
+    and the full-table argmin assignment."""
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        SAMPLE_SALT,
+        kmeans_ctes,
+        sql_md5_28,
+        sql_qdim,
+    )
+
+    samp_hash = sql_md5_28(f"'{SAMPLE_SALT}:'||vec_id")
+    dims = ", ".join(
+        f"{sql_qdim('embedding', i)} AS d{i}" for i in range(1, dim + 1)
+    )
+    dist_pc = " + ".join(
+        f"(p.d{i}-c.d{i})*(p.d{i}-c.d{i})" for i in range(1, dim + 1)
+    )
+    return f"""
+WITH
+pts0 AS MATERIALIZED (SELECT vec_id AS pid, {dims} FROM embeddings),
+sampids AS MATERIALIZED (SELECT pid FROM pts0
+            ORDER BY {samp_hash.replace("vec_id", "pid")}, pid
+            LIMIT {sample_size}),
+pts AS MATERIALIZED (SELECT p.* FROM pts0 p JOIN sampids USING (pid)),
+{kmeans_ctes('pts', dim, n_clusters, iters, 'cents')}
+SELECT pid AS vec_id, CAST(cid AS BIGINT) AS cluster,
+       CAST(dd AS BIGINT) AS d2
+FROM (
+  SELECT p.pid, c.cid, {dist_pc} AS dd,
+         row_number() OVER (PARTITION BY p.pid
+                            ORDER BY {dist_pc}, c.cid) AS rn
+  FROM pts0 p JOIN cents c ON TRUE) WHERE rn = 1
+"""
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -2872,6 +2872,102 @@ REGISTRY.update({
 })
 
 
+# ======================================================================
+# Round 8: corpus k-means clustering, DSIR-at-ingest
+# ======================================================================
+
+def emb_kmeans_clusters(spark, sf_dir):
+    """Corpus-wide k-means cluster assignment (operators/similarity.py
+    ::kmeans_clusters): the primitive under SemDeDup-style semantic
+    pruning, per-cluster mixture balancing, and IVF list ingest.
+    Deterministic scaled-integer training (operators/int_kmeans.py) +
+    one Arrow-batched integer argmin pass over every vector; output
+    ``(vec_id, cluster, d2)`` is all-integer, so the ENTIRE
+    assignment — not a summary — is hash-checked against the SQL
+    replay of the same training."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        kmeans_clusters,
+    )
+
+    return kmeans_clusters(_t(spark, sf_dir, "embeddings"), n_clusters=16)
+
+
+def _kmeans_clusters_oracle():
+    from universal_importer_duckdb_spark.operators.similarity import (
+        kmeans_clusters_sql,
+    )
+
+    return kmeans_clusters_sql(n_clusters=16, dim=64)
+
+
+DSIR_SCORES_SQL = """
+WITH toks AS (
+  SELECT doc_id, t,
+         ('0x'||substr(md5('dsir-v1:'||w), 1, 7))::BIGINT % 16384 AS b
+  FROM (SELECT doc_id, (source = 'src0') AS t,
+               unnest(list_filter(
+                 string_split(lower(COALESCE(text, '')), ' '),
+                 x -> x <> '')) AS w
+        FROM documents)),
+per_doc AS (
+  SELECT doc_id, b, COUNT(*) AS cnt
+  FROM toks GROUP BY doc_id, b),
+stats AS (
+  SELECT b, COUNT(*) AS c_raw,
+         SUM(CASE WHEN t THEN 1 ELSE 0 END) AS c_t
+  FROM toks GROUP BY b)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * (((c_t + 1) * 1000000) // (c_raw + 1)))
+            // SUM(cnt) AS BIGINT) AS score
+FROM per_doc JOIN stats USING (b)
+GROUP BY doc_id
+"""
+
+
+def stream_dsir_scores(spark, sf_dir):
+    """DSIR importance at INGEST (streaming/docs.py::
+    streaming_dsir_scores): the per-word contribution artifact is
+    built once from the batch corpus (operators/dsir.py::
+    dsir_contribution_artifact — the held-distribution deployment),
+    then arriving documents are scored by a stateless explode +
+    stream-static join + per-doc aggregation in update mode. Each
+    document is one source row, so its state is final on first
+    emission and the drained output equals the batch scores however
+    availableNow splits the source — the batch oracle applies. The
+    defensive max-fold collapses any re-emission to the final state,
+    the same idiom as stream_split_leakage."""
+    from universal_importer_duckdb_spark.operators.dsir import (
+        dsir_contribution_artifact,
+    )
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.docs import (
+        stream_documents,
+        streaming_dsir_scores,
+    )
+
+    artifact = dsir_contribution_artifact(
+        _t(spark, sf_dir, "documents"),
+        is_target=F.col("source") == "src0",
+    )
+    _STREAM_COUNTER[0] += 1
+    stream = stream_documents(spark, sf_dir)
+    drained = se.run_available_now(
+        streaming_dsir_scores(stream, artifact),
+        f"q_stream_dsir_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+    return drained.groupBy("doc_id").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.max("score").cast("bigint").alias("score"),
+    )
+
+
+REGISTRY.update({
+    "emb_kmeans_clusters": (emb_kmeans_clusters, _kmeans_clusters_oracle()),
+    "stream_dsir_scores": (stream_dsir_scores, DSIR_SCORES_SQL),
+})
+
+
 # Chained-section export: star-import carries every module-level
 # name (including the underscore-prefixed shared helpers) to the
 # next registry section / the entry_queries spine.

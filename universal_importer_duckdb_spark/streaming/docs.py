@@ -80,6 +80,25 @@ def finalize_fingerprint_splits(drained: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dsir_scores(docs: DataFrame, contrib_w: DataFrame) -> DataFrame:
+    """DSIR importance scored at INGEST against a held contribution
+    artifact (operators/dsir.py::dsir_contribution_artifact — the
+    production deployment: estimate the target/raw distributions
+    once, then score arriving documents forever). The plan is a
+    stateless explode + stream-static join on the vocab-bounded
+    artifact + a per-document aggregation; each document arrives as
+    ONE source row, so its tokens land in a single micro-batch and
+    the update-mode state for its doc_id is final the moment it is
+    first emitted — the drained output equals the batch scores
+    however availableNow splits the source, and the batch oracle
+    applies."""
+    from universal_importer_duckdb_spark.operators.dsir import (
+        dsir_score_with_artifact,
+    )
+
+    return dsir_score_with_artifact(docs, contrib_w)
+
+
 def streaming_quality_scores(docs: DataFrame, weights: dict[str, int]) -> DataFrame:
     """The shipped linear quality model applied at INGEST: a stateless
     narrow map (operators/quality_model.py — literal-map fold), so it
