@@ -118,15 +118,18 @@ BENCH_QUERIES = [
 # Their correctness runs in the driver gate like every other entry.
 #
 # Trained-artifact entries (docs_bpe_learn_merges, emb_ivf_topk,
-# docs_textrank_keywords, emb_knn_join's reference-matrix collect):
-# their builders run bounded training
-# actions at plan-construction time, and the prepared-plan cache
-# (plancache.py) reuses the trained artifact across the N timed runs
-# — so the reported number is the RE-QUERY cost against the held
-# artifact (the long-lived-session serving shape), not
-# train-from-scratch. First-run build costs at sf0.1, for the
-# record: bpe_learn ~1.3 s, textrank ~2.5 s (5 integer PageRank
-# iterations incl. graph construction).
+# docs_textrank_keywords, emb_knn_join's reference-matrix collect;
+# since r8 also the PQ pair + emb_kmeans_clusters (integer-k-means
+# training collects), the DSIR family (per-word contribution
+# artifact), and docs_top_collocations (checkpointed (a,b) count
+# table)): their builders run bounded training actions at
+# plan-construction time, and the prepared-plan cache (plancache.py)
+# reuses the trained artifact across the N timed runs — so the
+# reported number is the RE-QUERY cost against the held artifact
+# (the long-lived-session serving shape), not train-from-scratch.
+# First-run build costs at sf0.1, for the record: bpe_learn ~1.3 s,
+# textrank ~2.5 s (5 integer PageRank iterations incl. graph
+# construction), dsir artifact ~0.5 s, collocation counts ~0.4 s.
 
 
 def build_summary_line(
