@@ -225,6 +225,34 @@ def test_annexb_sniff_requires_plausible_nal_header():
     assert not _looks_like_annexb(b"\x00\x00\x01\x78")
 
 
+def test_dsir_plan_shape_broadcast_and_hash_agg(spark, sf_dir):
+    """r8 perf pins: the score join must be a broadcast join (the
+    measured-count gate — AQE cannot see a checkpointed frame's size)
+    and the per-doc aggregation must stay a HashAggregate (a first()
+    carry column used to force a corpus-scale SortAggregate)."""
+    from universal_importer_duckdb_spark.operators.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dsir_resample(docs, is_target=F.col("source") == "src0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_collocations_requery_reads_no_corpus(spark, sf_dir):
+    """The (a,b) count table is the held artifact: everything after
+    construction derives from the checkpointed frame, so the plan
+    must contain no parquet scan at all."""
+    from universal_importer_duckdb_spark.operators.textrank import (
+        top_collocations,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = top_collocations(docs, top_k=5, min_count=2)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" not in plan or "parquet" not in plan.lower()
+
+
 def test_dsir_overflow_guard_trips():
     """The (c_t+1)*SCALE BIGINT bound is enforced at runtime (r7
     advice): an artificially tiny cap must raise, not wrap."""
