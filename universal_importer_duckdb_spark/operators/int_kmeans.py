@@ -143,10 +143,24 @@ def int_lloyds(
 def int_argmin_dists(xq: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(assignment, squared-distance-to-assigned) for a quantized
     batch against integer centroids — the Arrow-batched encode/assign
-    kernel shared by PQ and IVF."""
-    d = ((xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2, dtype=np.int64)
-    a = d.argmin(axis=1)
-    return a, d[np.arange(len(xq)), a]
+    kernel shared by PQ, IVF, and kmeans_clusters. Processes the
+    batch in row chunks so the (rows, k, d) broadcast intermediate
+    stays ~16 MB regardless of Arrow batch size (a 10k-row batch at
+    k=16, d=64 would otherwise materialize ~80 MB of int64 diffs per
+    executor thread)."""
+    k, d = cent.shape
+    chunk = max(1, 2_000_000 // max(1, k * d))
+    a = np.empty(len(xq), dtype=np.int64)
+    dd = np.empty(len(xq), dtype=np.int64)
+    for lo in range(0, len(xq), chunk):
+        part = xq[lo : lo + chunk]
+        dist = ((part[:, None, :] - cent[None, :, :]) ** 2).sum(
+            axis=2, dtype=np.int64
+        )
+        ai = dist.argmin(axis=1)
+        a[lo : lo + chunk] = ai
+        dd[lo : lo + chunk] = dist[np.arange(len(part)), ai]
+    return a, dd
 
 
 # ======================================================================
