@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "docs_shipped_quality",
     "docs_dedup_cascade",
     "emb_kmeans_clusters",
+    "docs_fuzzy_benchmark_contamination",
+    "docs_corpus_card",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -137,6 +137,39 @@ def test_streaming_dsir_scores_match_batch(spark, sf_dir):
     assert batch == streamed and len(batch) > 0
 
 
+def test_fuzzy_contamination_only_cross_set_pairs(spark, sf_dir):
+    """Every emitted row pairs a corpus doc with a benchmark doc and
+    clears the Jaccard threshold."""
+    from universal_importer_duckdb_spark import entry_queries as eq
+
+    rows = eq.REGISTRY["docs_fuzzy_benchmark_contamination"][0](
+        spark, sf_dir
+    ).collect()
+    for r in rows:
+        assert r.bench_doc_id % 97 == 0
+        assert r.doc_id % 97 != 0
+        assert r.jaccard >= 0.4
+
+
+def test_corpus_card_totals_cross_check(spark, sf_dir):
+    """The card's per-source totals must reconcile with independent
+    single-signal queries (language-id pass and raw counts)."""
+    from universal_importer_duckdb_spark import entry_queries as eq
+
+    card = {r.source: r for r in eq.REGISTRY["docs_corpus_card"][0](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = {r["source"]: (r["cnt"], r["chars"]) for r in
+           docs.groupBy("source").agg(
+               F.count(F.lit(1)).alias("cnt"),
+               F.sum("n_chars").alias("chars")).collect()}
+    assert set(card) == set(raw)
+    for src, r in card.items():
+        assert (r.n_docs, r.total_chars) == raw[src]
+        assert 0 <= r.n_pred_en <= r.n_docs
+        assert 0 <= r.n_quality <= r.n_docs
+        assert 0 <= r.n_exact_dup_surplus < r.n_docs
+
+
 # --------------------------------------------------- integer k-means
 def test_int_kmeans_determinism_and_quantize_guard():
     import numpy as np

@@ -94,13 +94,20 @@ def oracle_sql():
 #     BPE pair (bpe.py gained vocab_symbol_counts r8),
 #     emb_quantize_int8 (similarity.py rewritten r8), plus
 #     pipeline_flagship and the MinHash/SimHash/cluster dedup family.
-#  4. The two r8-born entries (emb_kmeans_clusters,
-#     stream_dsir_scores) take the last slots so the registry keeps
-#     zero never-checked entries; docs_simhash_neardup and
-#     docs_neardup_clusters move to the r9 head to make room.
-#  The remaining r5-era entries (plus the two displaced dedup
-#  entries, which go FIRST) lead the r9 roster:
+#  4. The four r8-born entries (emb_kmeans_clusters,
+#     stream_dsir_scores, docs_fuzzy_benchmark_contamination,
+#     docs_corpus_card) take the last slots so the registry keeps
+#     zero never-checked entries; to make room, four r5-era entries
+#     move to the r9 head: docs_simhash_neardup /
+#     docs_neardup_clusters / docs_minhash_lsh_neardup (the MinHash
+#     pipeline is nevertheless driver-exercised this round THROUGH
+#     docs_fuzzy_benchmark_contamination, which wraps the identical
+#     portable pipeline) and pipeline_flagship (e2e-tested locally
+#     every session).
+#  The remaining r5-era entries (plus the four displaced ones, which
+#  go FIRST) lead the r9 roster:
 #  docs_simhash_neardup, docs_neardup_clusters,
+#  docs_minhash_lsh_neardup, pipeline_flagship,
 #  approx_distinct_customers_monthly, docs_benchmark_contamination,
 #  docs_char_trigram_familiarity, docs_chunk_for_training,
 #  docs_corpus_assembly_pipeline, docs_domain_cap, docs_hash_split,
@@ -164,11 +171,11 @@ _R8_WINDOW = (
     "docs_bpe_learn_merges",
     "docs_bpe_token_counts",
     "emb_quantize_int8",
-    "pipeline_flagship",
-    "docs_minhash_lsh_neardup",
     # ---- born this round: checked immediately, no coverage debt ----
     "emb_kmeans_clusters",
     "stream_dsir_scores",
+    "docs_fuzzy_benchmark_contamination",
+    "docs_corpus_card",
 )
 
 

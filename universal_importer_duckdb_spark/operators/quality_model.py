@@ -77,6 +77,28 @@ def load_quality_weights(path: str = SHIPPED_WEIGHTS_PATH) -> dict[str, int]:
     return weights
 
 
+def quality_signal_exprs(weights: dict[str, int], text_col: str = "text"):
+    """(n_words, raw_milli) column expressions — the literal-map fold
+    shared by the per-doc scorer below and aggregate consumers
+    (docs_corpus_card) that fold the signal straight into a group-by
+    without materializing a per-doc frame."""
+    pairs: list = []
+    for tok, wt in sorted(weights.items()):
+        pairs.append(F.lit(tok))
+        pairs.append(F.lit(int(wt)).cast("bigint"))
+    wmap = F.create_map(*pairs)
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    raw = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.coalesce(wmap[w], F.lit(0).cast("bigint")),
+    )
+    return F.size(toks).cast("bigint"), raw.cast("bigint")
+
+
 def quality_model_scores(
     docs: DataFrame,
     weights: dict[str, int],
@@ -102,26 +124,12 @@ def quality_model_scores(
     above 0; silently flipping wordless docs to False here would make
     ``is_quality`` disagree with its own documented logit definition.
     """
-    pairs: list = []
-    for tok, wt in sorted(weights.items()):
-        pairs.append(F.lit(tok))
-        pairs.append(F.lit(int(wt)).cast("bigint"))
-    wmap = F.create_map(*pairs)
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
-        lambda w: w != "",
-    )
-    raw = F.aggregate(
-        toks,
-        F.lit(0).cast("bigint"),
-        lambda acc, w: acc + F.coalesce(wmap[w], F.lit(0).cast("bigint")),
-    )
-    n = F.size(toks).cast("bigint")
+    n, raw = quality_signal_exprs(weights, text_col)
     return (
         docs.select(
             F.col(id_col),
             n.alias("n_words"),
-            raw.cast("bigint").alias("raw_milli"),
+            raw.alias("raw_milli"),
         )
         .selectExpr(
             id_col,

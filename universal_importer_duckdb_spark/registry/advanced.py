@@ -2962,9 +2962,160 @@ def stream_dsir_scores(spark, sf_dir):
     )
 
 
+def docs_fuzzy_benchmark_contamination(spark, sf_dir):
+    """FUZZY benchmark decontamination: MinHash-LSH near-duplicate
+    matches between the corpus and the benchmark set (every-97th-doc
+    stand-in, as in docs_benchmark_contamination) — catches
+    paraphrased/partially-edited benchmark leakage that the exact
+    8-gram screens miss. Reuses the portable MinHash pipeline
+    verbatim (shingle→md5-28→sample→32 perms→8 bands→σ-presift→exact
+    Jaccard) and keeps only cross-set pairs, so the corpus-side doc
+    of each pair is the contamination verdict. At scale this is the
+    same banded bucket join as self-dedup — the benchmark side is
+    tiny, so its bucket entries broadcast-join against the corpus
+    bands under AQE."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_perm=32, bands=8, shingle_n=5,
+                              jaccard_threshold=0.4, sample_mod=4,
+                              hasher="md5_28", portable_buckets=True)
+    is_bench_a = F.col("id_a") % 97 == 0
+    is_bench_b = F.col("id_b") % 97 == 0
+    return (
+        pairs.filter(is_bench_a != is_bench_b)
+        .select(
+            F.when(is_bench_a, F.col("id_b")).otherwise(F.col("id_a"))
+            .alias("doc_id"),
+            F.when(is_bench_a, F.col("id_a")).otherwise(F.col("id_b"))
+            .alias("bench_doc_id"),
+            "jaccard",
+        )
+    )
+
+
+def _fuzzy_contamination_sql() -> str:
+    return f"""
+SELECT CASE WHEN id_a % 97 = 0 THEN id_b ELSE id_a END AS doc_id,
+       CASE WHEN id_a % 97 = 0 THEN id_a ELSE id_b END AS bench_doc_id,
+       jaccard
+FROM ({MINHASH_LSH_SQL}) p
+WHERE (id_a % 97 = 0) <> (id_b % 97 = 0)
+"""
+
+
+def docs_corpus_card(spark, sf_dir):
+    """The per-source DATASET CARD in one aggregation pass: document
+    and char/word volume, predicted-English count (the stopword-marker
+    heuristic of docs_language_id), shipped-quality-model pass count
+    (the literal-map fold of docs_shipped_quality, folded straight
+    into the group-by — no per-doc frame), and the exact-duplicate
+    surplus (docs minus distinct fingerprints). The datasheet every
+    corpus release ships; at 100 TB it is ONE map-side-combinable
+    shuffle on the source key because every signal is a narrow
+    per-row expression (countDistinct adds the standard two-phase
+    expansion). All-integer output, hash-exact oracle."""
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        load_quality_weights,
+        quality_signal_exprs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_words, raw = quality_signal_exprs(load_quality_weights())
+    en, non = _marker_hits(_EN_MARKERS), _marker_hits(_NON_EN_MARKERS)
+    per_row = docs.select(
+        "source",
+        F.col("n_chars"),
+        n_words.alias("__nw"),
+        raw.alias("__raw"),
+        en.alias("__en"),
+        non.alias("__non"),
+        F.md5(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("__fp"),
+    ).select(
+        "source",
+        "n_chars",
+        "__nw",
+        "__en",
+        "__non",
+        "__fp",
+        F.expr(
+            "CASE WHEN __nw > 0 THEN __raw div __nw "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("__logit"),
+    )
+    return (
+        per_row.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("__nw").cast("bigint").alias("total_words"),
+            F.sum(F.when(F.col("__en") > F.col("__non"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pred_en"),
+            F.sum(F.when(F.col("__logit") >= 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_quality"),
+            (F.count(F.lit(1)) - F.countDistinct("__fp"))
+            .cast("bigint")
+            .alias("n_exact_dup_surplus"),
+        )
+        .orderBy("source")
+    )
+
+
+def _corpus_card_sql() -> str:
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        load_quality_weights,
+    )
+
+    rows = ", ".join(
+        "('{}', {})".format(tok.replace("'", "''"), wt)
+        for tok, wt in sorted(load_quality_weights().items())
+    )
+    en = _sql_marker_hits(_EN_MARKERS)
+    non = _sql_marker_hits(_NON_EN_MARKERS)
+    return f"""
+WITH w(tok, wt) AS (VALUES {rows}),
+tk AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(lower(COALESCE(text, '')), ' '),
+           x -> x <> '')) AS tok
+  FROM documents),
+q AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COALESCE(SUM(w.wt), 0) AS BIGINT) AS raw_milli
+  FROM tk t LEFT JOIN w USING (tok) GROUP BY t.doc_id),
+pd AS (
+  SELECT d.source, d.n_chars,
+         COALESCE(q.n_words, 0) AS nw,
+         CASE WHEN COALESCE(q.n_words, 0) > 0
+              THEN q.raw_milli // q.n_words ELSE 0 END AS logit,
+         {en} AS en_hits, {non} AS non_hits,
+         md5(lower(COALESCE(d.text, ''))) AS fp
+  FROM documents d LEFT JOIN q USING (doc_id))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(nw) AS BIGINT) AS total_words,
+       CAST(SUM(CASE WHEN en_hits > non_hits THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_en,
+       CAST(SUM(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dup_surplus
+FROM pd GROUP BY source ORDER BY source
+"""
+
+
 REGISTRY.update({
     "emb_kmeans_clusters": (emb_kmeans_clusters, _kmeans_clusters_oracle()),
     "stream_dsir_scores": (stream_dsir_scores, DSIR_SCORES_SQL),
+    "docs_fuzzy_benchmark_contamination": (
+        docs_fuzzy_benchmark_contamination, _fuzzy_contamination_sql(),
+    ),
+    "docs_corpus_card": (docs_corpus_card, _corpus_card_sql()),
 })
 
 
