@@ -3016,13 +3016,18 @@ def docs_corpus_card(spark, sf_dir):
     corpus release ships; at 100 TB it is ONE map-side-combinable
     shuffle on the source key because every signal is a narrow
     per-row expression (countDistinct adds the standard two-phase
-    expansion). All-integer output, hash-exact oracle."""
+    expansion). All-integer output, hash-exact oracle. Spreads the
+    single-row-group test parquet across cores first (no-op on wide
+    inputs) — the per-row folds are CPU-bound."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
     from universal_importer_duckdb_spark.operators.quality_model import (
         load_quality_weights,
         quality_signal_exprs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
     n_words, raw = quality_signal_exprs(load_quality_weights())
     en, non = _marker_hits(_EN_MARKERS), _marker_hits(_NON_EN_MARKERS)
     per_row = docs.select(
