@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "emb_kmeans_clusters",
     "docs_fuzzy_benchmark_contamination",
     "docs_corpus_card",
+    "docs_shuffle_shards",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

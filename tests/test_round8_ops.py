@@ -170,6 +170,41 @@ def test_corpus_card_totals_cross_check(spark, sf_dir):
         assert 0 <= r.n_exact_dup_surplus < r.n_docs
 
 
+def test_shuffle_shards_is_a_permutation_and_stable(spark, sf_dir):
+    """Every doc gets exactly one (shard, pos); positions are dense
+    1..len(shard); the assignment is bit-stable and insertion-local
+    (adding a doc never moves docs in OTHER shards)."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        shuffle_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shuffle_shards(docs, n_shards=8).collect()
+    assert len(out) == docs.count()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # insertion locality: drop one doc; only its own shard's tail moves
+    victim = out[0]
+    out2 = {
+        r.doc_id: (r.shard, r.pos_in_shard)
+        for r in shuffle_shards(
+            docs.filter(F.col("doc_id") != victim.doc_id), n_shards=8
+        ).collect()
+    }
+    for r in out:
+        if r.doc_id == victim.doc_id:
+            continue
+        s2, p2 = out2[r.doc_id]
+        assert s2 == r.shard
+        if r.shard != victim.shard or r.pos_in_shard < victim.pos_in_shard:
+            assert p2 == r.pos_in_shard
+        else:
+            assert p2 == r.pos_in_shard - 1
+
+
 # --------------------------------------------------- integer k-means
 def test_int_kmeans_determinism_and_quantize_guard():
     import numpy as np

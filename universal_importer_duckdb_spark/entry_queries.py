@@ -108,6 +108,9 @@ def oracle_sql():
 #  go FIRST) lead the r9 roster:
 #  docs_simhash_neardup, docs_neardup_clusters,
 #  docs_minhash_lsh_neardup, pipeline_flagship,
+#  docs_bpe_token_counts (displaced by the fifth r8-born entry
+#  docs_shuffle_shards; its sibling docs_bpe_learn_merges stays
+#  in-window and exercises the same changed module),
 #  approx_distinct_customers_monthly, docs_benchmark_contamination,
 #  docs_char_trigram_familiarity, docs_chunk_for_training,
 #  docs_corpus_assembly_pipeline, docs_domain_cap, docs_hash_split,
@@ -169,13 +172,13 @@ _R8_WINDOW = (
     "multimodal_audio_features",
     "multimodal_image_features",
     "docs_bpe_learn_merges",
-    "docs_bpe_token_counts",
     "emb_quantize_int8",
     # ---- born this round: checked immediately, no coverage debt ----
     "emb_kmeans_clusters",
     "stream_dsir_scores",
     "docs_fuzzy_benchmark_contamination",
     "docs_corpus_card",
+    "docs_shuffle_shards",
 )
 
 

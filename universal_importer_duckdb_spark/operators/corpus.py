@@ -691,6 +691,43 @@ def excise_spans(
     )
 
 
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+    carry_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Deterministic corpus shuffle, materialized as SHARDS — the
+    step that turns a curated corpus into training files. A global
+    ORDER BY md5(id) would funnel the corpus through one task to
+    assign ranks; instead the hash splits into ``n_shards`` shards
+    (hash % n) and ranks WITHIN each shard (hash // n, id) — the
+    window partitions by shard, so rank assignment parallelizes and
+    at scale each shard is one output file whose internal order is
+    the hash order. Reading shards 0..n-1 in order replays the exact
+    global hash shuffle; no RNG state, and a document's (shard, pos)
+    never changes when other documents are edited — only positions
+    after an insertion point shift within its own shard.
+
+    Returns ``(id, *carry_cols, shard, pos_in_shard)`` — all-integer,
+    hash-exact in the oracle."""
+    h = _md5_28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        (h % F.lit(n_shards)).cast("bigint").alias("shard"),
+        (h / F.lit(n_shards)).cast("bigint").alias("__hq"),
+    )
+    w = Window.partitionBy("shard").orderBy("__hq", id_col)
+    return base.select(
+        id_col,
+        *carry_cols,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )
+
+
 def split_leakage_audit(
     docs: DataFrame,
     text_col: str = "text",

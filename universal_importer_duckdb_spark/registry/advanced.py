@@ -3114,6 +3114,35 @@ FROM pd GROUP BY source ORDER BY source
 """
 
 
+def docs_shuffle_shards(spark, sf_dir):
+    """Deterministic sharded corpus shuffle (operators/corpus.py::
+    shuffle_shards): the materialization step that turns a curated
+    corpus into training files. Hash-split into 8 shards with
+    in-shard hash order — rank assignment parallelizes per shard (no
+    global single-task ORDER BY), reading shards in order replays the
+    exact global shuffle, and every (shard, pos) is reproducible with
+    no RNG state. All-integer output; the oracle replays the hash,
+    the shard split, and every rank."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        shuffle_shards,
+    )
+
+    return shuffle_shards(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+SHUFFLE_SHARDS_SQL = """
+WITH b AS (
+  SELECT doc_id, source, h % 8 AS shard, h // 8 AS hq
+  FROM (SELECT doc_id, source,
+               ('0x'||substr(md5('shuffle-v1:'||doc_id),1,7))::BIGINT AS h
+        FROM documents))
+SELECT doc_id, source, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hq, doc_id)
+            AS BIGINT) AS pos_in_shard
+FROM b
+"""
+
+
 REGISTRY.update({
     "emb_kmeans_clusters": (emb_kmeans_clusters, _kmeans_clusters_oracle()),
     "stream_dsir_scores": (stream_dsir_scores, DSIR_SCORES_SQL),
@@ -3121,6 +3150,7 @@ REGISTRY.update({
         docs_fuzzy_benchmark_contamination, _fuzzy_contamination_sql(),
     ),
     "docs_corpus_card": (docs_corpus_card, _corpus_card_sql()),
+    "docs_shuffle_shards": (docs_shuffle_shards, SHUFFLE_SHARDS_SQL),
 })
 
 
