@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "docs_fuzzy_benchmark_contamination",
     "docs_corpus_card",
     "docs_shuffle_shards",
+    "events_heavy_hitters_cms",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch
@@ -124,8 +125,10 @@ BENCH_QUERIES = [
 # docs_textrank_keywords, emb_knn_join's reference-matrix collect;
 # since r8 also the PQ pair + emb_kmeans_clusters (integer-k-means
 # training collects), the DSIR family (per-word contribution
-# artifact), and docs_top_collocations (checkpointed (a,b) count
-# table)): their builders run bounded training actions at
+# artifact), docs_top_collocations (checkpointed (a,b) count
+# table), and events_heavy_hitters_cms (the <=depth*width-cell
+# sketch collects into a literal map below the size gate)): their
+# builders run bounded training actions at
 # plan-construction time, and the prepared-plan cache (plancache.py)
 # reuses the trained artifact across the N timed runs — so the
 # reported number is the RE-QUERY cost against the held artifact

@@ -341,3 +341,122 @@ def test_dsir_overflow_guard_trips():
             ).collect()
     finally:
         dsir_mod.SCALE = old
+
+
+# ------------------------------------------- count-min sketch family
+def test_cms_one_sided_error_and_bounded_size(spark, sf_dir):
+    """The CMS contract on real data: for EVERY key, estimate >=
+    exact (one-sided error), and the sketch never exceeds
+    depth*width cells regardless of input size."""
+    from universal_importer_duckdb_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+        exact_key_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    depth, width = 4, 32  # tiny width -> forced collisions
+    sketch = cms_sketch(ev, "user_id", depth=depth, width=width)
+    assert sketch.count() <= depth * width
+
+    exact = exact_key_counts(ev, "user_id")
+    est = cms_estimate(sketch, exact.select("k"), depth=depth, width=width)
+    joined = exact.join(est, "k")
+    bad = joined.filter(F.col("cms_est") < F.col("exact_cnt")).count()
+    assert bad == 0
+    # total mass conservation per row j: sum of cells == n rows
+    per_row = sketch.groupBy("j").agg(F.sum("cnt").alias("m")).collect()
+    n = ev.count()
+    assert len(per_row) == depth and all(r["m"] == n for r in per_row)
+
+
+def test_cms_weighted_build_equals_raw_build(spark, sf_dir):
+    """Additivity: the sketch built from pre-aggregated (key, count)
+    weights is cell-identical to the sketch built from raw rows."""
+    from universal_importer_duckdb_spark.operators.sketches import (
+        cms_sketch,
+        exact_key_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = cms_sketch(ev, "user_id", depth=4, width=64)
+    exact = exact_key_counts(ev, "user_id")
+    weighted = cms_sketch(exact, "k", weight_col="exact_cnt", depth=4, width=64)
+    assert sorted(map(tuple, raw.collect())) == sorted(
+        map(tuple, weighted.collect())
+    )
+
+
+def test_streaming_cms_converges_across_batches(spark, tmp_path):
+    """Cells touched in MULTIPLE micro-batches must max-fold to the
+    batch sketch: two files, one file per trigger, overlapping
+    keys."""
+    import os
+
+    from universal_importer_duckdb_spark.operators.sketches import (
+        cms_sketch,
+        finalize_cms_sketch,
+        streaming_cms_sketch,
+    )
+
+    schema = "event_id bigint, user_id bigint"
+    rows1 = [(i, i % 5) for i in range(40)]
+    rows2 = [(100 + i, i % 7) for i in range(60)]
+    d = tmp_path / "ev_stream"
+    os.makedirs(d)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(d / "b1.parquet")
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(d / "b2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(d) + "/*")
+    )
+    q = (
+        streaming_cms_sketch(stream, "user_id", depth=4, width=16)
+        .writeStream.format("memory")
+        .queryName("t_stream_cms_conv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("t_stream_cms_conv")
+    # the overlapping keys (0..4) were updated in both batches
+    assert drained.count() > finalize_cms_sketch(drained).count()
+    got = sorted(map(tuple, finalize_cms_sketch(drained).collect()))
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(
+        map(tuple, cms_sketch(batch, "user_id", depth=4, width=16).collect())
+    )
+    assert got == want
+
+
+def test_cms_heavy_hitters_plan_shapes(spark, sf_dir):
+    """Both sides of the literal-gate switchover: below the gate the
+    estimate is a pure expression (NO join — one scan, one shuffle,
+    TakeOrdered); above it the sketch stays a table and broadcasts.
+    Neither form may cartesian."""
+    from universal_importer_duckdb_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def plan_of(width):
+        df = cms_heavy_hitters(ev, "user_id", depth=4, width=width)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    lit_plan = plan_of(64)  # 256 cells <= gate -> literal map
+    assert "Join" not in lit_plan
+    assert "TakeOrderedAndProject" in lit_plan
+
+    tab_plan = plan_of(4096)  # 16384 cells > gate -> table + broadcast
+    assert "BroadcastHashJoin" in tab_plan
+    assert "TakeOrderedAndProject" in tab_plan
+    assert "CartesianProduct" not in tab_plan

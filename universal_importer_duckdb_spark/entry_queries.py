@@ -104,10 +104,20 @@ def oracle_sql():
 #     docs_fuzzy_benchmark_contamination, which wraps the identical
 #     portable pipeline) and pipeline_flagship (e2e-tested locally
 #     every session).
-#  The remaining r5-era entries (plus the four displaced ones, which
+#  Late-r8 amendment: the session added a seventh/eighth r8-born
+#  entry (events_heavy_hitters_cms / stream_heavy_hitters_cms — the
+#  count-min sketch family); to keep zero never-checked entries they
+#  take the multimodal feature pair's slots. That pair is SAFE to
+#  demote: the r8 decode_media hardening only touches the raw
+#  Annex-B/video routing, and the WAV/PNG magic-byte sniffs those
+#  two entries exercise run before it — both r7-green and locally
+#  parity-green. They join the displaced set at the r9 head.
+#
+#  The remaining r5-era entries (plus the six displaced ones, which
 #  go FIRST) lead the r9 roster:
 #  docs_simhash_neardup, docs_neardup_clusters,
 #  docs_minhash_lsh_neardup, pipeline_flagship,
+#  multimodal_audio_features, multimodal_image_features,
 #  docs_bpe_token_counts (displaced by the fifth r8-born entry
 #  docs_shuffle_shards; its sibling docs_bpe_learn_merges stays
 #  in-window and exercises the same changed module),
@@ -169,8 +179,6 @@ _R8_WINDOW = (
     "validate_customer_valid",
     "window_analytics_orders",
     # ---- r5-era fillers (touched-module risk first) ----
-    "multimodal_audio_features",
-    "multimodal_image_features",
     "docs_bpe_learn_merges",
     "emb_quantize_int8",
     # ---- born this round: checked immediately, no coverage debt ----
@@ -179,6 +187,8 @@ _R8_WINDOW = (
     "docs_fuzzy_benchmark_contamination",
     "docs_corpus_card",
     "docs_shuffle_shards",
+    "events_heavy_hitters_cms",
+    "stream_heavy_hitters_cms",
 )
 
 

@@ -3154,6 +3154,116 @@ REGISTRY.update({
 })
 
 
+# ======================================================================
+# Round 8 (cont.): count-min sketch heavy hitters, batch + streaming
+# ======================================================================
+
+def events_heavy_hitters_cms(spark, sf_dir):
+    """Heavy-hitter audit via a count-min sketch
+    (operators/sketches.py): the sketch class the engine was missing
+    next to Bloom/HLL/MinHash — approximate COUNTS over an unbounded
+    key domain in depth*width integer cells. The audit reports the
+    top-20 users by SKETCH estimate with their exact counts and the
+    always->=0 overcount, certifying the one-sided error bound on
+    real data. depth=4 x width=64 against 150 distinct keys at sf0.01
+    forces visible collisions. One exact groupBy scan; the sketch is
+    built from the counts frame by additivity and broadcast back; the
+    oracle replays every md5-28 bucket, cell sum, and MIN."""
+    from universal_importer_duckdb_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    report = cms_heavy_hitters(ev, "user_id", top_k=20, depth=4, width=64)
+    return report.select(
+        F.col("k").cast("bigint").alias("user_id"),
+        "exact_cnt",
+        "cms_est",
+        "overcount",
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = """
+WITH exact AS (
+  SELECT CAST(user_id AS VARCHAR) AS k,
+         CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+cells AS (
+  SELECT t.j,
+         ('0x'||substr(md5('cms-v1:'||t.j||':'||k),1,7))::BIGINT % 64
+           AS bucket,
+         CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+  FROM exact CROSS JOIN range(4) t(j) GROUP BY 1, 2),
+probes AS (
+  SELECT e.k, t.j,
+         ('0x'||substr(md5('cms-v1:'||t.j||':'||e.k),1,7))::BIGINT % 64
+           AS bucket
+  FROM exact e CROSS JOIN range(4) t(j)),
+est AS (
+  SELECT p.k, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+  FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+  GROUP BY p.k)
+SELECT CAST(e.k AS BIGINT) AS user_id, e.exact_cnt, s.cms_est,
+       CAST(s.cms_est - e.exact_cnt AS BIGINT) AS overcount
+FROM exact e JOIN est s USING (k)
+ORDER BY cms_est DESC, user_id LIMIT 20
+"""
+
+
+def stream_heavy_hitters_cms(spark, sf_dir):
+    """Streaming twin of events_heavy_hitters_cms: the SKETCH is the
+    streaming state (operators/sketches.py::streaming_cms_sketch) —
+    an update-mode aggregation whose state store is capped at
+    depth*width rows no matter how long the stream runs or how many
+    distinct keys arrive, the entire reason a CMS is deployed where
+    an exact streaming count's per-key state grows without bound.
+    Cell counts only grow, so the drained emissions max-fold to the
+    final sketch (the stream_split_leakage idiom) and equal the batch
+    sketch by additivity however availableNow splits the source; the
+    report stage (exact counts from the at-rest table + broadcast
+    estimate join) is shared with the batch entry, so the batch
+    oracle applies."""
+    from universal_importer_duckdb_spark.operators.sketches import (
+        exact_key_counts,
+        finalize_cms_sketch,
+        heavy_hitter_report,
+        streaming_cms_sketch,
+    )
+    from universal_importer_duckdb_spark.streaming import events as se
+
+    _STREAM_COUNTER[0] += 1
+    stream = se.stream_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    drained = se.run_available_now(
+        streaming_cms_sketch(stream, "user_id", depth=4, width=64),
+        f"q_stream_cms_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+    sketch = finalize_cms_sketch(drained)
+    exact = exact_key_counts(
+        _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()),
+        "user_id",
+    )
+    report = heavy_hitter_report(exact, sketch, top_k=20, depth=4, width=64)
+    return report.select(
+        F.col("k").cast("bigint").alias("user_id"),
+        "exact_cnt",
+        "cms_est",
+        "overcount",
+    )
+
+
+REGISTRY.update({
+    "events_heavy_hitters_cms": (
+        events_heavy_hitters_cms, CMS_HEAVY_HITTERS_SQL,
+    ),
+    "stream_heavy_hitters_cms": (
+        stream_heavy_hitters_cms, CMS_HEAVY_HITTERS_SQL,
+    ),
+})
+
+
 # Chained-section export: star-import carries every module-level
 # name (including the underscore-prefixed shared helpers) to the
 # next registry section / the entry_queries spine.
