@@ -448,10 +448,13 @@ def orders_quantile_envelope(spark, sf_dir):
     emitted p50/p90 are EXACT order statistics (rank = ceil(q*n) via
     one window pass — the verifiable baseline), and the within-budget
     flags compare Spark's mergeable GK sketch (percentile_approx,
-    accuracy 1000, map-side partials + one tiny shuffle — the shape
-    you'd actually run at scale) against them. The oracle recomputes
-    the exact order stats and asserts the envelope as a literal, so a
-    sketch drifting out of its ±5% budget fails the hash check."""
+    accuracy 1000) against them. Exact ranks AND the sketch are folded
+    in ONE aggregate over the window output (r8: was a second scan +
+    join) — the window's hash partitioning on the group key is reused
+    by the groupBy, so the whole query is one scan and one shuffle.
+    The oracle recomputes the exact order stats and asserts the
+    envelope as a literal, so a sketch drifting out of its ±5% budget
+    fails the hash check."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey"
@@ -462,19 +465,17 @@ def orders_quantile_envelope(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .withColumn("n", F.count(F.lit(1)).over(wc).cast("bigint"))
     )
-    exact = r.groupBy("o_orderpriority").agg(
+    agg = r.groupBy("o_orderpriority").agg(
         F.max(
             F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("o_totalprice"))
         ).alias("p50_exact"),
         F.max(
             F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("o_totalprice"))
         ).alias("p90_exact"),
-    )
-    approx = orders.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("__a50"),
         F.percentile_approx("o_totalprice", 0.9, 1000).alias("__a90"),
     )
-    return exact.join(approx, "o_orderpriority").select(
+    return agg.select(
         "o_orderpriority",
         "p50_exact",
         "p90_exact",
