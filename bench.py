@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "docs_corpus_card",
     "docs_shuffle_shards",
     "events_heavy_hitters_cms",
+    "emb_semdedup",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -460,3 +460,83 @@ def test_cms_heavy_hitters_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in tab_plan
     assert "TakeOrderedAndProject" in tab_plan
     assert "CartesianProduct" not in tab_plan
+
+
+# --------------------------------------------------------- semdedup
+def test_semdedup_verdicts_match_brute_force(spark, sf_dir):
+    """The kept flag must equal the brute-force definition: pruned
+    iff ANY earlier same-cluster member (d2 DESC, id ASC order) lies
+    within eps2 integer squared L2 — computed here independently with
+    a full pairwise matrix per cluster. Also pins determinism and
+    that the cluster/d2 columns agree with kmeans_clusters."""
+    import numpy as np
+
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        quantize_np,
+    )
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        EPS2_DEFAULT,
+        semdedup,
+    )
+    from universal_importer_duckdb_spark.operators.similarity import (
+        kmeans_clusters,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {
+        r.vec_id: (r.cluster, r.d2, r.kept)
+        for r in semdedup(emb, n_clusters=16).collect()
+    }
+    base = {
+        r.vec_id: (r.cluster, r.d2)
+        for r in kmeans_clusters(emb, n_clusters=16).collect()
+    }
+    assert len(out) == emb.count()
+    assert {k: v[:2] for k, v in out.items()} == base
+
+    vecs = {
+        r.vec_id: np.asarray(list(r.embedding), dtype=np.float64)
+        for r in emb.collect()
+    }
+    pruned_expected = set()
+    for c in sorted({v[0] for v in out.values()}):
+        members = sorted(
+            (i for i, v in out.items() if v[0] == c),
+            key=lambda i: (-out[i][1], i),
+        )
+        if len(members) < 2:
+            continue
+        Q = quantize_np(np.asarray([vecs[i] for i in members]))
+        D = ((Q[:, None, :] - Q[None, :, :]) ** 2).sum(
+            axis=2, dtype=np.int64
+        )
+        for pos in range(1, len(members)):
+            if (D[pos, :pos] <= EPS2_DEFAULT).any():
+                pruned_expected.add(members[pos])
+    got_pruned = {i for i, v in out.items() if not v[2]}
+    assert got_pruned == pruned_expected
+    assert 0 < len(got_pruned) < len(out)  # non-degenerate at any sf
+
+    again = {
+        r.vec_id: (r.cluster, r.d2, r.kept)
+        for r in semdedup(emb, n_clusters=16).collect()
+    }
+    assert out == again
+
+
+def test_semdedup_plan_single_shuffle_no_cartesian(spark, sf_dir):
+    """One Exchange (the groupBy(cluster) pruning shuffle) past the
+    assignment pass; no cartesian, no broadcast of corpus-scale
+    data. The kernel's pairwise work is inside applyInPandas, not a
+    self-join."""
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        semdedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        semdedup(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

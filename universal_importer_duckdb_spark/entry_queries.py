@@ -112,12 +112,20 @@ def oracle_sql():
 #  Annex-B/video routing, and the WAV/PNG magic-byte sniffs those
 #  two entries exercise run before it — both r7-green and locally
 #  parity-green. They join the displaced set at the r9 head.
+#  Second late-r8 amendment: a ninth r8-born entry, emb_semdedup
+#  (SemDeDup semantic pruning), takes emb_quantize_int8's slot —
+#  safe to demote because similarity.py's r8-changed paths
+#  (int-kmeans training/assign) are already exercised in-window by
+#  the kmeans/IVF/PQ entries, while the int8 quantize path itself is
+#  untouched this round and r5-green + locally parity-green. It
+#  joins the displaced set at the r9 head.
 #
-#  The remaining r5-era entries (plus the six displaced ones, which
+#  The remaining r5-era entries (plus the seven displaced ones, which
 #  go FIRST) lead the r9 roster:
 #  docs_simhash_neardup, docs_neardup_clusters,
 #  docs_minhash_lsh_neardup, pipeline_flagship,
 #  multimodal_audio_features, multimodal_image_features,
+#  emb_quantize_int8,
 #  docs_bpe_token_counts (displaced by the fifth r8-born entry
 #  docs_shuffle_shards; its sibling docs_bpe_learn_merges stays
 #  in-window and exercises the same changed module),
@@ -180,8 +188,8 @@ _R8_WINDOW = (
     "window_analytics_orders",
     # ---- r5-era fillers (touched-module risk first) ----
     "docs_bpe_learn_merges",
-    "emb_quantize_int8",
     # ---- born this round: checked immediately, no coverage debt ----
+    "emb_semdedup",
     "emb_kmeans_clusters",
     "stream_dsir_scores",
     "docs_fuzzy_benchmark_contamination",

@@ -3265,6 +3265,41 @@ REGISTRY.update({
 })
 
 
+# ======================================================================
+# Round 8 (cont.): SemDeDup semantic pruning
+# ======================================================================
+
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup, the paper-faithful k-means variant
+    (operators/semdedup.py; Abbas et al. 2023): the full per-vector
+    verdict table — deterministic integer k-means cluster + exact d2
+    + a kept flag from the paper's upper-triangular within-cluster
+    pruning (farthest-from-centroid kept first, earlier neighbor
+    within eps2 prunes). Complements emb_semdedup_clusters
+    (registry/core.py), which reaches the same goal via LSH pair
+    generation + connected components; this variant needs no
+    transitive closure and its cluster partitioning IS the 100 TB
+    parallelism unit. All-integer + boolean output, so the ENTIRE
+    verdict set hash-checks against the SQL replay of the same
+    training and the correlated NOT EXISTS pruning predicate."""
+    from universal_importer_duckdb_spark.operators.semdedup import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), n_clusters=16)
+
+
+def _semdedup_oracle():
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        semdedup_sql,
+    )
+
+    return semdedup_sql(n_clusters=16, dim=64)
+
+
+REGISTRY.update({
+    "emb_semdedup": (emb_semdedup, _semdedup_oracle()),
+})
+
+
 # Chained-section export: star-import carries every module-level
 # name (including the underscore-prefixed shared helpers) to the
 # next registry section / the entry_queries spine.
