@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "docs_shuffle_shards",
     "events_heavy_hitters_cms",
     "emb_semdedup",
+    "emb_incremental_semdedup",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -540,3 +540,67 @@ def test_semdedup_plan_single_shuffle_no_cartesian(spark, sf_dir):
     assert plan.count("Exchange") <= 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_incremental_semdedup_matches_brute_force_and_stream(spark, sf_dir):
+    """Admission verdicts must equal the brute-force definition
+    (rejected iff some KEPT at-rest member of the assigned cluster is
+    within eps2), and the streaming twin must drain to the identical
+    frame."""
+    import numpy as np
+
+    from universal_importer_duckdb_spark import entry_queries as eq
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        quantize_np,
+    )
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        EPS2_DEFAULT,
+        ingest_split,
+        semdedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    at_rest, arriving = ingest_split(emb)
+    batch = {
+        r.vec_id: (r.cluster, r.d2, r.nn_d2, r.admitted)
+        for r in eq.REGISTRY["emb_incremental_semdedup"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(batch) == arriving.count() > 0
+
+    kept_by_cluster: dict[int, list] = {}
+    rest_vecs = {
+        r.vec_id: np.asarray(list(r.embedding), dtype=np.float64)
+        for r in at_rest.collect()
+    }
+    for r in semdedup(at_rest, n_clusters=16).collect():
+        if r.kept:
+            kept_by_cluster.setdefault(r.cluster, []).append(
+                quantize_np(rest_vecs[r.vec_id])
+            )
+    arr_vecs = {
+        r.vec_id: quantize_np(np.asarray(list(r.embedding), dtype=np.float64))
+        for r in arriving.collect()
+    }
+    n_rejected = 0
+    for vid, (cl, _, nn_d2, admitted) in batch.items():
+        members = kept_by_cluster.get(cl, [])
+        if members:
+            dists = [
+                int(((arr_vecs[vid] - m) ** 2).sum()) for m in members
+            ]
+            assert nn_d2 == min(dists)
+            assert admitted == (min(dists) > EPS2_DEFAULT)
+        else:
+            assert nn_d2 == -1 and admitted
+        n_rejected += not admitted
+    assert n_rejected > 0  # threshold actually bites at any sf
+
+    streamed = {
+        r.vec_id: (r.cluster, r.d2, r.nn_d2, r.admitted)
+        for r in eq.REGISTRY["stream_semdedup_ingest"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    assert streamed == batch

@@ -119,9 +119,19 @@ def oracle_sql():
 #  the kmeans/IVF/PQ entries, while the int8 quantize path itself is
 #  untouched this round and r5-green + locally parity-green. It
 #  joins the displaced set at the r9 head.
+#  Third late-r8 amendment: the session also added
+#  emb_incremental_semdedup and stream_semdedup_ingest (SemDeDup
+#  admission control + streaming twin). The r8 window is full and
+#  its 32-slot r4-era staleness backlog is the round's explicit
+#  gate, so these two are the FIRST intentionally-unchecked births
+#  since r4 — they lead the r9 roster (before the displaced set)
+#  and are locally parity-green at sf0.001/sf0.01 plus pinned by
+#  tests/test_round8_ops.py brute-force + stream-equality checks.
 #
-#  The remaining r5-era entries (plus the seven displaced ones, which
-#  go FIRST) lead the r9 roster:
+#  The remaining r5-era entries (after the two unchecked r8 births
+#  above and then the seven displaced ones, in that order) fill the
+#  r9 roster:
+#  emb_incremental_semdedup, stream_semdedup_ingest,
 #  docs_simhash_neardup, docs_neardup_clusters,
 #  docs_minhash_lsh_neardup, pipeline_flagship,
 #  multimodal_audio_features, multimodal_image_features,

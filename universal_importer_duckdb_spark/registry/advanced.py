@@ -3295,8 +3295,86 @@ def _semdedup_oracle():
     return semdedup_sql(n_clusters=16, dim=64)
 
 
+def emb_incremental_semdedup(spark, sf_dir):
+    """SemDeDup ADMISSION CONTROL (operators/semdedup.py::
+    incremental_semdedup): a deterministic hash class of vectors
+    plays "today's ingest" against the SemDeDup'd remainder; an
+    arrival is admitted iff no KEPT at-rest member of its assigned
+    cluster lies within eps2 exact integer squared L2. Verdicts
+    depend only on at-rest state — batch-order-free, which is what
+    licenses the streaming twin below to share this entry's oracle.
+    Output carries the exact nearest-kept distance (-1 = none), so
+    the hash check pins the whole probe geometry, not just the
+    boolean."""
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        incremental_semdedup,
+        ingest_split,
+    )
+
+    at_rest, arriving = ingest_split(_t(spark, sf_dir, "embeddings"))
+    return incremental_semdedup(at_rest, arriving, n_clusters=16)
+
+
+def _incremental_semdedup_oracle():
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        incremental_semdedup_sql,
+    )
+
+    return incremental_semdedup_sql(n_clusters=16, dim=64)
+
+
+def stream_semdedup_ingest(spark, sf_dir):
+    """Streaming twin of emb_incremental_semdedup (streaming/
+    embeddings.py): the at-rest artifacts (centroid matrix + kept
+    members) are computed batch-side as the deployed admission state,
+    then arriving vectors flow through a stateless Arrow-batched
+    assignment, a stream-static join against their cluster's kept
+    members, and an update-mode min aggregation. One source row per
+    vec_id means every emission is final, so the drained output
+    max-folds to the batch verdicts however availableNow splits the
+    source — the batch oracle applies."""
+    from universal_importer_duckdb_spark.operators.corpus import _md5_28
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        ARRIVAL_SALT,
+        EPS2_DEFAULT,
+        at_rest_artifacts,
+        ingest_split,
+    )
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.embeddings import (
+        stream_embeddings,
+        streaming_semdedup_ingest,
+    )
+
+    at_rest, _ = ingest_split(_t(spark, sf_dir, "embeddings"))
+    C, kept_q = at_rest_artifacts(at_rest, n_clusters=16)
+    _STREAM_COUNTER[0] += 1
+    arriving = stream_embeddings(spark, sf_dir).filter(
+        _md5_28(
+            F.concat(F.lit(ARRIVAL_SALT + ":"), F.col("vec_id").cast("string"))
+        )
+        % F.lit(8)
+        == 0
+    )
+    drained = se.run_available_now(
+        streaming_semdedup_ingest(arriving, C, kept_q, EPS2_DEFAULT),
+        f"q_stream_semdedup_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+    return drained.groupBy("vec_id", "cluster", "d2").agg(
+        F.max("nn_d2").alias("nn_d2"),
+        F.max("admitted").alias("admitted"),
+    )
+
+
 REGISTRY.update({
     "emb_semdedup": (emb_semdedup, _semdedup_oracle()),
+    "emb_incremental_semdedup": (
+        emb_incremental_semdedup, _incremental_semdedup_oracle(),
+    ),
+    "stream_semdedup_ingest": (
+        stream_semdedup_ingest, _incremental_semdedup_oracle(),
+    ),
 })
 
 
