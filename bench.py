@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "events_heavy_hitters_cms",
     "emb_semdedup",
     "emb_incremental_semdedup",
+    "docs_multisignal_admission",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -604,3 +604,71 @@ def test_incremental_semdedup_matches_brute_force_and_stream(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_multisignal_admission_is_gate_conjunction(spark, sf_dir):
+    """The composite admission frame must equal the conjunction of
+    its three independently-tested gates: exact fingerprint (brute
+    force here), shipped quality (docs_shipped_quality restricted to
+    the arriving class), and SemDeDup admission
+    (emb_incremental_semdedup)."""
+    import hashlib
+
+    from universal_importer_duckdb_spark import entry_queries as eq
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        ingest_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_index, doc_batch = ingest_split(docs, id_col="doc_id")
+
+    def fp(text):
+        return hashlib.md5(text.lower().encode()).hexdigest()
+
+    index_fps = {fp(r.text) for r in doc_index.select("text").collect()}
+    batch_rows = sorted(
+        ((r.doc_id, fp(r.text)) for r in doc_batch.collect())
+    )
+    seen: set[str] = set()
+    exact = {}
+    for did, f in batch_rows:  # ids ascending == window order
+        exact[did] = f in index_fps or f in seen
+        seen.add(f)
+
+    quality = {
+        r.doc_id: (r.n_words, r.is_quality)
+        for r in eq.REGISTRY["docs_shipped_quality"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    sem = {
+        r.vec_id: (r.nn_d2, r.admitted)
+        for r in eq.REGISTRY["emb_incremental_semdedup"][0](
+            spark, sf_dir
+        ).collect()
+    }
+
+    out = eq.REGISTRY["docs_multisignal_admission"][0](
+        spark, sf_dir
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [d for d, _ in batch_rows]
+    n_sem_dup = 0
+    for r in out:
+        nw, isq = quality[r.doc_id]
+        assert (r.exact_dup, r.n_words, r.is_quality) == (
+            exact[r.doc_id], nw, isq,
+        )
+        if r.doc_id in sem:
+            nn, adm = sem[r.doc_id]
+            assert (r.has_embedding, r.nn_d2, r.sem_dup) == (
+                True, nn, not adm,
+            )
+        else:
+            assert (r.has_embedding, r.nn_d2, r.sem_dup) == (
+                False, -1, False,
+            )
+        assert r.admitted == (
+            not r.exact_dup and isq and nw >= 1 and not r.sem_dup
+        )
+        n_sem_dup += r.sem_dup
+    assert n_sem_dup > 0  # the semantic gate bites at every sf

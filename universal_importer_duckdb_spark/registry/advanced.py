@@ -3367,6 +3367,56 @@ def stream_semdedup_ingest(spark, sf_dir):
     )
 
 
+def docs_multisignal_admission(spark, sf_dir):
+    """The full corpus ADMISSION FUNNEL in one verdict frame
+    (operators/admission.py::multisignal_admission): the arriving
+    hash class of documents clears the exact-fingerprint gate (batch
+    window + at-rest index join), the shipped quality gate
+    (literal-map fold, is_quality AND n_words >= 1 per the
+    quality_model contract), and the SemDeDup semantic gate (cluster
+    probe against kept at-rest embeddings; docs without embeddings
+    abstain, flagged by has_embedding). Every gate's raw verdict is
+    emitted alongside the conjunction, so the hash check pins all
+    three signals independently. The three at-rest artifacts
+    (fingerprint index, weight map, centroids + kept members) are
+    what a deployed funnel holds between batches; only batch-sized
+    frames meet in the final join."""
+    from universal_importer_duckdb_spark.operators.admission import (
+        multisignal_admission,
+    )
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        load_quality_weights,
+    )
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        ingest_split,
+    )
+
+    doc_index, doc_batch = ingest_split(
+        _t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    emb_at_rest, emb_arriving = ingest_split(
+        _t(spark, sf_dir, "embeddings")
+    )
+    return multisignal_admission(
+        doc_batch, doc_index, emb_at_rest, emb_arriving,
+        load_quality_weights(), n_clusters=16,
+    )
+
+
+def _multisignal_admission_oracle():
+    from universal_importer_duckdb_spark.operators.admission import (
+        multisignal_admission_sql,
+    )
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        incremental_semdedup_sql,
+    )
+
+    return multisignal_admission_sql(
+        _shipped_quality_sql(),
+        incremental_semdedup_sql(n_clusters=16, dim=64),
+    )
+
+
 REGISTRY.update({
     "emb_semdedup": (emb_semdedup, _semdedup_oracle()),
     "emb_incremental_semdedup": (
@@ -3374,6 +3424,9 @@ REGISTRY.update({
     ),
     "stream_semdedup_ingest": (
         stream_semdedup_ingest, _incremental_semdedup_oracle(),
+    ),
+    "docs_multisignal_admission": (
+        docs_multisignal_admission, _multisignal_admission_oracle(),
     ),
 })
 
