@@ -672,3 +672,39 @@ def test_multisignal_admission_is_gate_conjunction(spark, sf_dir):
         )
         n_sem_dup += r.sem_dup
     assert n_sem_dup > 0  # the semantic gate bites at every sf
+
+
+def test_stream_admission_matches_batch_when_no_intrabatch_dups(
+    spark, sf_dir
+):
+    """The streaming twin's only contract difference from the batch
+    funnel is the dropped intra-batch first-occurrence term; the test
+    corpus has no duplicate fingerprints inside the arriving class at
+    this sf (asserted), so the two frames must be identical."""
+    import hashlib
+
+    from universal_importer_duckdb_spark import entry_queries as eq
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        ingest_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, doc_batch = ingest_split(docs, id_col="doc_id")
+    fps = [
+        hashlib.md5(r.text.lower().encode()).hexdigest()
+        for r in doc_batch.select("text").collect()
+    ]
+    assert len(fps) == len(set(fps))  # precondition for equality
+
+    def frame(name):
+        return {
+            r.doc_id: (
+                r.exact_dup, r.n_words, r.is_quality, r.has_embedding,
+                r.nn_d2, r.sem_dup, r.admitted,
+            )
+            for r in eq.REGISTRY[name][0](spark, sf_dir).collect()
+        }
+
+    batch = frame("docs_multisignal_admission")
+    streamed = frame("stream_multisignal_admission")
+    assert streamed == batch and len(batch) == len(fps)

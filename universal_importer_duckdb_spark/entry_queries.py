@@ -128,18 +128,20 @@ def oracle_sql():
 #  and are locally parity-green at sf0.001/sf0.01 plus pinned by
 #  tests/test_round8_ops.py brute-force + stream-equality checks.
 #
-#  Fourth late-r8 amendment: docs_multisignal_admission (the
-#  three-gate admission funnel composing the fingerprint, shipped
-#  quality, and SemDeDup gates) is the third intentionally-unchecked
-#  r8 birth, same reasoning and same local evidence class
-#  (sf0.001+sf0.01 parity green, gate-conjunction test in
-#  tests/test_round8_ops.py). It joins the two below at the r9 head.
+#  Fourth late-r8 amendment: docs_multisignal_admission and
+#  stream_multisignal_admission (the three-gate admission funnel
+#  composing the fingerprint, shipped-quality, and SemDeDup gates,
+#  plus its ingest-time twin with the documented index-only exact
+#  gate) are the third and fourth intentionally-unchecked r8 births,
+#  same reasoning and same local evidence class (sf0.001+sf0.01
+#  parity green, gate-conjunction + stream-equality tests in
+#  tests/test_round8_ops.py). They join the two below at the r9 head.
 #
-#  The remaining r5-era entries (after the three unchecked r8 births
+#  The remaining r5-era entries (after the four unchecked r8 births
 #  above and then the seven displaced ones, in that order) fill the
 #  r9 roster:
 #  emb_incremental_semdedup, stream_semdedup_ingest,
-#  docs_multisignal_admission,
+#  docs_multisignal_admission, stream_multisignal_admission,
 #  docs_simhash_neardup, docs_neardup_clusters,
 #  docs_minhash_lsh_neardup, pipeline_flagship,
 #  multimodal_audio_features, multimodal_image_features,

@@ -129,12 +129,16 @@ def multisignal_admission_sql(
     quality_sql: str,
     sem_sql: str,
     mod: int = 8,
+    intra_batch: bool = True,
 ) -> str:
     """DuckDB oracle: the shipped-quality and incremental-semdedup
     oracles ride as subquery CTEs (both already engine-replayed by
     their own entries); the exact gate replays the fingerprint
     window + index EXISTS. Gate conjunction mirrors
-    multisignal_admission column for column."""
+    multisignal_admission column for column. ``intra_batch=False``
+    drops the first-occurrence window term — the streaming twin's
+    documented contract (index lookups at ingest; intra-batch ties
+    belong to the batch compactor)."""
     from universal_importer_duckdb_spark.operators.int_kmeans import (
         sql_md5_28,
     )
@@ -144,6 +148,7 @@ def multisignal_admission_sql(
 
     arr_hash = sql_md5_28(f"'{ARRIVAL_SALT}:'||doc_id")
     arr = f"{arr_hash} % {mod}"
+    in_batch_term = "f.rn > 1 OR " if intra_batch else ""
     return f"""
 WITH
 q AS MATERIALIZED (SELECT * FROM ({quality_sql})),
@@ -161,7 +166,7 @@ firsts AS (
   FROM batch),
 exact AS (
   SELECT f.doc_id,
-         (f.rn > 1 OR EXISTS (
+         ({in_batch_term}EXISTS (
             SELECT 1 FROM idx i
             WHERE i.fingerprint = f.fingerprint)) AS exact_dup
   FROM firsts f)

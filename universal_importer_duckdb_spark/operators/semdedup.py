@@ -273,41 +273,82 @@ def at_rest_artifacts(
 
 
 def _assign_with_q(
-    df: DataFrame, C, vec_col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame,
+    C,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow-batched centroid assignment carrying the quantized
-    vector: ``(vec_id, cluster, d2, q)``. Stateless, so it runs
-    unchanged on a streaming DataFrame."""
+    vector: ``(<id_col>, <carry_cols...>, cluster, d2, q)``.
+    Stateless, so it runs unchanged on a streaming DataFrame.
+
+    Rows whose vector is NULL (a document not yet embedded, in the
+    admission-funnel shape) assign to cluster -1 with d2 -1 and an
+    empty q — no kept member lives in cluster -1, so the downstream
+    semantic gate abstains on them by construction."""
     from universal_importer_duckdb_spark.operators.int_kmeans import (
         int_argmin_dists,
         quantize_np,
     )
 
     Cm = np.asarray(C, dtype=np.int64)
+    carry = list(carry_cols)
+    carry_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry
+    )
 
     def _assign(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            xq = quantize_np(
-                np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
-                    dtype=np.float64,
+            present = pdf[vec_col].notna().to_numpy()
+            n = len(pdf)
+            if present.all():
+                xq = quantize_np(
+                    np.asarray(
+                        [
+                            np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]
+                        ],
+                        dtype=np.float64,
+                    )
                 )
-            )
-            a, dd = int_argmin_dists(xq, Cm)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "cluster": a,
-                    "d2": dd,
-                    "q": list(xq),
-                }
-            )
+                a, dd = int_argmin_dists(xq, Cm)
+                qs = list(xq)
+            else:
+                a = np.full(n, -1, dtype=np.int64)
+                dd = np.full(n, -1, dtype=np.int64)
+                empty = np.empty(0, dtype=np.int64)
+                qs = [empty] * n
+                if present.any():
+                    xq = quantize_np(
+                        np.asarray(
+                            [
+                                np.asarray(v, dtype=np.float64)
+                                for v in pdf.loc[present, vec_col]
+                            ],
+                            dtype=np.float64,
+                        )
+                    )
+                    ap, dp = int_argmin_dists(xq, Cm)
+                    a[present], dd[present] = ap, dp
+                    ptr = 0
+                    for i in np.flatnonzero(present):
+                        qs[i] = xq[ptr]
+                        ptr += 1
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            out.update({"cluster": a, "d2": dd, "q": qs})
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(
         _assign,
-        schema="vec_id bigint, cluster bigint, d2 bigint, q array<bigint>",
+        schema=(
+            f"{id_col} bigint{carry_schema}, "
+            "cluster bigint, d2 bigint, q array<bigint>"
+        ),
     )
 
 

@@ -3403,7 +3403,7 @@ def docs_multisignal_admission(spark, sf_dir):
     )
 
 
-def _multisignal_admission_oracle():
+def _multisignal_admission_oracle(intra_batch: bool = True):
     from universal_importer_duckdb_spark.operators.admission import (
         multisignal_admission_sql,
     )
@@ -3414,6 +3414,75 @@ def _multisignal_admission_oracle():
     return multisignal_admission_sql(
         _shipped_quality_sql(),
         incremental_semdedup_sql(n_clusters=16, dim=64),
+        intra_batch=intra_batch,
+    )
+
+
+def stream_multisignal_admission(spark, sf_dir):
+    """The admission funnel at INGEST (streaming/docs.py::
+    streaming_multisignal_admission): arriving documents flow through
+    the stateless quality fold, a stream-static fingerprint-index
+    join, the embedder-sidecar join, the null-safe cluster
+    assignment, and one update-mode min aggregation against the kept
+    at-rest members. Deployed state = the same three at-rest
+    artifacts the batch entry holds. Own oracle (intra_batch=False):
+    the exact gate checks the index only — intra-batch ties are the
+    compactor's, per the operator docstring. One source row per doc
+    means every emission is final; the drained output max-folds to
+    the oracle frame however availableNow splits the source."""
+    from universal_importer_duckdb_spark.operators.admission import (
+        corpus_fingerprint,
+    )
+    from universal_importer_duckdb_spark.operators.corpus import _md5_28
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        load_quality_weights,
+    )
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        ARRIVAL_SALT,
+        EPS2_DEFAULT,
+        at_rest_artifacts,
+        ingest_split,
+    )
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.docs import (
+        stream_documents,
+        streaming_multisignal_admission,
+    )
+
+    doc_index, _ = ingest_split(
+        _t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    emb_at_rest, _ = ingest_split(_t(spark, sf_dir, "embeddings"))
+    C, kept_q = at_rest_artifacts(emb_at_rest, n_clusters=16)
+    fp_index = (
+        doc_index.select(corpus_fingerprint().alias("fingerprint"))
+        .distinct()
+        .withColumn("__in_idx", F.lit(True))
+    )
+    _STREAM_COUNTER[0] += 1
+    arriving = stream_documents(spark, sf_dir).filter(
+        _md5_28(
+            F.concat(
+                F.lit(ARRIVAL_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % F.lit(8)
+        == 0
+    )
+    drained = se.run_available_now(
+        streaming_multisignal_admission(
+            arriving, _t(spark, sf_dir, "embeddings"), fp_index,
+            C, kept_q, load_quality_weights(), EPS2_DEFAULT,
+        ),
+        f"q_stream_admission_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+    return drained.groupBy(
+        "doc_id", "exact_dup", "n_words", "is_quality", "has_embedding"
+    ).agg(
+        F.max("nn_d2").alias("nn_d2"),
+        F.max("sem_dup").alias("sem_dup"),
+        F.max("admitted").alias("admitted"),
     )
 
 
@@ -3427,6 +3496,10 @@ REGISTRY.update({
     ),
     "docs_multisignal_admission": (
         docs_multisignal_admission, _multisignal_admission_oracle(),
+    ),
+    "stream_multisignal_admission": (
+        stream_multisignal_admission,
+        _multisignal_admission_oracle(intra_batch=False),
     ),
 })
 

@@ -111,3 +111,109 @@ def streaming_quality_scores(docs: DataFrame, weights: dict[str, int]) -> DataFr
     )
 
     return quality_model_scores(docs, weights)
+
+
+def streaming_multisignal_admission(
+    docs_arriving: DataFrame,
+    emb_static: DataFrame,
+    fp_index: DataFrame,
+    centroids,
+    kept_q: DataFrame,
+    weights: dict[str, int],
+    eps2: int,
+) -> DataFrame:
+    """The three-gate admission funnel at INGEST (streaming twin of
+    operators/admission.py::multisignal_admission): arriving documents
+    are quality-scored by the stateless literal-map fold, fingerprint-
+    checked by a stream-static join against the at-rest index, joined
+    to their embedding (the embedder-sidecar output, static here),
+    assigned to their k-means cluster by the null-safe Arrow-batched
+    map, and min-folded against the cluster's kept members in one
+    update-mode aggregation whose grouping keys carry the stateless
+    verdicts through.
+
+    STREAMING CONTRACT DIFFERENCE, by design: the exact gate checks
+    the at-rest index ONLY — first-occurrence dedup WITHIN the
+    arriving batch is a cross-arrival ordering question that the
+    batch compactor owns (the production split: point lookups at
+    ingest, periodic compaction for intra-batch ties), so this twin
+    carries its own oracle (multisignal_admission_sql with
+    intra_batch=False) rather than the batch entry's. Every other
+    verdict depends only on at-rest state; each document is one
+    source row, so its stream-static join matches complete within its
+    own micro-batch and its single update-mode emission is final —
+    the drained output equals the oracle however availableNow splits
+    the source."""
+    from universal_importer_duckdb_spark.operators.admission import (
+        corpus_fingerprint,
+    )
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        quality_signal_exprs,
+    )
+    from universal_importer_duckdb_spark.operators.semdedup import (
+        _assign_with_q,
+        _int_dist2,
+    )
+
+    n, raw = quality_signal_exprs(weights)
+    gated = (
+        docs_arriving.select(
+            "doc_id",
+            corpus_fingerprint().alias("fingerprint"),
+            n.alias("n_words"),
+            raw.alias("raw_milli"),
+        )
+        .selectExpr(
+            "doc_id",
+            "fingerprint",
+            "n_words",
+            "CASE WHEN n_words > 0 THEN raw_milli div n_words "
+            "ELSE CAST(0 AS BIGINT) END AS logit_milli",
+        )
+        .selectExpr(
+            "doc_id", "fingerprint", "n_words",
+            "logit_milli >= 0 AS is_quality",
+        )
+        .join(fp_index, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "is_quality",
+            F.col("__in_idx").isNotNull().alias("exact_dup"),
+        )
+        .join(
+            emb_static.select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    assigned = _assign_with_q(
+        gated,
+        centroids,
+        id_col="doc_id",
+        carry_cols=("n_words", "is_quality", "exact_dup"),
+    )
+    nn = (
+        assigned.join(kept_q, "cluster", "left")
+        .withColumn("dist2", _int_dist2(F.col("q"), F.col("qk")))
+        .groupBy("doc_id", "exact_dup", "n_words", "is_quality", "cluster")
+        .agg(F.min("dist2").alias("nn"))
+    )
+    sem_ok = F.col("nn").isNull() | (F.col("nn") > F.lit(int(eps2)))
+    return nn.select(
+        "doc_id",
+        "exact_dup",
+        "n_words",
+        "is_quality",
+        (F.col("cluster") >= 0).alias("has_embedding"),
+        F.coalesce(F.col("nn"), F.lit(-1)).cast("bigint").alias("nn_d2"),
+        (~sem_ok).alias("sem_dup"),
+        (
+            ~F.col("exact_dup")
+            & F.col("is_quality")
+            & (F.col("n_words") >= 1)
+            & sem_ok
+        ).alias("admitted"),
+    )
