@@ -320,3 +320,23 @@ def test_line_dedup_broadcasts_dup_set_and_funnel_is_two_exchanges(
 def test_bloom_probe_broadcasts_bitmap(spark, sf_dir):
     plan = _plan(eq.REGISTRY["docs_bloom_incremental_dedup"][0](spark, sf_dir))
     assert "BroadcastExchange" in plan
+
+
+def test_admission_funnel_plan_shape(spark, sf_dir):
+    """The three-gate funnel (r8): no cartesian anywhere; the quality
+    gate stays a JVM literal-map fold (no Python rows beyond the two
+    Arrow-batched centroid assignments and the per-cluster prune);
+    scans prune to the columns each gate needs."""
+    plan = _plan(
+        eq.REGISTRY["docs_multisignal_admission"][0](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    # formatted explain prints each node twice (tree + detail)
+    assert plan.count("MapInPandas") == 4  # arriving + at-rest assign
+    assert plan.count("FlatMapGroupsInPandas") == 2  # semdedup prune
+    # documents scans read only (doc_id, text); the quantize-side
+    # embeddings scan must not read the unused label column
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "documents" not in line:
+            assert "label" not in line or "embedding" not in line

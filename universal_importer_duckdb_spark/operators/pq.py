@@ -104,7 +104,9 @@ def pq_encode(
                 }
             )
 
-    return df.mapInPandas(
+    # project before the Arrow map (mapInPandas pins its input
+    # columns — don't ship label/metadata through Arrow)
+    return df.select(id_col, vec_col).mapInPandas(
         _enc, schema="vec_id bigint, codes array<int>, recon_d2 bigint"
     )
 

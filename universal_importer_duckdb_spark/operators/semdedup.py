@@ -103,7 +103,10 @@ def semdedup(
                 }
             )
 
-    assigned = df.mapInPandas(
+    # project before the Arrow map: mapInPandas pins its input
+    # columns, so an unpruned frame would ship every other column
+    # (label, text, ...) through Arrow for nothing
+    assigned = df.select(id_col, vec_col).mapInPandas(
         _assign,
         schema="vec_id bigint, cluster bigint, d2 bigint, q array<bigint>",
     )
@@ -297,6 +300,11 @@ def _assign_with_q(
     carry_schema = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in carry
     )
+    # project BEFORE the Arrow map: mapInPandas pins its input
+    # columns, so an unpruned frame would ship every column (the
+    # embeddings table's label, at 100 TB the whole row) through
+    # Arrow for nothing
+    df = df.select(id_col, *carry, vec_col)
 
     def _assign(batches):
         for pdf in batches:

@@ -397,7 +397,9 @@ def kmeans_clusters(
                 }
             )
 
-    return df.mapInPandas(
+    # project before the Arrow map (mapInPandas pins its input
+    # columns — don't ship label/metadata through Arrow)
+    return df.select(id_col, vec_col).mapInPandas(
         _assign, schema="vec_id bigint, cluster bigint, d2 bigint"
     )
 
@@ -680,7 +682,9 @@ def knn_join_exact(
                 {"q_id": out_q, "cand_id": out_c, "dcos": out_s}
             )
 
-    cands = df.mapInPandas(
+    # project before the Arrow map (mapInPandas pins its input
+    # columns — don't ship label/metadata through Arrow)
+    cands = df.select(id_col, vec_col).mapInPandas(
         _candidates, schema="q_id bigint, cand_id bigint, dcos double"
     )
 
