@@ -62,12 +62,22 @@ def semdedup(
     id_col: str = "vec_id",
     sample_size: int = 2048,
     iters: int = 5,
+    centroids=None,
+    emit_q: bool = False,
 ) -> DataFrame:
     """Per-vector SemDeDup verdicts: ``(vec_id, cluster, d2, kept)``.
 
     ``kept=false`` means an earlier member (d2 DESC, id ASC) of the
     same k-means cluster lies within ``eps2`` integer squared L2
     distance — the corpus keeps exactly the ``kept=true`` rows.
+
+    ``centroids`` (an int64 matrix) skips the training pass — the
+    deterministic trainer always reproduces the same matrix from the
+    same frame, so callers that already trained (at_rest_artifacts)
+    pass it through instead of paying a second sample-collect job.
+    ``emit_q`` adds each KEPT row's quantized vector to the output
+    (artifact-building callers read it instead of re-scanning the
+    corpus); the registry entry keeps the scalar-only default.
     """
     from universal_importer_duckdb_spark.operators.int_kmeans import (
         int_argmin_dists,
@@ -77,7 +87,7 @@ def semdedup(
         ivf_train_centroids,
     )
 
-    C = ivf_train_centroids(
+    C = centroids if centroids is not None else ivf_train_centroids(
         df, n_clusters, vec_col, id_col, sample_size, iters
     )
 
@@ -137,40 +147,31 @@ def semdedup(
                 kept_o[lo:hi] = ~close.any(axis=1)
         kept = np.empty(m, dtype=bool)
         kept[o] = kept_o
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "cluster": pdf["cluster"].to_numpy(),
-                "d2": dd,
-                "kept": kept,
-            }
-        )
+        out = {
+            "vec_id": ids,
+            "cluster": pdf["cluster"].to_numpy(),
+            "d2": dd,
+            "kept": kept,
+        }
+        if emit_q:
+            # kept rows carry their quantized vector out of the prune
+            # (it is already in hand), saving the caller a second
+            # corpus scan + join; pruned rows carry an empty array
+            empty = np.empty(0, dtype=np.int64)
+            out["q"] = [Q[i] if kept[i] else empty for i in range(m)]
+        return pd.DataFrame(out)
 
+    q_schema = ", q array<bigint>" if emit_q else ""
     return assigned.groupBy("cluster").applyInPandas(
-        _prune, schema="vec_id bigint, cluster bigint, d2 bigint, kept boolean"
+        _prune,
+        schema=(
+            f"vec_id bigint, cluster bigint, d2 bigint, kept boolean"
+            f"{q_schema}"
+        ),
     )
 
 
 ARRIVAL_SALT = "semdedup-ingest-v1"
-
-
-def quantize_expr(col):
-    """JVM-side twin of int_kmeans.quantize_np: float32 widens to
-    double exactly, and floor(x*10^6)+2^21 is the same single IEEE
-    multiply + floor in Spark, numpy, and DuckDB. Keeps the arriving
-    side's quantization inside whole-stage codegen (no Python)."""
-    from universal_importer_duckdb_spark.operators.int_kmeans import (
-        QOFFSET,
-        QSCALE,
-    )
-
-    return F.transform(
-        col,
-        lambda x: F.floor(x.cast("double") * F.lit(float(QSCALE))).cast(
-            "bigint"
-        )
-        + F.lit(QOFFSET),
-    )
 
 
 def _int_dist2(a, b):
@@ -257,20 +258,15 @@ def at_rest_artifacts(
     C = ivf_train_centroids(
         at_rest, n_clusters, vec_col, id_col, sample_size, iters
     )
+    # one training + one corpus pass: the prune emits each kept
+    # member's quantized vector (emit_q), so the kept-member frame
+    # needs no second corpus scan or join
     verdicts = semdedup(
-        at_rest, n_clusters, eps2, vec_col, id_col, sample_size, iters
+        at_rest, n_clusters, eps2, vec_col, id_col, sample_size, iters,
+        centroids=C, emit_q=True,
     )
-    kept_q = (
-        verdicts.filter(F.col("kept"))
-        .select("vec_id", "cluster")
-        .join(
-            at_rest.select(
-                F.col(id_col).alias("vec_id"),
-                quantize_expr(F.col(vec_col)).alias("qk"),
-            ),
-            "vec_id",
-        )
-        .select("cluster", "qk")
+    kept_q = verdicts.filter(F.col("kept")).select(
+        "cluster", F.col("q").alias("qk")
     )
     return C, kept_q
 
