@@ -708,3 +708,38 @@ def test_stream_admission_matches_batch_when_no_intrabatch_dups(
     batch = frame("docs_multisignal_admission")
     streamed = frame("stream_multisignal_admission")
     assert streamed == batch and len(batch) == len(fps)
+
+
+def test_cluster_aware_split_never_straddles_families(spark, sf_dir):
+    """The remediation guarantee: every near-dup family lands in ONE
+    split (impossible to straddle by construction), the guarantee is
+    non-vacuous (multi-member families exist at this sf), singleton
+    clusters degrade to the plain stable hash split, and every member
+    inherits exactly its cluster head's assignment."""
+    import hashlib
+
+    from universal_importer_duckdb_spark import entry_queries as eq
+
+    out = eq.REGISTRY["docs_cluster_aware_split"][0](
+        spark, sf_dir
+    ).collect()
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert sum(
+        1
+        for c in by_cluster
+        if sum(r.cluster_id == c for r in out) > 1
+    ) > 0  # non-vacuous
+
+    b1, b2 = int((1 << 28) * 0.98), int((1 << 28) * 0.99)
+
+    def expected(cid):
+        hv = int(
+            hashlib.md5(f"cluster-split-v1:{cid}".encode()).hexdigest()[:7],
+            16,
+        )
+        return "train" if hv < b1 else ("val" if hv < b2 else "test")
+
+    assert all(r.split == expected(r.cluster_id) for r in out)

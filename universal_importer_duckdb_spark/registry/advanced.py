@@ -3486,7 +3486,66 @@ def stream_multisignal_admission(spark, sf_dir):
     )
 
 
+def docs_cluster_aware_split(spark, sf_dir):
+    """Leakage-free train/val/test assignment — the REMEDIATION for
+    what docs_split_leakage_audit detects: near-duplicate documents
+    straddling splits leak eval content into training. Resolve
+    MinHash-LSH pairs into connected components (the
+    docs_neardup_clusters machinery), then hash-split on the CLUSTER
+    id, so every member of a near-dup family inherits one split and
+    straddling is impossible by construction. Per-row output
+    ``(doc_id, cluster_id, split)`` — the hash check pins the pair
+    list, the closure, and every inherited assignment.
+
+    Scale shape: the split itself is a narrow map over the cluster
+    frame (no new shuffle beyond the closure that dedup already
+    runs); singleton clusters (cluster_id = doc_id) degrade to the
+    plain stable hash split, so the operator is a drop-in replacement
+    for hash_split wherever near-dup clustering already exists."""
+    from universal_importer_duckdb_spark.operators.corpus import hash_split
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=32, bands=8, shingle_n=5,
+        jaccard_threshold=0.4, sample_mod=4,
+        hasher="md5_28", portable_buckets=True,
+    )
+    clusters = neardup_clusters(pairs, docs.select("doc_id")).select(
+        "doc_id", "cluster_id"
+    )
+    return hash_split(
+        clusters, id_col="cluster_id", salt="cluster-split-v1"
+    ).select("doc_id", "cluster_id", "split")
+
+
+CLUSTER_AWARE_SPLIT_SQL = f"""
+WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM ({MINHASH_LSH_SQL}) mh),
+e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m
+),
+c AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+SELECT doc_id, cluster_id,
+       CASE WHEN hv < {_SPLIT_B1} THEN 'train'
+            WHEN hv < {_SPLIT_B2} THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             ('0x'||substr(md5('cluster-split-v1:'||cluster_id), 1, 7))
+               ::BIGINT AS hv
+      FROM c)
+"""
+
+
 REGISTRY.update({
+    "docs_cluster_aware_split": (
+        docs_cluster_aware_split, CLUSTER_AWARE_SPLIT_SQL,
+    ),
     "emb_semdedup": (emb_semdedup, _semdedup_oracle()),
     "emb_incremental_semdedup": (
         emb_incremental_semdedup, _incremental_semdedup_oracle(),
