@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "emb_incremental_semdedup",
     "docs_multisignal_admission",
     "docs_cluster_aware_split",
+    "docs_softdedup_weights",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

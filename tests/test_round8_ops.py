@@ -743,3 +743,25 @@ def test_cluster_aware_split_never_straddles_families(spark, sf_dir):
         return "train" if hv < b1 else ("val" if hv < b2 else "test")
 
     assert all(r.split == expected(r.cluster_id) for r in out)
+
+
+def test_softdedup_weights_make_families_count_once(spark, sf_dir):
+    """Each near-dup family's total milli-weight is |family| *
+    (10^6 div |family|) — within one truncation unit per member of
+    10^6 — and singletons keep exactly 10^6; multi-member families
+    exist at this sf so the reweighting is non-vacuous."""
+    from universal_importer_duckdb_spark import entry_queries as eq
+
+    rows = eq.REGISTRY["docs_softdedup_weights"][0](
+        spark, sf_dir
+    ).collect()
+    fam: dict[int, list] = {}
+    for r in rows:
+        assert r.weight_milli == 1_000_000 // r.cluster_size
+        fam.setdefault(r.cluster_id, []).append(r)
+    assert any(len(v) > 1 for v in fam.values())
+    for members in fam.values():
+        n = len(members)
+        assert all(m.cluster_size == n for m in members)
+        total = sum(m.weight_milli for m in members)
+        assert 1_000_000 - n < total <= 1_000_000

@@ -140,12 +140,14 @@ def oracle_sql():
 #  The remaining r5-era entries (after the four unchecked r8 births
 #  above and then the seven displaced ones, in that order) fill the
 #  r9 roster:
-#  (docs_cluster_aware_split — the fifth unchecked r8 birth, the
-#  leakage-free cluster-inherited split remediating what the audit
-#  detects — joins them under the same local evidence class.)
+#  (docs_cluster_aware_split and docs_softdedup_weights — the fifth
+#  and sixth unchecked r8 births: the leakage-free cluster-inherited
+#  split remediating what the audit detects, and reciprocal-family
+#  soft-dedup loss weights — join them under the same local evidence
+#  class.)
 #  emb_incremental_semdedup, stream_semdedup_ingest,
 #  docs_multisignal_admission, stream_multisignal_admission,
-#  docs_cluster_aware_split,
+#  docs_cluster_aware_split, docs_softdedup_weights,
 #  docs_simhash_neardup, docs_neardup_clusters,
 #  docs_minhash_lsh_neardup, pipeline_flagship,
 #  multimodal_audio_features, multimodal_image_features,

@@ -3542,9 +3542,72 @@ FROM (SELECT doc_id, cluster_id,
 """
 
 
+def docs_softdedup_weights(spark, sf_dir):
+    """SOFT dedup: instead of dropping near-duplicates, weight every
+    document by the reciprocal of its near-dup family size
+    (weight_milli = 10^6 div |cluster|), so each family contributes
+    one document's worth of loss in expectation — the
+    data-reweighting alternative to hard removal when duplicates
+    carry signal (freshness, canonical phrasing). Composes the same
+    MinHash-LSH closure as docs_neardup_clusters; singletons keep
+    exactly 10^6. All-integer milli-weights, so the full per-doc
+    frame is hash-exact against the recursive-CTE replay.
+
+    Scale shape: one count aggregate over the cluster frame plus a
+    join back on cluster_id — both keyed by the closure's output, no
+    new corpus scan; the dedup pipeline already paid for the pairs
+    and the closure."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=32, bands=8, shingle_n=5,
+        jaccard_threshold=0.4, sample_mod=4,
+        hasher="md5_28", portable_buckets=True,
+    )
+    clusters = neardup_clusters(pairs, docs.select("doc_id")).select(
+        "doc_id", "cluster_id"
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.expr("CAST(1000000 div cluster_size AS BIGINT)").alias(
+            "weight_milli"
+        ),
+    )
+
+
+SOFTDEDUP_WEIGHTS_SQL = f"""
+WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM ({MINHASH_LSH_SQL}) mh),
+e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m
+),
+c AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+s AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM c GROUP BY cluster_id)
+SELECT doc_id, cluster_id, cluster_size,
+       CAST(1000000 // cluster_size AS BIGINT) AS weight_milli
+FROM c JOIN s USING (cluster_id)
+"""
+
+
 REGISTRY.update({
     "docs_cluster_aware_split": (
         docs_cluster_aware_split, CLUSTER_AWARE_SPLIT_SQL,
+    ),
+    "docs_softdedup_weights": (
+        docs_softdedup_weights, SOFTDEDUP_WEIGHTS_SQL,
     ),
     "emb_semdedup": (emb_semdedup, _semdedup_oracle()),
     "emb_incremental_semdedup": (
