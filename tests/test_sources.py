@@ -252,3 +252,23 @@ def test_schema_evolution_merged_read_and_alignment(spark, tmp_path):
     # lossy evolution must raise, not truncate
     with _pytest.raises(ValueError, match="lossy"):
         align_to_schema(merged, "id tinyint, v int, note string")
+
+
+def test_avro_reader_gates_on_missing_module(spark, tmp_path):
+    """The Avro swap-point: in this container the external spark-avro
+    module is absent, so the reader must surface ONE actionable
+    NotImplementedError (deployment instruction), not Spark's generic
+    datasource failure — the multimodal optional-codec contract
+    applied to a source format. Dispatch by extension must route to
+    the same gate."""
+    import pytest
+
+    from universal_importer_duckdb_spark.sources.readers import (
+        read_avro,
+        read_source,
+    )
+
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "x.avro"))
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_source(spark, str(tmp_path / "x.avro"))
