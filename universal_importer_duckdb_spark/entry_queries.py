@@ -132,19 +132,18 @@ def oracle_sql():
 #  stream_multisignal_admission (the three-gate admission funnel
 #  composing the fingerprint, shipped-quality, and SemDeDup gates,
 #  plus its ingest-time twin with the documented index-only exact
-#  gate) are the third and fourth intentionally-unchecked r8 births,
+#  gate), docs_cluster_aware_split (the leakage-free
+#  cluster-inherited split remediating what the audit detects), and
+#  docs_softdedup_weights (reciprocal-family soft-dedup loss weights)
+#  are the third through SIXTH intentionally-unchecked r8 births,
 #  same reasoning and same local evidence class (sf0.001+sf0.01
-#  parity green, gate-conjunction + stream-equality tests in
-#  tests/test_round8_ops.py). They join the two below at the r9 head.
+#  parity green, gate-conjunction / stream-equality /
+#  never-straddles / family-weight tests in
+#  tests/test_round8_ops.py). They join the two above at the r9 head.
 #
-#  The remaining r5-era entries (after the four unchecked r8 births
+#  The remaining r5-era entries (after the SIX unchecked r8 births
 #  above and then the seven displaced ones, in that order) fill the
 #  r9 roster:
-#  (docs_cluster_aware_split and docs_softdedup_weights — the fifth
-#  and sixth unchecked r8 births: the leakage-free cluster-inherited
-#  split remediating what the audit detects, and reciprocal-family
-#  soft-dedup loss weights — join them under the same local evidence
-#  class.)
 #  emb_incremental_semdedup, stream_semdedup_ingest,
 #  docs_multisignal_admission, stream_multisignal_admission,
 #  docs_cluster_aware_split, docs_softdedup_weights,

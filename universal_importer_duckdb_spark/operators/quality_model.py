@@ -105,13 +105,18 @@ def quality_model_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold_milli: int = 0,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document linear quality score under ``weights``.
 
-    Returns ``(id, n_words, raw_milli, logit_milli, is_quality)``:
-    ``raw_milli`` the exact integer sum of token weights,
-    ``logit_milli = raw_milli div n_words`` (0 for wordless docs),
-    ``is_quality = logit_milli >= threshold_milli``.
+    Returns ``(id, <carry_cols...>, n_words, raw_milli, logit_milli,
+    is_quality)``: ``raw_milli`` the exact integer sum of token
+    weights, ``logit_milli = raw_milli div n_words`` (0 for wordless
+    docs), ``is_quality = logit_milli >= threshold_milli``.
+    ``carry_cols`` pass through untouched — stream callers that fuse
+    this stateless fold with other per-row signals (the admission
+    funnel's fingerprint) carry them here instead of re-implementing
+    the gate, so one definition governs batch and ingest.
 
     Contract note (r7 advice): a WORDLESS document has logit 0 and
     therefore passes the gate under the default ``threshold_milli=0``
@@ -125,14 +130,17 @@ def quality_model_scores(
     ``is_quality`` disagree with its own documented logit definition.
     """
     n, raw = quality_signal_exprs(weights, text_col)
+    carry = list(carry_cols)
     return (
         docs.select(
             F.col(id_col),
+            *[F.col(c) for c in carry],
             n.alias("n_words"),
             raw.alias("raw_milli"),
         )
         .selectExpr(
             id_col,
+            *carry,
             "n_words",
             "raw_milli",
             # integer div truncates toward zero in both engines for the
@@ -142,6 +150,7 @@ def quality_model_scores(
         )
         .selectExpr(
             id_col,
+            *carry,
             "n_words",
             "raw_milli",
             "logit_milli",

@@ -79,10 +79,6 @@ def semdedup(
     (artifact-building callers read it instead of re-scanning the
     corpus); the registry entry keeps the scalar-only default.
     """
-    from universal_importer_duckdb_spark.operators.int_kmeans import (
-        int_argmin_dists,
-        quantize_np,
-    )
     from universal_importer_duckdb_spark.operators.similarity import (
         ivf_train_centroids,
     )
@@ -91,35 +87,12 @@ def semdedup(
         df, n_clusters, vec_col, id_col, sample_size, iters
     )
 
-    def _assign(batches):
-        # narrow pass: cluster id + exact d2, quantized vector carried
-        # for the pruning shuffle (int64 array, no floats cross here)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            xq = quantize_np(
-                np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
-                    dtype=np.float64,
-                )
-            )
-            a, dd = int_argmin_dists(xq, C)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "cluster": a,
-                    "d2": dd,
-                    "q": list(xq),
-                }
-            )
-
-    # project before the Arrow map: mapInPandas pins its input
-    # columns, so an unpruned frame would ship every other column
-    # (label, text, ...) through Arrow for nothing
-    assigned = df.select(id_col, vec_col).mapInPandas(
-        _assign,
-        schema="vec_id bigint, cluster bigint, d2 bigint, q array<bigint>",
-    )
+    # one assignment kernel for the whole module (r8 self-review):
+    # the at-rest prune and the arrival-admission paths must quantize
+    # and tie-break identically, so both go through _assign_with_q
+    assigned = _assign_with_q(df, C, vec_col, id_col)
+    if id_col != "vec_id":
+        assigned = assigned.withColumnRenamed(id_col, "vec_id")
 
     eps2_i = int(eps2)
 

@@ -3333,9 +3333,7 @@ def stream_semdedup_ingest(spark, sf_dir):
     vec_id means every emission is final, so the drained output
     max-folds to the batch verdicts however availableNow splits the
     source — the batch oracle applies."""
-    from universal_importer_duckdb_spark.operators.corpus import _md5_28
     from universal_importer_duckdb_spark.operators.semdedup import (
-        ARRIVAL_SALT,
         EPS2_DEFAULT,
         at_rest_artifacts,
         ingest_split,
@@ -3349,13 +3347,9 @@ def stream_semdedup_ingest(spark, sf_dir):
     at_rest, _ = ingest_split(_t(spark, sf_dir, "embeddings"))
     C, kept_q = at_rest_artifacts(at_rest, n_clusters=16)
     _STREAM_COUNTER[0] += 1
-    arriving = stream_embeddings(spark, sf_dir).filter(
-        _md5_28(
-            F.concat(F.lit(ARRIVAL_SALT + ":"), F.col("vec_id").cast("string"))
-        )
-        % F.lit(8)
-        == 0
-    )
+    # ingest_split's filter is stateless, so it defines the arriving
+    # class on the STREAM too — one definition, batch and ingest
+    _, arriving = ingest_split(stream_embeddings(spark, sf_dir))
     drained = se.run_available_now(
         streaming_semdedup_ingest(arriving, C, kept_q, EPS2_DEFAULT),
         f"q_stream_semdedup_{_STREAM_COUNTER[0]}",
@@ -3433,12 +3427,10 @@ def stream_multisignal_admission(spark, sf_dir):
     from universal_importer_duckdb_spark.operators.admission import (
         corpus_fingerprint,
     )
-    from universal_importer_duckdb_spark.operators.corpus import _md5_28
     from universal_importer_duckdb_spark.operators.quality_model import (
         load_quality_weights,
     )
     from universal_importer_duckdb_spark.operators.semdedup import (
-        ARRIVAL_SALT,
         EPS2_DEFAULT,
         at_rest_artifacts,
         ingest_split,
@@ -3452,7 +3444,9 @@ def stream_multisignal_admission(spark, sf_dir):
     doc_index, _ = ingest_split(
         _t(spark, sf_dir, "documents"), id_col="doc_id"
     )
-    emb_at_rest, _ = ingest_split(_t(spark, sf_dir, "embeddings"))
+    emb_at_rest, emb_arriving = ingest_split(
+        _t(spark, sf_dir, "embeddings")
+    )
     C, kept_q = at_rest_artifacts(emb_at_rest, n_clusters=16)
     fp_index = (
         doc_index.select(corpus_fingerprint().alias("fingerprint"))
@@ -3460,18 +3454,18 @@ def stream_multisignal_admission(spark, sf_dir):
         .withColumn("__in_idx", F.lit(True))
     )
     _STREAM_COUNTER[0] += 1
-    arriving = stream_documents(spark, sf_dir).filter(
-        _md5_28(
-            F.concat(
-                F.lit(ARRIVAL_SALT + ":"), F.col("doc_id").cast("string")
-            )
-        )
-        % F.lit(8)
-        == 0
+    # ingest_split's filter is stateless, so it defines the arriving
+    # class on the STREAM too — one definition, batch and ingest
+    _, arriving = ingest_split(
+        stream_documents(spark, sf_dir), id_col="doc_id"
     )
     drained = se.run_available_now(
         streaming_multisignal_admission(
-            arriving, _t(spark, sf_dir, "embeddings"), fp_index,
+            # the embedder sidecar only ever embeds ARRIVING docs, and
+            # an arriving doc_id can only match an arriving-class
+            # vec_id (same salt, same id) — joining the arriving split
+            # prunes 7/8 of the static side with identical results
+            arriving, emb_arriving, fp_index,
             C, kept_q, load_quality_weights(), EPS2_DEFAULT,
         ),
         f"q_stream_admission_{_STREAM_COUNTER[0]}",
@@ -3503,18 +3497,8 @@ def docs_cluster_aware_split(spark, sf_dir):
     plain stable hash split, so the operator is a drop-in replacement
     for hash_split wherever near-dup clustering already exists."""
     from universal_importer_duckdb_spark.operators.corpus import hash_split
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        minhash_lsh_pairs,
-        neardup_clusters,
-    )
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, num_perm=32, bands=8, shingle_n=5,
-        jaccard_threshold=0.4, sample_mod=4,
-        hasher="md5_28", portable_buckets=True,
-    )
-    clusters = neardup_clusters(pairs, docs.select("doc_id")).select(
+    clusters = portable_neardup_clusters(spark, sf_dir).select(
         "doc_id", "cluster_id"
     )
     return hash_split(
@@ -3522,16 +3506,11 @@ def docs_cluster_aware_split(spark, sf_dir):
     ).select("doc_id", "cluster_id", "split")
 
 
+# the closure rides as a nested subquery of the ONE canonical
+# NEARDUP_CLUSTERS_SQL (r8 self-review: no more verbatim copies of
+# the recursive CTE — a closure/LSH-param change edits one constant)
 CLUSTER_AWARE_SPLIT_SQL = f"""
-WITH RECURSIVE
-p AS (SELECT id_a, id_b FROM ({MINHASH_LSH_SQL}) mh),
-e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-reach(n, m) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m
-),
-c AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+WITH c AS (SELECT doc_id, cluster_id FROM ({NEARDUP_CLUSTERS_SQL}) nc)
 SELECT doc_id, cluster_id,
        CASE WHEN hv < {_SPLIT_B1} THEN 'train'
             WHEN hv < {_SPLIT_B2} THEN 'val' ELSE 'test' END AS split
@@ -3557,18 +3536,7 @@ def docs_softdedup_weights(spark, sf_dir):
     join back on cluster_id — both keyed by the closure's output, no
     new corpus scan; the dedup pipeline already paid for the pairs
     and the closure."""
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        minhash_lsh_pairs,
-        neardup_clusters,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, num_perm=32, bands=8, shingle_n=5,
-        jaccard_threshold=0.4, sample_mod=4,
-        hasher="md5_28", portable_buckets=True,
-    )
-    clusters = neardup_clusters(pairs, docs.select("doc_id")).select(
+    clusters = portable_neardup_clusters(spark, sf_dir).select(
         "doc_id", "cluster_id"
     )
     sizes = clusters.groupBy("cluster_id").agg(
@@ -3585,15 +3553,7 @@ def docs_softdedup_weights(spark, sf_dir):
 
 
 SOFTDEDUP_WEIGHTS_SQL = f"""
-WITH RECURSIVE
-p AS (SELECT id_a, id_b FROM ({MINHASH_LSH_SQL}) mh),
-e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-reach(n, m) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m
-),
-c AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+WITH c AS (SELECT doc_id, cluster_id FROM ({NEARDUP_CLUSTERS_SQL}) nc),
 s AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
       FROM c GROUP BY cluster_id)
 SELECT doc_id, cluster_id, cluster_size,

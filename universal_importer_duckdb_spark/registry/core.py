@@ -2067,14 +2067,13 @@ FROM events GROUP BY user_id
 """
 
 
-def docs_neardup_clusters(spark, sf_dir):
-    """Near-dup PAIRS resolved into CLUSTERS (connected components by
-    min-label propagation) — the step that makes pairwise similarity
-    an actual dedup decision: keep exactly one doc per component.
-    Iterative (BSP rounds to the fixed point), but the fixed point
-    itself — min reachable doc_id — is declarative, so the oracle
-    replays it exactly with a recursive-CTE closure over the same
-    portable-minhash pair list."""
+def portable_neardup_clusters(spark, sf_dir):
+    """THE canonical document near-dup clustering frame
+    ``(doc_id, cluster_id, is_kept)`` — the one pairs→closure pipeline
+    (portable MinHash params matching MINHASH_LSH_SQL) that every
+    cluster-consuming entry shares (docs_neardup_clusters,
+    docs_cluster_aware_split, docs_softdedup_weights), so a parameter
+    or closure change edits one function and one SQL constant."""
     from universal_importer_duckdb_spark.operators.dedup_text import (
         minhash_lsh_pairs,
         neardup_clusters,
@@ -2085,6 +2084,17 @@ def docs_neardup_clusters(spark, sf_dir):
                               jaccard_threshold=0.4, sample_mod=4,
                               hasher="md5_28", portable_buckets=True)
     return neardup_clusters(pairs, docs.select("doc_id"))
+
+
+def docs_neardup_clusters(spark, sf_dir):
+    """Near-dup PAIRS resolved into CLUSTERS (connected components by
+    min-label propagation) — the step that makes pairwise similarity
+    an actual dedup decision: keep exactly one doc per component.
+    Iterative (BSP rounds to the fixed point), but the fixed point
+    itself — min reachable doc_id — is declarative, so the oracle
+    replays it exactly with a recursive-CTE closure over the same
+    portable-minhash pair list."""
+    return portable_neardup_clusters(spark, sf_dir)
 
 
 NEARDUP_CLUSTERS_SQL = f"""

@@ -148,32 +148,25 @@ def streaming_multisignal_admission(
         corpus_fingerprint,
     )
     from universal_importer_duckdb_spark.operators.quality_model import (
-        quality_signal_exprs,
+        quality_model_scores,
     )
     from universal_importer_duckdb_spark.operators.semdedup import (
         _assign_with_q,
         _int_dist2,
     )
 
-    n, raw = quality_signal_exprs(weights)
+    # the SAME stateless fold the batch funnel runs (one definition
+    # governs both — finding from the r8 self-review); fingerprint
+    # rides through as a carry column
     gated = (
-        docs_arriving.select(
-            "doc_id",
-            corpus_fingerprint().alias("fingerprint"),
-            n.alias("n_words"),
-            raw.alias("raw_milli"),
+        quality_model_scores(
+            docs_arriving.withColumn(
+                "fingerprint", corpus_fingerprint()
+            ),
+            weights,
+            carry_cols=("fingerprint",),
         )
-        .selectExpr(
-            "doc_id",
-            "fingerprint",
-            "n_words",
-            "CASE WHEN n_words > 0 THEN raw_milli div n_words "
-            "ELSE CAST(0 AS BIGINT) END AS logit_milli",
-        )
-        .selectExpr(
-            "doc_id", "fingerprint", "n_words",
-            "logit_milli >= 0 AS is_quality",
-        )
+        .select("doc_id", "fingerprint", "n_words", "is_quality")
         .join(fp_index, "fingerprint", "left")
         .select(
             "doc_id",
