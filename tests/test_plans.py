@@ -340,3 +340,23 @@ def test_admission_funnel_plan_shape(spark, sf_dir):
     for line in plan.splitlines():
         if "ReadSchema" in line and "documents" not in line:
             assert "label" not in line or "embedding" not in line
+
+
+def test_cluster_split_and_softdedup_plan_shapes(spark, sf_dir):
+    """The r8 cluster consumers: no cartesian, no row-at-a-time
+    Python; the split adds NO shuffle beyond the closure (it is a
+    narrow map over the cluster frame), and the weights add only the
+    size aggregate + join-back exchanges."""
+    split_plan = _plan(
+        eq.REGISTRY["docs_cluster_aware_split"][0](spark, sf_dir)
+    )
+    weights_plan = _plan(
+        eq.REGISTRY["docs_softdedup_weights"][0](spark, sf_dir)
+    )
+    for plan in (split_plan, weights_plan):
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+    # hash_split on cluster_id is a pure projection: exchange count
+    # must not exceed the bare closure's
+    base_plan = _plan(eq.REGISTRY["docs_neardup_clusters"][0](spark, sf_dir))
+    assert split_plan.count("Exchange") <= base_plan.count("Exchange")
