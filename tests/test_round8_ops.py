@@ -226,9 +226,13 @@ def test_int_kmeans_determinism_and_quantize_guard():
     assert c1.dtype == np.int64
     # centroids stay inside the quantized value range
     assert c1.min() > 0 and c1.max() < 2 * QOFFSET
-    # the positivity contract hard-fails instead of silently flooring
-    with pytest.raises(ValueError, match="positive-BIGINT"):
+    # the (0, 2^22) contract hard-fails on BOTH sides instead of
+    # silently flooring/wrapping (r8 review: the positive bound was
+    # previously unchecked)
+    with pytest.raises(ValueError, match="BIGINT-safe"):
         quantize_np(np.array([[-(QOFFSET / QSCALE) - 0.5]]))
+    with pytest.raises(ValueError, match="BIGINT-safe"):
+        quantize_np(np.array([[QOFFSET / QSCALE + 0.5]]))
 
 
 def test_int_kmeans_empty_cluster_keeps_previous_centroid():
@@ -765,3 +769,77 @@ def test_softdedup_weights_make_families_count_once(spark, sf_dir):
         assert all(m.cluster_size == n for m in members)
         total = sum(m.weight_milli for m in members)
         assert 1_000_000 - n < total <= 1_000_000
+
+
+def test_dsir_artifact_scores_oov_documents(spark, sf_dir):
+    """r8 review: the held contribution artifact must score documents
+    the corpus has NEVER seen — out-of-vocabulary tokens count in
+    n_words with contribution 0 (left join + coalesce), they are not
+    silently dropped."""
+    from universal_importer_duckdb_spark.operators.dsir import (
+        dsir_contribution_artifact,
+        dsir_score_with_artifact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    contrib = dsir_contribution_artifact(
+        docs, is_target=F.col("source") == "src0"
+    )
+    new = spark.createDataFrame(
+        [(900001, "zzzunseen qqqnovel wwwfresh"), (900002, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.n_words, r.score)
+           for r in dsir_score_with_artifact(new, contrib).collect()}
+    assert out[900001] == (3, 0)  # all-OOV doc: counted, zero score
+    assert 900002 not in out      # wordless stays excluded by default
+
+
+def test_kmeans_ctes_rejects_zero_iters():
+    import pytest
+
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        kmeans_ctes,
+    )
+
+    with pytest.raises(ValueError, match="iters must be >= 1"):
+        kmeans_ctes("pts", 4, 2, 0, "cents")
+
+
+def test_ivf_lists_are_norm_invariant(spark):
+    """r8 review follow-up: ivf_topk serves COSINE, so its list
+    geometry must not depend on vector magnitudes. The shipped test
+    corpus is already unit-norm (raw-L2 == spherical there, and the
+    pre-r8 float trainer's higher recall on one query was init luck,
+    not geometry); this pins the property on data where it actually
+    bites — per-vector scales spanning 1e-2..1e0 must yield the SAME
+    spherical lists and probes as the unit-norm original."""
+    import numpy as np
+
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        quantize_unit_np,
+    )
+    from universal_importer_duckdb_spark.operators.similarity import (
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, size=(300, 16))
+    x /= np.sqrt((x * x).sum(axis=1))[:, None]
+    scales = rng.uniform(0.01, 1.0, size=300)
+    rows_unit = [(i, [float(v) for v in x[i]]) for i in range(300)]
+    rows_scaled = [
+        (i, [float(v) for v in x[i] * scales[i]]) for i in range(300)
+    ]
+    schema = "vec_id bigint, embedding array<double>"
+    df_u = spark.createDataFrame(rows_unit, schema)
+    df_s = spark.createDataFrame(rows_scaled, schema)
+    cu = ivf_train_centroids(df_u, 8, sample_size=300, spherical=True)
+    cs = ivf_train_centroids(df_s, 8, sample_size=300, spherical=True)
+    # scaling each vector by ~1 +/- double rounding: quantized unit
+    # projections may differ by at most 1 ulp-of-quantization per dim
+    assert np.abs(cu - cs).max() <= 1
+    # and the quantizer itself is exactly scale-free on exact scales
+    assert np.array_equal(
+        quantize_unit_np(x[:5]), quantize_unit_np(x[:5] * 4.0)
+    )

@@ -170,7 +170,14 @@ def dsir_score_with_artifact(
         *[F.col(c) for c in carry_cols],
         explode(toks).alias("w"),
     )
-    join_how = "left" if include_wordless else "inner"
+    # ALWAYS a left join (r8 review): an out-of-vocabulary token —
+    # the normal case when the held artifact scores a genuinely new
+    # document — must still count in n_words with contribution 0
+    # (the coalesce below), exactly as the full-replay SQL counts
+    # every token. An inner join would silently drop unseen words
+    # from both the count and the sum, corrupting scores for any
+    # corpus the artifact was not built from. Wordless-doc inclusion
+    # is governed solely by explode vs explode_outer above.
     return (
         # carry cols are doc-constant, so they join the GROUPING KEY
         # instead of riding as first() aggregates: a first() over a
@@ -179,7 +186,7 @@ def dsir_score_with_artifact(
         # i.e. a full sort by doc id — measured as half the score-pass
         # cost at sf0.1. Grouping by (id, carry...) is the same
         # partitioning work with HashAggregate + map-side combine.
-        words.join(contrib_w, "w", join_how)
+        words.join(contrib_w, "w", "left")
         .groupBy(id_col, *carry_cols)
         .agg(
             F.count("w").cast("bigint").alias("n_words"),

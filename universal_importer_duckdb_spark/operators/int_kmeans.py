@@ -75,11 +75,16 @@ def quantize_np(x: np.ndarray) -> np.ndarray:
     step, identical in every engine."""
     x = np.asarray(x, dtype=np.float64)
     q = np.floor(x * float(QSCALE)).astype(np.int64) + QOFFSET
-    if q.size and (q <= 0).any():
+    # symmetric bound (r8 review): the overflow analysis assumes
+    # q < 2^22 on BOTH sides — a large positive coordinate would
+    # silently wrap int64 GEMM dots in numpy while DuckDB errors,
+    # diverging the engines; fail loudly instead
+    if q.size and ((q <= 0).any() or (q >= (QOFFSET << 1)).any()):
         raise ValueError(
             f"int_kmeans.quantize_np: coordinate magnitude >= "
-            f"{QOFFSET / QSCALE} breaks the positive-BIGINT contract; "
-            f"raise QOFFSET (and the oracle SQL constant) together"
+            f"{QOFFSET / QSCALE} breaks the (0, 2^22) BIGINT-safe "
+            f"contract; raise QOFFSET (and the oracle SQL constant) "
+            f"together"
         )
     return q
 
@@ -199,6 +204,11 @@ def kmeans_ctes(
     d1..d{dims}[, {part}]) into ``out_cte`` (cid, d1..d{dims}[,
     {part}]). ``part`` partitions independent k-means runs (PQ
     subspaces) — init, assignment, and updates all nest inside it."""
+    if iters < 1:
+        # only the final loop iteration names a CTE ``out_cte``;
+        # iters=0 would emit SQL referencing an undefined relation
+        # (r8 review) — fail at build time with the real reason
+        raise ValueError("kmeans_ctes: iters must be >= 1")
     pcols = [part] if part else []
     psel = "".join(f"{c}, " for c in pcols)
     pby = ", ".join(["p.pid", *[f"p.{c}" for c in pcols]])
@@ -258,3 +268,40 @@ def kmeans_ctes(
             f"ON m.cid = c.cid{''.join(f' AND m.{c} = c.{c}' for c in pcols)})"
         )
     return ",\n".join(ctes)
+
+
+def quantize_unit_np(x: np.ndarray) -> np.ndarray:
+    """Spherical quantization: project to the unit sphere in float64,
+    THEN quantize — the geometry cosine-serving IVF needs (directional
+    neighbors co-locate in lists; raw-L2 lists on non-normalized data
+    cluster by norm shell and halve recall, the r8 review finding).
+
+    Cross-engine exactness: the squared-norm accumulates as an
+    explicit LEFT FOLD over dimensions (numpy's own axis-sum is
+    pairwise above 8 elements and would diverge), matching Spark's
+    F.aggregate(0.0, +) and DuckDB's list_reduce association
+    (0.0 + x1 == x1 exactly); sqrt and the division are single
+    correctly-rounded IEEE doubles in every engine. Zero vectors pin
+    to norm 1e-300 (the similarity.py guard), quantizing to QOFFSET
+    in all engines."""
+    x = np.asarray(x, dtype=np.float64)
+    acc = np.zeros(x.shape[:-1], dtype=np.float64)
+    for j in range(x.shape[-1]):
+        acc = acc + x[..., j] * x[..., j]
+    n = np.maximum(np.sqrt(acc), 1e-300)
+    return quantize_np(x / n[..., None])
+
+
+def sql_qdim_unit(src_expr: str, idx1) -> str:
+    """SQL twin of quantize_unit_np for one 1-based element: the norm
+    is the same order-defined list_reduce fold (bit-identical to the
+    numpy left fold), then the identical divide/scale/floor chain."""
+    n2 = (
+        f"list_reduce(list_apply({src_expr}::DOUBLE[], x -> x * x), "
+        f"(a, b) -> a + b)"
+    )
+    return (
+        f"CAST(FLOOR(CAST({src_expr}[{idx1}] AS DOUBLE)"
+        f" / GREATEST(sqrt({n2}), 1e-300) * {QSCALE}.0)"
+        f" AS BIGINT) + {QOFFSET}"
+    )

@@ -301,6 +301,7 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     sample_size: int = 2048,
     iters: int = 5,
+    spherical: bool = False,
 ):
     """IVF centroid lists trained driver-side with the deterministic
     scaled-integer Lloyd's (operators/int_kmeans.py) on a bounded
@@ -308,38 +309,49 @@ def ivf_train_centroids(
     regardless of corpus size (per-partition top-k under the hood), so
     training stays O(sample·n_list·dim) on the driver even at 100 TB;
     the integer centroid matrix ships to executors inside the
-    assignment UDF's closure. Lists are squared-L2 in the quantized
-    space — on (near-)unit-norm embeddings the L2 ranking equals the
-    cosine ranking the pre-r8 spherical variant produced, and unlike
-    it the artifact is exactly replayable in SQL (ivf_topk_sql).
-    Returns a (n_list, dim) int64 numpy array."""
+    assignment UDF's closure.
+
+    ``spherical=True`` projects points to the unit sphere before
+    quantization (quantize_unit_np — still bit-replayable in SQL via
+    sql_qdim_unit): the geometry COSINE serving needs, because raw-L2
+    lists on non-normalized data cluster by norm shell and directional
+    neighbors scatter across lists (the r8 review recall finding —
+    measured recall@10 halved vs the spherical form). Keep the default
+    (raw L2) for L2 semantics: SemDeDup's eps2 pruning, PQ's
+    reconstruction, kmeans_clusters. Returns a (n_list, dim) int64
+    numpy array."""
     from universal_importer_duckdb_spark.operators.int_kmeans import (
         collect_hash_ordered_sample,
         init_indices,
         int_lloyds,
         quantize_np,
+        quantize_unit_np,
     )
 
+    qz = quantize_unit_np if spherical else quantize_np
     ids, x = collect_hash_ordered_sample(df, id_col, vec_col, sample_size)
-    return int_lloyds(quantize_np(x), n_list, iters, init_indices(ids, n_list))
+    return int_lloyds(qz(x), n_list, iters, init_indices(ids, n_list))
 
 
-def ivf_assign_udf(centroids):
+def ivf_assign_udf(centroids, spherical: bool = False):
     """Arrow-batched nearest-centroid assignment (integer argmin, ties
     to the smaller list id): one numpy pass per batch instead of
     n_list interpreted array-fold expressions per row — this is the
     100 TB write path (assignments are computed once at ingest and
-    stored as a partition/cluster column)."""
+    stored as a partition/cluster column). ``spherical`` must match
+    the trainer's setting."""
     from universal_importer_duckdb_spark.operators.int_kmeans import (
         int_argmin_dists,
         quantize_np,
+        quantize_unit_np,
     )
 
     C = np.asarray(centroids, dtype=np.int64)
+    qz = quantize_unit_np if spherical else quantize_np
 
     @F.pandas_udf("int")
     def assign(batch: pd.Series) -> pd.Series:
-        M = quantize_np(
+        M = qz(
             np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in batch],
                 dtype=np.float64,
@@ -419,7 +431,10 @@ def kmeans_clusters_sql(
         sql_qdim,
     )
 
-    samp_hash = sql_md5_28(f"'{SAMPLE_SALT}:'||vec_id")
+    # built directly on the aliased column (r8 review: the former
+    # .replace("vec_id", "pid") surgery worked only while the salt
+    # contained no "vec_id" substring)
+    samp_hash = sql_md5_28(f"'{SAMPLE_SALT}:'||pid")
     dims = ", ".join(
         f"{sql_qdim('embedding', i)} AS d{i}" for i in range(1, dim + 1)
     )
@@ -430,7 +445,7 @@ def kmeans_clusters_sql(
 WITH
 pts0 AS MATERIALIZED (SELECT vec_id AS pid, {dims} FROM embeddings),
 sampids AS MATERIALIZED (SELECT pid FROM pts0
-            ORDER BY {samp_hash.replace("vec_id", "pid")}, pid
+            ORDER BY {samp_hash}, pid
             LIMIT {sample_size}),
 pts AS MATERIALIZED (SELECT p.* FROM pts0 p JOIN sampids USING (pid)),
 {kmeans_ctes('pts', dim, n_clusters, iters, 'cents')}
@@ -456,19 +471,25 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k (the clustered-index alternative to
     ``lsh_ann_topk``): integer-k-means lists, probe the ``nprobe``
-    lists whose centroids are nearest the query (integer L2, ties to
-    the smaller list id), exact cosine re-rank inside them. Expected
-    scan fraction ≈ nprobe/n_list; recall rises with nprobe (nprobe =
-    n_list degenerates to the exact scan). In a stored table the list
-    id is a partition column, so probing is partition pruning — the
-    non-probed ~(1-nprobe/n_list) of the corpus is never read."""
-    from universal_importer_duckdb_spark.operators.int_kmeans import quantize_np
+    lists whose centroids are nearest the query (integer L2 on the
+    UNIT SPHERE — spherical lists, the cosine-serving geometry; ties
+    to the smaller list id), exact cosine re-rank inside them.
+    Expected scan fraction ≈ nprobe/n_list; recall rises with nprobe
+    (nprobe = n_list degenerates to the exact scan). In a stored
+    table the list id is a partition column, so probing is partition
+    pruning — the non-probed ~(1-nprobe/n_list) of the corpus is
+    never read."""
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        quantize_unit_np,
+    )
 
-    C = ivf_train_centroids(df, n_list, vec_col, id_col, sample_size)
-    qq = quantize_np(np.asarray(query_vec, dtype=np.float64))
+    C = ivf_train_centroids(
+        df, n_list, vec_col, id_col, sample_size, spherical=True
+    )
+    qq = quantize_unit_np(np.asarray(query_vec, dtype=np.float64))
     qd = ((C - qq[None, :]) ** 2).sum(axis=1, dtype=np.int64)
     probe = sorted(range(len(C)), key=lambda c: (qd[c], c))[:nprobe]
-    assign = ivf_assign_udf(C)
+    assign = ivf_assign_udf(C, spherical=True)
     from universal_importer_duckdb_spark.operators.dedup_text import spread_for_compute
 
     cand = (
@@ -489,21 +510,26 @@ def ivf_topk_sql(
     sql_dot: str = "",
     sql_n2: str = "",
 ) -> str:
-    """DuckDB oracle for emb_ivf_topk: replay the integer k-means
-    training, full-table list assignment, nprobe probe selection, and
-    the order-defined exact cosine re-rank + exact-top-k audit.
-    ``sql_dot``/``sql_n2`` are the registry's list_reduce fold
-    templates (bit-identical to Spark's F.aggregate folds)."""
+    """DuckDB oracle for emb_ivf_topk: replay the SPHERICAL integer
+    k-means training (unit-normalized quantization — the same
+    cosine-serving geometry the Spark path uses), full-table list
+    assignment, nprobe probe selection, and the order-defined exact
+    cosine re-rank + exact-top-k audit. ``sql_dot``/``sql_n2`` are the
+    registry's list_reduce fold templates (bit-identical to Spark's
+    F.aggregate folds)."""
     from universal_importer_duckdb_spark.operators.int_kmeans import (
         SAMPLE_SALT,
         kmeans_ctes,
         sql_md5_28,
-        sql_qdim,
+        sql_qdim_unit,
     )
 
-    samp_hash = sql_md5_28(f"'{SAMPLE_SALT}:'||vec_id")
+    # built directly on the aliased column (r8 review: the former
+    # .replace("vec_id", "pid") surgery worked only while the salt
+    # contained no "vec_id" substring)
+    samp_hash = sql_md5_28(f"'{SAMPLE_SALT}:'||pid")
     dims = ", ".join(
-        f"{sql_qdim('embedding', i)} AS d{i}" for i in range(1, dim + 1)
+        f"{sql_qdim_unit('embedding', i)} AS d{i}" for i in range(1, dim + 1)
     )
     dist_pc = " + ".join(
         f"(p.d{i}-c.d{i})*(p.d{i}-c.d{i})" for i in range(1, dim + 1)
@@ -518,7 +544,7 @@ def ivf_topk_sql(
 WITH
 pts0 AS MATERIALIZED (SELECT vec_id AS pid, {dims} FROM embeddings WHERE vec_id > 0),
 sampids AS MATERIALIZED (SELECT pid FROM pts0
-            ORDER BY {samp_hash.replace("vec_id", "pid")}, pid
+            ORDER BY {samp_hash}, pid
             LIMIT {sample_size}),
 pts AS MATERIALIZED (SELECT p.* FROM pts0 p JOIN sampids USING (pid)),
 {kmeans_ctes('pts', dim, n_list, iters, 'cents')},

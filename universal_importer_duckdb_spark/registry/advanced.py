@@ -3207,7 +3207,11 @@ est AS (
 SELECT CAST(e.k AS BIGINT) AS user_id, e.exact_cnt, s.cms_est,
        CAST(s.cms_est - e.exact_cnt AS BIGINT) AS overcount
 FROM exact e JOIN est s USING (k)
-ORDER BY cms_est DESC, user_id LIMIT 20
+-- boundary ties break on the sketch's STRING key k, exactly as the
+-- Spark operator does (r8 review: ordering by numeric user_id here
+-- was green only because the sf0.01 tie group happens to complete
+-- rank 20 — string-vs-numeric order must not be able to diverge)
+ORDER BY cms_est DESC, e.k LIMIT 20
 """
 
 
