@@ -3010,64 +3010,98 @@ WHERE (id_a % 97 = 0) <> (id_b % 97 = 0)
 def docs_corpus_card(spark, sf_dir):
     """The per-source DATASET CARD in one aggregation pass: document
     and char/word volume, predicted-English count (the stopword-marker
-    heuristic of docs_language_id), shipped-quality-model pass count
-    (the literal-map fold of docs_shipped_quality, folded straight
-    into the group-by — no per-doc frame), and the exact-duplicate
-    surplus (docs minus distinct fingerprints). The datasheet every
-    corpus release ships; at 100 TB it is ONE map-side-combinable
-    shuffle on the source key because every signal is a narrow
-    per-row expression (countDistinct adds the standard two-phase
-    expansion). All-integer output, hash-exact oracle. Spreads the
-    single-row-group test parquet across cores first (no-op on wide
-    inputs) — the per-row folds are CPU-bound."""
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        spread_for_compute,
-    )
+    heuristic of docs_language_id — counted here over the SAME
+    lowered token array as the quality fold, so the whole card reads
+    the tokens exactly once; the case-insensitive variant is the
+    card's documented definition), shipped-quality-model pass count
+    (the literal-map fold of docs_shipped_quality), and the
+    exact-duplicate surplus (docs minus distinct fingerprints).
+
+    The r8 shape was 3.7x its oracle; decomposition showed the cost
+    was STAGES, not CPU (each exchange ~0.1 s scheduling floor at
+    bench scale, per-row folds ~0.1 s total). Now: (1) markers fold
+    over one shared lowered token array (one isin-filter per family,
+    not one filter per marker word); (2) dup surplus via a
+    (source, fp) pre-aggregation whose map-side combine collapses
+    duplicate fingerprints before the rollup — no countDistinct
+    expand, and the second shuffle is |distinct fp| rows; (3) no
+    input repartition — the fold cost is below the shuffle it paid
+    for (wide real inputs parallelize by file splits anyway); (4) the
+    n_sources-row result is ordered by coalesce(1) +
+    sortWithinPartitions instead of a range-exchange orderBy, which
+    would add a sampling job + shuffle for a handful of rows. At
+    100 TB both remaining shuffles are map-side-combinable and keyed
+    no wider than (source, md5). All-integer output, hash-exact
+    oracle."""
     from universal_importer_duckdb_spark.operators.quality_model import (
         load_quality_weights,
-        quality_signal_exprs,
     )
 
-    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
-    n_words, raw = quality_signal_exprs(load_quality_weights())
-    en, non = _marker_hits(_EN_MARKERS), _marker_hits(_NON_EN_MARKERS)
+    docs = _t(spark, sf_dir, "documents")
+    pairs: list = []
+    for tok, wt in sorted(load_quality_weights().items()):
+        pairs.append(F.lit(tok))
+        pairs.append(F.lit(int(wt)).cast("bigint"))
+    wmap = F.create_map(*pairs)
+    zero = F.lit(0).cast("bigint")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    raw = F.aggregate(
+        toks, zero, lambda acc, w: acc + F.coalesce(wmap[w], zero)
+    )
+    en = F.size(F.filter(toks, lambda w: w.isin(*_EN_MARKERS)))
+    non = F.size(F.filter(toks, lambda w: w.isin(*_NON_EN_MARKERS)))
     per_row = docs.select(
         "source",
         F.col("n_chars"),
-        n_words.alias("__nw"),
-        raw.alias("__raw"),
-        en.alias("__en"),
-        non.alias("__non"),
+        F.size(toks).cast("bigint").alias("__nw"),
+        F.struct(
+            raw.cast("bigint").alias("raw"),
+            en.cast("bigint").alias("en"),
+            non.cast("bigint").alias("non"),
+        ).alias("__f"),
         F.md5(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("__fp"),
-    ).select(
-        "source",
-        "n_chars",
-        "__nw",
-        "__en",
-        "__non",
-        "__fp",
-        F.expr(
-            "CASE WHEN __nw > 0 THEN __raw div __nw "
-            "ELSE CAST(0 AS BIGINT) END"
-        ).alias("__logit"),
+    )
+    # identical texts share every per-row signal, so summing inside the
+    # (source, fp) group then rolling up is exact
+    pre = per_row.groupBy("source", "__fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("n_chars").cast("bigint").alias("__chars"),
+        F.sum("__nw").cast("bigint").alias("__words"),
+        F.sum(
+            F.when(F.col("__f.en") > F.col("__f.non"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__en"),
+        F.sum(
+            F.when(
+                F.expr(
+                    "CASE WHEN __nw > 0 THEN __f.raw div __nw "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+                >= 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__q"),
     )
     return (
-        per_row.groupBy("source")
+        pre.groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.sum("__nw").cast("bigint").alias("total_words"),
-            F.sum(F.when(F.col("__en") > F.col("__non"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_pred_en"),
-            F.sum(F.when(F.col("__logit") >= 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_quality"),
-            (F.count(F.lit(1)) - F.countDistinct("__fp"))
+            F.sum("__n").cast("bigint").alias("n_docs"),
+            F.sum("__chars").cast("bigint").alias("total_chars"),
+            F.sum("__words").cast("bigint").alias("total_words"),
+            F.sum("__en").cast("bigint").alias("n_pred_en"),
+            F.sum("__q").cast("bigint").alias("n_quality"),
+            (F.sum("__n") - F.count(F.lit(1)))
             .cast("bigint")
             .alias("n_exact_dup_surplus"),
         )
-        .orderBy("source")
+        .coalesce(1)
+        .sortWithinPartitions("source")
     )
 
 
@@ -3080,8 +3114,19 @@ def _corpus_card_sql() -> str:
         "('{}', {})".format(tok.replace("'", "''"), wt)
         for tok, wt in sorted(load_quality_weights().items())
     )
-    en = _sql_marker_hits(_EN_MARKERS)
-    non = _sql_marker_hits(_NON_EN_MARKERS)
+
+    # the card counts markers over the lowered token stream (same pass
+    # as the quality fold); empty tokens can never equal a marker, so
+    # the empty-filter is irrelevant to the count
+    def lowered_hits(markers):
+        return " + ".join(
+            "len(list_filter(string_split(lower(COALESCE(text, '')), ' '),"
+            f" w -> w = '{m}'))"
+            for m in markers
+        )
+
+    en = lowered_hits(_EN_MARKERS)
+    non = lowered_hits(_NON_EN_MARKERS)
     return f"""
 WITH w(tok, wt) AS (VALUES {rows}),
 tk AS (
