@@ -29,8 +29,10 @@ per-cluster kernel is an exact integer GEMM whose working set is
 chunked to O(chunk * |cluster|) — but |cluster| itself must stay
 bounded, so at corpus scale ``n_clusters`` scales WITH the corpus
 (the paper uses 50k clusters for LAION-440M; cluster size, not
-corpus size, is the knob). Skewed clusters are visible in the
-assignment output (group-by count) before the pruning pass runs.
+corpus size, is the knob). That contract is ENFORCED, not hoped for:
+``max_cluster_size`` (default 100k) fails the pruning task with an
+actionable error when a skewed or under-clustered corpus would ship
+an unbounded pandas group into executor memory.
 
 Cross-engine determinism: every quantity is BIGINT (quantized
 coordinates < 2^22, pairwise 64-dim distances < 2^50, GEMM dot
@@ -53,6 +55,12 @@ from pyspark.sql import functions as F
 # synthetic embeddings; prunes ~8% at sf0.01 and ~19% at sf0.1.
 EPS2_DEFAULT = 1_250_000_000_000
 
+# Bounded-cluster cap: 100k members x 64 dims x 8 bytes = ~50 MB of
+# quantized vectors per pandas group (plus the O(chunk * m) GEMM
+# working set) — comfortably inside one executor task. A corpus that
+# trips it needs more clusters, not a bigger cap.
+MAX_CLUSTER_SIZE_DEFAULT = 100_000
+
 
 def semdedup(
     df: DataFrame,
@@ -64,6 +72,7 @@ def semdedup(
     iters: int = 5,
     centroids=None,
     emit_q: bool = False,
+    max_cluster_size: int | None = MAX_CLUSTER_SIZE_DEFAULT,
 ) -> DataFrame:
     """Per-vector SemDeDup verdicts: ``(vec_id, cluster, d2, kept)``.
 
@@ -78,6 +87,19 @@ def semdedup(
     ``emit_q`` adds each KEPT row's quantized vector to the output
     (artifact-building callers read it instead of re-scanning the
     corpus); the registry entry keeps the scalar-only default.
+
+    ``max_cluster_size`` ENFORCES the bounded-cluster contract the
+    module docstring states (cluster size, not corpus size, must stay
+    bounded): a pandas group larger than the cap fails the task with
+    an actionable error instead of silently shipping an unbounded
+    group into executor memory — the same guard class as
+    ``bucket_pairs``' ``max_bucket_size``, except SemDeDup must not
+    silently DROP a cluster (that would flip verdicts), so the guard
+    raises. The check runs inside the kernel: zero cost when healthy,
+    and the failure names the cluster and the fix (raise
+    ``n_clusters`` so expected cluster size = corpus / n_clusters
+    stays under the cap, as the paper does — 50k clusters for
+    LAION-440M). ``None`` disables the guard.
     """
     from universal_importer_duckdb_spark.operators.similarity import (
         ivf_train_centroids,
@@ -95,8 +117,18 @@ def semdedup(
         assigned = assigned.withColumnRenamed(id_col, "vec_id")
 
     eps2_i = int(eps2)
+    cap = None if max_cluster_size is None else int(max_cluster_size)
 
     def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if cap is not None and len(pdf) > cap:
+            raise ValueError(
+                f"SemDeDup cluster {int(pdf['cluster'].iloc[0])} holds "
+                f"{len(pdf)} members, above max_cluster_size={cap}. "
+                "Cluster size, not corpus size, bounds this kernel's "
+                "memory: raise n_clusters so corpus/n_clusters stays "
+                "under the cap (SemDeDup scales cluster count with the "
+                "corpus), or raise max_cluster_size deliberately."
+            )
         ids = pdf["vec_id"].to_numpy()
         dd = pdf["d2"].to_numpy()
         Q = np.asarray(pdf["q"].tolist(), dtype=np.int64)
@@ -182,6 +214,7 @@ def incremental_semdedup(
     id_col: str = "vec_id",
     sample_size: int = 2048,
     iters: int = 5,
+    max_cluster_size: int | None = MAX_CLUSTER_SIZE_DEFAULT,
 ) -> DataFrame:
     """Admission control for newly-ingested vectors against a
     SemDeDup'd at-rest corpus: an arriving vector is ADMITTED iff no
@@ -204,7 +237,8 @@ def incremental_semdedup(
     members, never the corpus).
     """
     C, kept_q = at_rest_artifacts(
-        at_rest, n_clusters, eps2, vec_col, id_col, sample_size, iters
+        at_rest, n_clusters, eps2, vec_col, id_col, sample_size, iters,
+        max_cluster_size=max_cluster_size,
     )
     assigned = _assign_with_q(arriving, C, vec_col, id_col)
     return _admit_against_kept(assigned, kept_q, eps2)
@@ -218,6 +252,7 @@ def at_rest_artifacts(
     id_col: str = "vec_id",
     sample_size: int = 2048,
     iters: int = 5,
+    max_cluster_size: int | None = MAX_CLUSTER_SIZE_DEFAULT,
 ):
     """The deployed admission state: the trained centroid matrix and
     the (cluster, quantized-vector) frame of KEPT at-rest members. In
@@ -236,7 +271,7 @@ def at_rest_artifacts(
     # needs no second corpus scan or join
     verdicts = semdedup(
         at_rest, n_clusters, eps2, vec_col, id_col, sample_size, iters,
-        centroids=C, emit_q=True,
+        centroids=C, emit_q=True, max_cluster_size=max_cluster_size,
     )
     kept_q = verdicts.filter(F.col("kept")).select(
         "cluster", F.col("q").alias("qk")
