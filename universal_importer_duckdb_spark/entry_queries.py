@@ -167,70 +167,91 @@ def oracle_sql():
 #  orders_quantile_envelope, orders_zorder_codes, part_fuzzy_matches,
 #  stream_click_purchase_join, stream_incremental_upsert_state,
 #  stream_session_windows, stream_simhash_neardup_dedup.
-_R8_WINDOW = (
-    # ---- changed this round: re-verify (PQ/IVF first hash checks) ----
-    "emb_pq_codes",
-    "emb_pq_adc_topk",
-    "emb_ivf_topk",
-    "docs_dsir_importance",
-    "docs_dsir_resample",
-    "docs_top_collocations",
-    "docs_tokenizer_fertility",
-    "docs_contamination_spans",
-    "docs_decontaminated_text",
-    # ---- the full r4-era staleness backlog (last checked r4) ----
-    "anti_join_customers_no_orders",
-    "cheapest_supplier_per_part",
-    "cube_revenue",
-    "distinct_segments",
-    "docs_vocab_topk",
-    "except_customers_without_orders",
-    "fk_orphan_orders",
-    "in_subquery_sql",
-    "intersect_multi_status_customers",
-    "monthly_revenue",
-    "percentile_order_value",
-    "pivot_status_by_segment",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q8_market_share",
-    "rank_customers_by_segment",
-    "rule_multi_skip_orders",
-    "salted_distinct_suppliers",
-    "semi_join_open_order_customers",
-    "string_functions_customers",
-    "top_customers",
-    "union_all_key_space",
-    "validate_customer_errors",
-    "validate_customer_valid",
-    "window_analytics_orders",
-    # ---- r5-era fillers (touched-module risk first) ----
-    "docs_bpe_learn_merges",
-    # ---- born this round: checked immediately, no coverage debt ----
-    "emb_semdedup",
-    "emb_kmeans_clusters",
-    "stream_dsir_scores",
-    "docs_fuzzy_benchmark_contamination",
+# Round-9 roster (below) — exactly what the r8 tail comment promised:
+#  1. The SIX intentionally-unchecked r8 births lead (the first
+#     coverage debt since r4; local parity green at sf0.001/sf0.01 +
+#     property-tested, but no CORRECTNESS row yet).
+#  2. The seven entries the late-r8 amendments displaced, plus
+#     docs_bpe_token_counts — with the r5-era block below this takes
+#     every r5-era certification (38 entries, the oldest on the
+#     board) through the window.
+#  3. The two entries whose implementation changed in r9:
+#     docs_corpus_card (one-token-pass + fingerprint pre-agg rollup,
+#     oracle's marker scan re-lowered to match) and emb_semdedup
+#     (semdedup.py gained the max_cluster_size guard — verdicts
+#     unchanged, kernel changed, so it re-certifies).
+#  4. Four slots for the r9 births; until those land they hold the
+#     highest-risk r6-era entries (similarity.py churned in r8:
+#     emb_hard_negatives — also the r8 perf watch item —
+#     emb_semdedup_clusters, emb_cosine_topk, emb_knn_join).
+#  After r9 the remaining staleness tail is the other 40 r6-era
+#  entries — they are the committed r10 roster body, plus whatever
+#  r9 changes or births displace into it.
+_R9_WINDOW = (
+    # ---- the six unchecked r8 births: certify first ----
+    "emb_incremental_semdedup",
+    "stream_semdedup_ingest",
+    "docs_multisignal_admission",
+    "stream_multisignal_admission",
+    "docs_cluster_aware_split",
+    "docs_softdedup_weights",
+    # ---- displaced by the late-r8 amendments ----
+    "docs_simhash_neardup",
+    "docs_neardup_clusters",
+    "docs_minhash_lsh_neardup",
+    "pipeline_flagship",
+    "multimodal_audio_features",
+    "multimodal_image_features",
+    "emb_quantize_int8",
+    "docs_bpe_token_counts",
+    # ---- changed in r9: re-verify ----
     "docs_corpus_card",
-    "docs_shuffle_shards",
-    "events_heavy_hitters_cms",
-    "stream_heavy_hitters_cms",
+    "emb_semdedup",
+    # ---- the r5-era staleness block (last checked r5) ----
+    "approx_distinct_customers_monthly",
+    "docs_benchmark_contamination",
+    "docs_char_trigram_familiarity",
+    "docs_chunk_for_training",
+    "docs_corpus_assembly_pipeline",
+    "docs_domain_cap",
+    "docs_hash_split",
+    "docs_pii_scrub",
+    "docs_priority_sample",
+    "docs_repetition_signals",
+    "docs_source_mixture",
+    "docs_stratified_sample",
+    "docs_tokens_udtf",
+    "docs_training_pipeline",
+    "events_changelog_state",
+    "events_merge_upsert_state",
+    "events_resample_interpolate",
+    "events_retention_cohorts",
+    "events_robust_outliers",
+    "events_scd2_history",
+    "events_transition_matrix",
+    "orders_data_profile",
+    "orders_grouping_sets",
+    "orders_quantile_envelope",
+    "orders_zorder_codes",
+    "part_fuzzy_matches",
+    "stream_click_purchase_join",
+    "stream_incremental_upsert_state",
+    "stream_session_windows",
+    "stream_simhash_neardup_dedup",
+    # ---- r9-birth slots (r6-era risk fillers until births land) ----
+    "emb_hard_negatives",
+    "emb_semdedup_clusters",
+    "emb_cosine_topk",
+    "emb_knn_join",
 )
 
 
 def _finalize_registry() -> None:
-    rank = {n: i for i, n in enumerate(_R8_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R9_WINDOW)}
 
     def key(kv: tuple[str, tuple]) -> int:
         name, _ = kv
-        return rank.get(name, len(_R8_WINDOW))
+        return rank.get(name, len(_R9_WINDOW))
 
     ordered = dict(sorted(REGISTRY.items(), key=key))
     REGISTRY.clear()
