@@ -575,28 +575,7 @@ def contamination_spans(
     ``(doc_id, span_start, span_end, n_grams)`` with 1-based token
     positions, inclusive.
     """
-    base = docs.select(
-        F.col(id_col),
-        F.split(F.lower(F.col(text_col)), " ").alias("__toks"),
-    )
-    toks = F.col("__toks")
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    positioned = base.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    i.alias("i"),
-                    _md5_28(
-                        F.array_join(F.slice(toks, i, n), " ")
-                    ).alias("gram"),
-                ),
-            )
-        ).alias("g"),
-    ).select(id_col, F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    positioned = positioned_ngrams(docs, n, text_col, id_col)
 
     # left-semi against the (non-deduplicated) benchmark gram stream:
     # each window matches at most once regardless of how many
@@ -611,7 +590,49 @@ def contamination_spans(
         F.col("i").alias("s"),
         (F.col("i") + (n - 1)).alias("e"),
     )
+    return merge_token_spans(hits, id_col)
 
+
+def positioned_ngrams(
+    docs: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every word n-gram window WITH its 1-based start position:
+    ``(id, i, gram)`` where gram is the md5-28 hash of the lowered
+    space-joined window — the positional explode shared by span-level
+    decontamination and cross-doc substring self-dedup. 8-byte gram +
+    int offset per window, nothing wider."""
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("i"),
+                    _md5_28(
+                        F.array_join(F.slice(toks, i, n), " ")
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+
+
+def merge_token_spans(hits: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gaps-and-islands merge of ``(id, s, e)`` token windows into
+    maximal intervals: a running max(e) window PER DOCUMENT, so only
+    hit windows shuffle, never the corpus. Output
+    ``(id, span_start, span_end, n_grams)``, 1-based inclusive."""
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("s")
@@ -640,6 +661,52 @@ def contamination_spans(
         )
         .select(id_col, "span_start", "span_end", "n_grams")
     )
+
+
+def cross_doc_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring corpus SELF-dedup at span level (the
+    deduplicate-training-data operation of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): a token window is DUPLICATED when the
+    identical n-gram occurs in an EARLIER document (min doc_id over
+    the gram's occurrences < this doc's id — the engine's standard
+    first-occurrence-keeps rule, so the first document containing a
+    passage keeps it and every later copy gets an excision span).
+    Duplicated windows merge into maximal per-document intervals via
+    the shared gaps-and-islands kernel; feeding the result to
+    :func:`excise_spans` yields the self-deduplicated corpus.
+
+    Shape — and why it scales where a suffix array does not shard:
+    the positional gram explode is one narrow stream (8-byte hash +
+    int offset); the earliest-holder test is ``min(id) OVER
+    (PARTITION BY gram)`` — ONE hash exchange on the gram key with no
+    self-join and no global sort (suffix-array construction is a
+    global order; this is the same verdict computed groupwise); the
+    island merge then shuffles only duplicated windows. Intra-doc
+    repeats are deliberately NOT spans here (the intradoc segment
+    entry owns those): a gram whose earliest holder is this document
+    marks only the LATER documents.
+
+    Output: ``(doc_id, span_start, span_end, n_grams)`` — 1-based
+    inclusive token positions, all-integer, hash-exact oracle.
+    """
+    positioned = positioned_ngrams(docs, n, text_col, id_col)
+    earliest = F.min(id_col).over(Window.partitionBy("gram"))
+    hits = (
+        positioned.withColumn("__first", earliest)
+        .filter(F.col("__first") < F.col(id_col))
+        .select(
+            id_col,
+            F.col("i").alias("s"),
+            (F.col("i") + (n - 1)).alias("e"),
+        )
+    )
+    return merge_token_spans(hits, id_col)
 
 
 def excise_spans(

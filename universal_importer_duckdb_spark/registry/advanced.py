@@ -3611,6 +3611,129 @@ FROM c JOIN s USING (cluster_id)
 """
 
 
+# ======================================================================
+# Round-9 births: exact-substring self-dedup, binary-sign ANN,
+# Matryoshka truncation audit, trigram-rank language ID
+# ======================================================================
+
+
+def docs_selfdup_spans(spark, sf_dir):
+    """Exact-substring corpus SELF-dedup spans (operators/corpus.py::
+    cross_doc_duplicate_spans — the Lee et al. 2022 operation): the
+    merged token intervals of every 8-gram that already occurs in an
+    EARLIER document. First-occurrence-keeps: the earliest holder of
+    a passage keeps it, every later copy gets an excision span —
+    feeding excise_spans yields the self-deduplicated corpus. ONE
+    gram-keyed exchange computes the earliest-holder verdict (min
+    over a window — no self-join, no suffix-array global sort), and
+    only duplicated windows reach the per-doc island merge.
+    All-integer output, hash-exact oracle."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        cross_doc_duplicate_spans,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    return cross_doc_duplicate_spans(docs, n=8)
+
+
+SELFDUP_SPANS_SQL = """
+WITH g AS (
+  SELECT doc_id, toks, len(toks) AS nt
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents)),
+pos AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(toks, i, i + 7), ' ')), 1, 7))::BIGINT AS gram
+  FROM g, unnest(range(1, nt - 6)) AS u(i)
+  WHERE nt >= 8),
+hits AS (
+  SELECT doc_id, i AS s, i + 7 AS e
+  FROM (SELECT p.*, MIN(doc_id) OVER (PARTITION BY gram) AS mind
+        FROM pos p)
+  WHERE mind < doc_id),
+isl AS (
+  SELECT *, CASE WHEN s > COALESCE(MAX(e) OVER (
+      PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS nw
+  FROM hits),
+isl2 AS (
+  SELECT *, SUM(nw) OVER (
+      PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+def emb_sign_hamming_topk(spark, sf_dir):
+    """Binary (sign) quantization ANN (operators/similarity.py::
+    sign_hamming_topk): 1-bit-per-dimension compression, XOR+popcount
+    Hamming candidate scan (no floats touched until re-rank),
+    top-100 candidates by (hamming, id), exact order-defined cosine
+    top-10 among them. The third ANN family next to the hyperplane
+    LSH and IVF entries — zero training, 64x storage compression,
+    deterministic end to end."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        sign_hamming_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    return sign_hamming_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_candidates=100
+    )
+
+
+def _sign_sql(expr: str, start: int, width: int) -> str:
+    return (
+        "list_reduce(list_apply(list_reverse(list_slice("
+        f"{expr}, {start}, {start + width - 1})), "
+        "x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END), "
+        "(acc, x) -> acc + acc + x)"
+    )
+
+
+def _sign_hamming_sql(
+    k: int = 10, n_candidates: int = 100, dim: int = 64
+) -> str:
+    half = dim // 2
+    v = "embedding::DOUBLE[]"
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT {_sign_sql('qv', 1, half)} AS qhi,
+              {_sign_sql('qv', half + 1, dim - half)} AS qlo FROM q),
+s AS (SELECT vec_id, {v} AS v,
+             {_sign_sql(v, 1, half)} AS hi,
+             {_sign_sql(v, half + 1, dim - half)} AS lo
+      FROM embeddings WHERE vec_id > 0),
+cand AS (
+  SELECT s.vec_id, s.v,
+         CAST(bit_count(xor(s.hi, qs.qhi))
+              + bit_count(xor(s.lo, qs.qlo)) AS BIGINT) AS hamming
+  FROM s, qs ORDER BY hamming, vec_id LIMIT {n_candidates}),
+sc AS (SELECT vec_id, hamming,
+              {_SQL_DOT.format(a="v", b="qv")} AS dot,
+              {_SQL_N2.format(a="v")} AS n1,
+              {_SQL_N2.format(a="qv")} AS n2
+       FROM cand, q)
+SELECT vec_id, hamming, dot/(sqrt(n1)*sqrt(n2)) AS cosine
+FROM sc ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+REGISTRY.update({
+    "docs_selfdup_spans": (docs_selfdup_spans, SELFDUP_SPANS_SQL),
+    "emb_sign_hamming_topk": (emb_sign_hamming_topk, _sign_hamming_sql()),
+})
+
+
 REGISTRY.update({
     "docs_cluster_aware_split": (
         docs_cluster_aware_split, CLUSTER_AWARE_SPLIT_SQL,
