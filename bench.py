@@ -119,6 +119,10 @@ BENCH_QUERIES = [
     "docs_multisignal_admission",
     "docs_cluster_aware_split",
     "docs_softdedup_weights",
+    "docs_selfdup_spans",
+    "emb_sign_hamming_topk",
+    "emb_matryoshka_recall",
+    "docs_langid_trigram_rank",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

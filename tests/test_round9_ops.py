@@ -120,3 +120,104 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
         recalls.append(len(got & exact) / k)
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] == 1.0, recalls
+
+
+# -------------------------------------------- r9 births
+def test_trigram_langid_classifies_distinct_languages(spark):
+    """On a corpus whose languages actually differ (unlike the
+    synthetic tables, where labels share one vocabulary), the
+    rank-profile classifier must recover every training label."""
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        trigram_rank_langid,
+    )
+
+    en = "the quick brown fox jumps over the lazy dog and the cat with them"
+    de = "der schnelle braune fuchs springt ueber den faulen hund und die katze"
+    fr = "le rapide renard brun saute par dessus le chien paresseux et le chat"
+    rows = []
+    for i, (lang, base) in enumerate(
+        [("en", en), ("de", de), ("fr", fr)] * 4
+    ):
+        rows.append((i, lang, base + f" extra {lang} words here {i % 3}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = {r.doc_id: r for r in trigram_rank_langid(docs, m=50, n=20).collect()}
+    assert len(out) == len(rows)
+    correct = sum(1 for r in out.values() if r.pred_lang == r.lang)
+    assert correct == len(rows), [
+        (r.doc_id, r.lang, r.pred_lang) for r in out.values()
+    ]
+    assert all(r.dist >= 0 for r in out.values())
+
+
+def test_selfdup_spans_first_occurrence_keeps(spark):
+    """A passage pasted into three docs marks spans only in the two
+    LATER ones; the earliest holder and an unrelated doc are clean."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        cross_doc_duplicate_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))  # 12 tokens, n=8
+    rows = [
+        (1, "prefix one two three " + shared),
+        (2, shared + " suffix alpha beta"),
+        (3, "a b c " + shared + " tail"),
+        (4, " ".join(f"u{i}" for i in range(20))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = cross_doc_duplicate_spans(docs, n=8)
+    got = {r.doc_id: (r.span_start, r.span_end) for r in spans.collect()}
+    assert 1 not in got and 4 not in got
+    # doc 2: shared passage starts at token 1, spans tokens 1..12
+    assert got[2] == (1, 12)
+    # doc 3: after 3 filler tokens, spans tokens 4..15
+    assert got[3] == (4, 15)
+
+
+def test_sign_hamming_topk_exactness_on_candidates(spark):
+    """The Hamming pre-filter must never change the scores: every
+    returned cosine equals the exact full-scan cosine for that id,
+    and self-similarity ranks first when the query is in the corpus."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        sign_hamming_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pyspark.sql.functions as SF
+
+    qv = [
+        float(x)
+        for x in emb.filter(SF.col("vec_id") == 0).collect()[0].embedding
+    ]
+    corpus = emb  # query INCLUDED: its own hamming is 0, cosine 1.0
+    got = sign_hamming_topk(corpus, qv, k=5, n_candidates=50).collect()
+    assert got[0].vec_id == 0 and got[0].hamming == 0
+    assert abs(got[0].cosine - 1.0) < 1e-12
+    exact = {
+        r.vec_id: r.cosine for r in cosine_topk(corpus, qv, k=500).collect()
+    }
+    for r in got:
+        assert exact[r.vec_id] == r.cosine
+
+
+def test_matryoshka_recall_bounds_and_full_dim_identity(spark):
+    """Full-width overlap is k/k by construction; every tier's
+    overlap is within [0, k]; dims come back sorted."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+    import pyspark.sql.functions as SF
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [
+        float(x)
+        for x in emb.filter(SF.col("vec_id") == 0).collect()[0].embedding
+    ]
+    rows = matryoshka_recall(
+        emb.filter(SF.col("vec_id") > 0), qv, dims=(8, 16, 32, 64), k=10
+    ).collect()
+    assert [r.dim for r in rows] == [8, 16, 32, 64]
+    for r in rows:
+        assert 0 <= r.n_overlap <= 10
+        assert r.recall_milli == r.n_overlap * 100
+    assert rows[-1].n_overlap == 10

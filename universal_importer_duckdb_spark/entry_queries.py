@@ -180,13 +180,18 @@ def oracle_sql():
 #     oracle's marker scan re-lowered to match) and emb_semdedup
 #     (semdedup.py gained the max_cluster_size guard — verdicts
 #     unchanged, kernel changed, so it re-certifies).
-#  4. Four slots for the r9 births; until those land they hold the
-#     highest-risk r6-era entries (similarity.py churned in r8:
-#     emb_hard_negatives — also the r8 perf watch item —
-#     emb_semdedup_clusters, emb_cosine_topk, emb_knn_join).
-#  After r9 the remaining staleness tail is the other 40 r6-era
-#  entries — they are the committed r10 roster body, plus whatever
-#  r9 changes or births displace into it.
+#  4. The four r9 births take the last slots so the registry keeps
+#     zero never-checked entries: docs_selfdup_spans (exact-substring
+#     corpus self-dedup, Lee et al. 2022), emb_sign_hamming_topk
+#     (binary-sign-quantization ANN), emb_matryoshka_recall
+#     (prefix-truncation retrieval audit), docs_langid_trigram_rank
+#     (Cavnar-Trenkle rank-profile language ID). The r6-era risk
+#     fillers that provisionally held these slots
+#     (emb_hard_negatives, emb_semdedup_clusters, emb_cosine_topk,
+#     emb_knn_join — the r8-churned similarity.py family, the first
+#     also the r8 perf watch item) are DISPLACED: they lead the r10
+#     roster, ahead of the remaining 40 r6-era entries that form its
+#     body, plus whatever r10 changes or births displace into it.
 _R9_WINDOW = (
     # ---- the six unchecked r8 births: certify first ----
     "emb_incremental_semdedup",
@@ -238,11 +243,11 @@ _R9_WINDOW = (
     "stream_incremental_upsert_state",
     "stream_session_windows",
     "stream_simhash_neardup_dedup",
-    # ---- r9-birth slots (r6-era risk fillers until births land) ----
-    "emb_hard_negatives",
-    "emb_semdedup_clusters",
-    "emb_cosine_topk",
-    "emb_knn_join",
+    # ---- born this round: checked immediately, no coverage debt ----
+    "docs_selfdup_spans",
+    "emb_sign_hamming_topk",
+    "emb_matryoshka_recall",
+    "docs_langid_trigram_rank",
 )
 
 

@@ -300,6 +300,88 @@ def sign_hamming_topk(
     )
 
 
+def matryoshka_recall(
+    df: DataFrame,
+    query_vec: list[float],
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka/MRL truncation audit: before serving prefix-
+    truncated embeddings (the Kusupati et al. 2022 deployment trick —
+    keep the first d dimensions, cut index cost d/dim), measure what
+    truncation does to retrieval. For each prefix width d, take the
+    exact cosine top-k under the truncated geometry (slice both sides
+    to d, fold, rank) and report its overlap with the full-dimension
+    top-k: ``(dim, n_overlap, recall_milli)``.
+
+    Every tier's dot/norm is an independent order-defined fold over
+    its own slice (NOT an incremental sum over the previous tier —
+    a different association would drift a ulp from the oracle's
+    list_reduce). Each tier is a per-partition takeOrdered over the
+    scored scan — no shuffle of the corpus — and the overlap join
+    broadcasts the k-row full-dim reference. On synthetic isotropic
+    vectors recall decays steeply with truncation (there is no MRL
+    training pulling information into the prefix) — the audit is the
+    point: it certifies the measurement pipeline a real deployment
+    runs on its own trained embeddings."""
+    from functools import reduce
+
+    vd = F.col(vec_col).cast("array<double>")
+
+    def topk_for(d: int) -> DataFrame:
+        q = F.array(*[F.lit(float(x)) for x in query_vec[:d]])
+        return (
+            df.select(F.col(id_col), cosine(F.slice(vd, 1, d), q).alias("__c"))
+            .orderBy(F.desc("__c"), id_col)
+            .limit(k)
+            .select(
+                F.lit(d).cast("bigint").alias("dim"),
+                F.col(id_col),
+            )
+        )
+
+    # the full-dim reference IS the widest tier's id set — reuse it
+    # (k rows, localCheckpoint) instead of a fifth takeOrdered scan
+    full = (
+        topk_for(len(query_vec))
+        .select(F.col(id_col).alias("__fid"))
+        .localCheckpoint(eager=False)
+    )
+    tiers = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            topk_for(d) if d != len(query_vec)
+            else full.select(
+                F.lit(int(d)).cast("bigint").alias("dim"),
+                F.col("__fid").alias(id_col),
+            )
+            for d in dims
+        ],
+    )
+    return (
+        tiers.join(
+            F.broadcast(full), tiers[id_col] == full["__fid"], "left"
+        )
+        .groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("__fid").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .select(
+            "dim",
+            "n_overlap",
+            F.expr(f"CAST(n_overlap * 1000 div {int(k)} AS BIGINT)").alias(
+                "recall_milli"
+            ),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("dim")
+    )
+
+
 def hard_negative_pairs(
     df: DataFrame,
     label_col: str = "label",

@@ -3728,9 +3728,116 @@ FROM sc ORDER BY cosine DESC, vec_id LIMIT {k}
 """
 
 
+def emb_matryoshka_recall(spark, sf_dir):
+    """Matryoshka/MRL truncation audit (operators/similarity.py::
+    matryoshka_recall): per prefix width d in {8,16,32,64}, the exact
+    cosine top-10 under the truncated geometry and its overlap with
+    the full-dimension top-10 — the recall-vs-storage curve a
+    deployment reads before serving truncated embeddings. Each tier
+    is an independent order-defined fold over its own slice +
+    per-partition takeOrdered; the overlap join broadcasts the 10-row
+    reference. All-integer output."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    return matryoshka_recall(
+        emb, _query_vec(spark, sf_dir), dims=(8, 16, 32, 64), k=10
+    )
+
+
+def _matryoshka_sql(dims=(8, 16, 32, 64), k: int = 10) -> str:
+    def tier(d: int) -> str:
+        v = f"list_slice(v, 1, {d})"
+        q = f"list_slice(qv, 1, {d})"
+        return f"""
+  SELECT {d}::BIGINT AS dim, vec_id FROM (
+    SELECT vec_id,
+           {_SQL_DOT.format(a=v, b=q)}
+             / (sqrt({_SQL_N2.format(a=v)}) * sqrt({_SQL_N2.format(a=q)}))
+             AS c
+    FROM s, q) ORDER BY c DESC, vec_id LIMIT {k}"""
+
+    tiers = "\nUNION ALL\n".join(f"({tier(d)})" for d in dims)
+    full = tier(max(dims)).replace(f"{max(dims)}::BIGINT AS dim, ", "")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id > 0),
+fullk AS ({full}),
+u AS ({tiers})
+SELECT u.dim, CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+            // {k} AS BIGINT) AS recall_milli
+FROM u LEFT JOIN fullk f USING (vec_id)
+GROUP BY u.dim ORDER BY u.dim
+"""
+
+
+def docs_langid_trigram_rank(spark, sf_dir):
+    """Cavnar-Trenkle trigram rank-profile language ID (operators/
+    text_analysis.py::trigram_rank_langid): per-language top-50
+    trigram profiles self-trained from the labeled corpus, per-doc
+    top-20 profiles, out-of-place rank distance, argmin prediction —
+    the classic pre-neural classifier, upgraded from the stopword-
+    marker heuristic of docs_language_id. All-integer distances,
+    hash-exact oracle. (On THIS synthetic corpus every lang label
+    draws from one shared vocabulary, so predictions certify
+    determinism, not accuracy — tests/test_round9_ops.py pins real
+    classification quality on a multilingual fixture.)"""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        trigram_rank_langid,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    return trigram_rank_langid(docs, m=50, n=20)
+
+
+def _langid_trigram_sql(m: int = 50, n: int = 20) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, lower(COALESCE(text, '')) AS t FROM documents),
+tri AS (
+  SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS tg
+  FROM base, unnest(range(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 3),
+dc AS (SELECT doc_id, lang, tg, COUNT(*) AS c FROM tri GROUP BY ALL),
+dp AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, tg) AS drank
+    FROM dc) WHERE drank <= {n}),
+lc AS (SELECT lang, tg, COUNT(*) AS c FROM tri GROUP BY ALL),
+lp AS (SELECT * FROM (
+    SELECT lang AS plang, tg,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY c DESC, tg) AS lrank
+    FROM lc) WHERE lrank <= {m}),
+terms AS (SELECT doc_id, lang, COUNT(*) AS nt FROM dp GROUP BY ALL),
+sc AS (SELECT d.doc_id, p.plang,
+              SUM({m} - abs(d.drank - p.lrank)) AS gain
+       FROM dp d JOIN lp p USING (tg) GROUP BY ALL),
+best AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY gain DESC, plang) AS rn
+    FROM sc) WHERE rn = 1)
+SELECT t.doc_id, t.lang, COALESCE(b.plang, 'und') AS pred_lang,
+       CAST(t.nt * {m} - COALESCE(b.gain, 0) AS BIGINT) AS dist
+FROM terms t LEFT JOIN best b USING (doc_id)
+"""
+
+
 REGISTRY.update({
     "docs_selfdup_spans": (docs_selfdup_spans, SELFDUP_SPANS_SQL),
     "emb_sign_hamming_topk": (emb_sign_hamming_topk, _sign_hamming_sql()),
+    "emb_matryoshka_recall": (emb_matryoshka_recall, _matryoshka_sql()),
+    "docs_langid_trigram_rank": (
+        docs_langid_trigram_rank, _langid_trigram_sql(),
+    ),
 })
 
 
