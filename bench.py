@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "emb_sign_hamming_topk",
     "emb_matryoshka_recall",
     "docs_langid_trigram_rank",
+    "docs_selfdedup_text",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

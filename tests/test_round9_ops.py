@@ -221,3 +221,54 @@ def test_matryoshka_recall_bounds_and_full_dim_identity(spark):
         assert 0 <= r.n_overlap <= 10
         assert r.recall_milli == r.n_overlap * 100
     assert rows[-1].n_overlap == 10
+
+
+def test_selfdedup_text_earliest_holder_untouched(spark):
+    """Excision composes with the span audit: the earliest holder and
+    unrelated docs keep their text verbatim; later copies lose
+    exactly their duplicated tokens."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        cross_doc_duplicate_spans,
+        excise_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, "prefix one two three " + shared),
+        (2, shared + " suffix alpha beta"),
+        (4, " ".join(f"u{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in excise_spans(
+            docs, cross_doc_duplicate_spans(docs, n=8)
+        ).collect()
+    }
+    assert out[1].clean_text == rows[0][1]
+    assert out[1].n_tokens_removed == 0
+    assert out[4].clean_text == rows[2][1]
+    assert out[2].clean_text == "suffix alpha beta"
+    assert out[2].n_tokens_removed == 12
+
+
+def test_stream_langid_equals_batch(spark, sf_dir):
+    """The ingest twin scored against the held profile must equal the
+    batch classifier row-for-row — same ids, labels, predictions,
+    and distances."""
+    from universal_importer_duckdb_spark import entry_queries as eq
+
+    batch = sorted(
+        (r.doc_id, r.lang, r.pred_lang, r.dist)
+        for r in eq.REGISTRY["docs_langid_trigram_rank"][0](
+            spark, sf_dir
+        ).collect()
+    )
+    stream = sorted(
+        (r.doc_id, r.lang, r.pred_lang, r.dist)
+        for r in eq.REGISTRY["stream_langid_scores"][0](
+            spark, sf_dir
+        ).collect()
+    )
+    assert stream == batch
+    assert len(batch) > 0

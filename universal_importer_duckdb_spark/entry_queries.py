@@ -192,6 +192,17 @@ def oracle_sql():
 #     also the r8 perf watch item) are DISPLACED: they lead the r10
 #     roster, ahead of the remaining 40 r6-era entries that form its
 #     body, plus whatever r10 changes or births displace into it.
+#  Late-r9 amendment: two more births (docs_selfdedup_text — the
+#  excision composition of docs_selfdup_spans — and
+#  stream_langid_scores, the stateless ingest twin of
+#  docs_langid_trigram_rank) take the slots of docs_hash_split and
+#  docs_benchmark_contamination. Both demotions are SAFE: hash_split
+#  is exercised in-window through docs_cluster_aware_split (which
+#  composes it over near-dup families), and the exact 8-gram screen
+#  of benchmark_contamination is the first stage of the in-window
+#  selfdup/span family (identical positioned-gram machinery);
+#  both are local-parity green at sf0.001/sf0.01 this session.
+#  They join the displaced set at the r10 head.
 _R9_WINDOW = (
     # ---- the six unchecked r8 births: certify first ----
     "emb_incremental_semdedup",
@@ -214,12 +225,10 @@ _R9_WINDOW = (
     "emb_semdedup",
     # ---- the r5-era staleness block (last checked r5) ----
     "approx_distinct_customers_monthly",
-    "docs_benchmark_contamination",
     "docs_char_trigram_familiarity",
     "docs_chunk_for_training",
     "docs_corpus_assembly_pipeline",
     "docs_domain_cap",
-    "docs_hash_split",
     "docs_pii_scrub",
     "docs_priority_sample",
     "docs_repetition_signals",
@@ -245,6 +254,8 @@ _R9_WINDOW = (
     "stream_simhash_neardup_dedup",
     # ---- born this round: checked immediately, no coverage debt ----
     "docs_selfdup_spans",
+    "docs_selfdedup_text",
+    "stream_langid_scores",
     "emb_sign_hamming_topk",
     "emb_matryoshka_recall",
     "docs_langid_trigram_rank",

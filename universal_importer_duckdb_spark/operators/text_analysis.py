@@ -534,25 +534,7 @@ def trigram_rank_langid(
         .filter(F.col("drank") <= n)
         .select(id_col, lang_col, "tg", "drank")
     )
-    # The language profile is the TRAINED ARTIFACT of this operator:
-    # n_langs x m rows, vocab-bounded, so it is materialized once
-    # (localCheckpoint) and every subsequent scoring run pays ONE
-    # corpus pass (the doc side) instead of two — the same
-    # materialize-vocab-bounded / recompute-corpus-bounded contract
-    # as the DSIR artifact. Without this pin, the profile's lineage
-    # re-runs the corpus explode on every action that reads it.
-    lang_counts = tri.groupBy(lang_col, "tg").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    w_lang = Window.partitionBy(lang_col).orderBy(
-        F.desc("__c"), F.asc("tg")
-    )
-    profile = (
-        lang_counts.withColumn("lrank", F.row_number().over(w_lang))
-        .filter(F.col("lrank") <= m)
-        .select(F.col(lang_col).alias("plang"), "tg", "lrank")
-        .localCheckpoint(eager=False)
-    )
+    profile = langid_profile(docs, m, text_col, lang_col)
     terms = docp.groupBy(id_col, lang_col).agg(
         F.count(F.lit(1)).alias("__nt")
     )
@@ -586,4 +568,117 @@ def trigram_rank_langid(
             .cast("bigint")
             .alias("dist"),
         )
+    )
+
+
+def langid_profile(
+    docs: DataFrame,
+    m: int = 50,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The TRAINED ARTIFACT of the rank-profile classifier: per
+    language, the top-``m`` char trigrams ranked by (count desc,
+    trigram asc) — ``(plang, tg, lrank)``, n_langs x m rows. Vocab-
+    bounded, so it is materialized (localCheckpoint) and every
+    subsequent scoring run pays ONE corpus pass (the doc side) — the
+    same materialize-vocab-bounded / recompute-corpus-bounded
+    contract as the DSIR artifact. Without the pin, the profile's
+    lineage would re-run the corpus explode on every action."""
+    from pyspark.sql import Window
+
+    tri = docs.select(
+        F.col(lang_col), F.explode(char_trigrams(text_col)).alias("tg")
+    )
+    lang_counts = tri.groupBy(lang_col, "tg").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_lang = Window.partitionBy(lang_col).orderBy(
+        F.desc("__c"), F.asc("tg")
+    )
+    return (
+        lang_counts.withColumn("lrank", F.row_number().over(w_lang))
+        .filter(F.col("lrank") <= m)
+        .select(F.col(lang_col).alias("plang"), "tg", "lrank")
+        .localCheckpoint(eager=False)
+    )
+
+
+def langid_score_with_profile(
+    docs: DataFrame,
+    profile_rows,
+    m: int = 50,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Rank-profile language ID scored against a HELD profile — the
+    deployment shape (train once, score arriving documents forever),
+    and therefore the streaming-ingest path: the whole computation is
+    a stateless Arrow-batched map (per document: trigram counts,
+    top-``n`` by (count desc, trigram asc), out-of-place distance
+    against the profile dict riding in the closure), so it runs on a
+    stream exactly as on a batch with no state store.
+
+    ``profile_rows`` is the collected (plang, tg, lrank) artifact —
+    n_langs x m rows, bounded, the same literal-artifact class as the
+    CMS sketch. Python's per-char slicing and lower() agree with
+    Spark's substring/lower on the ASCII corpus this engine tests on;
+    the batch operator (trigram_rank_langid) remains the semantic
+    definition and the twin is pinned equal to it by test.
+
+    Documents with no trigrams (under 3 chars) emit nothing — the
+    batch operator drops them too (no profile terms to rank)."""
+    import pandas as pd
+
+    pmap: dict[str, list[tuple[str, int]]] = {}
+    for plang, tg, lrank in profile_rows:
+        pmap.setdefault(tg, []).append((plang, int(lrank)))
+    mi, ni = int(m), int(n)
+
+    def _score(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, langs, preds, dists = [], [], [], []
+            for doc_id, lang, text in zip(
+                pdf[id_col], pdf[lang_col], pdf[text_col]
+            ):
+                t = (text or "").lower()
+                if len(t) < 3:
+                    continue
+                counts = Counter(t[i : i + 3] for i in range(len(t) - 2))
+                top = sorted(
+                    counts.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:ni]
+                gains: dict[str, int] = {}
+                for drank, (tg, _) in enumerate(top, start=1):
+                    for plang, lrank in pmap.get(tg, ()):
+                        gains[plang] = gains.get(plang, 0) + (
+                            mi - abs(drank - lrank)
+                        )
+                nt = len(top)
+                if gains:
+                    pred = min(gains.items(), key=lambda kv: (-kv[1], kv[0]))
+                    preds.append(pred[0])
+                    dists.append(nt * mi - pred[1])
+                else:
+                    preds.append("und")
+                    dists.append(nt * mi)
+                ids.append(doc_id)
+                langs.append(lang)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    lang_col: pd.Series(langs, dtype="object"),
+                    "pred_lang": pd.Series(preds, dtype="object"),
+                    "dist": pd.Series(dists, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, lang_col, text_col).mapInPandas(
+        _score,
+        schema=f"{id_col} bigint, {lang_col} string, "
+        "pred_lang string, dist bigint",
     )

@@ -3831,6 +3831,50 @@ FROM terms t LEFT JOIN best b USING (doc_id)
 """
 
 
+def docs_selfdedup_text(spark, sf_dir):
+    """Exact-substring self-dedup APPLIED (operators/corpus.py::
+    excise_spans over cross_doc_duplicate_spans): tokens inside every
+    later-copy span dropped, the rest rejoined — the Lee et al. 2022
+    remediate step, closing the audit-to-remediate loop for corpus
+    self-duplication the way docs_decontaminated_text closes it for
+    benchmark leakage. The earliest holder of each passage keeps its
+    text untouched; the excise rebuild is a narrow map on the raw
+    scan (spans broadcast per doc)."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        cross_doc_duplicate_spans,
+        excise_spans,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    raw = _t(spark, sf_dir, "documents")
+    return excise_spans(raw, cross_doc_duplicate_spans(docs, n=8))
+
+
+SELFDEDUP_TEXT_SQL = f"""
+WITH spansq AS ({SELFDUP_SPANS_SQL}),
+agg AS (
+  SELECT doc_id,
+         list(span_start ORDER BY span_start) AS ss,
+         list(span_end ORDER BY span_start) AS ee,
+         CAST(SUM(span_end - span_start + 1) AS BIGINT) AS nrem
+  FROM spansq GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.nrem, 0) AS n_tokens_removed,
+       CASE WHEN a.doc_id IS NULL THEN d.text
+            -- COALESCE: DuckDB's array_to_string([]) is NULL where
+            -- Spark's array_join([]) is '' (fully-excised docs)
+            ELSE COALESCE(array_to_string(
+              list_filter(string_split(d.text, ' '),
+                (x, i) -> len(list_filter(a.ss,
+                    (s, k) -> s <= i AND i <= a.ee[k])) = 0), ' '), '')
+       END AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 REGISTRY.update({
     "docs_selfdup_spans": (docs_selfdup_spans, SELFDUP_SPANS_SQL),
     "emb_sign_hamming_topk": (emb_sign_hamming_topk, _sign_hamming_sql()),
@@ -3838,6 +3882,50 @@ REGISTRY.update({
     "docs_langid_trigram_rank": (
         docs_langid_trigram_rank, _langid_trigram_sql(),
     ),
+    "docs_selfdedup_text": (docs_selfdedup_text, SELFDEDUP_TEXT_SQL),
+})
+
+
+def stream_langid_scores(spark, sf_dir):
+    """Language ID at INGEST (streaming/docs.py::
+    streaming_langid_scores): the n_langs x 50 profile artifact is
+    trained once from the labeled batch corpus
+    (text_analysis.py::langid_profile) and collected — the bounded
+    literal-artifact class of the CMS sketch — then arriving
+    documents are classified by a stateless Arrow-batched scorer.
+    One emission per document (no state), so the drained frame
+    equals the batch classifier row-for-row and shares its oracle;
+    the defensive max-fold collapses any re-emission, the
+    stream_dsir_scores idiom."""
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        langid_profile,
+    )
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.docs import (
+        stream_documents,
+        streaming_langid_scores,
+    )
+
+    profile_rows = [
+        (r.plang, r.tg, r.lrank)
+        for r in langid_profile(_t(spark, sf_dir, "documents"), m=50).collect()
+    ]
+    _STREAM_COUNTER[0] += 1
+    stream = stream_documents(spark, sf_dir)
+    drained = se.run_available_now(
+        streaming_langid_scores(stream, profile_rows),
+        f"q_stream_langid_{_STREAM_COUNTER[0]}",
+        output_mode="append",
+    )
+    return drained.groupBy("doc_id").agg(
+        F.max("lang").alias("lang"),
+        F.max("pred_lang").alias("pred_lang"),
+        F.max("dist").cast("bigint").alias("dist"),
+    )
+
+
+REGISTRY.update({
+    "stream_langid_scores": (stream_langid_scores, _langid_trigram_sql()),
 })
 
 
