@@ -313,8 +313,11 @@ def test_line_dedup_broadcasts_dup_set_and_funnel_is_two_exchanges(
     assert "BroadcastExchange" in plan  # dup-line set broadcast back
 
     plan = _plan(eq.REGISTRY["events_funnel_cohorts"][0](spark, sf_dir))
-    shuffles = re.findall(r"\(\d+\) Exchange hashpartitioning", plan)
-    assert len(shuffles) <= 2  # user groupBy + cohort groupBy, no more
+    # r9 fix: the old pattern matched the tree header line, which the
+    # formatted explain never prints with the partitioning inline —
+    # the assertion was vacuously true. Count the Arguments: lines.
+    shuffles = re.findall(r"Arguments: hashpartitioning", plan)
+    assert 1 <= len(shuffles) <= 2  # user groupBy + cohort groupBy, no more
 
 
 def test_bloom_probe_broadcasts_bitmap(spark, sf_dir):
@@ -360,3 +363,61 @@ def test_cluster_split_and_softdedup_plan_shapes(spark, sf_dir):
     # must not exceed the bare closure's
     base_plan = _plan(eq.REGISTRY["docs_neardup_clusters"][0](spark, sf_dir))
     assert split_plan.count("Exchange") <= base_plan.count("Exchange")
+
+
+def test_corpus_card_plan_shape(spark, sf_dir):
+    """The r9 card rewrite: exactly two hash exchanges (the
+    (source, fp) pre-agg and the per-source rollup), no
+    countDistinct Expand, no range exchange for the n_sources-row
+    ordering, and the scan pruned to the three columns the card
+    reads."""
+    import re
+
+    plan = _plan(eq.REGISTRY["docs_corpus_card"][0](spark, sf_dir))
+    assert "Expand" not in plan
+    assert "rangepartitioning" not in plan
+    # formatted explain prints each Exchange's partitioning on its
+    # Arguments: line — count those, not the tree headers
+    shuffles = re.findall(r"Arguments: hashpartitioning", plan)
+    assert len(shuffles) == 2, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("text", "source", "n_chars"):
+        assert col in read_schema
+    assert "doc_id" not in read_schema
+
+
+def test_selfdup_spans_plan_shape(spark, sf_dir):
+    """Exact-substring self-dedup: the earliest-holder verdict is a
+    window over the gram exchange — NO self-join (one scan of
+    documents), no cartesian; exactly three hash exchanges (spread,
+    gram window, doc-side island merge)."""
+    import re
+
+    plan = _plan(eq.REGISTRY["docs_selfdup_spans"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2  # tree header + detail line
+    shuffles = re.findall(r"Arguments: hashpartitioning", plan)
+    assert len(shuffles) == 3, plan
+
+
+def test_sign_hamming_plan_stays_jvm_side(spark, sf_dir):
+    """Binary-sign ANN: the signature fold and Hamming filter are
+    pure column expressions — no Python evaluation of any kind in
+    the plan — and the top-candidates select is a takeOrdered, not a
+    global sort exchange."""
+    plan = _plan(eq.REGISTRY["emb_sign_hamming_topk"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_langid_plan_broadcasts_profile_no_cartesian(spark, sf_dir):
+    """Rank-profile language ID: the algebraic absent-trigram penalty
+    means NO doc x language cross product; the vocab-bounded profile
+    broadcasts to the match join."""
+    plan = _plan(eq.REGISTRY["docs_langid_trigram_rank"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
