@@ -515,8 +515,22 @@ def trigram_rank_langid(
     n_langs x m rows and BROADCASTS to the match join; the only
     corpus-keyed exchanges are the per-document count and window
     rank. Output: ``(doc_id, lang, pred_lang, dist)``.
+
+    Requires ``n <= m``: the match-only algebra needs every matched
+    term's gain m - |drank - lrank| to stay positive (|drank - lrank|
+    <= max(n, m) - 1), which is what lets a matched language always
+    beat an implicit unmatched one without materializing the cross
+    product. With n > m a distant match could score worse than
+    absence and the shortcut would misrank — so it is rejected.
     """
     from pyspark.sql import Window
+
+    if n > m:
+        raise ValueError(
+            f"trigram_rank_langid requires n <= m (got n={n}, m={m}): "
+            "the absent-penalty algebra is only order-preserving when "
+            "every matched term's gain is positive"
+        )
 
     tri = docs.select(
         F.col(id_col),
@@ -632,6 +646,11 @@ def langid_score_with_profile(
     batch operator drops them too (no profile terms to rank)."""
     import pandas as pd
 
+    if n > m:
+        raise ValueError(
+            f"langid_score_with_profile requires n <= m (got n={n}, "
+            f"m={m}) — same invariant as trigram_rank_langid"
+        )
     pmap: dict[str, list[tuple[str, int]]] = {}
     for plang, tg, lrank in profile_rows:
         pmap.setdefault(tg, []).append((plang, int(lrank)))
