@@ -173,7 +173,7 @@ def test_selfdup_spans_first_occurrence_keeps(spark):
     assert got[3] == (4, 15)
 
 
-def test_sign_hamming_topk_exactness_on_candidates(spark):
+def test_sign_hamming_topk_exactness_on_candidates(spark, sf_dir):
     """The Hamming pre-filter must never change the scores: every
     returned cosine equals the exact full-scan cosine for that id,
     and self-similarity ranks first when the query is in the corpus."""
@@ -182,7 +182,7 @@ def test_sign_hamming_topk_exactness_on_candidates(spark):
         sign_hamming_topk,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     import pyspark.sql.functions as SF
 
     qv = [
@@ -200,7 +200,7 @@ def test_sign_hamming_topk_exactness_on_candidates(spark):
         assert exact[r.vec_id] == r.cosine
 
 
-def test_matryoshka_recall_bounds_and_full_dim_identity(spark):
+def test_matryoshka_recall_bounds_and_full_dim_identity(spark, sf_dir):
     """Full-width overlap is k/k by construction; every tier's
     overlap is within [0, k]; dims come back sorted."""
     from universal_importer_duckdb_spark.operators.similarity import (
@@ -208,7 +208,7 @@ def test_matryoshka_recall_bounds_and_full_dim_identity(spark):
     )
     import pyspark.sql.functions as SF
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [
         float(x)
         for x in emb.filter(SF.col("vec_id") == 0).collect()[0].embedding

@@ -40,6 +40,20 @@ def _md5_28(col):
     ).cast("bigint")
 
 
+def _md5_60(col):
+    """60-bit md5 prefix (15 hex chars, BIGINT-safe in both engines;
+    DuckDB replay ('0x'||substr(md5(s),1,15))::BIGINT). For hashes
+    compared corpus-AGAINST-ITSELF — self-dedup squares the collision
+    exposure relative to a small-probe join, and a 28-bit space over
+    ~1M distinct grams expects thousands of colliding pairs, each of
+    which would mark (and excise!) genuine text. 60 bits shrinks the
+    expectation by ~2^32."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -571,6 +585,13 @@ def contamination_spans(
     merge shuffles only contaminated windows, not the corpus. All
     integer arithmetic; hash-exact in the oracle.
 
+    Gram space: md5-28, matching word_ngrams_hashed's benchmark side.
+    The false-positive exposure here is |bench grams| x |corpus
+    grams| / 2^28 — a SMALL-probe join, orders below the
+    corpus-squared exposure that made cross_doc_duplicate_spans
+    adopt md5-60; a collision costs an extra excised window against
+    an already-quarantined benchmark, not silent self-destruction.
+
     Output: one row per merged span —
     ``(doc_id, span_start, span_end, n_grams)`` with 1-based token
     positions, inclusive.
@@ -598,12 +619,16 @@ def positioned_ngrams(
     n: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher=None,
 ) -> DataFrame:
     """Every word n-gram window WITH its 1-based start position:
-    ``(id, i, gram)`` where gram is the md5-28 hash of the lowered
+    ``(id, i, gram)`` where gram is a hashed form of the lowered
     space-joined window — the positional explode shared by span-level
-    decontamination and cross-doc substring self-dedup. 8-byte gram +
-    int offset per window, nothing wider."""
+    decontamination (md5-28, matching word_ngrams_hashed's benchmark
+    side) and cross-doc substring self-dedup (md5-60: the
+    self-comparison needs the wider space, see _md5_60). 8-byte gram
+    + int offset per window, nothing wider."""
+    h = hasher or _md5_28
     base = docs.select(
         F.col(id_col),
         F.split(F.lower(F.col(text_col)), " ").alias("__toks"),
@@ -619,7 +644,7 @@ def positioned_ngrams(
                 idx,
                 lambda i: F.struct(
                     i.alias("i"),
-                    _md5_28(
+                    h(
                         F.array_join(F.slice(toks, i, n), " ")
                     ).alias("gram"),
                 ),
@@ -694,8 +719,14 @@ def cross_doc_duplicate_spans(
 
     Output: ``(doc_id, span_start, span_end, n_grams)`` — 1-based
     inclusive token positions, all-integer, hash-exact oracle.
+
+    Gram space: md5-60, NOT the md5-28 the benchmark probe uses —
+    this hash is compared corpus-against-itself, and a false
+    gram-collision here marks (and downstream EXCISES) genuine text.
+    At 28 bits, ~1M distinct grams expect ~2,000 colliding pairs;
+    at 60 bits the expectation is ~5e-7 (r9 review finding).
     """
-    positioned = positioned_ngrams(docs, n, text_col, id_col)
+    positioned = positioned_ngrams(docs, n, text_col, id_col, hasher=_md5_60)
     earliest = F.min(id_col).over(Window.partitionBy("gram"))
     hits = (
         positioned.withColumn("__first", earliest)

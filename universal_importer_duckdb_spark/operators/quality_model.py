@@ -77,26 +77,42 @@ def load_quality_weights(path: str = SHIPPED_WEIGHTS_PATH) -> dict[str, int]:
     return weights
 
 
-def quality_signal_exprs(weights: dict[str, int], text_col: str = "text"):
-    """(n_words, raw_milli) column expressions — the literal-map fold
-    shared by the per-doc scorer below and aggregate consumers
-    (docs_corpus_card) that fold the signal straight into a group-by
-    without materializing a per-doc frame."""
+def quality_tokens(text_col: str = "text"):
+    """The model's token array: lowered, space-split, empty-filtered.
+    Exposed so consumers that fuse OTHER per-token signals into the
+    same pass (docs_corpus_card's marker counts) share one
+    definition of the token stream."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+
+
+def quality_raw_fold(weights: dict[str, int], toks):
+    """The literal-map weight fold over an EXISTING token-array
+    column — the single definition of the shipped model's raw score
+    (exposed per the r9 review: docs_corpus_card had grown an inline
+    copy, which a future weights/tokenization change would have
+    silently missed)."""
     pairs: list = []
     for tok, wt in sorted(weights.items()):
         pairs.append(F.lit(tok))
         pairs.append(F.lit(int(wt)).cast("bigint"))
     wmap = F.create_map(*pairs)
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
-        lambda w: w != "",
-    )
-    raw = F.aggregate(
+    return F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
         lambda acc, w: acc + F.coalesce(wmap[w], F.lit(0).cast("bigint")),
-    )
-    return F.size(toks).cast("bigint"), raw.cast("bigint")
+    ).cast("bigint")
+
+
+def quality_signal_exprs(weights: dict[str, int], text_col: str = "text"):
+    """(n_words, raw_milli) column expressions — the literal-map fold
+    shared by the per-doc scorer below and aggregate consumers
+    (docs_corpus_card) that fold the signal straight into a group-by
+    without materializing a per-doc frame."""
+    toks = quality_tokens(text_col)
+    return F.size(toks).cast("bigint"), quality_raw_fold(weights, toks)
 
 
 def quality_model_scores(

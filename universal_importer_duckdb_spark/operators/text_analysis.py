@@ -510,11 +510,16 @@ def trigram_rank_langid(
     a matched language always beats an unmatched one since every
     match's gain >= 1).
 
-    Scale shape: the trigram explode is corpus-chars proportional and
-    feeds two map-side-combinable counts; the language profile is
-    n_langs x m rows and BROADCASTS to the match join; the only
-    corpus-keyed exchanges are the per-document count and window
-    rank. Output: ``(doc_id, lang, pred_lang, dist)``.
+    Scale shape: the per-document side pays ONE corpus-chars-
+    proportional trigram explode per scoring run; the language
+    profile is a one-time SECOND pass whose n_langs x m result is
+    materialized (langid_profile, the vocab-bounded trained
+    artifact), so it never re-runs — forking one explode into both
+    counts would either recompute anyway (a DAG fork) or materialize
+    the corpus-scale (doc, trigram) table, which the materialization
+    contract forbids. The profile BROADCASTS to the match join; the
+    only corpus-keyed exchanges are the per-document count and
+    window rank. Output: ``(doc_id, lang, pred_lang, dist)``.
 
     Requires ``n <= m``: the match-only algebra needs every matched
     term's gain m - |drank - lrank| to stay positive (|drank - lrank|
@@ -652,8 +657,18 @@ def langid_score_with_profile(
             f"m={m}) — same invariant as trigram_rank_langid"
         )
     pmap: dict[str, list[tuple[str, int]]] = {}
+    max_lrank = 0
     for plang, tg, lrank in profile_rows:
         pmap.setdefault(tg, []).append((plang, int(lrank)))
+        max_lrank = max(max_lrank, int(lrank))
+    if max_lrank > m:
+        # train-once/score-forever is exactly where m drifts from the
+        # profile's training m; a mismatched m skews every penalty
+        # and gain silently (r9 review)
+        raise ValueError(
+            f"profile holds ranks up to {max_lrank} but the scorer was "
+            f"given m={m}: pass the m the profile was trained with"
+        )
     mi, ni = int(m), int(n)
 
     def _score(batches):

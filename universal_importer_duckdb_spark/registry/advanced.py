@@ -3035,22 +3035,13 @@ def docs_corpus_card(spark, sf_dir):
     oracle."""
     from universal_importer_duckdb_spark.operators.quality_model import (
         load_quality_weights,
+        quality_raw_fold,
+        quality_tokens,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs: list = []
-    for tok, wt in sorted(load_quality_weights().items()):
-        pairs.append(F.lit(tok))
-        pairs.append(F.lit(int(wt)).cast("bigint"))
-    wmap = F.create_map(*pairs)
-    zero = F.lit(0).cast("bigint")
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
-        lambda w: w != "",
-    )
-    raw = F.aggregate(
-        toks, zero, lambda acc, w: acc + F.coalesce(wmap[w], zero)
-    )
+    toks = quality_tokens("text")
+    raw = quality_raw_fold(load_quality_weights(), toks)
     en = F.size(F.filter(toks, lambda w: w.isin(*_EN_MARKERS)))
     non = F.size(F.filter(toks, lambda w: w.isin(*_NON_EN_MARKERS)))
     per_row = docs.select(
@@ -3645,9 +3636,11 @@ WITH g AS (
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
         FROM documents)),
 pos AS (
+  -- md5-60 (15 hex chars): the self-comparison gram space, see
+  -- operators/corpus.py::_md5_60
   SELECT doc_id, i,
          ('0x' || substr(md5(array_to_string(
-            list_slice(toks, i, i + 7), ' ')), 1, 7))::BIGINT AS gram
+            list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT AS gram
   FROM g, unnest(range(1, nt - 6)) AS u(i)
   WHERE nt >= 8),
 hits AS (

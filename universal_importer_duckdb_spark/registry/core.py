@@ -960,7 +960,15 @@ def _marker_hits(markers):
 
 
 def docs_language_id(spark, sf_dir):
-    """Stopword-marker language heuristic (n-gram-free baseline)."""
+    """Stopword-marker language heuristic (n-gram-free baseline).
+
+    Counts markers CASE-SENSITIVELY on the raw token stream (the
+    entry's certified semantics since r1). docs_corpus_card's
+    n_pred_en uses the case-INSENSITIVE variant of this heuristic
+    (one shared lowered-token pass, documented there), so the two
+    entries can differ on docs with capitalized markers — reconcile
+    against the card's definition, not row-for-row against this one.
+    The trained upgrade is docs_langid_trigram_rank."""
     docs = _t(spark, sf_dir, "documents")
     en = _marker_hits(_EN_MARKERS)
     non = _marker_hits(_NON_EN_MARKERS)
