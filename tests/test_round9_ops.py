@@ -272,3 +272,22 @@ def test_stream_langid_equals_batch(spark, sf_dir):
     )
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_matryoshka_rejects_overwide_dims(spark, sf_dir):
+    """A tier wider than the vector must fail loudly, not fold every
+    cosine to NULL through zip_with padding."""
+    import pyspark.sql.functions as SF
+    import pytest as _pytest
+
+    from universal_importer_duckdb_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [
+        float(x)
+        for x in emb.filter(SF.col("vec_id") == 0).collect()[0].embedding
+    ]
+    with _pytest.raises(ValueError, match="query width"):
+        matryoshka_recall(emb, qv, dims=(8, 128), k=5)

@@ -328,6 +328,13 @@ def matryoshka_recall(
     runs on its own trained embeddings."""
     from functools import reduce
 
+    if any(d < 1 or d > len(query_vec) for d in dims):
+        # a tier wider than the vector would zip_with-pad with NULLs
+        # and fold every cosine to NULL silently
+        raise ValueError(
+            f"matryoshka dims {tuple(dims)} must lie in "
+            f"[1, {len(query_vec)}] (the query width)"
+        )
     vd = F.col(vec_col).cast("array<double>")
 
     def topk_for(d: int) -> DataFrame:
