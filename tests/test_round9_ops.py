@@ -274,20 +274,26 @@ def test_stream_langid_equals_batch(spark, sf_dir):
     assert len(batch) > 0
 
 
-def test_matryoshka_rejects_overwide_dims(spark, sf_dir):
-    """A tier wider than the vector must fail loudly, not fold every
-    cosine to NULL through zip_with padding."""
-    import pyspark.sql.functions as SF
+def test_matryoshka_rejects_overwide_dims_and_ragged_rows(spark, sf_dir):
+    """A tier wider than the QUERY fails at plan time (client-side
+    check, no Spark job needed); a CORPUS row narrower than the
+    widest tier fails at execution — neither may fold cosines to
+    NULL through zip_with padding."""
     import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     from universal_importer_duckdb_spark.operators.similarity import (
         matryoshka_recall,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qv = [
-        float(x)
-        for x in emb.filter(SF.col("vec_id") == 0).collect()[0].embedding
-    ]
+    qv = [0.5] * 64
     with _pytest.raises(ValueError, match="query width"):
         matryoshka_recall(emb, qv, dims=(8, 128), k=5)
+
+    ragged = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, [0.5] * 32)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="narrower than the widest"):
+        matryoshka_recall(ragged, qv, dims=(8, 64), k=2).collect()

@@ -336,11 +336,28 @@ def matryoshka_recall(
             f"[1, {len(query_vec)}] (the query width)"
         )
     vd = F.col(vec_col).cast("array<double>")
+    # the same NULL-fold applies to a RAGGED CORPUS ROW narrower than
+    # the widest tier — that can only be caught per row, so the tier
+    # score raises at execution instead of sorting the row last
+    # silently (r9 second-review finding)
+    dmax = max(dims)
+    ragged = F.raise_error(
+        F.concat(
+            F.lit(
+                "matryoshka: embedding narrower than the widest tier "
+                f"({dmax}) for id "
+            ),
+            F.col(id_col).cast("string"),
+        )
+    ).cast("double")
 
     def topk_for(d: int) -> DataFrame:
         q = F.array(*[F.lit(float(x)) for x in query_vec[:d]])
+        c = F.when(F.size(vd) >= dmax, cosine(F.slice(vd, 1, d), q)).otherwise(
+            ragged
+        )
         return (
-            df.select(F.col(id_col), cosine(F.slice(vd, 1, d), q).alias("__c"))
+            df.select(F.col(id_col), c.alias("__c"))
             .orderBy(F.desc("__c"), id_col)
             .limit(k)
             .select(

@@ -623,16 +623,37 @@ def langid_profile(
     )
 
 
+def langid_artifact(
+    docs: DataFrame,
+    m: int = 50,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> tuple[list, int]:
+    """Train and COLLECT the deployable language-ID artifact:
+    ``(profile_rows, m)`` — the (plang, tg, lrank) rows bundled with
+    the m they were trained at. The bundle exists because the
+    out-of-place penalty IS the training m: a scorer given a
+    different m skews every penalty and gain silently in either
+    direction (r9 review found the first guard only rejected m too
+    SMALL — too LARGE inflates unmatched penalties and can flip
+    predictions just as invisibly). Carrying m inside the artifact
+    removes the second copy instead of validating it."""
+    rows = [
+        (r.plang, r.tg, int(r.lrank))
+        for r in langid_profile(docs, m, text_col, lang_col).collect()
+    ]
+    return rows, int(m)
+
+
 def langid_score_with_profile(
     docs: DataFrame,
-    profile_rows,
-    m: int = 50,
+    artifact: tuple[list, int],
     n: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
 ) -> DataFrame:
-    """Rank-profile language ID scored against a HELD profile — the
+    """Rank-profile language ID scored against a HELD artifact — the
     deployment shape (train once, score arriving documents forever),
     and therefore the streaming-ingest path: the whole computation is
     a stateless Arrow-batched map (per document: trigram counts,
@@ -640,17 +661,20 @@ def langid_score_with_profile(
     against the profile dict riding in the closure), so it runs on a
     stream exactly as on a batch with no state store.
 
-    ``profile_rows`` is the collected (plang, tg, lrank) artifact —
-    n_langs x m rows, bounded, the same literal-artifact class as the
-    CMS sketch. Python's per-char slicing and lower() agree with
-    Spark's substring/lower on the ASCII corpus this engine tests on;
-    the batch operator (trigram_rank_langid) remains the semantic
+    ``artifact`` is ``(profile_rows, m)`` from :func:`langid_artifact`
+    — n_langs x m rows plus the training m, bounded, the same
+    literal-artifact class as the CMS sketch; bundling m makes the
+    penalty constant impossible to drift from the training run.
+    Python's per-char slicing and lower() agree with Spark's
+    substring/lower on the ASCII corpus this engine tests on; the
+    batch operator (trigram_rank_langid) remains the semantic
     definition and the twin is pinned equal to it by test.
 
     Documents with no trigrams (under 3 chars) emit nothing — the
     batch operator drops them too (no profile terms to rank)."""
     import pandas as pd
 
+    profile_rows, m = artifact
     if n > m:
         raise ValueError(
             f"langid_score_with_profile requires n <= m (got n={n}, "
@@ -662,12 +686,10 @@ def langid_score_with_profile(
         pmap.setdefault(tg, []).append((plang, int(lrank)))
         max_lrank = max(max_lrank, int(lrank))
     if max_lrank > m:
-        # train-once/score-forever is exactly where m drifts from the
-        # profile's training m; a mismatched m skews every penalty
-        # and gain silently (r9 review)
+        # a hand-assembled artifact can still lie; the trained rank
+        # bound is the one inconsistency detectable from the rows
         raise ValueError(
-            f"profile holds ranks up to {max_lrank} but the scorer was "
-            f"given m={m}: pass the m the profile was trained with"
+            f"artifact holds ranks up to {max_lrank} but claims m={m}"
         )
     mi, ni = int(m), int(n)
 

@@ -3891,7 +3891,7 @@ def stream_langid_scores(spark, sf_dir):
     the defensive max-fold collapses any re-emission, the
     stream_dsir_scores idiom."""
     from universal_importer_duckdb_spark.operators.text_analysis import (
-        langid_profile,
+        langid_artifact,
     )
     from universal_importer_duckdb_spark.streaming import events as se
     from universal_importer_duckdb_spark.streaming.docs import (
@@ -3899,14 +3899,11 @@ def stream_langid_scores(spark, sf_dir):
         streaming_langid_scores,
     )
 
-    profile_rows = [
-        (r.plang, r.tg, r.lrank)
-        for r in langid_profile(_t(spark, sf_dir, "documents"), m=50).collect()
-    ]
+    artifact = langid_artifact(_t(spark, sf_dir, "documents"), m=50)
     _STREAM_COUNTER[0] += 1
     stream = stream_documents(spark, sf_dir)
     drained = se.run_available_now(
-        streaming_langid_scores(stream, profile_rows),
+        streaming_langid_scores(stream, artifact),
         f"q_stream_langid_{_STREAM_COUNTER[0]}",
         output_mode="append",
     )

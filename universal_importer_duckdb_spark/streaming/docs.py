@@ -212,18 +212,19 @@ def streaming_multisignal_admission(
     )
 
 
-def streaming_langid_scores(docs: DataFrame, profile_rows) -> DataFrame:
+def streaming_langid_scores(docs: DataFrame, artifact) -> DataFrame:
     """Rank-profile language ID at INGEST (streaming twin of
     operators/text_analysis.py::trigram_rank_langid): the vocab-
-    bounded profile artifact is trained once from the labeled batch
-    corpus and rides in the Arrow scorer's closure; arriving
-    documents are scored by a STATELESS per-row computation (trigram
-    counts, top-n ranks, out-of-place distance) — no state store, no
-    watermark, so the drained output equals the batch classifier
-    however availableNow splits the source, and the batch oracle
-    applies. The production langdetect-at-the-door placement."""
+    bounded ``(profile_rows, m)`` artifact is trained once from the
+    labeled batch corpus (langid_artifact) and rides in the Arrow
+    scorer's closure; arriving documents are scored by a STATELESS
+    per-row computation (trigram counts, top-n ranks, out-of-place
+    distance) — no state store, no watermark, so the drained output
+    equals the batch classifier however availableNow splits the
+    source, and the batch oracle applies. The production
+    langdetect-at-the-door placement."""
     from universal_importer_duckdb_spark.operators.text_analysis import (
         langid_score_with_profile,
     )
 
-    return langid_score_with_profile(docs, profile_rows, m=50, n=20)
+    return langid_score_with_profile(docs, artifact, n=20)
