@@ -297,3 +297,62 @@ def test_matryoshka_rejects_overwide_dims_and_ragged_rows(spark, sf_dir):
     )
     with _pytest.raises(Exception, match="narrower than the widest"):
         matryoshka_recall(ragged, qv, dims=(8, 64), k=2).collect()
+
+
+def test_stream_langid_multibatch_convergence(spark, tmp_path):
+    """Drained langid-at-ingest over a source split into two files at
+    maxFilesPerTrigger=1 (two real micro-batches) must equal the
+    batch classifier trained on the same corpus — the stateless
+    scorer cannot depend on how availableNow splits arrivals."""
+    import os
+
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        langid_artifact,
+        trigram_rank_langid,
+    )
+    from universal_importer_duckdb_spark.streaming.docs import (
+        DOCS_RAW_SCHEMA,
+        stream_documents,
+        streaming_langid_scores,
+    )
+
+    rows1 = [
+        (1, "the quick brown fox and the dog", "en", "s", 30),
+        (2, "der schnelle fuchs und der hund", "de", "s", 30),
+    ]
+    rows2 = [
+        (3, "the lazy cat with the bird and them", "en", "s", 30),
+        (4, "die katze und der vogel mit dem hund", "de", "s", 30),
+    ]
+    d = tmp_path / "docs_langid_stream"
+    os.makedirs(d)
+    spark.createDataFrame(rows1, DOCS_RAW_SCHEMA).coalesce(1).write.parquet(
+        str(d / "b1.parquet")
+    )
+    spark.createDataFrame(rows2, DOCS_RAW_SCHEMA).coalesce(1).write.parquet(
+        str(d / "b2.parquet")
+    )
+    batch = spark.createDataFrame(rows1 + rows2, DOCS_RAW_SCHEMA)
+    artifact = langid_artifact(batch, m=50)  # the production knobs
+
+    stream = stream_documents(
+        spark, str(d) + "/*", glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        streaming_langid_scores(stream, artifact)
+        .writeStream.format("memory")
+        .queryName("t_stream_langid_conv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("t_stream_langid_conv").collect())
+    # batch classifier at the SAME knobs the streaming scorer pins
+    # (m=50 artifact, n=20)
+    want = sorted(
+        tuple(r) for r in trigram_rank_langid(batch, m=50, n=20).collect()
+    )
+    assert len(got) == 4
+    assert {g[0] for g in got} == {1, 2, 3, 4}
+    assert got == want
