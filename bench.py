@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "emb_matryoshka_recall",
     "docs_langid_trigram_rank",
     "docs_selfdedup_text",
+    "docs_incremental_selfdup_spans",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

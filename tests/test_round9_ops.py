@@ -356,3 +356,33 @@ def test_stream_langid_multibatch_convergence(spark, tmp_path):
     assert len(got) == 4
     assert {g[0] for g in got} == {1, 2, 3, 4}
     assert got == want
+
+
+def test_incremental_selfdup_spans_semantics(spark):
+    """Arriving docs are screened against at-rest only: an arriving
+    doc sharing a passage with AT-REST text gets a span; an arriving
+    doc sharing a passage only with ANOTHER ARRIVAL does not (the
+    batch-order-free contract); at-rest docs never appear."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        incremental_duplicate_spans,
+    )
+
+    shared_rest = " ".join(f"r{i}" for i in range(10))
+    shared_arr = " ".join(f"a{i}" for i in range(10))
+    at_rest = spark.createDataFrame(
+        [(1, shared_rest + " tail one"),
+         (2, " ".join(f"z{i}" for i in range(15)))],
+        "doc_id bigint, text string",
+    )
+    arriving = spark.createDataFrame(
+        [(10, "x y z " + shared_rest),          # dup vs at-rest
+         (20, shared_arr + " end"),              # dup only vs arrival 30
+         (30, "p q " + shared_arr)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in incremental_duplicate_spans(at_rest, arriving, n=8).collect()
+    }
+    assert set(got) == {10}
+    assert got[10] == (4, 13)

@@ -203,6 +203,15 @@ def oracle_sql():
 #  selfdup/span family (identical positioned-gram machinery);
 #  both are local-parity green at sf0.001/sf0.01 this session.
 #  They join the displaced set at the r10 head.
+#  Second late-r9 amendment: a seventh birth,
+#  docs_incremental_selfdup_spans (exact-substring dedup at ingest —
+#  the arriving batch screened against the at-rest gram index,
+#  completing the self-dedup loop's production shape), takes
+#  events_merge_upsert_state's slot. SAFE to demote: its streaming
+#  twin stream_incremental_upsert_state stays IN-window and composes
+#  the identical operators/changelog.py::merge_upsert per batch
+#  (streaming/upsert.py:69), and the batch form is r5-green plus
+#  local-parity green this session. It joins the r10 head.
 _R9_WINDOW = (
     # ---- the six unchecked r8 births: certify first ----
     "emb_incremental_semdedup",
@@ -237,7 +246,6 @@ _R9_WINDOW = (
     "docs_tokens_udtf",
     "docs_training_pipeline",
     "events_changelog_state",
-    "events_merge_upsert_state",
     "events_resample_interpolate",
     "events_retention_cohorts",
     "events_robust_outliers",
@@ -256,6 +264,7 @@ _R9_WINDOW = (
     "docs_selfdup_spans",
     "docs_selfdedup_text",
     "stream_langid_scores",
+    "docs_incremental_selfdup_spans",
     "emb_sign_hamming_topk",
     "emb_matryoshka_recall",
     "docs_langid_trigram_rank",

@@ -740,6 +740,48 @@ def cross_doc_duplicate_spans(
     return merge_token_spans(hits, id_col)
 
 
+def incremental_duplicate_spans(
+    at_rest: DataFrame,
+    arriving: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup at INGEST — the production placement
+    after :func:`cross_doc_duplicate_spans` has run its one corpus
+    pass: an arriving document's token window is a duplicate span
+    when its n-gram occurs ANYWHERE in the at-rest corpus (the
+    at-rest side is canonical; which at-rest document holds the
+    passage is irrelevant to the admission verdict). Verdicts depend
+    only on at-rest state, never on other arrivals — the
+    batch-order-free contract of the incremental family
+    (incremental_exact_dedup, incremental_semdedup), which is what
+    would make a streaming twin a stateless stream-static join.
+
+    Scale shape: in production the at-rest side is the STORED
+    distinct gram index of the last corpus pass (8 bytes per
+    distinct gram), not a rescan — computed here from the at-rest
+    frame so one definition serves tests and deployment; the join is
+    the same gram-keyed left-semi as span decontamination, and only
+    the arriving batch's hit windows reach the island merge. Gram
+    space md5-60 (corpus-sized index, same exposure argument as
+    cross_doc_duplicate_spans).
+
+    Output: ``(doc_id, span_start, span_end, n_grams)`` over
+    ARRIVING documents only.
+    """
+    index = positioned_ngrams(
+        at_rest, n, text_col, id_col, hasher=_md5_60
+    ).select("gram")
+    arr = positioned_ngrams(arriving, n, text_col, id_col, hasher=_md5_60)
+    hits = arr.join(index, "gram", "left_semi").select(
+        id_col,
+        F.col("i").alias("s"),
+        (F.col("i") + (n - 1)).alias("e"),
+    )
+    return merge_token_spans(hits, id_col)
+
+
 def excise_spans(
     docs: DataFrame,
     spans: DataFrame,

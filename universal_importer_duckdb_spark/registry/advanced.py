@@ -3919,6 +3919,71 @@ REGISTRY.update({
 })
 
 
+def docs_incremental_selfdup_spans(spark, sf_dir):
+    """Exact-substring dedup at INGEST (operators/corpus.py::
+    incremental_duplicate_spans): the arriving batch (doc_id % 10 = 0,
+    the same batch class as docs_incremental_dedup) is screened
+    against the at-rest corpus's gram index — a window is a
+    duplicate span when its 8-gram occurs anywhere at rest.
+    Verdicts depend only on at-rest state (batch-order-free, the
+    incremental-family contract); only arriving hit windows reach
+    the island merge. Completes the self-dedup loop's production
+    shape: one corpus pass (docs_selfdup_spans), then per-batch
+    admission against the stored index."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        incremental_duplicate_spans,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    arriving = docs.filter(F.col("doc_id") % 10 == 0)
+    at_rest = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_duplicate_spans(at_rest, arriving, n=8)
+
+
+INCREMENTAL_SELFDUP_SPANS_SQL = """
+WITH g AS (
+  SELECT doc_id, doc_id % 10 = 0 AS arriving, toks, len(toks) AS nt
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents)),
+pos AS (
+  SELECT doc_id, arriving, i,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT AS gram
+  FROM g, unnest(range(1, nt - 6)) AS u(i)
+  WHERE nt >= 8),
+idx AS (SELECT DISTINCT gram FROM pos WHERE NOT arriving),
+hits AS (
+  SELECT p.doc_id, p.i AS s, p.i + 7 AS e
+  FROM pos p JOIN idx USING (gram)
+  WHERE p.arriving),
+isl AS (
+  SELECT *, CASE WHEN s > COALESCE(MAX(e) OVER (
+      PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS nw
+  FROM hits),
+isl2 AS (
+  SELECT *, SUM(nw) OVER (
+      PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+REGISTRY.update({
+    "docs_incremental_selfdup_spans": (
+        docs_incremental_selfdup_spans, INCREMENTAL_SELFDUP_SPANS_SQL,
+    ),
+})
+
+
 REGISTRY.update({
     "docs_cluster_aware_split": (
         docs_cluster_aware_split, CLUSTER_AWARE_SPLIT_SQL,
