@@ -212,6 +212,10 @@ def oracle_sql():
 #  the identical operators/changelog.py::merge_upsert per batch
 #  (streaming/upsert.py:69), and the batch form is r5-green plus
 #  local-parity green this session. It joins the r10 head.
+#  Closing evidence: the ENTIRE 50-entry window below was simulated
+#  against the driver gate locally this session (sf0.01, value-hash
+#  compare vs the DuckDB oracles, exact registry order):
+#  50/50 green (.scratch log; full pytest 514 green).
 _R9_WINDOW = (
     # ---- the six unchecked r8 births: certify first ----
     "emb_incremental_semdedup",
