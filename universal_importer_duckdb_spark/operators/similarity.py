@@ -279,11 +279,28 @@ def sign_hamming_topk(
     ham = F.bit_count(
         F.col("__hi").bitwiseXOR(F.lit(qhi))
     ) + F.bit_count(F.col("__lo").bitwiseXOR(F.lit(qlo)))
+    # ragged guard (r10 advice, mirroring matryoshka_recall): an
+    # embedding narrower than the query dim would pack a TRUNCATED
+    # signature (missing dims silently read as sign-0, skewing
+    # Hamming) and NULL-fold its cosine at re-rank, sorting last
+    # silently — raise per row at execution instead.
+    ragged = F.raise_error(
+        F.concat(
+            F.lit(
+                "sign_hamming_topk: embedding narrower than the query "
+                f"dim ({dim}) for id "
+            ),
+            F.col(id_col).cast("string"),
+        )
+    ).cast("bigint")
+    guarded_ham = F.when(
+        F.size(F.col(vec_col)) >= dim, ham.cast("bigint")
+    ).otherwise(ragged)
     cand = (
         spread_for_compute(df, id_col)
         .withColumn("__hi", sign_bits(vec_col, 1, half))
         .withColumn("__lo", sign_bits(vec_col, half + 1, dim - half))
-        .withColumn("__ham", ham.cast("bigint"))
+        .withColumn("__ham", guarded_ham)
         .orderBy("__ham", id_col)
         .limit(n_candidates)
     )
@@ -337,10 +354,14 @@ def matryoshka_recall(
         )
     vd = F.col(vec_col).cast("array<double>")
     # the same NULL-fold applies to a RAGGED CORPUS ROW narrower than
-    # the widest tier — that can only be caught per row, so the tier
-    # score raises at execution instead of sorting the row last
-    # silently (r9 second-review finding)
-    dmax = max(dims)
+    # the widest slice we take — that can only be caught per row, so
+    # the tier score raises at execution instead of sorting the row
+    # last silently (r9 second-review finding). The widest slice is
+    # the FULL-DIMENSION REFERENCE tier (len(query_vec)), not just
+    # max(dims): when max(dims) < len(query_vec) a row with size in
+    # [max(dims), len(query_vec)) would pass a max(dims) guard yet
+    # NULL-fold in the reference top-k (r10 advice).
+    dmax = max(max(dims), len(query_vec))
     ragged = F.raise_error(
         F.concat(
             F.lit(
