@@ -70,3 +70,40 @@ def test_stateful_running_user_stats(spark, sf_dir):
         if r.n_events > final[r.user_id][0]:
             final[r.user_id] = (r.n_events, r.total_value)
     assert dict(final) == expected
+
+
+def test_selfdup_spans_on_hot_gram_corpus(spark):
+    """r9 verdict #4: a gram occurring in 50% of documents (license
+    boilerplate at corpus scale) must neither break correctness nor
+    funnel into a single window group. Every doc after the first
+    containing the hot 8-gram gets exactly that span; unique docs get
+    none; and the physical plan has no window partitioned by gram."""
+    import contextlib
+    import io
+
+    from universal_importer_duckdb_spark.operators.corpus import (
+        cross_doc_duplicate_spans,
+    )
+
+    hot = " ".join(f"hot{j}" for j in range(8))
+    rows = []
+    for d in range(200):
+        if d % 2 == 0:  # 50% of docs share the identical 8-gram
+            rows.append((d, f"u{d}a u{d}b {hot} u{d}c u{d}d"))
+        else:
+            rows.append((d, " ".join(f"w{d}x{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    spans = cross_doc_duplicate_spans(docs, n=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spans.explain("formatted")
+    for line in buf.getvalue().splitlines():
+        if "windowspecdefinition" in line:
+            assert "gram" not in line, line
+
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()}
+    # doc 0 is the earliest holder and keeps the passage; every later
+    # even doc duplicates tokens 3..10 (1-based, inside its 12 tokens)
+    expected = {(d, 3, 10) for d in range(2, 200, 2)}
+    assert got == expected

@@ -708,14 +708,22 @@ def cross_doc_duplicate_spans(
 
     Shape — and why it scales where a suffix array does not shard:
     the positional gram explode is one narrow stream (8-byte hash +
-    int offset); the earliest-holder test is ``min(id) OVER
-    (PARTITION BY gram)`` — ONE hash exchange on the gram key with no
-    self-join and no global sort (suffix-array construction is a
-    global order; this is the same verdict computed groupwise); the
-    island merge then shuffles only duplicated windows. Intra-doc
-    repeats are deliberately NOT spans here (the intradoc segment
-    entry owns those): a gram whose earliest holder is this document
-    marks only the LATER documents.
+    int offset); the earliest-holder verdict is
+    ``groupBy(gram).agg(min(id))`` joined back onto the stream — NOT
+    ``min(id) OVER (PARTITION BY gram)``. The window form co-locates
+    EVERY occurrence of a gram in one sorted group, so a hot gram
+    (license boilerplate repeated across millions of documents —
+    exactly the rows this operator exists to find) becomes a single
+    spill-and-straggle task at corpus scale (r9 verdict #4). The
+    groupBy form partial-aggregates on the map side (the exchange
+    carries one row per distinct gram per map task, not one per
+    occurrence), and the join-back is an AQE-skew-splittable hash
+    join whose build rows are 1-per-gram; no global sort anywhere
+    (suffix-array construction is a global order; this is the same
+    verdict computed groupwise). The island merge then shuffles only
+    duplicated windows. Intra-doc repeats are deliberately NOT spans
+    here (the intradoc segment entry owns those): a gram whose
+    earliest holder is this document marks only the LATER documents.
 
     Output: ``(doc_id, span_start, span_end, n_grams)`` — 1-based
     inclusive token positions, all-integer, hash-exact oracle.
@@ -726,10 +734,21 @@ def cross_doc_duplicate_spans(
     At 28 bits, ~1M distinct grams expect ~2,000 colliding pairs;
     at 60 bits the expectation is ~5e-7 (r9 review finding).
     """
-    positioned = positioned_ngrams(docs, n, text_col, id_col, hasher=_md5_60)
-    earliest = F.min(id_col).over(Window.partitionBy("gram"))
+    from universal_importer_duckdb_spark.caching import scoped_cache
+
+    # the positioned stream feeds BOTH the firsts aggregate and the
+    # join probe; scoped-cache it (the containment.py/dedup_text.py
+    # fan-out idiom) so tokenize+md5 runs once, not once per branch —
+    # MEMORY_AND_DISK, so at corpus scale it spills rather than OOMs,
+    # and release_scoped/clearCache drains it deterministically.
+    positioned = scoped_cache(
+        positioned_ngrams(docs, n, text_col, id_col, hasher=_md5_60)
+    )
+    firsts = positioned.groupBy("gram").agg(
+        F.min(id_col).alias("__first")
+    )
     hits = (
-        positioned.withColumn("__first", earliest)
+        positioned.join(firsts, "gram")
         .filter(F.col("__first") < F.col(id_col))
         .select(
             id_col,
@@ -770,9 +789,16 @@ def incremental_duplicate_spans(
     Output: ``(doc_id, span_start, span_end, n_grams)`` over
     ARRIVING documents only.
     """
-    index = positioned_ngrams(
-        at_rest, n, text_col, id_col, hasher=_md5_60
-    ).select("gram")
+    # DISTINCT, as the stored-index contract above promises: without
+    # it every positional occurrence of a hot at-rest gram ships into
+    # the semi-join's build/stream side (r9 verdict #4 second half) —
+    # distinct partial-aggregates map-side, so the exchange carries
+    # one row per distinct gram per map task.
+    index = (
+        positioned_ngrams(at_rest, n, text_col, id_col, hasher=_md5_60)
+        .select("gram")
+        .distinct()
+    )
     arr = positioned_ngrams(arriving, n, text_col, id_col, hasher=_md5_60)
     hits = arr.join(index, "gram", "left_semi").select(
         id_col,
