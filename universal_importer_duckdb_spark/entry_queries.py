@@ -167,120 +167,106 @@ def oracle_sql():
 #  orders_quantile_envelope, orders_zorder_codes, part_fuzzy_matches,
 #  stream_click_purchase_join, stream_incremental_upsert_state,
 #  stream_session_windows, stream_simhash_neardup_dedup.
-# Round-9 roster (below) — exactly what the r8 tail comment promised:
-#  1. The SIX intentionally-unchecked r8 births lead (the first
-#     coverage debt since r4; local parity green at sf0.001/sf0.01 +
-#     property-tested, but no CORRECTNESS row yet).
-#  2. The seven entries the late-r8 amendments displaced, plus
-#     docs_bpe_token_counts — with the r5-era block below this takes
-#     every r5-era certification (38 entries, the oldest on the
-#     board) through the window.
-#  3. The two entries whose implementation changed in r9:
-#     docs_corpus_card (one-token-pass + fingerprint pre-agg rollup,
-#     oracle's marker scan re-lowered to match) and emb_semdedup
-#     (semdedup.py gained the max_cluster_size guard — verdicts
-#     unchanged, kernel changed, so it re-certifies).
-#  4. The four r9 births take the last slots so the registry keeps
-#     zero never-checked entries: docs_selfdup_spans (exact-substring
-#     corpus self-dedup, Lee et al. 2022), emb_sign_hamming_topk
-#     (binary-sign-quantization ANN), emb_matryoshka_recall
-#     (prefix-truncation retrieval audit), docs_langid_trigram_rank
-#     (Cavnar-Trenkle rank-profile language ID). The r6-era risk
-#     fillers that provisionally held these slots
-#     (emb_hard_negatives, emb_semdedup_clusters, emb_cosine_topk,
-#     emb_knn_join — the r8-churned similarity.py family, the first
-#     also the r8 perf watch item) are DISPLACED: they lead the r10
-#     roster, ahead of the remaining 40 r6-era entries that form its
-#     body, plus whatever r10 changes or births displace into it.
-#  Late-r9 amendment: two more births (docs_selfdedup_text — the
-#  excision composition of docs_selfdup_spans — and
-#  stream_langid_scores, the stateless ingest twin of
-#  docs_langid_trigram_rank) take the slots of docs_hash_split and
-#  docs_benchmark_contamination. Both demotions are SAFE: hash_split
-#  is exercised in-window through docs_cluster_aware_split (which
-#  composes it over near-dup families), and the exact 8-gram screen
-#  of benchmark_contamination is the first stage of the in-window
-#  selfdup/span family (identical positioned-gram machinery);
-#  both are local-parity green at sf0.001/sf0.01 this session.
-#  They join the displaced set at the r10 head.
-#  Second late-r9 amendment: a seventh birth,
-#  docs_incremental_selfdup_spans (exact-substring dedup at ingest —
-#  the arriving batch screened against the at-rest gram index,
-#  completing the self-dedup loop's production shape), takes
-#  events_merge_upsert_state's slot. SAFE to demote: its streaming
-#  twin stream_incremental_upsert_state stays IN-window and composes
-#  the identical operators/changelog.py::merge_upsert per batch
-#  (streaming/upsert.py:69), and the batch form is r5-green plus
-#  local-parity green this session. It joins the r10 head.
-#  Closing evidence: the ENTIRE 50-entry window below was simulated
-#  against the driver gate locally this session (sf0.01, value-hash
-#  compare vs the DuckDB oracles, exact registry order):
-#  50/50 green (.scratch log; full pytest 514 green).
-_R9_WINDOW = (
-    # ---- the six unchecked r8 births: certify first ----
-    "emb_incremental_semdedup",
-    "stream_semdedup_ingest",
-    "docs_multisignal_admission",
-    "stream_multisignal_admission",
-    "docs_cluster_aware_split",
-    "docs_softdedup_weights",
-    # ---- displaced by the late-r8 amendments ----
-    "docs_simhash_neardup",
-    "docs_neardup_clusters",
-    "docs_minhash_lsh_neardup",
-    "pipeline_flagship",
-    "multimodal_audio_features",
-    "multimodal_image_features",
-    "emb_quantize_int8",
-    "docs_bpe_token_counts",
-    # ---- changed in r9: re-verify ----
-    "docs_corpus_card",
-    "emb_semdedup",
-    # ---- the r5-era staleness block (last checked r5) ----
-    "approx_distinct_customers_monthly",
-    "docs_char_trigram_familiarity",
-    "docs_chunk_for_training",
-    "docs_corpus_assembly_pipeline",
-    "docs_domain_cap",
-    "docs_pii_scrub",
-    "docs_priority_sample",
-    "docs_repetition_signals",
-    "docs_source_mixture",
-    "docs_stratified_sample",
-    "docs_tokens_udtf",
-    "docs_training_pipeline",
-    "events_changelog_state",
-    "events_resample_interpolate",
-    "events_retention_cohorts",
-    "events_robust_outliers",
-    "events_scd2_history",
-    "events_transition_matrix",
-    "orders_data_profile",
-    "orders_grouping_sets",
-    "orders_quantile_envelope",
-    "orders_zorder_codes",
-    "part_fuzzy_matches",
-    "stream_click_purchase_join",
-    "stream_incremental_upsert_state",
-    "stream_session_windows",
-    "stream_simhash_neardup_dedup",
-    # ---- born this round: checked immediately, no coverage debt ----
-    "docs_selfdup_spans",
-    "docs_selfdedup_text",
-    "stream_langid_scores",
-    "docs_incremental_selfdup_spans",
+# Round-9 roster: delivered as promised — 50/50 green in
+# CORRECTNESS_r09 (the six unchecked r8 births certified first, the
+# displaced eight, the two r9-changed, the r5-era staleness block,
+# and all seven r9 births with day-one driver checks). Full r9
+# roster text: git show 928f4c0:universal_importer_duckdb_spark/
+# entry_queries.py lines 170-289.
+#
+# Round-10 roster (below) — exactly what the r9 tail comment and
+# VERDICT.md Next-round #5 promised:
+#  1. The seven promised leaders: the r8-churned similarity.py four
+#     displaced by the late-r9 amendments (emb_hard_negatives — also
+#     the standing perf-adjudication watch item, emb_semdedup_clusters,
+#     emb_cosine_topk, emb_knn_join) and the three oldest
+#     certifications on the board, demoted late-r9 with documented
+#     proxies (docs_hash_split, docs_benchmark_contamination,
+#     events_merge_upsert_state — all r5).
+#  2. The five entries whose kernels changed in r10, so they
+#     re-certify (the emb_semdedup precedent: verdicts unchanged,
+#     kernel changed):
+#     - emb_sign_hamming_topk + emb_matryoshka_recall (ragged-row
+#       guards per the r10 advice; verdicts on well-formed corpora
+#       unchanged);
+#     - docs_selfdup_spans + docs_selfdedup_text +
+#       docs_incremental_selfdup_spans (skew-hardened earliest-holder
+#       verdict: groupBy+join replaces the gram window; the at-rest
+#       gram index is now distinct — order-free verdicts, physical
+#       shape changed).
+#  3. The r6-era staleness block fills the remaining 38 slots. Two of
+#     the 40 r6-era candidates are displaced to make room for the five
+#     re-certifications above — dedup_duplicates_lineitem and
+#     dedup_last_lineitem, the SAFEST demotions on the board: their
+#     siblings dedup_first_lineitem / dedup_exclude_all_lineitem /
+#     dedup_cascade_lineitem stay IN-window this round and exercise
+#     the identical operators/dedup.py:39,72 window/cascade kernels,
+#     and both are bench-exercised every round and locally
+#     parity-green this session. They LEAD the r11 roster, ahead of
+#     whatever r10 leaves at r7-era staleness.
+_R10_WINDOW = (
+    # ---- the seven promised leaders ----
+    "emb_hard_negatives",
+    "emb_semdedup_clusters",
+    "emb_cosine_topk",
+    "emb_knn_join",
+    "docs_hash_split",
+    "docs_benchmark_contamination",
+    "events_merge_upsert_state",
+    # ---- changed in r10: re-verify ----
     "emb_sign_hamming_topk",
     "emb_matryoshka_recall",
-    "docs_langid_trigram_rank",
+    "docs_selfdup_spans",
+    "docs_selfdedup_text",
+    "docs_incremental_selfdup_spans",
+    # ---- the r6-era staleness block (last checked r6) ----
+    "dedup_cascade_lineitem",
+    "dedup_exclude_all_lineitem",
+    "dedup_first_lineitem",
+    "docs_budget_selection",
+    "docs_containment_pairs",
+    "docs_corpus_prep",
+    "docs_cross_doc_ngram_dup",
+    "docs_curriculum_stages",
+    "docs_fingerprint_exact_dedup",
+    "docs_hybrid_search_rrf",
+    "docs_keyword_search_topk",
+    "docs_ngram_topk_similar",
+    "docs_pack_sequences",
+    "docs_quality_filter_ids",
+    "docs_quality_scores",
+    "docs_shipped_tokenizer_counts",
+    "docs_source_token_divergence",
+    "docs_source_token_stats_udaf",
+    "docs_temperature_mixture",
+    "emb_ann_lsh_topk",
+    "emb_near_dup_pairs",
+    "events_dedup_first_by_key",
+    "events_sessionization",
+    "events_tumbling_hourly",
+    "events_user_narratives",
+    "lineitem_content_checksum",
+    "multimodal_video_features",
+    "orders_compaction_plan",
+    "pipeline_summary_lineitem",
+    "pipeline_summary_observed_lineitem",
+    "q9_profit_by_nation_year",
+    "rule_age_gte_invalid_orders",
+    "rule_age_gte_skip_orders",
+    "stream_dedup_within_watermark",
+    "stream_enriched_segment_counts",
+    "stream_running_user_stats",
+    "stream_sliding_halfhour",
+    "stream_tumbling_hourly",
 )
 
 
 def _finalize_registry() -> None:
-    rank = {n: i for i, n in enumerate(_R9_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R10_WINDOW)}
 
     def key(kv: tuple[str, tuple]) -> int:
         name, _ = kv
-        return rank.get(name, len(_R9_WINDOW))
+        return rank.get(name, len(_R10_WINDOW))
 
     ordered = dict(sorted(REGISTRY.items(), key=key))
     REGISTRY.clear()
