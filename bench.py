@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "docs_langid_trigram_rank",
     "docs_selfdedup_text",
     "docs_incremental_selfdup_spans",
+    "docs_bigram_lm_bits",
+    "docs_ingest_novelty",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

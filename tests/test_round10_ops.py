@@ -70,3 +70,113 @@ def test_matryoshka_guard_covers_full_reference_width(spark):
     )
     with pytest.raises(Exception, match="narrower than the widest"):
         matryoshka_recall(ragged, qv, dims=(8, 32), k=2).collect()
+
+
+# ---------------------------------------------- r10 births: bigram LM
+def test_bigram_lm_bits_hand_computed(spark):
+    """Target 'a b a b a c': c2={(a,b):2,(b,a):2,(a,c):1},
+    c1={a:3,b:2} -> bits(a,b)=len(bin(3//2))=1, bits(b,a)=
+    len(bin(2//2))=1, bits(a,c)=len(bin(3//1))=2. Scoring 'a b x'
+    against it: (a,b)=1 + (b,x)=OOV 24 -> 25 bits / 2 bigrams =
+    12500 milli. The target doc itself: (a,b),(b,a),(a,b),(b,a),
+    (a,c) -> 1+1+1+1+2 = 6 bits / 5 = 1200 milli."""
+    from universal_importer_duckdb_spark.operators.lm import bigram_lm_bits
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c", "tgt"), (2, "a b x", "raw")],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {
+        r.doc_id: (r.n_bigrams, r.bits_milli)
+        for r in bigram_lm_bits(docs, F.col("source") == "tgt").collect()
+    }
+    assert rows == {1: (5, 1200), 2: (2, 12500)}
+
+
+def test_bigram_lm_short_docs_report_zero_evidence(spark):
+    """Sub-2-token documents (empty, null, one word) report
+    (n_bigrams=0, bits_milli=0) — no evidence is not high surprisal,
+    and they must still APPEAR in the output (explode_outer)."""
+    from universal_importer_duckdb_spark.operators.lm import bigram_lm_bits
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "tgt"), (2, "", "raw"), (3, None, "raw"), (4, "only", "raw")],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {
+        r.doc_id: (r.n_bigrams, r.bits_milli)
+        for r in bigram_lm_bits(docs, F.col("source") == "tgt").collect()
+    }
+    assert rows[2] == (0, 0) and rows[3] == (0, 0) and rows[4] == (0, 0)
+    assert rows[1] == (1, 1000)  # (a,b): c1=c2=1 -> 1 bit
+
+
+def test_streaming_lm_bits_equals_batch(spark, sf_dir):
+    """The drained ingest scorer equals the batch scorer row-for-row
+    on the same corpus and artifact (stateless stream-static plan)."""
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.operators.lm import (
+        bigram_lm_artifact,
+        lm_bits_with_artifact,
+    )
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.docs import (
+        stream_documents,
+        streaming_lm_bits,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    artifact = bigram_lm_artifact(docs, F.col("source") == "src0")
+    batch = sorted(
+        map(tuple, lm_bits_with_artifact(docs, artifact).collect())
+    )
+    drained = se.run_available_now(
+        streaming_lm_bits(stream_documents(spark, sf_dir), artifact),
+        "t_stream_lm_bits",
+        output_mode="update",
+    )
+    got = sorted(
+        map(
+            tuple,
+            drained.groupBy("doc_id")
+            .agg(
+                F.max("n_bigrams").alias("n_bigrams"),
+                F.max("bits_milli").alias("bits_milli"),
+            )
+            .collect(),
+        )
+    )
+    assert got == batch and len(batch) > 0
+
+
+# ---------------------------------------------- r10 births: novelty
+def test_ingest_novelty_semantics(spark):
+    """A doc whose only 8-gram window exists at rest scores 0 novel;
+    a fully novel doc scores 1000; a doc mixing one seen and one
+    unseen window scores 500; a too-short doc reports (0, 0)."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        ingest_novelty,
+    )
+
+    seen = " ".join(f"s{j}" for j in range(8))
+    at_rest = spark.createDataFrame(
+        [(100, f"pre1 pre2 {seen} post1")],
+        "doc_id bigint, text string",
+    )
+    arriving = spark.createDataFrame(
+        [
+            (1, seen),                                  # 1 window, seen
+            (2, " ".join(f"n{j}" for j in range(8))),   # 1 window, novel
+            (3, f"{seen} zz"),  # 2 windows: seen + novel -> 500
+            (4, "too short"),                           # no window
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_windows, r.novel_milli)
+        for r in ingest_novelty(at_rest, arriving, n=8).collect()
+    }
+    assert rows == {1: (1, 0), 2: (1, 1000), 3: (2, 500), 4: (0, 0)}

@@ -204,6 +204,21 @@ def oracle_sql():
 #     and both are bench-exercised every round and locally
 #     parity-green this session. They LEAD the r11 roster, ahead of
 #     whatever r10 leaves at r7-era staleness.
+#  Late-r10 amendment: three births — docs_bigram_lm_bits (CCNet-style
+#  bigram-LM bits-per-token quality filter, integer floor-log2
+#  surprisal), stream_lm_bits (its stateless ingest twin), and
+#  docs_ingest_novelty (unseen-gram fraction of arrivals against the
+#  at-rest gram index) — take the slots of three more r6-era fillers
+#  so the registry keeps zero never-checked entries. The demotions
+#  are SAFE, each with an in-window sibling on the same kernel:
+#  docs_quality_filter_ids (docs_quality_scores stays in-window —
+#  same heuristic-score module, the filter entry only thresholds it),
+#  pipeline_summary_observed_lineitem (pipeline_summary_lineitem
+#  stays — same operators/summary.py kernel, observed variant), and
+#  stream_sliding_halfhour (stream_tumbling_hourly AND
+#  events_tumbling_hourly stay — same streaming windowed-agg kernel,
+#  sliding vs tumbling spec). All three are locally parity-green this
+#  session and join the two dedup demotions at the r11 head.
 _R10_WINDOW = (
     # ---- the seven promised leaders ----
     "emb_hard_negatives",
@@ -213,6 +228,10 @@ _R10_WINDOW = (
     "docs_hash_split",
     "docs_benchmark_contamination",
     "events_merge_upsert_state",
+    # ---- born in r10: checked immediately, no coverage debt ----
+    "docs_bigram_lm_bits",
+    "stream_lm_bits",
+    "docs_ingest_novelty",
     # ---- changed in r10: re-verify ----
     "emb_sign_hamming_topk",
     "emb_matryoshka_recall",
@@ -233,7 +252,6 @@ _R10_WINDOW = (
     "docs_keyword_search_topk",
     "docs_ngram_topk_similar",
     "docs_pack_sequences",
-    "docs_quality_filter_ids",
     "docs_quality_scores",
     "docs_shipped_tokenizer_counts",
     "docs_source_token_divergence",
@@ -249,14 +267,12 @@ _R10_WINDOW = (
     "multimodal_video_features",
     "orders_compaction_plan",
     "pipeline_summary_lineitem",
-    "pipeline_summary_observed_lineitem",
     "q9_profit_by_nation_year",
     "rule_age_gte_invalid_orders",
     "rule_age_gte_skip_orders",
     "stream_dedup_within_watermark",
     "stream_enriched_segment_counts",
     "stream_running_user_stats",
-    "stream_sliding_halfhour",
     "stream_tumbling_hourly",
 )
 

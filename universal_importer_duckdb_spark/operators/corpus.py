@@ -808,6 +808,70 @@ def incremental_duplicate_spans(
     return merge_token_spans(hits, id_col)
 
 
+def ingest_novelty(
+    at_rest: DataFrame,
+    arriving: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document NOVELTY of an arriving batch against the at-rest
+    corpus: the fraction of the document's n-gram windows whose gram
+    occurs nowhere at rest — the admission-time signal that ranks
+    arrivals by how much genuinely new text they contribute (the
+    inverse of the duplication verdict ``incremental_duplicate_spans``
+    computes over the SAME stored gram index: one index, two reads —
+    excision wants the seen windows, curriculum/priority wants the
+    unseen fraction). Verdicts depend only on at-rest state, never on
+    other arrivals (the incremental-family contract).
+
+    Scale shape: the at-rest side is the distinct stored gram index
+    (8 bytes per distinct gram, map-side-combined before its one
+    exchange); the arriving side is one positional explode joined
+    LEFT against the index (membership marker, AQE-skew-splittable)
+    into a map-side-combinable per-document count pair. Gram space
+    md5-60 (corpus-sized index — the cross_doc_duplicate_spans
+    exposure argument).
+
+    Output: ``(id, n_windows, novel_milli)`` over ARRIVING documents
+    only — ``novel_milli = 1000 * unseen div n_windows``, exact
+    integers; a document too short for any window reports
+    ``(0, 0)`` (no window evidence is not novelty, the wordless-doc
+    convention of quality_model.py/lm.py).
+    """
+    index = (
+        positioned_ngrams(at_rest, n, text_col, id_col, hasher=_md5_60)
+        .select("gram")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    arr = positioned_ngrams(arriving, n, text_col, id_col, hasher=_md5_60)
+    counts = (
+        arr.join(index, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__novel"),
+        )
+    )
+    return (
+        arriving.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_windows"), F.lit(0))
+            .cast("bigint")
+            .alias("n_windows"),
+            F.coalesce(
+                F.expr("CAST((1000 * __novel) div n_windows AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            ).alias("novel_milli"),
+        )
+    )
+
+
 def excise_spans(
     docs: DataFrame,
     spans: DataFrame,

@@ -4008,6 +4008,142 @@ REGISTRY.update({
 })
 
 
+def docs_bigram_lm_bits(spark, sf_dir):
+    """CCNet-style LM quality filter (operators/lm.py): train a
+    bigram model on the target subset (source = 'src0' — the curated
+    seed, the DSIR target convention), score EVERY document by
+    integer bits-per-token (floor-log2 surprisal buckets via base-2
+    string length — identical in Spark conv(x,10,2) and DuckDB
+    bin(x); OOV bigrams cost a flat 24 bits). Low bits = looks like
+    the target. The sequential-likelihood sibling of the DSIR
+    importance tier; spreads the single-row-group test parquet
+    first."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+    from universal_importer_duckdb_spark.operators.lm import (
+        bigram_lm_bits,
+    )
+
+    return bigram_lm_bits(
+        spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id"),
+        is_target=F.col("source") == "src0",
+    )
+
+
+BIGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, source = 'src0' AS t,
+         list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                     x -> x <> '') AS l
+  FROM documents),
+big AS (
+  SELECT doc_id, t, l[i] AS w1, l[i + 1] AS w2
+  FROM toks, unnest(range(1, len(l))) AS u(i)
+  WHERE len(l) >= 2),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big WHERE t GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+art AS (SELECT w1, w2, LENGTH(bin(c1 // c2)) AS bits
+        FROM c2 JOIN c1 USING (w1)),
+scored AS (
+  SELECT b.doc_id, COUNT(*) AS nb, SUM(COALESCE(a.bits, 24)) AS s
+  FROM big b LEFT JOIN art a USING (w1, w2) GROUP BY b.doc_id)
+SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(CASE WHEN COALESCE(nb, 0) > 0 THEN (1000 * s) // nb
+            ELSE 0 END AS BIGINT) AS bits_milli
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+
+
+def stream_lm_bits(spark, sf_dir):
+    """Bigram-LM bits at INGEST (streaming/docs.py::streaming_lm_bits):
+    the bit table is trained once from the batch corpus
+    (operators/lm.py::bigram_lm_artifact), then arriving documents
+    are scored by a stateless explode_outer + stream-static join +
+    per-doc aggregation in update mode. One source row per document,
+    so its state is final on first emission and the drained output
+    equals the batch scores however availableNow splits the source —
+    the batch oracle applies. Defensive max-fold collapses any
+    re-emission, the stream_dsir_scores idiom."""
+    from universal_importer_duckdb_spark.operators.lm import (
+        bigram_lm_artifact,
+    )
+    from universal_importer_duckdb_spark.streaming import events as se
+    from universal_importer_duckdb_spark.streaming.docs import (
+        stream_documents,
+        streaming_lm_bits,
+    )
+
+    artifact = bigram_lm_artifact(
+        _t(spark, sf_dir, "documents"),
+        is_target=F.col("source") == "src0",
+    )
+    _STREAM_COUNTER[0] += 1
+    stream = stream_documents(spark, sf_dir)
+    drained = se.run_available_now(
+        streaming_lm_bits(stream, artifact),
+        f"q_stream_lm_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+    return drained.groupBy("doc_id").agg(
+        F.max("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.max("bits_milli").cast("bigint").alias("bits_milli"),
+    )
+
+
+def docs_ingest_novelty(spark, sf_dir):
+    """Admission-time novelty (operators/corpus.py::ingest_novelty):
+    the arriving batch (doc_id % 10 = 0, the incremental-family batch
+    class) scored by the fraction of its 8-gram windows absent from
+    the at-rest corpus's distinct gram index — the inverse read of
+    the index incremental_duplicate_spans screens against (one stored
+    index, two admission signals: seen windows for excision, unseen
+    fraction for curriculum/priority)."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        ingest_novelty,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    arriving = docs.filter(F.col("doc_id") % 10 == 0)
+    at_rest = docs.filter(F.col("doc_id") % 10 != 0)
+    return ingest_novelty(at_rest, arriving, n=8)
+
+
+INGEST_NOVELTY_SQL = """
+WITH g AS (
+  SELECT doc_id, doc_id % 10 = 0 AS arriving, toks, len(toks) AS nt
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents)),
+pos AS (
+  SELECT doc_id, arriving, i,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT AS gram
+  FROM g, unnest(range(1, nt - 6)) AS u(i)
+  WHERE nt >= 8),
+idx AS (SELECT DISTINCT gram FROM pos WHERE NOT arriving),
+counts AS (
+  SELECT p.doc_id, COUNT(*) AS nw,
+         SUM(CASE WHEN i.gram IS NULL THEN 1 ELSE 0 END) AS novel
+  FROM pos p LEFT JOIN idx i USING (gram)
+  WHERE p.arriving GROUP BY p.doc_id)
+SELECT d.doc_id, CAST(COALESCE(nw, 0) AS BIGINT) AS n_windows,
+       CAST(CASE WHEN COALESCE(nw, 0) > 0 THEN (1000 * novel) // nw
+            ELSE 0 END AS BIGINT) AS novel_milli
+FROM documents d LEFT JOIN counts USING (doc_id)
+WHERE d.doc_id % 10 = 0
+"""
+
+
+REGISTRY.update({
+    "docs_bigram_lm_bits": (docs_bigram_lm_bits, BIGRAM_LM_SQL),
+    "stream_lm_bits": (stream_lm_bits, BIGRAM_LM_SQL),
+    "docs_ingest_novelty": (docs_ingest_novelty, INGEST_NOVELTY_SQL),
+})
+
+
 # Chained-section export: star-import carries every module-level
 # name (including the underscore-prefixed shared helpers) to the
 # next registry section / the entry_queries spine.

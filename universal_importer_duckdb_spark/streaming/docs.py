@@ -113,6 +113,25 @@ def streaming_quality_scores(docs: DataFrame, weights: dict[str, int]) -> DataFr
     return quality_model_scores(docs, weights)
 
 
+def streaming_lm_bits(docs: DataFrame, artifact: DataFrame) -> DataFrame:
+    """Bigram-LM bits-per-token scored at INGEST against a held bit
+    table (operators/lm.py::bigram_lm_artifact — the CCNet deployment
+    shape: train the target LM once, perplexity-screen arriving
+    documents forever). The plan is a stateless explode_outer +
+    stream-static join on the vocab-bounded artifact + a per-document
+    aggregation; each document arrives as ONE source row, so its
+    bigrams land in a single micro-batch and the update-mode state
+    for its doc_id is final when first emitted — the drained output
+    equals the batch scores however availableNow splits the source,
+    and the batch oracle applies (the streaming_dsir_scores
+    contract)."""
+    from universal_importer_duckdb_spark.operators.lm import (
+        lm_bits_with_artifact,
+    )
+
+    return lm_bits_with_artifact(docs, artifact)
+
+
 def streaming_multisignal_admission(
     docs_arriving: DataFrame,
     emb_static: DataFrame,
