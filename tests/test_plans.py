@@ -431,3 +431,33 @@ def test_langid_plan_broadcasts_profile_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bigram_lm_plan_shape(spark, sf_dir):
+    """CCNet-style LM scoring: the held bit table broadcasts (the
+    measured BROADCAST_VOCAB_ROWS gate — a checkpointed artifact has
+    no catalog stats for AQE), the whole fold stays JVM-side, and the
+    corpus pays exactly one hash exchange (spread; the per-doc sum
+    reuses the spread partitioning via map-side combine)."""
+    import re
+
+    plan = _plan(eq.REGISTRY["docs_bigram_lm_bits"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scan_nodes) == 1, plan  # artifact is checkpointed
+
+
+def test_ingest_novelty_plan_shape(spark, sf_dir):
+    """Novelty scoring keeps the self-dedup family's skew contract:
+    the at-rest index is a map-side-combined DISTINCT (partial agg on
+    the gram), membership is a join — never a window over the gram
+    key — and nothing leaves the JVM."""
+    plan = _plan(eq.REGISTRY["docs_ingest_novelty"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "gram" not in line, line
