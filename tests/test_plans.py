@@ -433,6 +433,28 @@ def test_langid_plan_broadcasts_profile_no_cartesian(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_langid_scoring_is_shuffle_free(spark, sf_dir):
+    """r10 scale shape: the per-doc profile is computed map-side
+    (sorted-array RLE + top-n, all bound lambdas), so SCORING ships no
+    corpus exchange at all — the only hash exchange in the executed
+    plan is the registry's spread repartition; the gain aggregate and
+    the argmin window both reuse its doc_id partitioning (subset
+    clustering), and the argmin lowers to WindowGroupLimit."""
+    df = eq.REGISTRY["docs_langid_trigram_rank"][0](spark, sf_dir)
+    df.count()  # materialize the profile checkpoint: plan = scoring only
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "REPARTITION" in hash_exchanges[0]
+    assert "WindowGroupLimit" in plan
+    # the per-row expression tree evaluates each intermediate once:
+    # exactly two array_sorts (trigram sort + top-n sort), not the
+    # 19 the collapsed-projection form re-ran
+    assert plan.count("array_sort") == 2, plan.count("array_sort")
+
+
 def test_bigram_lm_plan_shape(spark, sf_dir):
     """CCNet-style LM scoring: the held bit table broadcasts (the
     measured BROADCAST_VOCAB_ROWS gate — a checkpointed artifact has

@@ -483,6 +483,98 @@ def char_trigrams(text_col: str = "text") -> Column:
     return F.transform(idx, lambda i: F.substring(t, i, 3))
 
 
+def _bind(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE per row and hand it to ``body`` as a
+    bound lambda variable: ``transform(array(value), v -> body(v))[0]``.
+    Catalyst freely duplicates aliased non-trivial expressions when
+    collapsing projections and pushing filters (measured here: the
+    staged-withColumn form of the trigram profile re-ran array_sort
+    19x per row); a lambda variable is a real binding the optimizer
+    cannot inline, so each intermediate array sorts exactly once."""
+    return F.transform(F.array(value), body).getItem(0)
+
+
+def trigram_rle_counts(text_col: str = "text") -> Column:
+    """Per-document trigram counts as ``array<struct<tg string,
+    c int>>`` — sort the trigram array, run-length encode it — all
+    per-row codegen expressions, zero shuffle. Boundary positions use
+    CASE-guarded ``element_at`` (ANSI mode errors on index 0, and
+    bare OR does not short-circuit in codegen); the guarded
+    ``sequence`` avoids the descending-sequence surprise on empty
+    arrays. Every intermediate is lambda-BOUND (see ``_bind``) so the
+    sort and boundary scans evaluate exactly once per row."""
+
+    empty_int = F.array().cast("array<int>")
+
+    def with_sorted(s: Column) -> Column:
+        length = F.size(s)
+        # boundary positions: 1 is always a run start; position p >= 2
+        # starts a run iff s[p] != s[p-1] — no per-element CASE (the
+        # p == 1 special case is hoisted into the concat), measured
+        # ~25% cheaper than the guarded-filter form
+        tail_bounds = F.when(
+            length >= 2,
+            F.filter(
+                F.sequence(F.lit(2), length),
+                lambda p: F.element_at(s, p) != F.element_at(s, p - 1),
+            ),
+        ).otherwise(empty_int)
+        starts = F.when(
+            length >= 1, F.concat(F.array(F.lit(1)), tail_bounds)
+        ).otherwise(empty_int)
+
+        def with_starts(st: Column) -> Column:
+            # each run's length is next_start - start; the phantom
+            # next_start of the last run is length + 1
+            nexts = F.concat(
+                F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                F.when(length >= 1, F.array(length + 1)).otherwise(
+                    empty_int
+                ),
+            )
+            return F.zip_with(
+                st,
+                nexts,
+                lambda a, b: F.struct(
+                    F.element_at(s, a).alias("tg"),
+                    (b - a).cast("int").alias("c"),
+                ),
+            )
+
+        return _bind(starts, with_starts)
+
+    return _bind(F.array_sort(char_trigrams(text_col)), with_sorted)
+
+
+def doc_trigram_profile(text_col: str = "text", n: int = 20) -> Column:
+    """The Cavnar-Trenkle DOCUMENT profile as one per-row expression:
+    top-``n`` trigrams by (count desc, trigram asc) with 1-based
+    ranks, each element also carrying the profile size —
+    ``array<struct<tg string, drank int, nt int>>``. Carrying ``nt``
+    inside the elements lets the caller reference this (expensive)
+    expression exactly once, via a single explode."""
+    ordered = F.array_sort(
+        F.transform(
+            trigram_rle_counts(text_col),
+            lambda p: F.struct(
+                (-p["c"]).alias("negc"), p["tg"].alias("tg")
+            ),
+        )
+    )
+
+    def with_top(top: Column) -> Column:
+        return F.transform(
+            top,
+            lambda p, k: F.struct(
+                p["tg"].alias("tg"),
+                (k + 1).cast("int").alias("drank"),
+                F.size(top).cast("int").alias("nt"),
+            ),
+        )
+
+    return _bind(F.slice(ordered, 1, n), with_top)
+
+
 def trigram_rank_langid(
     docs: DataFrame,
     m: int = 50,
@@ -510,16 +602,18 @@ def trigram_rank_langid(
     a matched language always beats an unmatched one since every
     match's gain >= 1).
 
-    Scale shape: the per-document side pays ONE corpus-chars-
-    proportional trigram explode per scoring run; the language
-    profile is a one-time SECOND pass whose n_langs x m result is
-    materialized (langid_profile, the vocab-bounded trained
-    artifact), so it never re-runs — forking one explode into both
-    counts would either recompute anyway (a DAG fork) or materialize
-    the corpus-scale (doc, trigram) table, which the materialization
-    contract forbids. The profile BROADCASTS to the match join; the
-    only corpus-keyed exchanges are the per-document count and
-    window rank. Output: ``(doc_id, lang, pred_lang, dist)``.
+    Scale shape (r10): the per-document profile is computed ENTIRELY
+    map-side — sort the document's trigram array, run-length encode
+    it, take top-``n`` — all per-row codegen expressions, so scoring
+    ships NO corpus-scale exchange at all (the r9 form shuffled the
+    exploded (doc, trigram) stream twice: a hash agg and a per-doc
+    rank window). What leaves each map task is <= ``n`` rows per
+    document; the profile BROADCASTS to the match join and the only
+    exchanges are the <= n-rows-per-doc gain aggregation and the
+    argmin window. The language profile is a one-time SECOND pass
+    whose n_langs x m result is materialized (langid_profile, the
+    vocab-bounded trained artifact), so it never re-runs.
+    Output: ``(doc_id, lang, pred_lang, dist)``.
 
     Requires ``n <= m``: the match-only algebra needs every matched
     term's gain m - |drank - lrank| to stay positive (|drank - lrank|
@@ -537,45 +631,41 @@ def trigram_rank_langid(
             "every matched term's gain is positive"
         )
 
-    tri = docs.select(
+    # Map-side per-doc profile, referenced exactly ONCE via the
+    # explode (each element carries nt, so no second size() ref for
+    # the optimizer to duplicate the expression into). Documents
+    # with no trigrams (under 3 chars) emit nothing, matching the
+    # pre-r10 explode form.
+    docp = docs.select(
         F.col(id_col),
         F.col(lang_col),
-        F.explode(char_trigrams(text_col)).alias("tg"),
-    )
-    doc_counts = tri.groupBy(id_col, lang_col, "tg").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    w_doc = Window.partitionBy(id_col).orderBy(
-        F.desc("__c"), F.asc("tg")
-    )
-    docp = (
-        doc_counts.withColumn("drank", F.row_number().over(w_doc))
-        .filter(F.col("drank") <= n)
-        .select(id_col, lang_col, "tg", "drank")
+        F.explode(doc_trigram_profile(text_col, n)).alias("__e"),
+    ).select(
+        id_col,
+        lang_col,
+        F.col("__e.nt").alias("__nt"),
+        F.col("__e.tg").alias("tg"),
+        F.col("__e.drank").alias("drank"),
     )
     profile = langid_profile(docs, m, text_col, lang_col)
-    terms = docp.groupBy(id_col, lang_col).agg(
-        F.count(F.lit(1)).alias("__nt")
-    )
-    scores = (
-        docp.join(F.broadcast(profile), "tg")
-        .groupBy(id_col, "plang")
-        .agg(
-            F.sum(
-                F.lit(int(m)) - F.abs(F.col("drank") - F.col("lrank"))
-            ).alias("__gain")
-        )
+    # LEFT join so a document whose profile matches nothing still
+    # reaches the argmin as one all-null group (pred 'und'); a real
+    # match always beats the null group since every matched term's
+    # gain >= 1 (the n <= m invariant above).
+    scores = docp.join(F.broadcast(profile), "tg", "left").groupBy(
+        id_col, lang_col, "__nt", "plang"
+    ).agg(
+        F.sum(
+            F.lit(int(m)) - F.abs(F.col("drank") - F.col("lrank"))
+        ).alias("__gain")
     )
     w_best = Window.partitionBy(id_col).orderBy(
-        F.desc("__gain"), F.asc("plang")
-    )
-    best = (
-        scores.withColumn("__rn", F.row_number().over(w_best))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "plang", "__gain")
+        F.desc(F.coalesce(F.col("__gain"), F.lit(-1))),
+        F.asc_nulls_last("plang"),
     )
     return (
-        terms.join(best, id_col, "left")
+        scores.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
         .select(
             F.col(id_col),
             F.col(lang_col),
@@ -603,14 +693,26 @@ def langid_profile(
     subsequent scoring run pays ONE corpus pass (the doc side) — the
     same materialize-vocab-bounded / recompute-corpus-bounded
     contract as the DSIR artifact. Without the pin, the profile's
-    lineage would re-run the corpus explode on every action."""
+    lineage would re-run the corpus explode on every action.
+
+    r10: trigram counting happens per-document map-side first
+    (sorted-array run-length encode, `_trigram_rle_pairs`), so the
+    exchange feeding the per-language count carries one row per
+    DISTINCT trigram per document — strictly fewer rows than the
+    raw trigram stream the r9 form shuffled — and the map-side
+    partial sum shrinks it again to distinct-vocab x langs."""
     from pyspark.sql import Window
 
-    tri = docs.select(
-        F.col(lang_col), F.explode(char_trigrams(text_col)).alias("tg")
+    pairs = docs.select(
+        F.col(lang_col),
+        F.explode(trigram_rle_counts(text_col)).alias("__e"),
+    ).select(
+        lang_col,
+        F.col("__e.tg").alias("tg"),
+        F.col("__e.c").alias("__dc"),
     )
-    lang_counts = tri.groupBy(lang_col, "tg").agg(
-        F.count(F.lit(1)).alias("__c")
+    lang_counts = pairs.groupBy(lang_col, "tg").agg(
+        F.sum("__dc").alias("__c")
     )
     w_lang = Window.partitionBy(lang_col).orderBy(
         F.desc("__c"), F.asc("tg")
