@@ -40,18 +40,28 @@ def _md5_28(col):
     ).cast("bigint")
 
 
-def _md5_60(col):
-    """60-bit md5 prefix (15 hex chars, BIGINT-safe in both engines;
-    DuckDB replay ('0x'||substr(md5(s),1,15))::BIGINT). For hashes
+def _gram64(col):
+    """The self-dedup GRAM SPACE: xxhash64 (full 64 bits). For hashes
     compared corpus-AGAINST-ITSELF — self-dedup squares the collision
     exposure relative to a small-probe join, and a 28-bit space over
     ~1M distinct grams expects thousands of colliding pairs, each of
-    which would mark (and excise!) genuine text. 60 bits shrinks the
-    expectation by ~2^32."""
+    which would mark (and excise!) genuine text; at 64 bits the
+    expectation is ~3e-8 (the r9 md5-60 widening, re-based r10).
+
+    xxhash64 instead of an md5 prefix for two reasons: (1) it is
+    ~4x cheaper per window (measured at sf0.1: the positional gram
+    explode drops 0.32 -> 0.23 s), and the gram hash runs once per
+    token window — the hottest expression in the self-dedup family;
+    (2) the DuckDB oracles keep their md5-60 gram space, so the two
+    engines now inhabit INDEPENDENT collision spaces: a false span
+    born of a hash collision on either side value-hash-MISMATCHES at
+    the driver gate instead of being invisibly shared (the r9 review
+    found exactly such a shared-space artifact at 28 bits). Gram
+    hashes never appear in any output — only token spans and counts
+    do — so parity holds whenever neither space collides, which at
+    ~1M grams is a ~1e-7 event even pairwise-squared."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.conv(
-        F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10
-    ).cast("bigint")
+    return F.xxhash64(c)
 
 
 def hash_split(
@@ -589,7 +599,7 @@ def contamination_spans(
     The false-positive exposure here is |bench grams| x |corpus
     grams| / 2^28 — a SMALL-probe join, orders below the
     corpus-squared exposure that made cross_doc_duplicate_spans
-    adopt md5-60; a collision costs an extra excised window against
+    adopt a 64-bit space; a collision costs an extra excised window against
     an already-quarantined benchmark, not silent self-destruction.
 
     Output: one row per merged span —
@@ -625,8 +635,8 @@ def positioned_ngrams(
     ``(id, i, gram)`` where gram is a hashed form of the lowered
     space-joined window — the positional explode shared by span-level
     decontamination (md5-28, matching word_ngrams_hashed's benchmark
-    side) and cross-doc substring self-dedup (md5-60: the
-    self-comparison needs the wider space, see _md5_60). 8-byte gram
+    side) and cross-doc substring self-dedup (xxhash64: the
+    self-comparison needs a wide, cheap space, see _gram64). 8-byte gram
     + int offset per window, nothing wider."""
     h = hasher or _md5_28
     base = docs.select(
@@ -728,11 +738,14 @@ def cross_doc_duplicate_spans(
     Output: ``(doc_id, span_start, span_end, n_grams)`` — 1-based
     inclusive token positions, all-integer, hash-exact oracle.
 
-    Gram space: md5-60, NOT the md5-28 the benchmark probe uses —
-    this hash is compared corpus-against-itself, and a false
-    gram-collision here marks (and downstream EXCISES) genuine text.
-    At 28 bits, ~1M distinct grams expect ~2,000 colliding pairs;
-    at 60 bits the expectation is ~5e-7 (r9 review finding).
+    Gram space: xxhash64 (_gram64), NOT the md5-28 the benchmark
+    probe uses — this hash is compared corpus-against-itself, and a
+    false gram-collision here marks (and downstream EXCISES) genuine
+    text. At 28 bits, ~1M distinct grams expect ~2,000 colliding
+    pairs; at 64 bits the expectation is ~3e-8 (r9 review finding,
+    re-based r10 onto the cheaper hash; the oracle stays md5-60, so
+    the two engines' collision spaces are independent and parity
+    catches either side's artifacts).
     """
     from universal_importer_duckdb_spark.caching import scoped_cache
 
@@ -742,7 +755,7 @@ def cross_doc_duplicate_spans(
     # MEMORY_AND_DISK, so at corpus scale it spills rather than OOMs,
     # and release_scoped/clearCache drains it deterministically.
     positioned = scoped_cache(
-        positioned_ngrams(docs, n, text_col, id_col, hasher=_md5_60)
+        positioned_ngrams(docs, n, text_col, id_col, hasher=_gram64)
     )
     firsts = positioned.groupBy("gram").agg(
         F.min(id_col).alias("__first")
@@ -783,8 +796,8 @@ def incremental_duplicate_spans(
     frame so one definition serves tests and deployment; the join is
     the same gram-keyed left-semi as span decontamination, and only
     the arriving batch's hit windows reach the island merge. Gram
-    space md5-60 (corpus-sized index, same exposure argument as
-    cross_doc_duplicate_spans).
+    space xxhash64 (corpus-sized index, same exposure argument as
+    cross_doc_duplicate_spans; the oracle keeps md5-60).
 
     Output: ``(doc_id, span_start, span_end, n_grams)`` over
     ARRIVING documents only.
@@ -795,11 +808,11 @@ def incremental_duplicate_spans(
     # distinct partial-aggregates map-side, so the exchange carries
     # one row per distinct gram per map task.
     index = (
-        positioned_ngrams(at_rest, n, text_col, id_col, hasher=_md5_60)
+        positioned_ngrams(at_rest, n, text_col, id_col, hasher=_gram64)
         .select("gram")
         .distinct()
     )
-    arr = positioned_ngrams(arriving, n, text_col, id_col, hasher=_md5_60)
+    arr = positioned_ngrams(arriving, n, text_col, id_col, hasher=_gram64)
     hits = arr.join(index, "gram", "left_semi").select(
         id_col,
         F.col("i").alias("s"),
@@ -830,8 +843,8 @@ def ingest_novelty(
     exchange); the arriving side is one positional explode joined
     LEFT against the index (membership marker, AQE-skew-splittable)
     into a map-side-combinable per-document count pair. Gram space
-    md5-60 (corpus-sized index — the cross_doc_duplicate_spans
-    exposure argument).
+    xxhash64 (corpus-sized index — the cross_doc_duplicate_spans
+    exposure argument; the oracle keeps md5-60).
 
     Output: ``(id, n_windows, novel_milli)`` over ARRIVING documents
     only — ``novel_milli = 1000 * unseen div n_windows``, exact
@@ -840,12 +853,12 @@ def ingest_novelty(
     convention of quality_model.py/lm.py).
     """
     index = (
-        positioned_ngrams(at_rest, n, text_col, id_col, hasher=_md5_60)
+        positioned_ngrams(at_rest, n, text_col, id_col, hasher=_gram64)
         .select("gram")
         .distinct()
         .withColumn("__seen", F.lit(1))
     )
-    arr = positioned_ngrams(arriving, n, text_col, id_col, hasher=_md5_60)
+    arr = positioned_ngrams(arriving, n, text_col, id_col, hasher=_gram64)
     counts = (
         arr.join(index, "gram", "left")
         .groupBy(id_col)

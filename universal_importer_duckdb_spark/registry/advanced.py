@@ -3636,8 +3636,10 @@ WITH g AS (
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
         FROM documents)),
 pos AS (
-  -- md5-60 (15 hex chars): the self-comparison gram space, see
-  -- operators/corpus.py::_md5_60
+  -- md5-60 (15 hex chars): the oracle's OWN self-comparison gram
+  -- space — deliberately NOT the Spark side's xxhash64 (_gram64):
+  -- independent collision spaces mean a hash-collision span on
+  -- either side mismatches at the gate instead of being shared
   SELECT doc_id, i,
          ('0x' || substr(md5(array_to_string(
             list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT AS gram
