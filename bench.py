@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "docs_incremental_selfdup_spans",
     "docs_bigram_lm_bits",
     "docs_ingest_novelty",
+    "docs_hll_vocab",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -180,3 +180,66 @@ def test_ingest_novelty_semantics(spark):
         for r in ingest_novelty(at_rest, arriving, n=8).collect()
     }
     assert rows == {1: (1, 0), 2: (1, 1000), 3: (2, 500), 4: (0, 0)}
+
+
+# ---------------------------------------------- r10 births: HLL
+def test_hll_estimate_within_typical_error(spark):
+    """The raw HLL estimate lands within 3 standard errors
+    (1.04/sqrt(256) ~ 6.5% each) of the exact distinct count on a
+    40k-key domain — the sketch is certified on data, not asserted."""
+    from pyspark.sql import functions as F
+    from universal_importer_duckdb_spark.operators.sketches import (
+        hll_registers,
+        hll_report,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.lit("s").alias("source"), F.col("id").cast("string").alias("k")
+    )
+    row = hll_report(hll_registers(df, "k")).collect()[0]
+    est = row.hll_est_milli / 1000.0
+    assert abs(est - n) / n < 0.20, est
+
+
+def test_hll_register_merge_is_union(spark):
+    """max-merging the register tables of two disjoint halves equals
+    the register table of their union — the monoid property that makes
+    the sketch map-side-combinable in batch and bounded-state in
+    streaming (same fold as finalize_hll_registers)."""
+    from pyspark.sql import functions as F
+    from universal_importer_duckdb_spark.operators.sketches import (
+        finalize_hll_registers,
+        hll_registers,
+    )
+
+    base = spark.range(10_000).select(
+        F.lit("s").alias("source"), F.col("id").cast("string").alias("k")
+    )
+    a = hll_registers(base.filter(F.col("id") % 2 == 0), "k")
+    b = hll_registers(base.filter(F.col("id") % 2 == 1), "k")
+    merged = sorted(
+        tuple(r) for r in finalize_hll_registers(a.unionAll(b)).collect()
+    )
+    whole = sorted(tuple(r) for r in hll_registers(base, "k").collect())
+    assert merged == whole
+
+
+def test_hll_duplicates_are_absorbed(spark):
+    """Re-inserting every key 5x leaves the register table unchanged —
+    the idempotence that lets the streaming twin skip watermark-scoped
+    dedup entirely."""
+    from pyspark.sql import functions as F
+    from universal_importer_duckdb_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    base = spark.range(5_000).select(
+        F.lit("s").alias("source"), F.col("id").cast("string").alias("k")
+    )
+    rep = base.crossJoin(spark.range(5).select(F.lit(1).alias("__x"))).select(
+        "source", "k"
+    )
+    once = sorted(tuple(r) for r in hll_registers(base, "k").collect())
+    five = sorted(tuple(r) for r in hll_registers(rep, "k").collect())
+    assert once == five

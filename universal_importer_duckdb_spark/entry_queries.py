@@ -219,6 +219,24 @@ def oracle_sql():
 #  events_tumbling_hourly stay — same streaming windowed-agg kernel,
 #  sliding vs tumbling spec). All three are locally parity-green this
 #  session and join the two dedup demotions at the r11 head.
+#  Second late-r10 amendment: two more births — docs_hll_vocab and
+#  stream_hll_vocab (deterministic HyperLogLog per-source vocabulary
+#  cardinality, the sketch pair's second half next to the CMS) — and
+#  two re-certifications: docs_langid_trigram_rank +
+#  stream_langid_scores, whose kernel changed this round (the per-doc
+#  profile moved map-side as bound-lambda RLE and langid_profile now
+#  counts from per-doc RLE pairs; verdicts unchanged, physical shape
+#  changed — the same precedent as the self-dedup trio above). Four
+#  more r6-era fillers are displaced, each with an in-window sibling
+#  on the same kernel: dedup_exclude_all_lineitem (dedup_first_
+#  lineitem and dedup_cascade_lineitem stay — same operators/dedup.py
+#  window kernel), rule_age_gte_invalid_orders (rule_age_gte_skip_
+#  orders stays — same rules.py age_gte kernel, mode flag apart),
+#  docs_keyword_search_topk (docs_hybrid_search_rrf stays and
+#  COMPOSES the identical BM25 scorer), and events_tumbling_hourly
+#  (stream_tumbling_hourly stays — same tumbling windowed-agg spec,
+#  streaming twin of the same GROUP BY). All four are locally
+#  parity-green this session and join the r11 head queue.
 _R10_WINDOW = (
     # ---- the seven promised leaders ----
     "emb_hard_negatives",
@@ -232,15 +250,18 @@ _R10_WINDOW = (
     "docs_bigram_lm_bits",
     "stream_lm_bits",
     "docs_ingest_novelty",
+    "docs_hll_vocab",
+    "stream_hll_vocab",
     # ---- changed in r10: re-verify ----
     "emb_sign_hamming_topk",
     "emb_matryoshka_recall",
     "docs_selfdup_spans",
     "docs_selfdedup_text",
     "docs_incremental_selfdup_spans",
+    "docs_langid_trigram_rank",
+    "stream_langid_scores",
     # ---- the r6-era staleness block (last checked r6) ----
     "dedup_cascade_lineitem",
-    "dedup_exclude_all_lineitem",
     "dedup_first_lineitem",
     "docs_budget_selection",
     "docs_containment_pairs",
@@ -249,7 +270,6 @@ _R10_WINDOW = (
     "docs_curriculum_stages",
     "docs_fingerprint_exact_dedup",
     "docs_hybrid_search_rrf",
-    "docs_keyword_search_topk",
     "docs_ngram_topk_similar",
     "docs_pack_sequences",
     "docs_quality_scores",
@@ -261,14 +281,12 @@ _R10_WINDOW = (
     "emb_near_dup_pairs",
     "events_dedup_first_by_key",
     "events_sessionization",
-    "events_tumbling_hourly",
     "events_user_narratives",
     "lineitem_content_checksum",
     "multimodal_video_features",
     "orders_compaction_plan",
     "pipeline_summary_lineitem",
     "q9_profit_by_nation_year",
-    "rule_age_gte_invalid_orders",
     "rule_age_gte_skip_orders",
     "stream_dedup_within_watermark",
     "stream_enriched_segment_counts",

@@ -278,3 +278,113 @@ def finalize_cms_sketch(drained: DataFrame) -> DataFrame:
     return drained.groupBy("j", "bucket").agg(
         F.max("cnt").cast("bigint").alias("cnt")
     )
+
+
+# ======================================================================
+# HyperLogLog: cardinality, the sketch class the module docstring
+# names next to CMS (counts) and Bloom (membership)
+# ======================================================================
+
+HLL_M = 256           # 2^8 registers
+HLL_RHO_MAX = 41      # 40-bit rank slice; w == 0 reports 41
+HLL_SALT = "hll-v1"
+# alpha_m * m^2 * 1000, precomputed so BOTH engines parse the same
+# decimal literal (alpha = 0.7213 / (1 + 1.079/m), Flajolet et al.
+# 2007 for m >= 128); dividing this exact-parsed double by the
+# exact register sum is a single IEEE op, so the milli estimate is
+# bit-identical cross-engine with no transcendental in sight.
+HLL_ALPHA_M2_1000 = 47072712.671202235
+
+
+def hll_registers(df: DataFrame, key, group_cols=("source",)) -> DataFrame:
+    """HyperLogLog register table per group: ``(group..., bucket, r)``
+    with ``r = max rho`` over the group's keys — rho is the 1-based
+    position of the first set bit in a 40-bit hash slice (Flajolet
+    et al. 2007). Deterministic and portably hashed: bucket is the
+    28-bit md5 prefix mod m (the corpus._md5_28 discipline) and the
+    rank slice is hex chars 8-17 of the SAME md5 — independent bits,
+    one hash per key — with rho = 41 - bitlength(w) via base-2 string
+    conversion (Spark ``conv(x,10,2)`` == DuckDB ``bin(x)``, the
+    lm.py idiom), so the whole table replays bit-exactly in SQL.
+
+    Scale contract: max is an idempotent, commutative monoid on
+    (group, bucket) — map-side partial aggregation compresses every
+    partition to <= m rows per group before the one exchange, and the
+    SAME property caps the streaming twin's state store at m rows per
+    group forever (``streaming_hll_registers``). Duplicate keys need
+    no pre-distinct: re-inserting a key re-proposes the same rho and
+    max absorbs it — the reason HLL streams where COUNT(DISTINCT)
+    cannot."""
+    k = (F.col(key) if isinstance(key, str) else key).cast("string")
+    hexd = F.md5(
+        F.concat(F.lit(HLL_SALT + ":"), k).cast("binary")
+    )
+    bucket = (
+        F.conv(F.substring(hexd, 1, 7), 16, 10).cast("bigint")
+        % F.lit(HLL_M)
+    )
+    w = F.conv(F.substring(hexd, 8, 10), 16, 10).cast("bigint")
+    rho = F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+
+
+def hll_report(registers: DataFrame, group_cols=("source",)) -> DataFrame:
+    """Fold a register table to the cardinality report:
+    ``(group..., hll_est_milli, n_zero_registers)``. The raw HLL
+    estimate ``alpha * m^2 / sum(2^-r)`` (empty registers contribute
+    2^0 = 1) is emitted in milli units as a BIGINT.
+
+    Bit-exact across engines BY CONSTRUCTION, not by luck: each
+    ``2^-r`` is ``1.0 / (1 << r)`` — an exact dyadic double (never
+    ``pow``, which may route through exp/ln and differ in the last
+    ulp per libm) — and with r <= 41 and m = 256 the summands'
+    exponent spread stays under the 53-bit mantissa, so every partial
+    sum is EXACT and therefore order-independent; the final multiply/
+    divide/floor are single correctly-rounded IEEE ops. The classic
+    small/large-range corrections need ln(), which is NOT correctly
+    rounded — they are deliberately left to the caller, who gets
+    ``n_zero_registers`` (the LinearCounting input) to apply them.
+    """
+    inv = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)")
+    return (
+        registers.groupBy(*group_cols)
+        .agg(
+            (F.lit(HLL_M) - F.count(F.lit(1))).alias("__nz"),
+            F.sum(inv).alias("__sp"),
+        )
+        .select(
+            *group_cols,
+            F.floor(
+                F.lit(HLL_ALPHA_M2_1000)
+                / (F.col("__nz").cast("double") + F.col("__sp"))
+            )
+            .cast("bigint")
+            .alias("hll_est_milli"),
+            F.col("__nz").cast("bigint").alias("n_zero_registers"),
+        )
+    )
+
+
+def streaming_hll_registers(stream: DataFrame, key, group_cols=("source",)) -> DataFrame:
+    """The register table as streaming state (update mode): max per
+    (group, bucket) — idempotent and monotone, so the state store is
+    capped at m rows per group no matter how long the stream runs,
+    and replayed keys are absorbed for free (no watermark-scoped
+    dedup needed, unlike an exact distinct count)."""
+    return hll_registers(stream, key, group_cols)
+
+
+def finalize_hll_registers(drained: DataFrame, group_cols=("source",)) -> DataFrame:
+    """Fold update-mode emissions (one row per register per
+    micro-batch that raised it) to the final table: register values
+    only ever grow, so MAX is the last state — the
+    finalize_cms_sketch idiom."""
+    return drained.groupBy(*group_cols, "bucket").agg(
+        F.max("r").cast("int").alias("r")
+    )

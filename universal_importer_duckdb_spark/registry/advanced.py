@@ -4146,6 +4146,130 @@ REGISTRY.update({
 })
 
 
+# ======================================================================
+# Round 10 (cont.): HyperLogLog cardinality — the sketch pair's
+# second half next to the CMS (operators/sketches.py)
+# ======================================================================
+
+def docs_hll_vocab(spark, sf_dir):
+    """Per-source vocabulary cardinality via HyperLogLog
+    (operators/sketches.py::hll_registers/hll_report; Flajolet et al.
+    2007): 256 max-rho registers per source — a 1 KB summary replacing
+    a COUNT(DISTINCT) whose exact dedup state is corpus-vocabulary-
+    sized — reported as the raw milli-estimate alongside the exact
+    distinct count (the CMS heavy-hitter audit pattern: the sketch's
+    error is CERTIFIED on real data, not asserted). The register fold
+    is a max monoid, so it partial-aggregates map-side and the one
+    exchange carries <= 256 rows per source per map task; the same
+    monoid is what bounds the streaming twin's state. Everything is
+    integer or exact-dyadic-double arithmetic (no pow/ln), so the
+    whole report value-hash matches the SQL replay bit for bit."""
+    from universal_importer_duckdb_spark.operators.sketches import (
+        hll_registers,
+        hll_report,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("k"),
+    ).filter(F.col("k") != "")
+    report = hll_report(hll_registers(toks, "k"))
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("k").cast("bigint").alias("exact_distinct")
+    )
+    return exact.join(report, "source").select(
+        "source", "exact_distinct", "hll_est_milli", "n_zero_registers"
+    )
+
+
+def stream_hll_vocab(spark, sf_dir):
+    """Streaming twin of docs_hll_vocab: the REGISTER TABLE is the
+    streaming state (update mode), capped at 256 rows per source
+    forever — max is idempotent and monotone, so replayed tokens are
+    absorbed for free where an exact streaming COUNT(DISTINCT) keeps
+    per-token state without bound. Drained emissions max-fold to the
+    final registers (the finalize_cms_sketch idiom) and equal the
+    batch table however availableNow splits the source, so the batch
+    oracle applies; the exact audit column comes from the at-rest
+    table, shared with the batch entry."""
+    from universal_importer_duckdb_spark.operators.sketches import (
+        finalize_hll_registers,
+        hll_report,
+        streaming_hll_registers,
+    )
+    from universal_importer_duckdb_spark.streaming import docs as sd
+    from universal_importer_duckdb_spark.streaming.events import (
+        run_available_now,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    stream = sd.stream_documents(spark, sf_dir)
+    toks = stream.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("k"),
+    ).filter(F.col("k") != "")
+    drained = run_available_now(
+        streaming_hll_registers(toks, "k"),
+        f"q_stream_hll_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+    report = hll_report(finalize_hll_registers(drained))
+    at_rest = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("k"),
+    ).filter(F.col("k") != "")
+    exact = at_rest.groupBy("source").agg(
+        F.countDistinct("k").cast("bigint").alias("exact_distinct")
+    )
+    return exact.join(report, "source").select(
+        "source", "exact_distinct", "hll_est_milli", "n_zero_registers"
+    )
+
+
+HLL_VOCAB_SQL = """
+WITH toks AS (
+  SELECT source, k FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS k
+    FROM documents)
+  WHERE k <> ''),
+keyed AS (SELECT DISTINCT source, k FROM toks),
+h AS (
+  SELECT source,
+         ('0x' || substr(md5('hll-v1:' || k), 1, 7))::BIGINT % 256
+           AS bucket,
+         ('0x' || substr(md5('hll-v1:' || k), 8, 10))::BIGINT AS w
+  FROM keyed),
+regs AS (
+  SELECT source, bucket,
+         MAX(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS r
+  FROM h GROUP BY source, bucket),
+rep AS (
+  SELECT source,
+         256 - COUNT(*) AS nz,
+         (256 - COUNT(*)) * 1.0
+           + SUM(1.0 / CAST((1::BIGINT << r) AS DOUBLE)) AS s
+  FROM regs GROUP BY source),
+ex AS (
+  SELECT source, COUNT(DISTINCT k) AS exact_distinct FROM toks
+  GROUP BY source)
+SELECT e.source,
+       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(floor(47072712.671202235 / r.s) AS BIGINT) AS hll_est_milli,
+       CAST(r.nz AS BIGINT) AS n_zero_registers
+FROM ex e JOIN rep r USING (source)
+"""
+
+
+REGISTRY.update({
+    "docs_hll_vocab": (docs_hll_vocab, HLL_VOCAB_SQL),
+    "stream_hll_vocab": (stream_hll_vocab, HLL_VOCAB_SQL),
+})
+
+
 # Chained-section export: star-import carries every module-level
 # name (including the underscore-prefixed shared helpers) to the
 # next registry section / the entry_queries spine.
