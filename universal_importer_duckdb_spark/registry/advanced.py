@@ -4172,14 +4172,25 @@ def docs_hll_vocab(spark, sf_dir):
         spread_for_compute,
     )
 
+    from universal_importer_duckdb_spark.caching import scoped_cache
+
     docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "source",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("k"),
     ).filter(F.col("k") != "")
-    report = hll_report(hll_registers(toks, "k"))
-    exact = toks.groupBy("source").agg(
-        F.countDistinct("k").cast("bigint").alias("exact_distinct")
+    # Distinct-first: ONE corpus exchange (map-side-combined distinct
+    # of (source, k)) feeds BOTH branches — the exact audit needs the
+    # distinct set anyway, and hashing once per DISTINCT key instead
+    # of once per occurrence is the same win at 100 TB. The scoped
+    # cache is bounded by the same vocab the exact audit's agg state
+    # already holds. (The streaming twin deliberately does NOT
+    # distinct-first: its register fold on raw tokens is what keeps
+    # its state at 256 rows per source instead of vocab-sized.)
+    keyed = scoped_cache(toks.distinct())
+    report = hll_report(hll_registers(keyed, "k"))
+    exact = keyed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
     )
     return exact.join(report, "source").select(
         "source", "exact_distinct", "hll_est_milli", "n_zero_registers"
