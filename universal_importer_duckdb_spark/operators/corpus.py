@@ -127,16 +127,23 @@ def word_ngrams_hashed(
     text_col: str = "text",
     id_col: str = "doc_id",
     out: str = "gram",
+    hasher=None,
 ) -> DataFrame:
-    """(id, hashed word n-gram) pairs, distinct per doc. md5-derived
-    28-bit hashes — 8 bytes shuffled per gram, never the text, and
-    bit-reproducible in DuckDB SQL.
+    """(id, hashed word n-gram) pairs, distinct per doc (the
+    ``array_distinct`` runs BEFORE the explode — right for consumers
+    that need the per-DOC gram set, like decontamination overlap
+    counts; wrong for a grams-only global index, where interpreted
+    O(windows²) array_distinct loses to the map-side combine of a
+    plain distinct — measured, see incremental_duplicate_spans).
+    Default hash md5-derived 28-bit — 8 bytes shuffled per gram,
+    never the text, and bit-reproducible in DuckDB SQL.
 
     The token array is materialized as its own column BEFORE the
     per-gram lambda: Spark's subexpression elimination does not reach
     inside higher-order-function lambdas, so a split() captured in
     the lambda closure re-tokenizes the document once per gram —
     O(tokens²) per doc."""
+    h = hasher or _md5_28
     base = frame.select(
         F.col(id_col),
         F.split(F.lower(F.col(text_col)), " ").alias("__wng_toks"),
@@ -148,7 +155,7 @@ def word_ngrams_hashed(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     g = F.transform(
-        idx, lambda i: _md5_28(F.array_join(F.slice(toks, i, n), " "))
+        idx, lambda i: h(F.array_join(F.slice(toks, i, n), " "))
     )
     return base.select(
         F.col(id_col), F.explode(F.array_distinct(g)).alias(out)
@@ -806,7 +813,12 @@ def incremental_duplicate_spans(
     # it every positional occurrence of a hot at-rest gram ships into
     # the semi-join's build/stream side (r9 verdict #4 second half) —
     # distinct partial-aggregates map-side, so the exchange carries
-    # one row per distinct gram per map task.
+    # one row per distinct gram per map task. Deliberately NOT a
+    # per-doc array_distinct before the explode: interpreted
+    # array_distinct is O(windows²) per document (the shingles
+    # lesson, dedup_text.py) and within-document 8-gram repetition is
+    # ~3% on real text — measured 0.66 vs 0.56 s at sf0.1; the
+    # map-side combine already absorbs what little repetition exists.
     index = (
         positioned_ngrams(at_rest, n, text_col, id_col, hasher=_gram64)
         .select("gram")
@@ -852,6 +864,8 @@ def ingest_novelty(
     ``(0, 0)`` (no window evidence is not novelty, the wordless-doc
     convention of quality_model.py/lm.py).
     """
+    # positional explode + map-side-combined global distinct, same
+    # rationale as the incremental_duplicate_spans index above
     index = (
         positioned_ngrams(at_rest, n, text_col, id_col, hasher=_gram64)
         .select("gram")
