@@ -483,3 +483,22 @@ def test_ingest_novelty_plan_shape(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "gram" not in line, line
+
+
+def test_hll_vocab_plan_shape(spark, sf_dir):
+    """HLL batch entry: one corpus-scale hash exchange total (the
+    map-side-combined distinct of (source, k) feeding both branches
+    through the scoped cache) beyond the spread repartition; the
+    register fold shows a partial_max (the monoid that makes it
+    map-side-combinable), and nothing leaves the JVM."""
+    import re
+
+    plan = _plan(eq.REGISTRY["docs_hll_vocab"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "partial_max" in plan
+    # the corpus-scale exchange is the distinct's, and its partial agg
+    # runs inside the scan stage, so no exchange carries raw token
+    # OCCURRENCES; both branches read the scoped-cached distinct frame
+    assert re.search(r"partial|InMemoryTableScan", plan)
