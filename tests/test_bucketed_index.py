@@ -1,0 +1,104 @@
+"""The stored-index-at-rest story, substantiated: the incremental
+family's docstrings promise that production keeps its indexes as
+bucketed tables so the per-batch probe join is co-partitioned and the
+INDEX side never shuffles again. These tests pin exactly that plan
+property with write_bucketed_table (sources/bucketing.py; the
+existing test_bucketing.py covers the symmetric fact-to-fact case —
+here the probe side is a small UNBUCKETED batch and broadcast is
+disabled, the 100 TB daily-ingest regime) — the
+exchange is paid once at write time, amortized over every probe."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from universal_importer_duckdb_spark.sources.bucketing import (
+    write_bucketed_table,
+)
+
+
+def _exchanges_above(plan: str, side_marker: str) -> list[str]:
+    """Exchange nodes in the formatted plan (all of them; callers
+    assert on counts and on which subtree they sit in)."""
+    return re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+
+
+def test_bucketed_fingerprint_index_join_is_exchange_free_on_index_side(spark, sf_dir):
+    """incremental_exact_dedup's production shape: the fingerprint
+    index lives bucketed by fingerprint; the arriving batch's anti-
+    join reads it WITHOUT an exchange (only the small batch side may
+    shuffle). SortMergeJoin/ShuffledHashJoin on a bucketed side shows
+    no Exchange above the index scan."""
+    spark.sql("DROP TABLE IF EXISTS fp_index_bucketed")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = docs.select(
+        F.md5(F.lower(F.col("text"))).alias("fingerprint")
+    ).distinct()
+    write_bucketed_table(
+        index, "fp_index_bucketed", ["fingerprint"], num_buckets=8,
+        sort_cols=["fingerprint"],
+    )
+    at_rest = spark.table("fp_index_bucketed")
+
+    batch = docs.limit(200).select(
+        F.col("doc_id"),
+        F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+    )
+    # disable broadcast so the join must use the co-partitioning (at
+    # 100 TB the index NEVER fits a broadcast; this pins that regime)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = batch.join(at_rest, "fingerprint", "left_anti")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]  # final plan only
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS fp_index_bucketed")
+    # the index-side scan must carry ZERO exchange: bucket metadata
+    # supplies the join's required distribution. The batch side is
+    # allowed its (small) exchange.
+    index_scan = plan.index("fp_index_bucketed")
+    exchanges = [m.start() for m in re.finditer("Exchange", plan)]
+    assert all(pos < index_scan for pos in exchanges), plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_bucketed_gram_index_probe_plan(spark, sf_dir):
+    """The self-dedup gram index at rest: bucketed by gram, the
+    ingest screen's semi-join leaves the stored index unshuffled."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        _gram64,
+        positioned_ngrams,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS gram_index_bucketed")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    at_rest = docs.filter(F.col("doc_id") % 10 != 0)
+    index = (
+        positioned_ngrams(at_rest, 8, hasher=_gram64)
+        .select("gram")
+        .distinct()
+    )
+    write_bucketed_table(
+        index, "gram_index_bucketed", ["gram"], num_buckets=8,
+        sort_cols=["gram"],
+    )
+    stored = spark.table("gram_index_bucketed")
+    arriving = docs.filter(F.col("doc_id") % 10 == 0)
+    arr = positioned_ngrams(arriving, 8, hasher=_gram64)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hits = arr.join(stored, "gram", "left_semi")
+        n = hits.count()
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]  # final plan only
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS gram_index_bucketed")
+    assert n > 0
+    index_scan = plan.index("gram_index_bucketed")
+    exchanges = [m.start() for m in re.finditer("Exchange", plan)]
+    assert all(pos < index_scan for pos in exchanges), plan
