@@ -243,3 +243,50 @@ def test_hll_duplicates_are_absorbed(spark):
     once = sorted(tuple(r) for r in hll_registers(base, "k").collect())
     five = sorted(tuple(r) for r in hll_registers(rep, "k").collect())
     assert once == five
+
+
+# ------------------------------------------- r10: RLE trigram kernel
+def test_trigram_rle_counts_matches_counter_property(spark):
+    """Property: the bound-lambda sorted-array RLE (the langid
+    scoring kernel) produces exactly collections.Counter's trigram
+    counts on adversarial strings — repeated chars, full-string
+    repeats, unicode, under-3-char edge cases."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        trigram_rle_counts,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.sampled_from("abc "), min_size=0, max_size=40
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        got = {
+            (r.doc_id, r.e.tg): r.e.c
+            for r in df.select(
+                "doc_id", F.explode(trigram_rle_counts("text")).alias("e")
+            ).collect()
+        }
+        want = {}
+        for i, t in enumerate(texts):
+            low = t.lower()
+            for tg, c in Counter(
+                low[j : j + 3] for j in range(max(len(low) - 2, 0))
+            ).items():
+                want[(i, tg)] = c
+        assert got == want
+
+    check()
