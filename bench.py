@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "docs_bigram_lm_bits",
     "docs_ingest_novelty",
     "docs_hll_vocab",
+    "docs_source_gram_overlap",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

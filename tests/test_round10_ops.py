@@ -290,3 +290,33 @@ def test_trigram_rle_counts_matches_counter_property(spark):
         assert got == want
 
     check()
+
+
+# ------------------------------------- r10: cross-source forensics
+def test_source_gram_overlap_semantics(spark):
+    """Hand-built corpus: sources A and B share exactly one 8-gram
+    (via one copied sentence), C shares nothing; jaccard is exact
+    integer milli over distinct gram sets; pairs with zero shared
+    grams are absent."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        source_gram_overlap,
+    )
+
+    shared = " ".join(f"w{j}" for j in range(8))          # 1 gram
+    rows = [
+        (1, "A", f"{shared} a1 a2"),   # grams: shared + 2 more = 3
+        (2, "B", f"b0 {shared}"),      # grams: 1 new + shared = 2
+        (3, "C", " ".join(f"c{j}" for j in range(9))),    # 2 grams
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    got = {
+        (r.source_a, r.source_b): (r.shared_grams, r.jaccard_milli)
+        for r in source_gram_overlap(docs, n=8).collect()
+    }
+    # |A|=3, |B|=3 (b0.. shifts: 'b0 w0..w6', 'w0..w7' -> 2 grams? No:
+    # 10 tokens -> 3 windows: [b0..w6],[w0..w7],[w1..w7+]... compute:
+    # B text = b0 + 8 shared tokens = 9 tokens -> 2 windows; one is
+    # the shared gram. So |B|=2, shared=1, union=3+2-1=4 -> 250.
+    assert got == {("A", "B"): (1, 250)}

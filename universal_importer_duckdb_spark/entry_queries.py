@@ -237,6 +237,13 @@ def oracle_sql():
 #  (stream_tumbling_hourly stays — same tumbling windowed-agg spec,
 #  streaming twin of the same GROUP BY). All four are locally
 #  parity-green this session and join the r11 head queue.
+#  Third late-r10 amendment: docs_source_gram_overlap (cross-source
+#  shared-gram / milli-Jaccard duplication forensics) is born after
+#  the window amendments settled; rather than churn a fifth demotion
+#  it is an intentionally-unchecked birth on the late-r8 precedent —
+#  locally parity-green at sf0.001/sf0.01 (bit-exact, non-vacuous:
+#  25/23 pairs) and unit-pinned; it leads the r11 roster ahead of the
+#  demotion queue.
 _R10_WINDOW = (
     # ---- the seven promised leaders ----
     "emb_hard_negatives",

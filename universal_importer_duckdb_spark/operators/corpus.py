@@ -1025,3 +1025,84 @@ def split_leakage_audit(
         )
         .orderBy("n_splits")
     )
+
+
+def source_gram_overlap(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication forensics: for every pair of sources,
+    how many distinct word n-grams they SHARE, plus the Jaccard of
+    their gram sets in exact milli units — the
+    which-dump-copies-which matrix run before mixing overlapping
+    crawls/dumps into one corpus (inter-dump duplication is the
+    largest single source of excess exact-dup mass in web-scale
+    training sets; this is the per-pair read of what the dedup tier
+    then removes).
+
+    Shape: per-doc-distinct grams -> one distinct (source, gram)
+    frame (scoped-cached: it feeds the per-source totals AND the pair
+    counts — the cross_doc_duplicate_spans fan-out idiom), then ONE
+    gram-keyed exchange folds each gram's source set (bounded:
+    n_sources, ~20) and expands it to its ordered pairs map-side —
+    never a gram-keyed self-join, whose build side would be
+    corpus-sized. Pair counts and the two per-source totals are
+    n_sources^2-bounded, broadcast-joined. Pairs sharing zero grams
+    are absent (no evidence, no row). All-integer output:
+    ``(source_a, source_b, shared_grams, jaccard_milli)`` with
+    jaccard_milli = 1000*shared div (|A| + |B| - shared).
+
+    Gram space md5-28 (word_ngrams_hashed's default): a collision
+    inflates a shared count by 1 on both engines identically — the
+    small-probe exposure class, not the self-excision class that
+    moved cross_doc_duplicate_spans to 64 bits."""
+    from universal_importer_duckdb_spark.caching import scoped_cache
+
+    g = scoped_cache(
+        word_ngrams_hashed(docs, n, text_col, source_col).distinct()
+    )
+    per = g.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    ss = g.groupBy("gram").agg(
+        F.array_sort(F.collect_set(source_col)).alias("__ss")
+    )
+    s = F.col("__ss")
+    pair_expr = F.flatten(
+        F.transform(
+            s,
+            lambda a, i: F.transform(
+                F.slice(s, i + 2, F.greatest(F.size(s) - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        ss.select(F.explode(pair_expr).alias("__p"))
+        .groupBy(
+            F.col("__p.a").alias("source_a"),
+            F.col("__p.b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    pa = per.select(
+        F.col(source_col).alias("source_a"), F.col("__n").alias("__na")
+    )
+    pb = per.select(
+        F.col(source_col).alias("source_b"), F.col("__n").alias("__nb")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            F.expr(
+                "CAST((1000 * shared_grams) div (__na + __nb - shared_grams)"
+                " AS BIGINT)"
+            ).alias("jaccard_milli"),
+        )
+    )

@@ -4281,6 +4281,58 @@ REGISTRY.update({
 })
 
 
+def docs_source_gram_overlap(spark, sf_dir):
+    """Cross-source duplication forensics (operators/corpus.py::
+    source_gram_overlap): shared distinct 8-grams and exact
+    milli-Jaccard for every source pair — the which-dump-copies-which
+    matrix read before mixing overlapping crawls into one corpus.
+    One gram-keyed exchange folds each gram's bounded source set and
+    expands pairs map-side; never a gram-keyed self-join."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        source_gram_overlap,
+    )
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
+    return source_gram_overlap(docs, n=8)
+
+
+SOURCE_GRAM_OVERLAP_SQL = """
+WITH base AS (
+  SELECT source, string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS nt
+  FROM documents),
+g AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(toks, i, i + 7), ' ')), 1, 7))::BIGINT AS gram
+  FROM base, unnest(range(1, nt - 6)) AS u(i)
+  WHERE nt >= 8),
+per AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+sh AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared
+  FROM g a JOIN g b USING (gram)
+  WHERE a.source < b.source
+  GROUP BY 1, 2)
+SELECT sh.sa AS source_a, sh.sb AS source_b,
+       CAST(sh.shared AS BIGINT) AS shared_grams,
+       CAST((1000 * sh.shared) // (pa.n + pb.n - sh.shared) AS BIGINT)
+         AS jaccard_milli
+FROM sh
+JOIN per pa ON pa.source = sh.sa
+JOIN per pb ON pb.source = sh.sb
+"""
+
+
+REGISTRY.update({
+    "docs_source_gram_overlap": (
+        docs_source_gram_overlap, SOURCE_GRAM_OVERLAP_SQL,
+    ),
+})
+
+
 # Chained-section export: star-import carries every module-level
 # name (including the underscore-prefixed shared helpers) to the
 # next registry section / the entry_queries spine.
