@@ -1042,15 +1042,18 @@ def source_gram_overlap(
     training sets; this is the per-pair read of what the dedup tier
     then removes).
 
-    Shape: per-doc-distinct grams -> one distinct (source, gram)
-    frame (scoped-cached: it feeds the per-source totals AND the pair
-    counts — the cross_doc_duplicate_spans fan-out idiom), then ONE
-    gram-keyed exchange folds each gram's source set (bounded:
-    n_sources, ~20) and expands it to its ordered pairs map-side —
-    never a gram-keyed self-join, whose build side would be
-    corpus-sized. Pair counts and the two per-source totals are
-    n_sources^2-bounded, broadcast-joined. Pairs sharing zero grams
-    are absent (no evidence, no row). All-integer output:
+    Shape: per-doc-distinct grams feed ONE corpus-scale exchange —
+    the gram-keyed collect_set fold (partial-aggregated map-side,
+    each gram's source set bounded by n_sources ~20; no pre-distinct:
+    the set fold absorbs cross-doc repeats for free). The folded
+    gram -> sources frame (one row per distinct gram) is
+    scoped-cached and serves BOTH reads: per-source totals (explode +
+    count — each (gram, source) counted once, exactly the distinct
+    total) and the pair counts (ordered pairs expanded map-side via a
+    flatten/transform expression — never a gram-keyed self-join,
+    whose build side would be corpus-sized). Pair counts and totals
+    are n_sources^2-bounded, broadcast-joined. Pairs sharing zero
+    grams are absent (no evidence, no row). All-integer output:
     ``(source_a, source_b, shared_grams, jaccard_milli)`` with
     jaccard_milli = 1000*shared div (|A| + |B| - shared).
 
@@ -1060,14 +1063,15 @@ def source_gram_overlap(
     moved cross_doc_duplicate_spans to 64 bits."""
     from universal_importer_duckdb_spark.caching import scoped_cache
 
-    g = scoped_cache(
-        word_ngrams_hashed(docs, n, text_col, source_col).distinct()
+    ss = scoped_cache(
+        word_ngrams_hashed(docs, n, text_col, source_col)
+        .groupBy("gram")
+        .agg(F.array_sort(F.collect_set(source_col)).alias("__ss"))
     )
-    per = g.groupBy(source_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n")
-    )
-    ss = g.groupBy("gram").agg(
-        F.array_sort(F.collect_set(source_col)).alias("__ss")
+    per = (
+        ss.select(F.explode("__ss").alias(source_col))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )
     s = F.col("__ss")
     pair_expr = F.flatten(
