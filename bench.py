@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "docs_ingest_novelty",
     "docs_hll_vocab",
     "docs_source_gram_overlap",
+    "emb_ingest_drift",
 ]
 # stream_* registry entries are intentionally NOT benched (consistent
 # with rounds 1-4): an availableNow drain is dominated by micro-batch

@@ -320,3 +320,50 @@ def test_source_gram_overlap_semantics(spark):
     # B text = b0 + 8 shared tokens = 9 tokens -> 2 windows; one is
     # the shared gram. So |B|=2, shared=1, union=3+2-1=4 -> 250.
     assert got == {("A", "B"): (1, 250)}
+
+
+# --------------------------------------------- r10: ingest drift
+def test_embedding_ingest_drift_planted_shift(spark):
+    """Arriving vectors planted FAR from the at-rest cloud must show
+    up as a high mean_d2_arriving in their cluster; training uses
+    at-rest only, so the at-rest columns are identical whatever the
+    arriving batch is (the incremental-family contract)."""
+    import random
+
+    from universal_importer_duckdb_spark.operators.similarity import (
+        embedding_ingest_drift,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    at_rest = spark.createDataFrame(
+        [(i, [rng.uniform(-0.1, 0.1) for _ in range(dim)]) for i in range(200)],
+        "vec_id bigint, embedding array<float>",
+    )
+    near = spark.createDataFrame(
+        [(1000 + i, [rng.uniform(-0.1, 0.1) for _ in range(dim)]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # 1.5 per coordinate: far from the +-0.1 at-rest cloud but
+    # inside int_kmeans' quantization contract (|x| < ~2.1)
+    far = spark.createDataFrame(
+        [(2000 + i, [1.5 + rng.uniform(-0.1, 0.1) for _ in range(dim)]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    d_near = embedding_ingest_drift(at_rest, near, n_clusters=4, sample_size=64)
+    d_far = embedding_ingest_drift(at_rest, far, n_clusters=4, sample_size=64)
+    rows_near = {r.cluster: r for r in d_near.collect()}
+    rows_far = {r.cluster: r for r in d_far.collect()}
+    # at-rest geometry identical across arriving batches
+    assert {
+        c: (r.n_at_rest, r.mean_d2_at_rest) for c, r in rows_near.items() if r.n_at_rest
+    } == {
+        c: (r.n_at_rest, r.mean_d2_at_rest) for c, r in rows_far.items() if r.n_at_rest
+    }
+    # the far batch lands with a mean_d2 far above anything at rest
+    worst_far = max(r.mean_d2_arriving for r in rows_far.values() if r.n_arriving)
+    worst_rest = max(r.mean_d2_at_rest for r in rows_far.values() if r.n_at_rest)
+    assert worst_far > 100 * max(worst_rest, 1)
+    # the near batch does not
+    worst_near = max(r.mean_d2_arriving for r in rows_near.values() if r.n_arriving)
+    assert worst_near < 100 * max(worst_rest, 1)

@@ -243,7 +243,11 @@ def oracle_sql():
 #  it is an intentionally-unchecked birth on the late-r8 precedent —
 #  locally parity-green at sf0.001/sf0.01 (bit-exact, non-vacuous:
 #  25/23 pairs) and unit-pinned; it leads the r11 roster ahead of the
-#  demotion queue.
+#  demotion queue. emb_ingest_drift (per-cluster embedding drift at
+#  ingest, at-rest-trained) is the same class of late birth — locally
+#  parity-green at sf0.001/sf0.01 with the full training replayed in
+#  its oracle, planted-shift unit test — and joins it at the r11
+#  head.
 _R10_WINDOW = (
     # ---- the seven promised leaders ----
     "emb_hard_negatives",

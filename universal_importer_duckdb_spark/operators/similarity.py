@@ -598,6 +598,20 @@ def kmeans_clusters(
     )
 
     C = ivf_train_centroids(df, n_clusters, vec_col, id_col, sample_size, iters)
+    return _assign_to_centroids(df, C, vec_col, id_col)
+
+
+def _assign_to_centroids(
+    df: DataFrame, C, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """One Arrow-batched integer argmin pass of ``df`` against a
+    HELD centroid matrix — the assignment kernel shared by
+    kmeans_clusters (train-and-assign) and embedding_ingest_drift
+    (train on at-rest, assign both sides)."""
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        int_argmin_dists,
+        quantize_np,
+    )
 
     def _assign(batches):
         for pdf in batches:
@@ -622,6 +636,78 @@ def kmeans_clusters(
     # columns — don't ship label/metadata through Arrow)
     return df.select(id_col, vec_col).mapInPandas(
         _assign, schema="vec_id bigint, cluster bigint, d2 bigint"
+    )
+
+
+def embedding_ingest_drift(
+    at_rest: DataFrame,
+    arriving: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    iters: int = 5,
+) -> DataFrame:
+    """Embedding-distribution DRIFT at ingest, per semantic region:
+    train the deterministic integer k-means on the AT-REST corpus
+    (the held clustering — production trains once), assign BOTH
+    sides, and report per cluster how the arriving batch occupies the
+    at-rest geometry — counts, exact integer mean squared distance to
+    the centroid for each side, and the arriving share in milli. The
+    monitoring read that closes the admission-control story: SemDeDup
+    admission gives per-vector verdicts, this gives the aggregate
+    health signal (a cluster whose arriving share or mean-d2 jumps is
+    a shifted or degraded upstream source — retrain / re-balance
+    before it pollutes the mixture).
+
+    Verdicts depend only on at-rest state + the arriving batch (the
+    incremental-family contract). Scale shape: one bounded
+    hash-ordered training sample (the int_kmeans discipline), one
+    Arrow argmin pass per side with the centroid matrix in the
+    closure, two map-side-combinable per-cluster aggregates, one
+    k-row join. All-integer output — clusters nobody occupies are
+    absent; a side with no members in a cluster reports mean 0 (no
+    evidence, the wordless-doc convention):
+    ``(cluster, n_at_rest, n_arriving, mean_d2_at_rest,
+    mean_d2_arriving, arriving_milli)``."""
+    C = ivf_train_centroids(
+        at_rest, n_clusters, vec_col, id_col, sample_size, iters
+    )
+
+    def side(df, prefix):
+        return (
+            _assign_to_centroids(df, C, vec_col, id_col)
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"n_{prefix}"),
+                F.sum("d2").cast("bigint").alias(f"__s_{prefix}"),
+            )
+        )
+
+    r = side(at_rest, "at_rest")
+    a = side(arriving, "arriving")
+    return (
+        r.join(a, "cluster", "full_outer")
+        .select(
+            F.col("cluster"),
+            F.coalesce("n_at_rest", F.lit(0)).cast("bigint").alias("n_at_rest"),
+            F.coalesce("n_arriving", F.lit(0)).cast("bigint").alias("n_arriving"),
+            F.coalesce(
+                F.expr("CAST(__s_at_rest div n_at_rest AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            ).alias("mean_d2_at_rest"),
+            F.coalesce(
+                F.expr("CAST(__s_arriving div n_arriving AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            ).alias("mean_d2_arriving"),
+        )
+        .withColumn(
+            "arriving_milli",
+            F.expr(
+                "CAST((1000 * n_arriving) div (n_arriving + n_at_rest)"
+                " AS BIGINT)"
+            ),
+        )
     )
 
 

@@ -4333,6 +4333,87 @@ REGISTRY.update({
 })
 
 
+def emb_ingest_drift(spark, sf_dir):
+    """Embedding-distribution drift at ingest (operators/similarity.py
+    ::embedding_ingest_drift): integer k-means trained on the AT-REST
+    vectors (vec_id % 10 != 0), both sides assigned, per-cluster
+    occupancy + exact integer mean-d2 per side + arriving share in
+    milli — the aggregate health signal next to the per-vector
+    SemDeDup admission verdicts. Training replayed in the oracle via
+    the unrolled integer-Lloyd's CTE chain (int_kmeans.kmeans_ctes),
+    so the full drift table is hash-exact."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        embedding_ingest_drift,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    arriving = emb.filter(F.col("vec_id") % 10 == 0)
+    at_rest = emb.filter(F.col("vec_id") % 10 != 0)
+    return embedding_ingest_drift(at_rest, arriving, n_clusters=16)
+
+
+def _ingest_drift_oracle(
+    n_clusters: int = 16,
+    dim: int = 64,
+    sample_size: int = 2048,
+    iters: int = 5,
+) -> str:
+    from universal_importer_duckdb_spark.operators.int_kmeans import (
+        SAMPLE_SALT,
+        kmeans_ctes,
+        sql_md5_28,
+        sql_qdim,
+    )
+
+    samp_hash = sql_md5_28(f"'{SAMPLE_SALT}:'||pid")
+    dims = ", ".join(
+        f"{sql_qdim('embedding', i)} AS d{i}" for i in range(1, dim + 1)
+    )
+    dist_pc = " + ".join(
+        f"(p.d{i}-c.d{i})*(p.d{i}-c.d{i})" for i in range(1, dim + 1)
+    )
+    return f"""
+WITH
+pts0 AS MATERIALIZED (
+  SELECT vec_id AS pid, (vec_id % 10 = 0) AS arr, {dims}
+  FROM embeddings),
+rest AS MATERIALIZED (SELECT * FROM pts0 WHERE NOT arr),
+sampids AS MATERIALIZED (SELECT pid FROM rest
+            ORDER BY {samp_hash}, pid
+            LIMIT {sample_size}),
+pts AS MATERIALIZED (SELECT p.* FROM rest p JOIN sampids USING (pid)),
+{kmeans_ctes('pts', dim, n_clusters, iters, 'cents')},
+asg AS (
+  SELECT pid, arr, cid, dd FROM (
+    SELECT p.pid, p.arr, c.cid, {dist_pc} AS dd,
+           row_number() OVER (PARTITION BY p.pid
+                              ORDER BY {dist_pc}, c.cid) AS rn
+    FROM pts0 p JOIN cents c ON TRUE) WHERE rn = 1)
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(SUM(CASE WHEN arr THEN 0 ELSE 1 END) AS BIGINT) AS n_at_rest,
+       CAST(SUM(CASE WHEN arr THEN 1 ELSE 0 END) AS BIGINT) AS n_arriving,
+       CAST(CASE WHEN SUM(CASE WHEN arr THEN 0 ELSE 1 END) > 0
+            THEN SUM(CASE WHEN arr THEN 0 ELSE dd END)
+                 // SUM(CASE WHEN arr THEN 0 ELSE 1 END)
+            ELSE 0 END AS BIGINT) AS mean_d2_at_rest,
+       CAST(CASE WHEN SUM(CASE WHEN arr THEN 1 ELSE 0 END) > 0
+            THEN SUM(CASE WHEN arr THEN dd ELSE 0 END)
+                 // SUM(CASE WHEN arr THEN 1 ELSE 0 END)
+            ELSE 0 END AS BIGINT) AS mean_d2_arriving,
+       CAST((1000 * SUM(CASE WHEN arr THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS arriving_milli
+FROM asg GROUP BY cid
+"""
+
+
+INGEST_DRIFT_SQL = _ingest_drift_oracle()
+
+
+REGISTRY.update({
+    "emb_ingest_drift": (emb_ingest_drift, INGEST_DRIFT_SQL),
+})
+
+
 # Chained-section export: star-import carries every module-level
 # name (including the underscore-prefixed shared helpers) to the
 # next registry section / the entry_queries spine.
