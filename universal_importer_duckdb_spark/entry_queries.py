@@ -247,7 +247,9 @@ def oracle_sql():
 #  ingest, at-rest-trained) is the same class of late birth — locally
 #  parity-green at sf0.001/sf0.01 with the full training replayed in
 #  its oracle, planted-shift unit test — and joins it at the r11
-#  head.
+#  head, together with its streaming twin stream_ingest_drift
+#  (bounded n_clusters-row state; drained == batch, same oracle,
+#  locally parity-green at both sfs).
 _R10_WINDOW = (
     # ---- the seven promised leaders ----
     "emb_hard_negatives",

@@ -684,10 +684,16 @@ def embedding_ingest_drift(
             )
         )
 
-    r = side(at_rest, "at_rest")
-    a = side(arriving, "arriving")
+    return drift_report(side(at_rest, "at_rest"), side(arriving, "arriving"))
+
+
+def drift_report(rest_agg: DataFrame, arriving_agg: DataFrame) -> DataFrame:
+    """Join the two per-cluster (count, sum d2) aggregates into the
+    drift table — shared by the batch operator and the streaming twin
+    (streaming/embeddings.py::streaming_drift_registers), so both
+    shapes emit identical verdicts against the same oracle."""
     return (
-        r.join(a, "cluster", "full_outer")
+        rest_agg.join(arriving_agg, "cluster", "full_outer")
         .select(
             F.col("cluster"),
             F.coalesce("n_at_rest", F.lit(0)).cast("bigint").alias("n_at_rest"),

@@ -4409,8 +4409,56 @@ FROM asg GROUP BY cid
 INGEST_DRIFT_SQL = _ingest_drift_oracle()
 
 
+def stream_ingest_drift(spark, sf_dir):
+    """Streaming twin of emb_ingest_drift: the arriving side's
+    per-cluster (count, sum d2) aggregate is the streaming state
+    (update mode, capped at n_clusters rows forever — the CMS/HLL
+    bounded-state class; the assignment itself is a stateless Arrow
+    map with the at-rest-trained centroid matrix in the closure).
+    Drained emissions max-fold to the final totals and join the
+    batch at-rest side through the shared drift_report, so the
+    drained output equals the batch entry however availableNow
+    splits the source — the batch oracle applies."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        _assign_to_centroids,
+        drift_report,
+        ivf_train_centroids,
+    )
+    from universal_importer_duckdb_spark.streaming.embeddings import (
+        finalize_drift_registers,
+        stream_embeddings,
+        streaming_drift_registers,
+    )
+    from universal_importer_duckdb_spark.streaming.events import (
+        run_available_now,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    at_rest = emb.filter(F.col("vec_id") % 10 != 0)
+    C = ivf_train_centroids(at_rest, 16)
+    _STREAM_COUNTER[0] += 1
+    arriving = stream_embeddings(spark, sf_dir).filter(
+        F.col("vec_id") % 10 == 0
+    )
+    drained = run_available_now(
+        streaming_drift_registers(arriving, C),
+        f"q_stream_drift_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+    rest_agg = (
+        _assign_to_centroids(at_rest, C)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_at_rest"),
+            F.sum("d2").cast("bigint").alias("__s_at_rest"),
+        )
+    )
+    return drift_report(rest_agg, finalize_drift_registers(drained))
+
+
 REGISTRY.update({
     "emb_ingest_drift": (emb_ingest_drift, INGEST_DRIFT_SQL),
+    "stream_ingest_drift": (stream_ingest_drift, INGEST_DRIFT_SQL),
 })
 
 

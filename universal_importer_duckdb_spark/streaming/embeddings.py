@@ -66,3 +66,44 @@ def streaming_semdedup_ingest(
 
     assigned = _assign_with_q(arriving, centroids)
     return _admit_against_kept(assigned, kept_q, eps2)
+
+
+def streaming_drift_registers(arriving: DataFrame, centroids) -> DataFrame:
+    """The arriving side of embedding_ingest_drift as STREAMING state:
+    assign each arriving vector to its at-rest cluster (stateless
+    Arrow map, centroid matrix in the closure) and maintain the
+    per-cluster (count, sum d2) aggregate in update mode — the state
+    store is capped at n_clusters rows forever (the CMS/HLL bounded-
+    state class: additive integer monoid, so partial aggregation
+    absorbs any arrival rate). Emissions only grow; the drained
+    output max-folds to the final per-cluster totals
+    (finalize_drift_registers), which then join the batch at-rest
+    side exactly as in operators/similarity.py::
+    embedding_ingest_drift — same verdicts, same oracle."""
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.operators.similarity import (
+        _assign_to_centroids,
+    )
+
+    return (
+        _assign_to_centroids(arriving, centroids)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_arriving"),
+            F.sum("d2").cast("bigint").alias("__s_arriving"),
+        )
+    )
+
+
+def finalize_drift_registers(drained: DataFrame) -> DataFrame:
+    """Fold update-mode emissions (one row per cluster per micro-batch
+    that touched it) to the final totals: counts and sums only ever
+    grow, so MAX per cluster is the last state — the
+    finalize_cms_sketch idiom."""
+    from pyspark.sql import functions as F
+
+    return drained.groupBy("cluster").agg(
+        F.max("n_arriving").cast("bigint").alias("n_arriving"),
+        F.max("__s_arriving").cast("bigint").alias("__s_arriving"),
+    )
