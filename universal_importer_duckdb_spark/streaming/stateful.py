@@ -7,6 +7,15 @@ value sum across micro-batches, emitting the updated totals each
 batch. State is a single small row per key (bounded by key
 cardinality, not stream length); pair with a timeout for keys that go
 quiet if key cardinality is unbounded.
+
+Spark 4's successor API (``transformWithStateInPandas``) was
+evaluated r10 and is NOT usable in this environment: its streaming
+Python runner requires ``google.protobuf`` (broken import in this
+container, and installs are off-limits), crashing on the first real
+micro-batch with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.
+``applyInPandasWithState`` has no such dependency and remains the
+deployed shape here; revisit when the environment carries a working
+protobuf.
 """
 
 from __future__ import annotations
