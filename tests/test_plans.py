@@ -502,3 +502,35 @@ def test_hll_vocab_plan_shape(spark, sf_dir):
     # runs inside the scan stage, so no exchange carries raw token
     # OCCURRENCES; both branches read the scoped-cached distinct frame
     assert re.search(r"partial|InMemoryTableScan", plan)
+
+
+def test_source_gram_overlap_plan_shape(spark, sf_dir):
+    """Cross-source overlap: the gram-keyed collect_set fold is the
+    ONLY corpus-scale exchange (partial_collect_set runs map-side),
+    pair expansion happens in expressions (no gram-keyed self-join),
+    and the per-source totals join broadcasts."""
+    import re
+
+    plan = _plan(eq.REGISTRY["docs_source_gram_overlap"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_collect_set" in plan
+    assert "SortMergeJoin" not in plan  # totals joins broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ingest_drift_plan_shape(spark, sf_dir):
+    """Drift monitoring: both sides are Arrow argmin maps against the
+    closure-held centroids (exactly two MapInPandas nodes, no
+    JVM<->Python row loop) and the per-cluster aggregates
+    partial-combine map-side. (The final full-outer join of the two
+    k-row aggregates may sort-merge — k rows, irrelevant at any
+    scale.)"""
+    import re
+
+    plan = _plan(eq.REGISTRY["emb_ingest_drift"][0](spark, sf_dir))
+    nodes = re.findall(r"^\(\d+\) MapInPandas", plan, flags=re.M)
+    assert len(nodes) == 2, plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
