@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -167,7 +168,7 @@ def time_oracles(
     names: list[str],
     oracle_sql: dict[str, str],
     budget_sec: float,
-) -> tuple[dict[str, float | None], list[str]]:
+) -> tuple[dict[str, float | None], dict[str, float | None], list[str]]:
     """Time each benched entry's DuckDB oracle on the SAME parquet —
     the r9 verdict's reproducibility fix: every perf adjudication is
     made against ratios RECORDED in the bench artifact, not against
@@ -187,6 +188,12 @@ def time_oracles(
     if it exhausts, remaining entries record None and are NAMED in
     the returned drop list (no silent caps), and the summary line
     flags it.
+
+    Returns (min_map, median_map, dropped): r11 records BOTH the
+    per-entry minimum and MEDIAN — min-of-N on 0.1-0.7 s quantities
+    flapped entries across the 2x bar and the 0.1 s class boundary
+    between runs of the same code (r10 verdict #5); the README
+    adjudication classes are derived from the median.
     """
     import duckdb
 
@@ -201,30 +208,35 @@ def time_oracles(
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     out: dict[str, float | None] = {}
+    med: dict[str, float | None] = {}
     dropped: list[str] = []
     t_start = time.perf_counter()
     for name in names:
         sql = oracle_sql.get(name)
         if sql is None:
             out[name] = None  # rows-only entry: no SQL twin to time
+            med[name] = None
             continue
         if time.perf_counter() - t_start > budget_sec:
             out[name] = None
+            med[name] = None
             dropped.append(name)
             continue
         try:
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
-            best = time.perf_counter() - t0
-            extra = 4 if best < 1.0 else (2 if best < 3.0 else 0)
+            runs = [time.perf_counter() - t0]
+            extra = 4 if runs[0] < 1.0 else (2 if runs[0] < 3.0 else 0)
             for _ in range(extra):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(min(runs), 3)
+            med[name] = round(statistics.median(runs), 3)
         except Exception:
             out[name] = None  # oracle failed to run: visible as null
-    return out, dropped
+            med[name] = None
+    return out, med, dropped
 
 
 def build_summary_line(
@@ -296,9 +308,10 @@ def main() -> int:
     # (round-3 verdict item 7)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    timings_med: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = q[name]
-        best = float("inf")
+        samples: list[float] = []
         # drop previous queries' cached frames: accumulated storage
         # memory otherwise evicts this query's own intermediates
         # mid-measurement (observed 3x swings on the cache-heavy ops).
@@ -311,8 +324,13 @@ def main() -> int:
             # noop sink forces full distributed computation without the
             # driver-side row-materialization cost of collect()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        # min stays the headline estimator (round-over-round
+        # comparability with BENCH_r01-r10); the median is what the
+        # README adjudication classes read (r10 verdict #5 — min-of-5
+        # on 0.1-0.7 s quantities flaps across the 2x bar run-to-run).
+        timings[name] = round(min(samples), 3)
+        timings_med[name] = round(statistics.median(samples), 3)
 
     # Data-independent calibration workload: a fixed CPU-bound range
     # aggregation timed exactly like the queries. Host speed drifts
@@ -330,6 +348,7 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": timings_med,
         "calibration_sec": round(cal, 3),
         "sf": sf,
     }
@@ -339,7 +358,7 @@ def main() -> int:
     # hand-run). SPARK_GRAFT_ORACLE_BUDGET=0 skips the pass entirely.
     budget = float(os.environ.get("SPARK_GRAFT_ORACLE_BUDGET", "600"))
     if budget > 0:
-        oracle_t, dropped = time_oracles(
+        oracle_t, oracle_med, dropped = time_oracles(
             sf_dir, BENCH_QUERIES, eq.oracle_sql(), budget
         )
         ratios = {
@@ -348,7 +367,15 @@ def main() -> int:
             if oracle_t.get(n) and timings.get(n) is not None
         }
         out["oracle"] = oracle_t
+        out["oracle_median"] = oracle_med
         out["ratio"] = ratios
+        # the ADJUDICATION ratio (r11): median vs median — stable
+        # run-to-run where min-of-5 flapped; bench_report.py reads it
+        out["ratio_median"] = {
+            n: round(timings_med[n] / oracle_med[n], 2)
+            for n in BENCH_QUERIES
+            if oracle_med.get(n) and timings_med.get(n) is not None
+        }
         if dropped:
             out["oracle_budget_dropped"] = dropped
         # like-for-like aggregate: entries whose oracle does real,
@@ -356,20 +383,33 @@ def main() -> int:
         # q-class scheduling-floor micro-oracles and the
         # artifact-replay asymmetry (trained-artifact entries where
         # the SQL twin replays full training against Spark's cached
-        # re-query; see the BENCH_QUERIES comment below).
+        # re-query; see the BENCH_QUERIES comment below). Since r11
+        # membership and the aggregate both read MEDIANS (the stable
+        # adjudication regime); the min-based aggregate is kept
+        # alongside for round-over-round continuity.
         lfl = [
-            n for n, t in oracle_t.items()
-            if t is not None and 0.1 <= t <= 2.0 and n in timings
+            n for n, t in oracle_med.items()
+            if t is not None and 0.1 <= t <= 2.0 and n in timings_med
         ]
         if lfl:
-            s_sum = sum(timings[n] for n in lfl)
-            o_sum = sum(oracle_t[n] for n in lfl)
+            s_sum = sum(timings_med[n] for n in lfl)
+            o_sum = sum(oracle_med[n] for n in lfl)
             out["comparable"] = {
                 "n": len(lfl),
                 "spark_sec": round(s_sum, 3),
                 "oracle_sec": round(o_sum, 3),
                 "ratio": round(s_sum / o_sum, 3),
+                "estimator": "median",
             }
+            s_min = sum(timings[n] for n in lfl)
+            o_min = sum(oracle_t[n] for n in lfl if oracle_t.get(n))
+            if o_min:
+                out["comparable_min"] = {
+                    "n": len(lfl),
+                    "spark_sec": round(s_min, 3),
+                    "oracle_sec": round(o_min, 3),
+                    "ratio": round(s_min / o_min, 3),
+                }
     # Full detail: first stdout line + a file, both outside the
     # driver's 2000-char tail window. The driver parses the LAST line.
     full = json.dumps(out)

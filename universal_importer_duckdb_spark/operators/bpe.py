@@ -150,8 +150,24 @@ def learn_bpe(
         pat = F.lit(f"{DELIM}{a}{DELIM}{b}{DELIM}")
         rep = F.lit(f"{DELIM}{a}{b}{DELIM}")
         w = w.withColumn("d", F.replace(F.replace("d", pat, rep), pat, rep))
-    merges = spark.createDataFrame(
-        learned, "round bigint, sym_a string, sym_b string, pair_count bigint"
+    # JVM-side VALUES literal, NOT spark.createDataFrame: a
+    # Python-local frame serves through applySchemaToPythonRDD — a
+    # Python-RDD scan re-serialized on EVERY action, measured
+    # 0.3-0.5 s per noop write of 8 rows (r11; the whole recorded
+    # "2.26x" of docs_bpe_learn_merges was this floor, zero compute).
+    # The VALUES form is a LocalRelation: pure JVM, ~10 ms to serve.
+    # Symbols are [a-z0-9]+ by this module's normalization contract
+    # (load_merges_file validates the same), so quoting is belt and
+    # braces only.
+    rows = ", ".join(
+        "(CAST({r} AS BIGINT), '{a}', '{b}', CAST({c} AS BIGINT))".format(
+            r=r, a=a.replace("'", "''"), b=b.replace("'", "''"), c=c
+        )
+        for r, a, b, c in learned
+    )
+    merges = spark.sql(
+        f"SELECT * FROM VALUES {rows} "
+        "AS t(round, sym_a, sym_b, pair_count)"
     )
     return merges, w
 
