@@ -19,10 +19,30 @@ from universal_importer_duckdb_spark.sources.bucketing import (
 )
 
 
-def _exchanges_above(plan: str, side_marker: str) -> list[str]:
-    """Exchange nodes in the formatted plan (all of them; callers
-    assert on counts and on which subtree they sit in)."""
-    return re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+def _ancestor_lines(plan: str, marker: str) -> list[str]:
+    """The ANCESTOR chain of the tree node whose line contains
+    ``marker``, from the rendered executedPlan tree: walking upward,
+    a line with strictly smaller tree-indentation than everything
+    seen so far is an ancestor (the `:- / +-` rendering puts every
+    ancestor on an earlier line at smaller depth). Structural — does
+    not assume anything about where OTHER branches' nodes land in
+    the flat string (the r10 advice: the old positional heuristic
+    compared raw substring offsets)."""
+
+    def depth(line: str) -> int:
+        m = re.search(r"[^\s:+*-]", line)
+        return m.start() if m else len(line)
+
+    lines = plan.splitlines()
+    i = next(i for i, l in enumerate(lines) if marker in l)
+    out: list[str] = []
+    d = depth(lines[i])
+    for j in range(i - 1, -1, -1):
+        dj = depth(lines[j])
+        if dj < d:
+            out.append(lines[j])
+            d = dj
+    return out
 
 
 def test_bucketed_fingerprint_index_join_is_exchange_free_on_index_side(spark, sf_dir):
@@ -59,10 +79,11 @@ def test_bucketed_fingerprint_index_join_is_exchange_free_on_index_side(spark, s
         spark.sql("DROP TABLE IF EXISTS fp_index_bucketed")
     # the index-side scan must carry ZERO exchange: bucket metadata
     # supplies the join's required distribution. The batch side is
-    # allowed its (small) exchange.
-    index_scan = plan.index("fp_index_bucketed")
-    exchanges = [m.start() for m in re.finditer("Exchange", plan)]
-    assert all(pos < index_scan for pos in exchanges), plan
+    # allowed its (small) exchange — so the assertion is on the
+    # index scan's ANCESTOR chain, not the whole plan.
+    ancestors = _ancestor_lines(plan, "fp_index_bucketed")
+    assert ancestors, plan  # the scan is not the root
+    assert not any("Exchange" in a for a in ancestors), plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
 
 
@@ -99,6 +120,6 @@ def test_bucketed_gram_index_probe_plan(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS gram_index_bucketed")
     assert n > 0
-    index_scan = plan.index("gram_index_bucketed")
-    exchanges = [m.start() for m in re.finditer("Exchange", plan)]
-    assert all(pos < index_scan for pos in exchanges), plan
+    ancestors = _ancestor_lines(plan, "gram_index_bucketed")
+    assert ancestors, plan
+    assert not any("Exchange" in a for a in ancestors), plan

@@ -607,7 +607,9 @@ def _assign_to_centroids(
     """One Arrow-batched integer argmin pass of ``df`` against a
     HELD centroid matrix — the assignment kernel shared by
     kmeans_clusters (train-and-assign) and embedding_ingest_drift
-    (train on at-rest, assign both sides)."""
+    (train on at-rest, assign both sides). The id column keeps the
+    caller's name in the output (r10 advice: the old kernel silently
+    renamed it to 'vec_id')."""
     from universal_importer_duckdb_spark.operators.int_kmeans import (
         int_argmin_dists,
         quantize_np,
@@ -626,7 +628,7 @@ def _assign_to_centroids(
             a, dd = int_argmin_dists(xq, C)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "cluster": a.astype("int64"),
                     "d2": dd,
                 }
@@ -635,7 +637,7 @@ def _assign_to_centroids(
     # project before the Arrow map (mapInPandas pins its input
     # columns — don't ship label/metadata through Arrow)
     return df.select(id_col, vec_col).mapInPandas(
-        _assign, schema="vec_id bigint, cluster bigint, d2 bigint"
+        _assign, schema=f"{id_col} bigint, cluster bigint, d2 bigint"
     )
 
 

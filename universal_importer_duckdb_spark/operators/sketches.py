@@ -350,6 +350,17 @@ def hll_report(registers: DataFrame, group_cols=("source",)) -> DataFrame:
     small/large-range corrections need ln(), which is NOT correctly
     rounded — they are deliberately left to the caller, who gets
     ``n_zero_registers`` (the LinearCounting input) to apply them.
+
+    KNOWN BIAS (read before trusting the raw number): without the
+    LinearCounting correction, the raw estimate OVERESTIMATES small
+    cardinalities — materially when the true distinct count is below
+    ~2.5*m (~640 for m=256), i.e. whenever ``n_zero_registers > 0``
+    by more than a handful. ``docs_hll_vocab`` publishes this raw
+    milli-estimate next to the exact count precisely so the error is
+    CERTIFIED on real data (the CMS audit pattern); a consumer
+    reading the estimate alone must apply
+    ``m * ln(m / n_zero_registers)`` when ``n_zero_registers`` is
+    nonzero, accepting that ln() costs the bit-exact replay.
     """
     inv = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)")
     return (
