@@ -250,70 +250,111 @@ def oracle_sql():
 #  head, together with its streaming twin stream_ingest_drift
 #  (bounded n_clusters-row state; drained == batch, same oracle,
 #  locally parity-green at both sfs).
-_R10_WINDOW = (
-    # ---- the seven promised leaders ----
-    "emb_hard_negatives",
-    "emb_semdedup_clusters",
-    "emb_cosine_topk",
-    "emb_knn_join",
-    "docs_hash_split",
-    "docs_benchmark_contamination",
-    "events_merge_upsert_state",
-    # ---- born in r10: checked immediately, no coverage debt ----
-    "docs_bigram_lm_bits",
-    "stream_lm_bits",
-    "docs_ingest_novelty",
-    "docs_hll_vocab",
-    "stream_hll_vocab",
-    # ---- changed in r10: re-verify ----
-    "emb_sign_hamming_topk",
-    "emb_matryoshka_recall",
-    "docs_selfdup_spans",
-    "docs_selfdedup_text",
+# Round-10 window: delivered 50/50 green in CORRECTNESS_r10. Full
+# r10 roster text: git show 14bf145:universal_importer_duckdb_spark/
+# entry_queries.py (the _R10_WINDOW tuple).
+#
+# Round-11 roster (below) — exactly what the r10 tail comments and
+# VERDICT.md r10 Next-round #1 promised:
+#  1. The three never-driver-certified late-r10 births lead:
+#     docs_source_gram_overlap, emb_ingest_drift, stream_ingest_drift
+#     (after r11 the board returns to ZERO never-certified entries).
+#  2. The full 9-entry r6-era demotion queue the r10 comments
+#     committed: dedup_duplicates_lineitem, dedup_last_lineitem,
+#     dedup_exclude_all_lineitem, docs_quality_filter_ids,
+#     pipeline_summary_observed_lineitem, stream_sliding_halfhour,
+#     rule_age_gte_invalid_orders, docs_keyword_search_topk,
+#     events_tumbling_hourly — after these, nothing on the board is
+#     older than r7.
+#  3. The entries whose kernels changed in r11, so they re-certify:
+#     docs_incremental_selfdup_spans + docs_ingest_novelty (now probe
+#     the HELD at-rest gram index — corpus.py::gram_index(held=True),
+#     the r10-verdict like-for-like bench fix; verdicts unchanged,
+#     physical shape changed) and docs_bpe_learn_merges (the merge
+#     table serves as a JVM VALUES LocalRelation instead of a
+#     Python-local frame — identical rows, new serving plan), plus
+#     docs_bpe_token_counts as touched-module risk coverage (bpe.py
+#     changed; its own vocab path is untouched).
+#  4. The r7-era staleness block fills the remaining 34 slots. Seven
+#     of the 41 r7-era candidates are displaced to make room and LEAD
+#     the r12 roster — each a narrow map or an entry whose kernel
+#     stays in-window through a sibling, all locally parity-green
+#     every session via tests/test_oracle_parity.py:
+#     projection_alias_orders (trivial rename projection, demoted on
+#     this rationale before), like_filter_parts (single LIKE filter),
+#     sql_passthrough_revenue (SQL passthrough of the q1 kernel —
+#     q1_pricing_summary stays in-window), rollup_revenue
+#     (cube_revenue r8 + orders_grouping_sets r9 exercise the same
+#     grouping-sets kernel), docs_token_stats (docs_shipped_tokenizer_
+#     counts r10 + docs_bpe_token_count in-window share the token-
+#     counting kernels), q6_forecast_revenue (single filter-agg,
+#     bench-exercised at sf0.1 every round), and q4_order_priority
+#     (EXISTS semi-join — semi_join_open_order_customers r8 pins the
+#     same kernel).
+_R11_WINDOW = (
+    # ---- never driver-certified (late-r10 births): lead ----
+    "docs_source_gram_overlap",
+    "emb_ingest_drift",
+    "stream_ingest_drift",
+    # ---- the r6-era demotion queue (promised r10) ----
+    "dedup_duplicates_lineitem",
+    "dedup_last_lineitem",
+    "dedup_exclude_all_lineitem",
+    "docs_quality_filter_ids",
+    "pipeline_summary_observed_lineitem",
+    "stream_sliding_halfhour",
+    "rule_age_gte_invalid_orders",
+    "docs_keyword_search_topk",
+    "events_tumbling_hourly",
+    # ---- changed in r11: re-verify ----
     "docs_incremental_selfdup_spans",
-    "docs_langid_trigram_rank",
-    "stream_langid_scores",
-    # ---- the r6-era staleness block (last checked r6) ----
-    "dedup_cascade_lineitem",
-    "dedup_first_lineitem",
-    "docs_budget_selection",
-    "docs_containment_pairs",
-    "docs_corpus_prep",
-    "docs_cross_doc_ngram_dup",
-    "docs_curriculum_stages",
-    "docs_fingerprint_exact_dedup",
-    "docs_hybrid_search_rrf",
-    "docs_ngram_topk_similar",
-    "docs_pack_sequences",
-    "docs_quality_scores",
-    "docs_shipped_tokenizer_counts",
-    "docs_source_token_divergence",
-    "docs_source_token_stats_udaf",
-    "docs_temperature_mixture",
-    "emb_ann_lsh_topk",
-    "emb_near_dup_pairs",
-    "events_dedup_first_by_key",
-    "events_sessionization",
-    "events_user_narratives",
-    "lineitem_content_checksum",
-    "multimodal_video_features",
-    "orders_compaction_plan",
-    "pipeline_summary_lineitem",
-    "q9_profit_by_nation_year",
-    "rule_age_gte_skip_orders",
-    "stream_dedup_within_watermark",
-    "stream_enriched_segment_counts",
-    "stream_running_user_stats",
-    "stream_tumbling_hourly",
+    "docs_ingest_novelty",
+    "docs_bpe_learn_merges",
+    "docs_bpe_token_counts",
+    # ---- the r7-era staleness block (last checked r7) ----
+    "docs_bloom_incremental_dedup",
+    "docs_bpe_token_count",
+    "docs_cluster_canonical",
+    "docs_dedup_cascade",
+    "docs_incremental_dedup",
+    "docs_intradoc_segment_dedup",
+    "docs_language_id",
+    "docs_rolling_sketch",
+    "docs_segment_line_dedup",
+    "docs_shipped_quality",
+    "docs_split_leakage_audit",
+    "docs_textrank_keywords",
+    "events_asof_last_click",
+    "events_funnel_cohorts",
+    "events_json_extract",
+    "events_range_join_error_windows",
+    "events_top_journeys",
+    "multimodal_audio_energy",
+    "multimodal_image_tiles",
+    "orders_expectation_suite",
+    "orders_snapshot_drift",
+    "q12_priority_shipmode",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_top_unshipped",
+    "q5_revenue_by_nation",
+    "q7_volume_shipping",
+    "rolling_customer_spend",
+    "stream_funnel_cohorts",
+    "stream_shipped_quality",
+    "stream_split_leakage",
 )
 
 
 def _finalize_registry() -> None:
-    rank = {n: i for i, n in enumerate(_R10_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R11_WINDOW)}
 
     def key(kv: tuple[str, tuple]) -> int:
         name, _ = kv
-        return rank.get(name, len(_R10_WINDOW))
+        return rank.get(name, len(_R11_WINDOW))
 
     ordered = dict(sorted(REGISTRY.items(), key=key))
     REGISTRY.clear()
