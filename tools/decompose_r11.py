@@ -197,6 +197,49 @@ def main() -> int:
         ),
     }
 
+    # ---- docs_bigram_lm_bits: the artifact is held (localCheckpoint
+    # at construction); the timed plan is explode_outer bigrams +
+    # broadcast bit-table lookup + per-doc agg. Stages: map-only
+    # explode / + broadcast join / full (adds the per-doc agg, which
+    # reuses the spread partitioning map-side).
+    from universal_importer_duckdb_spark.operators.lm import (
+        _bigrams,
+        bigram_lm_artifact,
+    )
+
+    def lm_base(d):
+        return spread_for_compute(t(d), "doc_id")
+
+    def lm_explode(d):
+        return lm_base(d).select(
+            F.col("doc_id"), F.explode_outer(_bigrams("text")).alias("b")
+        ).select("doc_id", "b.w1", "b.w2")
+
+    lm_art = {}
+
+    def lm_joined(d):
+        if d not in lm_art:
+            lm_art[d] = bigram_lm_artifact(
+                lm_base(d), is_target=F.col("source") == "src0"
+            )
+        return lm_explode(d).join(F.broadcast(lm_art[d]), ["w1", "w2"], "left")
+
+    out["docs_bigram_lm_bits"] = {
+        "bigram_explode_map_only": _measure(
+            spark, "lm_explode", lm_explode, warm, sf_dir
+        ),
+        "plus_broadcast_bit_lookup": _measure(
+            spark, "lm_joined", lm_joined, warm, sf_dir
+        ),
+        "full_entry": _measure(
+            spark,
+            "lm_full",
+            lambda d: q["docs_bigram_lm_bits"](spark, d),
+            warm,
+            sf_dir,
+        ),
+    }
+
     # ---- docs_bpe_learn_merges: the claim is a multi-job scheduling
     # floor — record the job count and the time (held-artifact serve)
     out["docs_bpe_learn_merges"] = {
