@@ -397,7 +397,8 @@ def test_selfdup_spans_plan_shape(spark, sf_dir):
     the per-document island merge."""
     import re
 
-    plan = _plan(eq.REGISTRY["docs_selfdup_spans"][0](spark, sf_dir))
+    df = eq.REGISTRY["docs_selfdup_spans"][0](spark, sf_dir)
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
     # exactly ONE distinct scan node (both branches read the shared
     # InMemoryRelation; the tree header may reference it twice)
@@ -408,6 +409,15 @@ def test_selfdup_spans_plan_shape(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "gram" not in line, line  # windows are doc-side only
+    # r11: the join-back's verdict side carries only CROSS-DOC-SHARED
+    # grams (min holder != max holder — a single-holder gram can
+    # never mark a span), small enough that AQE converts the
+    # join-back to a broadcast at runtime: the positional probe
+    # stream is never exchanged
+    df.count()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed, executed
+    assert "SortMergeJoin" not in executed, executed
 
 
 def test_sign_hamming_plan_stays_jvm_side(spark, sf_dir):

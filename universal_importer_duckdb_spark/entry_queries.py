@@ -275,6 +275,20 @@ def oracle_sql():
 #     Python-local frame — identical rows, new serving plan), plus
 #     docs_bpe_token_counts as touched-module risk coverage (bpe.py
 #     changed; its own vocab path is untouched).
+#     Late-r11 amendment: docs_selfdup_spans + docs_selfdedup_text
+#     join the changed set — the earliest-holder join-back now builds
+#     against only CROSS-DOC-SHARED grams (min != max holder; AQE
+#     broadcasts the shrunken verdict side, eliminating the
+#     probe-side exchange — verdicts unchanged, physical shape
+#     changed, the r10 skew-hardening precedent). They take the slots
+#     of two r7-era fillers with the strongest in-window sibling
+#     coverage: docs_bpe_token_count (docs_bpe_token_counts — the
+#     r11 touched-module re-cert — and docs_shipped_tokenizer_counts
+#     r10 pin the same token-count kernels) and events_funnel_cohorts
+#     (stream_funnel_cohorts stays IN-window and shares the
+#     identical funnel kernel AND oracle SQL). Both displaced entries
+#     are locally parity-green every session and join the r12 head
+#     queue behind the seven below.
 #  4. The r7-era staleness block fills the remaining 34 slots. Seven
 #     of the 41 r7-era candidates are displaced to make room and LEAD
 #     the r12 roster — each a narrow map or an entry whose kernel
@@ -311,9 +325,10 @@ _R11_WINDOW = (
     "docs_ingest_novelty",
     "docs_bpe_learn_merges",
     "docs_bpe_token_counts",
+    "docs_selfdup_spans",
+    "docs_selfdedup_text",
     # ---- the r7-era staleness block (last checked r7) ----
     "docs_bloom_incremental_dedup",
-    "docs_bpe_token_count",
     "docs_cluster_canonical",
     "docs_dedup_cascade",
     "docs_incremental_dedup",
@@ -325,7 +340,6 @@ _R11_WINDOW = (
     "docs_split_leakage_audit",
     "docs_textrank_keywords",
     "events_asof_last_click",
-    "events_funnel_cohorts",
     "events_json_extract",
     "events_range_join_error_windows",
     "events_top_journeys",
