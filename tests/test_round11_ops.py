@@ -115,3 +115,48 @@ def test_held_index_registry_entries_share_one_artifact_shape(spark, sf_dir):
         scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
         assert len(scans) == n_scans, (name, plan)
         assert "Scan ExistingRDD" in plan, name
+
+
+# ---------------------------------------------------------------
+# Property: the r11 shared-gram verdict filter never changes spans
+# ---------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from([f"w{i}" for i in range(12)])
+_doc = st.lists(_words, min_size=0, max_size=24).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc, min_size=1, max_size=8))
+def test_selfdup_spans_equal_unfiltered_form(spark, texts):
+    """cross_doc_duplicate_spans (shared-gram-filtered join-back,
+    r11) emits exactly the spans of the unfiltered reference form
+    (join back against EVERY distinct gram's min holder) on random
+    corpora with a tiny vocabulary — small n (3) forces heavy window
+    overlap, the adversarial regime for the filter."""
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.operators.corpus import (
+        _gram64,
+        cross_doc_duplicate_spans,
+        merge_token_spans,
+        positioned_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = sorted(
+        map(tuple, cross_doc_duplicate_spans(docs, n=3).collect())
+    )
+    # unfiltered reference: min-holder over ALL grams, then join-back
+    pos = positioned_ngrams(docs, 3, "text", "doc_id", hasher=_gram64)
+    firsts = pos.groupBy("gram").agg(F.min("doc_id").alias("__first"))
+    hits = (
+        pos.join(firsts, "gram")
+        .filter(F.col("__first") < F.col("doc_id"))
+        .select("doc_id", F.col("i").alias("s"), (F.col("i") + 2).alias("e"))
+    )
+    want = sorted(map(tuple, merge_token_spans(hits, "doc_id").collect()))
+    assert got == want

@@ -1141,7 +1141,15 @@ def source_gram_overlap(
         )
     )
     pairs = (
-        ss.select(F.explode(pair_expr).alias("__p"))
+        # single-source grams expand to zero pairs — filter them out
+        # BEFORE the nested pair transform runs (r11, the
+        # shared-grams-only discipline of cross_doc_duplicate_spans):
+        # on real multi-crawl corpora most distinct grams live in one
+        # source, so the expansion machinery now touches only the
+        # shared minority. Identical output — the dropped rows
+        # contributed nothing.
+        ss.filter(F.size(s) >= 2)
+        .select(F.explode(pair_expr).alias("__p"))
         .groupBy(
             F.col("__p.a").alias("source_a"),
             F.col("__p.b").alias("source_b"),
