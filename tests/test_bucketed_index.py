@@ -88,38 +88,43 @@ def test_bucketed_fingerprint_index_join_is_exchange_free_on_index_side(spark, s
 
 
 def test_bucketed_gram_index_probe_plan(spark, sf_dir):
-    """The self-dedup gram index at rest: bucketed by gram, the
-    ingest screen's semi-join leaves the stored index unshuffled."""
+    """The self-dedup gram index at rest, through the NAMED storage
+    API (corpus.py::store_gram_index, r11): bucketed by gram, the
+    ingest screen's semi-join leaves the stored index unshuffled —
+    and the stored index produces verdicts identical to the inline
+    derive-from-at-rest form."""
     from universal_importer_duckdb_spark.operators.corpus import (
         _gram64,
+        incremental_duplicate_spans,
         positioned_ngrams,
+        store_gram_index,
     )
 
     spark.sql("DROP TABLE IF EXISTS gram_index_bucketed")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     at_rest = docs.filter(F.col("doc_id") % 10 != 0)
-    index = (
-        positioned_ngrams(at_rest, 8, hasher=_gram64)
-        .select("gram")
-        .distinct()
-    )
-    write_bucketed_table(
-        index, "gram_index_bucketed", ["gram"], num_buckets=8,
-        sort_cols=["gram"],
-    )
-    stored = spark.table("gram_index_bucketed")
     arriving = docs.filter(F.col("doc_id") % 10 == 0)
-    arr = positioned_ngrams(arriving, 8, hasher=_gram64)
+    stored = store_gram_index(at_rest, "gram_index_bucketed", n=8,
+                              num_buckets=8)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        arr = positioned_ngrams(arriving, 8, hasher=_gram64)
         hits = arr.join(stored, "gram", "left_semi")
         n = hits.count()
         plan = hits._jdf.queryExecution().executedPlan().toString()
         plan = plan.split("== Initial Plan ==")[0]  # final plan only
+        # the PROBE OPERATOR over the stored index equals the inline
+        # form — one definition, three storage shapes (inline, held
+        # checkpoint, bucketed table)
+        via_table = sorted(map(tuple, incremental_duplicate_spans(
+            at_rest, arriving, n=8, index=stored).collect()))
+        inline = sorted(map(tuple, incremental_duplicate_spans(
+            at_rest, arriving, n=8).collect()))
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS gram_index_bucketed")
     assert n > 0
+    assert via_table == inline
     ancestors = _ancestor_lines(plan, "gram_index_bucketed")
     assert ancestors, plan
     assert not any("Exchange" in a for a in ancestors), plan

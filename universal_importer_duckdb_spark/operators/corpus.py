@@ -834,6 +834,40 @@ def gram_index(
     return idx.localCheckpoint(eager=True) if held else idx
 
 
+def store_gram_index(
+    at_rest: DataFrame,
+    table_name: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> DataFrame:
+    """Persist the at-rest gram index as a BUCKETED table — the 100 TB
+    deployment of :func:`gram_index`, where the index outlives the
+    session (a ``held`` localCheckpoint lives only as long as its
+    executors). Bucketed by ``gram``, every per-batch probe join
+    (``incremental_duplicate_spans`` / ``ingest_novelty`` via
+    ``index=``) reads the stored side WITHOUT an exchange — the one
+    build shuffle is paid at write time and amortized over every
+    subsequent ingest batch (plan pinned by
+    tests/test_bucketed_index.py: zero Exchange nodes above the index
+    scan with broadcast disabled). Returns the stored table as a
+    DataFrame ready to pass as ``index=``.
+    """
+    from universal_importer_duckdb_spark.sources.bucketing import (
+        write_bucketed_table,
+    )
+
+    write_bucketed_table(
+        gram_index(at_rest, n, text_col, id_col),
+        table_name,
+        ["gram"],
+        num_buckets=num_buckets,
+        sort_cols=["gram"],
+    )
+    return at_rest.sparkSession.table(table_name)
+
+
 def incremental_duplicate_spans(
     at_rest: DataFrame,
     arriving: DataFrame,
