@@ -107,3 +107,33 @@ def test_selfdup_spans_on_hot_gram_corpus(spark):
     # even doc duplicates tokens 3..10 (1-based, inside its 12 tokens)
     expected = {(d, 3, 10) for d in range(2, 200, 2)}
     assert got == expected
+
+
+def test_selfdup_spans_correct_when_verdict_side_cannot_broadcast(spark):
+    """The 100 TB regime of the r11 shared-gram join-back: when the
+    shared-verdict side exceeds the broadcast threshold (corpus-scale
+    boilerplate), the join falls back to a shuffled join — and must
+    emit the identical spans. Broadcast is disabled outright to force
+    that path on the hot-gram corpus."""
+    from universal_importer_duckdb_spark.operators.corpus import (
+        cross_doc_duplicate_spans,
+    )
+
+    hot = " ".join(f"hot{j}" for j in range(8))
+    rows = []
+    for d in range(200):
+        if d % 2 == 0:
+            rows.append((d, f"u{d}a u{d}b {hot} u{d}c u{d}d"))
+        else:
+            rows.append((d, " ".join(f"w{d}x{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spans = cross_doc_duplicate_spans(docs, n=8)
+        got = {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()}
+        plan = spans._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "BroadcastHashJoin" not in plan, plan  # the fallback ran
+    assert got == {(d, 3, 10) for d in range(2, 200, 2)}
