@@ -27,6 +27,11 @@ import statistics
 import sys
 import time
 
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+)
+from benchclass import classify, prior_state  # noqa: E402
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_unshipped",
@@ -378,18 +383,45 @@ def main() -> int:
         }
         if dropped:
             out["oracle_budget_dropped"] = dropped
+        # Adjudication classes, recorded IN the artifact (r12,
+        # verdict #4): bench.py runs the one shared classifier
+        # (tools/benchclass.py) with the full memory — the previous
+        # committed artifact's classes + oracle medians (README table
+        # is the pre-r12 fallback) — so the README table renders what
+        # was recorded and next round's hysteresis reads it back
+        # format-proof.
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL_last.json",
+        )
+        readme_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "README.md"
+        )
+        prior_cls, prev_med, prior_src = prior_state(
+            detail_path, readme_path
+        )
+        classes = {
+            n: classify(oracle_med.get(n), prior_cls.get(n),
+                        prev_med.get(n))
+            for n in BENCH_QUERIES
+        }
+        out["classes"] = classes
+        out["classes_prior_source"] = prior_src
         # like-for-like aggregate: entries whose oracle does real,
-        # comparable data work (0.1-2.0 s) — excludes both the
-        # q-class scheduling-floor micro-oracles and the
-        # artifact-replay asymmetry (trained-artifact entries where
-        # the SQL twin replays full training against Spark's cached
-        # re-query; see the BENCH_QUERIES comment below). Since r11
-        # membership and the aggregate both read MEDIANS (the stable
-        # adjudication regime); the min-based aggregate is kept
-        # alongside for round-over-round continuity.
+        # comparable data work — excludes both the q-class
+        # scheduling-floor micro-oracles and the artifact-replay
+        # asymmetry (trained-artifact entries where the SQL twin
+        # replays full training against Spark's cached re-query; see
+        # the BENCH_QUERIES comment below). Since r12 membership IS
+        # the classifier's comparable class (same hysteresis +
+        # stickiness the README table shows — the r11 advice found
+        # raw-threshold membership could disagree with the published
+        # class column); the aggregate reads MEDIANS, with the
+        # min-based aggregate kept alongside for continuity.
         lfl = [
-            n for n, t in oracle_med.items()
-            if t is not None and 0.1 <= t <= 2.0 and n in timings_med
+            n for n in BENCH_QUERIES
+            if classes.get(n) == "comparable"
+            and oracle_med.get(n) and n in timings_med
         ]
         if lfl:
             s_sum = sum(timings_med[n] for n in lfl)

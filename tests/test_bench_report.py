@@ -7,6 +7,7 @@ r11: the parser assumed a fixed column count and returned {})."""
 from __future__ import annotations
 
 import importlib.util
+import json
 import os
 
 spec = importlib.util.spec_from_file_location(
@@ -100,3 +101,89 @@ def test_build_table_handles_zero_and_absent_oracle():
     # floor, ratio undefined); absent oracle: em-dash everywhere
     assert "0.000" in row_a and "scheduling-floor" in row_a
     assert "—" in row_b and "no-oracle-timing" in row_b
+
+
+spec_bc = importlib.util.spec_from_file_location(
+    "benchclass",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "benchclass.py"),
+)
+bc = importlib.util.module_from_spec(spec_bc)
+spec_bc.loader.exec_module(bc)
+
+
+def test_stickiness_two_agreeing_passes_beat_hysteresis():
+    # the emb_hard_negatives failure mode: the 0.06-0.25 band could
+    # keep an entry scheduling-floor forever however often its median
+    # recorded >= 0.1 s. Two consecutive passes at/over the boundary
+    # now graduate it regardless of the published prior.
+    assert bc.classify(0.100, "scheduling-floor", 0.12) == "comparable"
+    # symmetric demotion: two consecutive floor-side passes
+    assert bc.classify(0.08, "comparable", 0.09) == "scheduling-floor"
+    # and at the artifact boundary
+    assert bc.classify(2.4, "comparable", 2.1) == "artifact-replay"
+
+
+def test_stickiness_single_noisy_pass_still_absorbed():
+    # previous pass on the OTHER side: hysteresis still applies
+    assert bc.classify(0.15, "scheduling-floor", 0.05) == "scheduling-floor"
+    assert bc.classify(0.08, "comparable", 0.12) == "comparable"
+    # no previous median recorded (pre-r12 artifact): pure hysteresis
+    assert bc.classify(0.15, "scheduling-floor", None) == "scheduling-floor"
+
+
+def test_prior_state_prefers_artifact_over_readme(tmp_path):
+    detail = tmp_path / "BENCH_DETAIL_last.json"
+    readme = tmp_path / "README.md"
+    detail.write_text(json.dumps({
+        "classes": {"a": "comparable"},
+        "oracle_median": {"a": 0.3, "b": None},
+    }) + "\n")
+    readme.write_text("\n".join([
+        bc.START,
+        "| entry | class |", "| --- | --- |",
+        "| a | scheduling-floor |",
+        bc.END,
+    ]))
+    classes, med, src = bc.prior_state(str(detail), str(readme))
+    assert src == "artifact"
+    assert classes == {"a": "comparable"}
+    assert med == {"a": 0.3}  # None medians dropped
+
+
+def test_prior_state_readme_fallback_for_pre_r12_artifact(tmp_path):
+    detail = tmp_path / "BENCH_DETAIL_last.json"
+    readme = tmp_path / "README.md"
+    # pre-r12 artifact: no classes key
+    detail.write_text(json.dumps({"oracle_median": {"a": 0.3}}) + "\n")
+    readme.write_text("\n".join([
+        bc.START,
+        "| entry | class |", "| --- | --- |",
+        "| a | scheduling-floor |",
+        bc.END,
+    ]))
+    classes, med, src = bc.prior_state(str(detail), str(readme))
+    assert src == "readme"
+    assert classes == {"a": "scheduling-floor"}
+    assert med == {}  # README carries no medians: stickiness can't fire
+
+
+def test_prior_state_nothing_on_disk(tmp_path):
+    classes, med, src = bc.prior_state(
+        str(tmp_path / "nope.json"), str(tmp_path / "nope.md")
+    )
+    assert (classes, med, src) == ({}, {}, "none")
+
+
+def test_build_table_renders_recorded_classes():
+    # the artifact's own classes key wins over recomputation: a
+    # stickiness-graduated entry renders as recorded even though the
+    # naive prior-based classify would disagree
+    detail = {
+        "sf": 0.1, "calibration_sec": 0.1,
+        "queries": {"a": 0.5}, "queries_median": {"a": 0.55},
+        "oracle": {"a": 0.1}, "oracle_median": {"a": 0.1},
+        "classes": {"a": "comparable"},
+    }
+    table = br.build_table(detail, {"a": "scheduling-floor"})
+    row = next(ln for ln in table.splitlines() if ln.startswith("| a |"))
+    assert "| comparable |" in row

@@ -130,3 +130,30 @@ def test_shipped_fixture_loads():
     merges = load_merges_file(_SHIPPED_MERGES_PATH)
     assert len(merges) >= 10
     assert merges[0] == ("t", "h")
+
+
+def test_learn_bpe_rejects_zero_merges(spark):
+    # r11 advice: n_merges=0 would render `SELECT * FROM VALUES` with
+    # no rows — a ParseException deep in plan construction; it's a
+    # caller error and raises at entry instead
+    docs = _docs(spark, ["low low low"])
+    with pytest.raises(ValueError, match="n_merges must be >= 1"):
+        learn_bpe(word_frequency_table(docs), n_merges=0)
+
+
+def test_learn_bpe_rejects_non_normalized_word_table(spark):
+    # r11 advice: learn_bpe accepts any DataFrame, and the VALUES
+    # literal only quotes single quotes (Spark SQL also treats
+    # backslash as an escape) — so the [a-z0-9]+ normalization
+    # contract is enforced at the merge boundary, same check as
+    # load_merges_file
+    from pyspark.sql import functions as F
+
+    bad = (
+        word_frequency_table(_docs(spark, ["low low low"]))
+        # fabricate a word table whose symbol string smuggles a
+        # backslash — impossible via word_frequency_table's tokenizer
+        .withColumn("d", F.lit("·l\\o·w·"))
+    )
+    with pytest.raises(ValueError, match="normalization contract"):
+        learn_bpe(bad, n_merges=1)

@@ -12,9 +12,12 @@ min and the MEDIAN of each side's N runs; the table's ratio and the
 adjudication classes are derived from the MEDIAN (min-of-5 on
 0.1-0.7 s quantities flapped entries across the 2x bar and the 0.1 s
 class boundary between runs of identical code), and the classifier
-carries HYSTERESIS: an entry whose median oracle time lands inside a
-dead band around a class boundary (0.08-0.12 s, 1.8-2.2 s) KEEPS the
-class it had in the committed README table instead of flapping.
+carries HYSTERESIS (dead bands in tools/benchclass.py:BANDS).
+r12 (verdict #4/#5): the classifier moved to tools/benchclass.py so
+bench.py's like-for-like aggregate uses the SAME membership rule; the
+class memory lives in the artifact's own ``classes`` key (README
+parse is only the pre-r12 fallback); and a stickiness bound keeps
+hysteresis from parking a trending entry — see benchclass.classify.
 
 Adjudication classes, derived from the RECORDED median oracle time:
 
@@ -40,37 +43,31 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from benchclass import (  # noqa: E402  (path insert above)
+    BANDS,
+    END,
+    START,
+    classify,
+    prior_classes_from_readme,
+)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL = os.path.join(ROOT, "BENCH_DETAIL_last.json")
 README = os.path.join(ROOT, "README.md")
-START = "<!-- BENCH_TABLE_START (generated by tools/bench_report.py) -->"
-END = "<!-- BENCH_TABLE_END -->"
-
-# Hysteresis dead bands around the two class boundaries: inside a
-# band, the entry keeps its previously-published class (read from the
-# committed README table) instead of flapping with host noise. Band
-# widths are sized from MEASURED cross-pass variance, not wishful
-# boundary noise: two back-to-back r11 passes saw the SAME query's
-# DuckDB oracle median move 0.146->0.082 s (q1) and 0.243->0.079 s
-# (q18) purely with host load (calibration 0.102 vs 0.060 s), so the
-# bands span the swing a loaded-vs-idle host actually produces.
-BANDS = {
-    ("scheduling-floor", "comparable"): (0.06, 0.25),
-    ("comparable", "artifact-replay"): (1.2, 2.8),
-}
 
 # Standing per-entry adjudication notes — the argument lives in the
 # README prose; the NUMBERS come only from the artifact.
 NOTES = {
     "docs_corpus_card": "single-row-group scan floor (decomposed r10)",
     "pipeline_flagship": "multi-action 7-stage pipeline contract; its oracle replays NO training — a >2 s oracle here is host load, not the replay asymmetry the class name implies",
-    "docs_dsir_resample": "9 Spark jobs/run (counted r11, tools/decompose_r11.py); median-adjudicated — r10 min-of-5 spread 0.37-0.62 s on identical plans",
+    "docs_dsir_resample": "9 Spark jobs/run (counted r11, tools/decompose.py); median-adjudicated — r10 min-of-5 spread 0.37-0.62 s on identical plans",
     "emb_hard_negatives": "plan byte-identical since r7; 3-job floor",
     "docs_bpe_learn_merges": "Python-literal serving floor REMOVED r11 (VALUES LocalRelation, 0.30 -> 0.04 s; the old 2.26x was applySchemaToPythonRDD re-serialization, 1 job, zero compute)",
-    "docs_selfdup_spans": "decomposed r11 (tools/decompose_r11.py): tokenize+hash map-only 0.16 s, +gram exchange 0.47 — the one exchange dominates; join-back builds on SHARED grams only since r11 (min!=max holder), AQE broadcasts it: no probe-side exchange",
+    "docs_selfdup_spans": "decomposed r11 (tools/decompose.py): tokenize+hash map-only 0.16 s, +gram exchange 0.47 — the one exchange dominates; join-back builds on SHARED grams only since r11 (min!=max holder), AQE broadcasts it: no probe-side exchange",
     "docs_selfdedup_text": "excision adds ~0.10 s over the span pipeline, whose scoped cache it shares (decomposed r11); shared-gram join-back since r11",
     "docs_langid_trigram_rank": "scoring shuffle-free since r10 (map-side bound-lambda profile)",
     "q1_pricing_summary": "q-class scan/job floor (adjudicated r3)",
@@ -82,55 +79,18 @@ NOTES = {
     "docs_incremental_selfdup_spans": "serves the HELD at-rest gram index since r11 (trained-artifact contract; build ~0.8 s, bench.py note)",
     "events_top_journeys": "2-exchange minimum, ~0.1 s/stage scheduling (adjudicated r7, docstring)",
     "events_user_narratives": "single-exchange collect_list serialization; stage floor",
-    "docs_bigram_lm_bits": "decomposed r11 (tools/decompose_r11.py): the map-only bigram explode alone is 0.33 s of the 0.35 s entry; broadcast lookup + per-doc agg add ~0.03 s — a map-side floor that parallelizes at scale",
-    "docs_source_gram_overlap": "decomposed r11 (tools/decompose_r11.py): map-only tokenize+gram explode 0.25 s > the whole 0.16 s oracle; +set-fold exchange 0.47; pair expansion+totals +0.16 over 6 jobs; cache persists across runs; pair expansion reads shared (multi-source) grams only since r11",
-    "docs_segment_line_dedup": "decomposed r11 (tools/decompose_r11.py): segment explode alone 0.22 s of the 0.27 s total — map-side fabricate+explode floor; exchanges add ~0.06 s",
+    "docs_bigram_lm_bits": "decomposed r11 (tools/decompose.py): the map-only bigram explode alone is 0.33 s of the 0.35 s entry; broadcast lookup + per-doc agg add ~0.03 s — a map-side floor that parallelizes at scale",
+    "docs_source_gram_overlap": "decomposed r11 (tools/decompose.py): map-only tokenize+gram explode 0.25 s > the whole 0.16 s oracle; +set-fold exchange 0.47; pair expansion+totals +0.16 over 6 jobs; cache persists across runs; pair expansion reads shared (multi-source) grams only since r11",
+    "docs_segment_line_dedup": "decomposed r11 (tools/decompose.py): segment explode alone 0.22 s of the 0.27 s total — map-side fabricate+explode floor; exchanges add ~0.06 s",
 }
 
 
-def classify(oracle: float | None, prior: str | None = None) -> str:
-    """Class from the median oracle time, with boundary hysteresis:
-    a 0.0 recording is a real (sub-millisecond) timing and classifies
-    as scheduling-floor; only ABSENT timings are no-oracle-timing
-    (the r10 advice fix — 0.0 vs None are now handled one way
-    everywhere via `is not None`)."""
-    if oracle is None:
-        return "no-oracle-timing"
-    for (lo_cls, hi_cls), (lo, hi) in BANDS.items():
-        if lo <= oracle <= hi and prior in (lo_cls, hi_cls):
-            return prior
-    if oracle < 0.1:
-        return "scheduling-floor"
-    if oracle <= 2.0:
-        return "comparable"
-    return "artifact-replay"
-
-
-def prior_classes(readme_text: str) -> dict[str, str]:
-    """Parse the committed README table's per-entry class column —
-    the hysteresis memory. Tolerant of format drift: rows that don't
-    parse simply carry no prior."""
-    if START not in readme_text or END not in readme_text:
-        return {}
-    block = readme_text[readme_text.index(START): readme_text.index(END)]
-    classes = {
-        "scheduling-floor", "comparable",
-        "artifact-replay", "no-oracle-timing",
-    }
-    out = {}
-    # column-count agnostic (the table gained min/median columns in
-    # r11): first cell is the entry, any later cell that IS a class
-    # token is the class
-    for line in block.splitlines():
-        if not line.startswith("|"):
-            continue
-        cells = [c.strip() for c in line.strip().strip("|").split("|")]
-        if len(cells) < 3:
-            continue
-        cls = [c for c in cells[1:] if c in classes]
-        if cls:
-            out[cells[0]] = cls[0]
-    return out
+# classify/BANDS/prior-class parsing live in tools/benchclass.py
+# since r12 (verdict #4): bench.py derives the like-for-like
+# aggregate membership from the SAME classify() this table uses, and
+# the class memory lives in the artifact itself (README parse is the
+# fallback for pre-r12 artifacts). Re-exported here for callers/tests.
+prior_classes = prior_classes_from_readme
 
 
 def build_table(detail: dict, prior: dict[str, str]) -> str:
@@ -151,7 +111,11 @@ def build_table(detail: dict, prior: dict[str, str]) -> str:
         "twin replays full training against Spark's held-artifact "
         "re-query). Boundary dead bands ("
         + ", ".join(f"{lo}-{hi} s" for lo, hi in BANDS.values())
-        + ") keep the previously published class.",
+        + ") keep the previously recorded class, UNLESS the previous "
+        "pass's median already sat on the same side of the boundary "
+        "(two consecutive agreeing passes win over the prior — the "
+        "r12 stickiness bound). Classes are recorded in the artifact "
+        "(`classes` key) by bench.py itself.",
         "",
         "| entry | spark med s | spark min s | oracle med s | "
         "oracle min s | ratio (med) | class | note |",
@@ -163,7 +127,16 @@ def build_table(detail: dict, prior: dict[str, str]) -> str:
         "artifact-replay": 2,
         "no-oracle-timing": 3,
     }
-    cls = {n: classify(o_med.get(n), prior.get(n)) for n in queries}
+    # Since r12 the artifact records its own classes (bench.py runs
+    # the classifier with the full memory — prior class + previous
+    # pass's median, the stickiness bound); the table renders the
+    # RECORDED class. Pre-r12 artifacts fall back to classifying here
+    # from the README-parsed priors.
+    recorded = detail.get("classes") or {}
+    cls = {
+        n: recorded.get(n) or classify(o_med.get(n), prior.get(n))
+        for n in queries
+    }
 
     def sort_key(n):
         om = o_med.get(n)

@@ -102,6 +102,11 @@ def learn_bpe(
     before ``n_merges`` rounds — a sign the caller asked for more
     merges than the corpus supports, which would silently diverge
     from the SQL replay."""
+    if n_merges < 1:
+        # an empty merge list would render `SELECT * FROM VALUES`
+        # (no rows) below — a ParseException, not an empty frame; and
+        # a 0-merge "learned tokenizer" is a caller error anyway
+        raise ValueError(f"learn_bpe: n_merges must be >= 1, got {n_merges}")
     w = words.localCheckpoint(eager=True)
     spark = w.sparkSession
     # vocab-proportional partitioning (the dedup_text edge-count
@@ -146,6 +151,22 @@ def learn_bpe(
                 f"(asked for {n_merges})"
             )
         a, b, c = best[0].a, best[0].b, best[0].c
+        # Enforce the [a-z0-9]+ normalization contract at the merge
+        # boundary (the same check load_merges_file applies): learn_bpe
+        # accepts ANY word table, and a non-normalized symbol would
+        # reach the SQL VALUES literal below, where quoting only covers
+        # single quotes — Spark SQL string literals also treat
+        # backslash as an escape, so raising here beats silent symbol
+        # corruption or a parse error downstream.
+        for sym in (a, b):
+            if not sym or DELIM in sym or not all(
+                ch.islower() or ch.isdigit() for ch in sym
+            ):
+                raise ValueError(
+                    f"learn_bpe: merged symbol {sym!r} outside the "
+                    f"[a-z0-9]+ normalization contract — the word "
+                    f"table was not built by word_frequency_table"
+                )
         learned.append((i + 1, a, b, c))
         pat = F.lit(f"{DELIM}{a}{DELIM}{b}{DELIM}")
         rep = F.lit(f"{DELIM}{a}{b}{DELIM}")
