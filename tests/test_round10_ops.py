@@ -367,3 +367,65 @@ def test_embedding_ingest_drift_planted_shift(spark):
     # the near batch does not
     worst_near = max(r.mean_d2_arriving for r in rows_near.values() if r.n_arriving)
     assert worst_near < 100 * max(worst_rest, 1)
+
+
+# ------------------------------------- r12: HLL small-range correction
+def test_hll_small_range_correction_beats_raw(spark):
+    """On a small domain (true n=100 << 2.5m=640) the raw estimator
+    overestimates (the documented r10 bias) and the r12
+    LinearCounting-corrected column lands within LinearCounting's
+    typical error — the correction closes the bias instead of just
+    documenting it."""
+    from pyspark.sql import functions as F
+    from universal_importer_duckdb_spark.operators.sketches import (
+        hll_registers,
+        hll_report,
+    )
+
+    n = 100
+    df = spark.range(n).select(
+        F.lit("s").alias("source"), F.col("id").cast("string").alias("k")
+    )
+    row = hll_report(hll_registers(df, "k")).collect()[0]
+    raw = row.hll_est_milli / 1000.0
+    corr = row.hll_corrected_milli / 1000.0
+    assert row.n_zero_registers > 0
+    assert abs(corr - n) <= abs(raw - n)
+    assert abs(corr - n) / n < 0.15, (raw, corr)
+
+
+def test_hll_correction_is_identity_in_large_range(spark):
+    """Above the 2.5m gate the corrected column IS the raw estimate —
+    the correction only ever fires in the small-range regime."""
+    from pyspark.sql import functions as F
+    from universal_importer_duckdb_spark.operators.sketches import (
+        hll_registers,
+        hll_report,
+    )
+
+    df = spark.range(40_000).select(
+        F.lit("s").alias("source"), F.col("id").cast("string").alias("k")
+    )
+    row = hll_report(hll_registers(df, "k")).collect()[0]
+    assert row.hll_est_milli > 640_000  # raw estimate above the gate
+    assert row.hll_corrected_milli == row.hll_est_milli
+
+
+def test_hll_lc_table_is_exact_integer_literals():
+    """The LinearCounting table is importable, m-sized, strictly
+    decreasing, and pins a few hand-computed values — the ln() is
+    evaluated once at import, never per engine."""
+    import math
+
+    from universal_importer_duckdb_spark.operators.sketches import (
+        HLL_LC_MILLI,
+        HLL_M,
+    )
+
+    assert len(HLL_LC_MILLI) == HLL_M
+    assert all(isinstance(v, int) for v in HLL_LC_MILLI)
+    assert list(HLL_LC_MILLI) == sorted(HLL_LC_MILLI, reverse=True)
+    assert HLL_LC_MILLI[-1] == 0  # nz = m: empty group, cardinality 0
+    assert HLL_LC_MILLI[0] == int(
+        math.floor(HLL_M * math.log(HLL_M / 1) * 1000)
+    )

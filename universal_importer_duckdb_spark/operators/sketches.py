@@ -36,6 +36,8 @@ exact to certify the one-sided error on real data.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
@@ -295,6 +297,24 @@ HLL_SALT = "hll-v1"
 # bit-identical cross-engine with no transcendental in sight.
 HLL_ALPHA_M2_1000 = 47072712.671202235
 
+# LinearCounting milli-estimates m * ln(m / nz) * 1000, floored, for
+# nz = 1..m — the small-range correction table (Flajolet et al. 2007
+# §4; below ~2.5m distinct keys the raw estimator overestimates, and
+# LinearCounting on the zero-register count is the prescribed fix).
+# ln() is transcendental and NOT correctly rounded across libms, so
+# it is evaluated exactly ONCE, here, at import — both engines then
+# read the SAME integer literals (the HLL_ALPHA_M2_1000 discipline)
+# and the corrected column replays bit-exactly like everything else
+# in this module. nz = m (all registers zero: an empty group) floors
+# to 0, which is also the true cardinality of an empty group.
+HLL_LC_MILLI = tuple(
+    int(math.floor(HLL_M * math.log(HLL_M / nz) * 1000.0))
+    for nz in range(1, HLL_M + 1)
+)
+# the standard small-range gate: apply LinearCounting when the raw
+# estimate is at or below 2.5*m (and at least one register is zero)
+HLL_LC_GATE_MILLI = int(2.5 * HLL_M * 1000)
+
 
 def hll_registers(df: DataFrame, key, group_cols=("source",)) -> DataFrame:
     """HyperLogLog register table per group: ``(group..., bucket, r)``
@@ -336,9 +356,16 @@ def hll_registers(df: DataFrame, key, group_cols=("source",)) -> DataFrame:
 
 def hll_report(registers: DataFrame, group_cols=("source",)) -> DataFrame:
     """Fold a register table to the cardinality report:
-    ``(group..., hll_est_milli, n_zero_registers)``. The raw HLL
-    estimate ``alpha * m^2 / sum(2^-r)`` (empty registers contribute
-    2^0 = 1) is emitted in milli units as a BIGINT.
+    ``(group..., hll_est_milli, hll_corrected_milli,
+    n_zero_registers)``. The raw HLL estimate
+    ``alpha * m^2 / sum(2^-r)`` (empty registers contribute 2^0 = 1)
+    is emitted in milli units as a BIGINT; ``hll_corrected_milli``
+    applies the Flajolet small-range correction — LinearCounting
+    ``m * ln(m / n_zero)`` whenever the raw estimate is <= 2.5m and
+    at least one register is zero, otherwise the raw estimate — which
+    is the number a consumer should actually read (the raw column
+    stays published so the correction's effect is auditable next to
+    the exact count in ``docs_hll_vocab``).
 
     Bit-exact across engines BY CONSTRUCTION, not by luck: each
     ``2^-r`` is ``1.0 / (1 << r)`` — an exact dyadic double (never
@@ -346,23 +373,24 @@ def hll_report(registers: DataFrame, group_cols=("source",)) -> DataFrame:
     ulp per libm) — and with r <= 41 and m = 256 the summands'
     exponent spread stays under the 53-bit mantissa, so every partial
     sum is EXACT and therefore order-independent; the final multiply/
-    divide/floor are single correctly-rounded IEEE ops. The classic
-    small/large-range corrections need ln(), which is NOT correctly
-    rounded — they are deliberately left to the caller, who gets
-    ``n_zero_registers`` (the LinearCounting input) to apply them.
-
-    KNOWN BIAS (read before trusting the raw number): without the
-    LinearCounting correction, the raw estimate OVERESTIMATES small
-    cardinalities — materially when the true distinct count is below
-    ~2.5*m (~640 for m=256), i.e. whenever ``n_zero_registers > 0``
-    by more than a handful. ``docs_hll_vocab`` publishes this raw
-    milli-estimate next to the exact count precisely so the error is
-    CERTIFIED on real data (the CMS audit pattern); a consumer
-    reading the estimate alone must apply
-    ``m * ln(m / n_zero_registers)`` when ``n_zero_registers`` is
-    nonzero, accepting that ln() costs the bit-exact replay.
-    """
+    divide/floor are single correctly-rounded IEEE ops. The
+    correction needs ln(), which is NOT correctly rounded — so it is
+    never evaluated by either engine: ``HLL_LC_MILLI`` precomputes
+    all m possible values at import and ships them as INTEGER
+    LITERALS into both plans (the HLL_ALPHA_M2_1000 discipline); the
+    runtime correction is a gate compare plus an array index, exact
+    by construction (r12, closing the documented r10/r11 small-range
+    bias)."""
     inv = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)")
+    raw = F.floor(
+        F.lit(HLL_ALPHA_M2_1000)
+        / (F.col("__nz").cast("double") + F.col("__sp"))
+    ).cast("bigint")
+    lc_table = F.array(*[F.lit(v) for v in HLL_LC_MILLI])
+    corrected = F.when(
+        (F.col("__nz") > 0) & (raw <= F.lit(HLL_LC_GATE_MILLI)),
+        F.element_at(lc_table, F.col("__nz").cast("int")),
+    ).otherwise(raw)
     return (
         registers.groupBy(*group_cols)
         .agg(
@@ -371,12 +399,8 @@ def hll_report(registers: DataFrame, group_cols=("source",)) -> DataFrame:
         )
         .select(
             *group_cols,
-            F.floor(
-                F.lit(HLL_ALPHA_M2_1000)
-                / (F.col("__nz").cast("double") + F.col("__sp"))
-            )
-            .cast("bigint")
-            .alias("hll_est_milli"),
+            raw.alias("hll_est_milli"),
+            corrected.cast("bigint").alias("hll_corrected_milli"),
             F.col("__nz").cast("bigint").alias("n_zero_registers"),
         )
     )

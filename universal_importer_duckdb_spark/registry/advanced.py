@@ -4173,9 +4173,11 @@ def docs_hll_vocab(spark, sf_dir):
     (operators/sketches.py::hll_registers/hll_report; Flajolet et al.
     2007): 256 max-rho registers per source — a 1 KB summary replacing
     a COUNT(DISTINCT) whose exact dedup state is corpus-vocabulary-
-    sized — reported as the raw milli-estimate alongside the exact
-    distinct count (the CMS heavy-hitter audit pattern: the sketch's
-    error is CERTIFIED on real data, not asserted). The register fold
+    sized — reported as the raw milli-estimate AND the small-range-
+    corrected estimate (LinearCounting under the 2.5m gate, r12)
+    alongside the exact distinct count (the CMS heavy-hitter audit
+    pattern: the sketch's error is CERTIFIED on real data, not
+    asserted — and the correction's effect is auditable per source). The register fold
     is a max monoid, so it partial-aggregates map-side and the one
     exchange carries <= 256 rows per source per map task; the same
     monoid is what bounds the streaming twin's state. Everything is
@@ -4210,7 +4212,8 @@ def docs_hll_vocab(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
     )
     return exact.join(report, "source").select(
-        "source", "exact_distinct", "hll_est_milli", "n_zero_registers"
+        "source", "exact_distinct", "hll_est_milli",
+        "hll_corrected_milli", "n_zero_registers",
     )
 
 
@@ -4254,11 +4257,23 @@ def stream_hll_vocab(spark, sf_dir):
         F.countDistinct("k").cast("bigint").alias("exact_distinct")
     )
     return exact.join(report, "source").select(
-        "source", "exact_distinct", "hll_est_milli", "n_zero_registers"
+        "source", "exact_distinct", "hll_est_milli",
+        "hll_corrected_milli", "n_zero_registers",
     )
 
 
-HLL_VOCAB_SQL = """
+def _hll_vocab_sql() -> str:
+    # the LinearCounting table ships as the SAME integer literals the
+    # Spark plan holds (sketches.HLL_LC_MILLI — ln() evaluated once at
+    # import, never by either engine), so the corrected column
+    # value-hash matches bit for bit
+    from universal_importer_duckdb_spark.operators.sketches import (
+        HLL_LC_GATE_MILLI,
+        HLL_LC_MILLI,
+    )
+
+    lc = ", ".join(str(v) for v in HLL_LC_MILLI)
+    return f"""
 WITH toks AS (
   SELECT source, k FROM (
     SELECT source, unnest(string_split(lower(text), ' ')) AS k
@@ -4281,15 +4296,25 @@ rep AS (
          (256 - COUNT(*)) * 1.0
            + SUM(1.0 / CAST((1::BIGINT << r) AS DOUBLE)) AS s
   FROM regs GROUP BY source),
+est AS (
+  SELECT source, nz,
+         CAST(floor(47072712.671202235 / s) AS BIGINT) AS raw
+  FROM rep),
 ex AS (
   SELECT source, COUNT(DISTINCT k) AS exact_distinct FROM toks
   GROUP BY source)
 SELECT e.source,
        CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
-       CAST(floor(47072712.671202235 / r.s) AS BIGINT) AS hll_est_milli,
+       r.raw AS hll_est_milli,
+       CAST(CASE WHEN r.nz > 0 AND r.raw <= {HLL_LC_GATE_MILLI}
+                 THEN list_extract([{lc}], r.nz)
+                 ELSE r.raw END AS BIGINT) AS hll_corrected_milli,
        CAST(r.nz AS BIGINT) AS n_zero_registers
-FROM ex e JOIN rep r USING (source)
+FROM ex e JOIN est r USING (source)
 """
+
+
+HLL_VOCAB_SQL = _hll_vocab_sql()
 
 
 REGISTRY.update({
