@@ -429,3 +429,23 @@ def test_hll_lc_table_is_exact_integer_literals():
     assert HLL_LC_MILLI[0] == int(
         math.floor(HLL_M * math.log(HLL_M / 1) * 1000)
     )
+
+
+def test_hard_negatives_has_single_exchange_before_topk(spark, sf_dir):
+    """r12 (verdict #2 decomposition): the pre-shuffle spread was half
+    the entry's cost — a second full exchange buying nothing, since
+    the per-row map work is linear (scan-stage) and the quadratic
+    pair work distributes through the bucket groupBy's own shuffle.
+    Pin the shape: exactly ONE shuffle exchange in the physical plan
+    (the bucket groupBy; top-k is TakeOrderedAndProject, not a
+    sort exchange)."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = hard_negative_pairs(emb, cosine_floor=0.3, k=20, n_planes=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "TakeOrderedAndProject" in plan

@@ -843,3 +843,19 @@ def test_ivf_lists_are_norm_invariant(spark):
     assert np.array_equal(
         quantize_unit_np(x[:5]), quantize_unit_np(x[:5] * 4.0)
     )
+
+
+def test_dsir_resample_scans_the_corpus_once(spark, sf_dir):
+    """r12 (verdict #3): the separate per-source totals branch was a
+    SECOND scan of documents joined back onto the kept-counts; the
+    resample report now falls out of the one scoring pass
+    (include_wordless explode_outer), so the optimized plan reads the
+    corpus exactly once and contains no aggregate-join."""
+    from universal_importer_duckdb_spark.operators.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dsir_resample(docs, is_target=F.col("source") == "src0")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # one parquet Relation (the corpus) + the held contrib LogicalRDD;
+    # a second corpus scan would print a second Relation line
+    assert plan.count("Relation [") == 1, plan

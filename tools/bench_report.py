@@ -64,8 +64,8 @@ README = os.path.join(ROOT, "README.md")
 NOTES = {
     "docs_corpus_card": "single-row-group scan floor (decomposed r10)",
     "pipeline_flagship": "multi-action 7-stage pipeline contract; its oracle replays NO training — a >2 s oracle here is host load, not the replay asymmetry the class name implies",
-    "docs_dsir_resample": "9 Spark jobs/run (counted r11, tools/decompose.py); median-adjudicated — r10 min-of-5 spread 0.37-0.62 s on identical plans",
-    "emb_hard_negatives": "plan byte-identical since r7; 3-job floor",
+    "docs_dsir_resample": "r12: totals branch folded into the scoring pass (include_wordless explode_outer; the 2nd corpus scan + two-aggregate join removed) — 9 -> 6 jobs/run, 0.53 -> 0.46 s (tools/decompose.py); the 6 are broadcast-build + 3 exchanges + 5-row output sort + AQE floor",
+    "emb_hard_negatives": "decomposed r12 (tools/decompose.py): pair expansion with ZERO arithmetic cost the same as the full entry — exchange/scheduling floor on a 2000-row table, not compute (31.5k candidate pairs; dot eval <0.1 s; an unrolled-codegen dot measured 3x WORSE than the HOF fold). Pre-shuffle spread removed r12: 3 -> 2 jobs, 0.59 -> 0.46 s",
     "docs_bpe_learn_merges": "Python-literal serving floor REMOVED r11 (VALUES LocalRelation, 0.30 -> 0.04 s; the old 2.26x was applySchemaToPythonRDD re-serialization, 1 job, zero compute)",
     "docs_selfdup_spans": "decomposed r11 (tools/decompose.py): tokenize+hash map-only 0.16 s, +gram exchange 0.47 — the one exchange dominates; join-back builds on SHARED grams only since r11 (min!=max holder), AQE broadcasts it: no probe-side exchange",
     "docs_selfdedup_text": "excision adds ~0.10 s over the span pipeline, whose scoped cache it shares (decomposed r11); shared-gram join-back since r11",

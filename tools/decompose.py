@@ -264,7 +264,6 @@ def _ehn(ctx):
 
     from universal_importer_duckdb_spark.operators.dedup_text import (
         bucket_pairs,
-        spread_for_compute,
     )
     from universal_importer_duckdb_spark.operators.similarity import (
         _dot_double,
@@ -275,17 +274,19 @@ def _ehn(ctx):
 
     # verdict r12 #2: the board's thinnest adjudication (job count
     # alone). Stages mirror operators/similarity.py::
-    # hard_negative_pairs — (1) spread + LSH bucket signature + payload
-    # struct, map-only; (2) + bucket_pairs candidate expansion with
-    # the label/cosine sifts (the self-join exchange); (3) the full
-    # entry, which adds only the exact re-score + deterministic
-    # top-k (TakeOrderedAndProject).
+    # hard_negative_pairs — (1) LSH bucket signature + payload struct,
+    # map-only (NO spread since r12: the decomposition found the
+    # pre-shuffle repartition was half the entry — 0.51 -> 0.25 s for
+    # the zero-arithmetic expansion); (2) + bucket_pairs candidate
+    # expansion with the label/cosine sifts (the one groupBy
+    # exchange); (3) the full entry, which adds only the exact
+    # re-score + deterministic top-k (TakeOrderedAndProject).
     planes = _hyperplanes(6, 64, 42)
 
     def hn_payload(d):
         vd = F.col("embedding").cast("array<double>")
         return (
-            spread_for_compute(ctx.t(d, "embeddings"), "vec_id")
+            ctx.t(d, "embeddings")
             .withColumn("bucket", bucket_signature("embedding", planes))
             .withColumn(
                 "__pl",

@@ -285,17 +285,25 @@ def dsir_resample(
     Returns the per-``by_col`` selection report
     ``(by, n_docs, n_kept, tokens_kept)`` — the aggregate runs over
     every document's keep decision, so it certifies the whole sample.
-    ``by_col`` rides through the scoring pass (carry_cols); wordless
-    documents have score 0 and are NEVER kept (hash*SCALE < 0 is
-    false), so they only affect ``n_docs`` — counted by a separate
-    cheap per-``by_col`` aggregate of the raw corpus rather than
-    dragging an explode_outer + left join through the scoring pass
-    (r8: measured ~15% of the score-pass cost for rows that cannot
-    change the sample).
+    ``by_col`` rides through the scoring pass (carry_cols) with
+    ``include_wordless=True`` (explode_outer), so EVERY document —
+    wordless ones included, with score 0 and therefore never kept
+    (hash*SCALE < 0 is false) — reaches the one final aggregate and
+    ``n_docs`` falls out of the scoring pass itself. r12 (verdict
+    #3): this replaced a separate per-``by_col`` aggregate of the raw
+    corpus joined back onto the kept-counts — that branch was a
+    SECOND corpus scan, its own exchange, and a two-aggregate join
+    (measured with tools/decompose.py: 9 jobs/run -> fewer, and at
+    100 TB a second scan of the corpus costs far more than
+    explode_outer's one extra null row per wordless doc; the r8
+    "~15%" note that justified the branch predates the always-left
+    join in dsir_score_with_artifact, after which explode vs
+    explode_outer is the ONLY delta).
     """
     scored = dsir_scores(
         docs, is_target, text_col=text_col, id_col=id_col,
         n_buckets=n_buckets, salt=salt, carry_cols=(by_col,),
+        include_wordless=True,
     )
     hv = _md5_28(
         F.concat(F.lit(keep_salt + ":"), F.col(id_col).cast("string"))
@@ -307,22 +315,12 @@ def dsir_resample(
             "__keep"
         ),
     )
-    kept = sel.groupBy(by_col).agg(
-        F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_kept"),
-        F.sum(F.when(F.col("__keep"), F.col("n_words")).otherwise(0))
-        .cast("bigint")
-        .alias("tokens_kept"),
-    )
-    totals = docs.groupBy(by_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
     return (
-        totals.join(kept, by_col, "left")
-        .select(
-            by_col,
-            "n_docs",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("tokens_kept", F.lit(0))
+        sel.groupBy(by_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("__keep"), F.col("n_words")).otherwise(0))
             .cast("bigint")
             .alias("tokens_kept"),
         )

@@ -449,10 +449,20 @@ def hard_negative_pairs(
     Same two-tier verify as :func:`embedding_near_pairs` (double
     pre-sift with 1e-9 margin, order-defined exact re-score), plus a
     deterministic (cosine desc, id_a, id_b) top-k, so the result
-    replays bit-for-bit in the seeded-literal SQL oracle."""
+    replays bit-for-bit in the seeded-literal SQL oracle.
+
+    Deliberately NOT spread_for_compute'd (r12, decomposed with
+    tools/decompose.py): the per-ROW work here (signature + norm
+    fold) is linear and stays in the scan stage, while the quadratic
+    per-PAIR work distributes through the bucket groupBy's own
+    shuffle — a pre-shuffle repartition is a second full exchange
+    that bought nothing (measured: the expansion with zero arithmetic
+    halved from 0.51 to 0.25 s when the spread was dropped; wide
+    inputs never spread anyway). Contrast the text-gram operators,
+    where the pre-shuffle map (tokenize + 10-100x explode) IS the
+    dominant cost and the spread earns its exchange."""
     from universal_importer_duckdb_spark.operators.dedup_text import (
         bucket_pairs,
-        spread_for_compute,
     )
 
     planes = _hyperplanes(n_planes, dim, seed)
@@ -463,7 +473,7 @@ def hard_negative_pairs(
     # (measured: per-pair folds were the dominant cost of this
     # operator before hoisting).
     b = (
-        spread_for_compute(df, id_col)
+        df
         .withColumn("bucket", bucket_signature(vec_col, planes))
         .withColumn(
             "__pl",
