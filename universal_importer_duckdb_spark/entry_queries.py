@@ -305,70 +305,122 @@ def oracle_sql():
 #     bench-exercised at sf0.1 every round), and q4_order_priority
 #     (EXISTS semi-join — semi_join_open_order_customers r8 pins the
 #     same kernel).
-_R11_WINDOW = (
-    # ---- never driver-certified (late-r10 births): lead ----
-    "docs_source_gram_overlap",
-    "emb_ingest_drift",
-    "stream_ingest_drift",
-    # ---- the r6-era demotion queue (promised r10) ----
-    "dedup_duplicates_lineitem",
-    "dedup_last_lineitem",
-    "dedup_exclude_all_lineitem",
-    "docs_quality_filter_ids",
-    "pipeline_summary_observed_lineitem",
-    "stream_sliding_halfhour",
-    "rule_age_gte_invalid_orders",
-    "docs_keyword_search_topk",
-    "events_tumbling_hourly",
-    # ---- changed in r11: re-verify ----
-    "docs_incremental_selfdup_spans",
-    "docs_ingest_novelty",
-    "docs_bpe_learn_merges",
-    "docs_bpe_token_counts",
-    "docs_selfdup_spans",
-    "docs_selfdedup_text",
-    # ---- the r7-era staleness block (last checked r7) ----
-    "docs_bloom_incremental_dedup",
-    "docs_cluster_canonical",
-    "docs_dedup_cascade",
-    "docs_incremental_dedup",
-    "docs_intradoc_segment_dedup",
-    "docs_language_id",
-    "docs_rolling_sketch",
-    "docs_segment_line_dedup",
-    "docs_shipped_quality",
-    "docs_split_leakage_audit",
-    "docs_textrank_keywords",
-    "events_asof_last_click",
-    "events_json_extract",
-    "events_range_join_error_windows",
-    "events_top_journeys",
-    "multimodal_audio_energy",
-    "multimodal_image_tiles",
-    "orders_expectation_suite",
-    "orders_snapshot_drift",
-    "q12_priority_shipmode",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_top_unshipped",
-    "q5_revenue_by_nation",
-    "q7_volume_shipping",
-    "rolling_customer_spend",
-    "stream_funnel_cohorts",
-    "stream_shipped_quality",
-    "stream_split_leakage",
+# Round-11 window: delivered 50/50 green in CORRECTNESS_r11 (zero
+# never-certified entries remain; nothing older than r7 after it).
+# Full r11 roster text: git show 1c9c1b3:universal_importer_duckdb_
+# spark/entry_queries.py (the _R11_WINDOW tuple).
+#
+# Round-12 roster (below) — exactly what the r11 tail comments and
+# VERDICT.md r11 Next-round #1 committed, plus the changed-kernel
+# re-certs this round produced:
+#  1. The 9-entry r12 head queue leads (the seven r7-era fillers the
+#     r11 amendments displaced, plus the two late-r11 displacements):
+#     projection_alias_orders, like_filter_parts,
+#     sql_passthrough_revenue, rollup_revenue, docs_token_stats,
+#     q6_forecast_revenue, q4_order_priority, docs_bpe_token_count,
+#     events_funnel_cohorts. After these, nothing on the board is
+#     older than r8. (docs_bpe_token_count doubles as the
+#     touched-module risk cover for the r12 bpe.py input guards,
+#     the r11 precedent.)
+#  2. Entries whose kernels or schemas changed in r12, so they
+#     re-certify (the r11 changed-set norm): docs_hll_vocab +
+#     stream_hll_vocab (new hll_corrected_milli column — the
+#     LinearCounting small-range correction, literals shared with
+#     the extended oracle) and emb_hard_negatives (pre-shuffle
+#     spread removed after the r12 decomposition showed it was half
+#     the entry; 3 -> 2 jobs, one hash exchange, plan-pinned).
+#     docs_dsir_resample also changed (totals branch folded into the
+#     scoring pass, 9 -> 6 jobs) but is r8-era and sits in the
+#     cohort below.
+#  3. The r8-era staleness cohort fills the remaining 38 slots (the
+#     largest block, last checked r8 — the r11 verdict's named
+#     next-debt). Nine of the 47 r8-era entries are displaced to
+#     make room for the head queue arithmetic and the three
+#     changed-kernel re-certs above; they LEAD the r13 roster — each
+#     a narrow map or an entry whose kernel stays in-window through
+#     a sibling, all locally parity-green every session via
+#     tests/test_oracle_parity.py:
+#     validate_customer_valid (validate_customer_errors in-window —
+#     same validate pass, complementary split), stream_heavy_hitters_
+#     cms (events_heavy_hitters_cms in-window — same CMS kernel AND
+#     the same oracle SQL), stream_dsir_scores (docs_dsir_importance
+#     + docs_dsir_resample in-window pin the DSIR scoring kernels;
+#     its drain loop is unchanged since r8), distinct_segments
+#     (trivial DISTINCT projection), in_subquery_sql (single
+#     IN-subquery; semi_join_open_order_customers in-window pins the
+#     semi-join kernel), union_all_key_space (single UNION ALL;
+#     except_customers_without_orders + intersect_multi_status_
+#     customers in-window pin the set-op kernels), string_functions_
+#     customers (narrow map of string builtins), top_customers
+#     (single orderBy+limit — TakeOrderedAndProject pinned in
+#     test_plans.py; benched at sf0.1 every round), and
+#     rank_customers_by_segment (single window rank;
+#     window_analytics_orders in-window pins the window kernel).
+#     r13 must take these 9 first, then start the r9-era cohort
+#     (42 entries — the next-largest staleness block).
+_R12_WINDOW = (
+    # ---- the committed r12 head queue (r7-era; staleness burn) ----
+    "projection_alias_orders",
+    "like_filter_parts",
+    "sql_passthrough_revenue",
+    "rollup_revenue",
+    "docs_token_stats",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "docs_bpe_token_count",
+    "events_funnel_cohorts",
+    # ---- changed in r12: re-verify ----
+    "docs_hll_vocab",
+    "stream_hll_vocab",
+    "emb_hard_negatives",
+    # ---- the r8-era staleness cohort (last checked r8) ----
+    "anti_join_customers_no_orders",
+    "cheapest_supplier_per_part",
+    "cube_revenue",
+    "docs_contamination_spans",
+    "docs_decontaminated_text",
+    "docs_dsir_importance",
+    "docs_dsir_resample",
+    "docs_fuzzy_benchmark_contamination",
+    "docs_shuffle_shards",
+    "docs_tokenizer_fertility",
+    "docs_top_collocations",
+    "docs_vocab_topk",
+    "emb_ivf_topk",
+    "emb_kmeans_clusters",
+    "emb_pq_adc_topk",
+    "emb_pq_codes",
+    "events_heavy_hitters_cms",
+    "except_customers_without_orders",
+    "fk_orphan_orders",
+    "intersect_multi_status_customers",
+    "monthly_revenue",
+    "percentile_order_value",
+    "pivot_status_by_segment",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q8_market_share",
+    "rule_multi_skip_orders",
+    "salted_distinct_suppliers",
+    "semi_join_open_order_customers",
+    "validate_customer_errors",
+    "window_analytics_orders",
 )
 
 
 def _finalize_registry() -> None:
-    rank = {n: i for i, n in enumerate(_R11_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R12_WINDOW)}
 
     def key(kv: tuple[str, tuple]) -> int:
         name, _ = kv
-        return rank.get(name, len(_R11_WINDOW))
+        return rank.get(name, len(_R12_WINDOW))
 
     ordered = dict(sorted(REGISTRY.items(), key=key))
     REGISTRY.clear()
