@@ -1,0 +1,345 @@
+"""Scale probe: MEASURE how entries scale with data volume instead of
+arguing about it.
+
+The standing performance adjudications (README "Performance
+adjudication" section) all make one empirical claim: the recorded >2x
+Spark-vs-DuckDB ratios on sf0.1 are FIXED COSTS (scheduling floors,
+single-row-group scans, per-job overhead) that amortize as data grows,
+while the oracle's cost is data-proportional from the start — so the
+ratio trends toward (or below) 1x at production scale. This tool tests
+that claim directly: it replicates the sf0.1 tables Nx with
+key-domain shifting (each copy is an independent shard — joins,
+dedup and gram statistics scale like N independent corpora, the honest
+production analogy), times both sides at each scale, and fits the
+log-log slope (scaling exponent) per entry per side.
+
+Reading the output:
+  - spark_exp ~0 .. 0.5 with oracle_exp ~1.0 ==> the entry's sf0.1
+    cost IS mostly floor, the adjudication holds, and the recorded
+    ratio shrinks at scale (the ratio@16x column shows it directly).
+  - spark_exp ~1.0 ==> the entry is data-proportional already; its
+    sf0.1 ratio is what scale will look like, floor excuses don't
+    apply.
+  - spark_exp >1.2 ==> superlinear: a genuine scale bug (pair blowup,
+    skew) — fails the probe.
+
+Replication semantics (build_scaled):
+  - every key column is shifted by copy * (domain max + 1), per
+    REFERENCED domain (l_partkey shifts by part's offset), so each
+    copy joins only within itself — N independent shards.
+  - documents.text is letter-rotated per copy (translate with a
+    rotated alphabet), so grams/fingerprints are DISJOINT across
+    copies: dedup and self-dedup workloads scale like N independent
+    corpora instead of collapsing into one all-duplicate blob
+    (replicating text verbatim would make every gram corpus-shared
+    and every doc an exact duplicate — an adversarial, unrepresentative
+    16x).
+  - embeddings.embedding is cyclically shifted per copy (norm- and
+    distribution-preserving) so LSH buckets decorrelate across copies
+    instead of multiplying bucket sizes toward the quadratic cap.
+  - parquet ROW_GROUP_SIZE is pinned to the BASE table's row count
+    (capped at duckdb's 122880 default), so the scan's split count
+    grows with scale exactly as a production multi-file layout would —
+    scaled data in one jumbo row group would deny Spark the
+    parallelism the 100 TB layout actually has, biasing the probe.
+
+Protocol per (entry, scale): warm once (plan + codegen + any trained
+artifact via the prepared-plan cache — matching bench.py's serving
+shape), then median of --runs timed noop-sink actions; DuckDB oracle
+median of --runs on views over the same scaled parquet. Results go to
+SCALE_PROBE.json at the repo root and a human table on stdout.
+
+Usage:
+  python tools/scale_probe.py                    # default entries
+  python tools/scale_probe.py --scales 1,4,16 --runs 3 name...
+  python tools/scale_probe.py --list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+# key column -> its domain table + column (offset = max+1 over the
+# domain's BASE data; FK columns shift by the referenced domain's
+# offset so each copy is referentially closed)
+DOMAINS = {
+    "orderkey": ("orders", "o_orderkey"),
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "nationkey": ("nation", "n_nationkey"),
+    "regionkey": ("region", "r_regionkey"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+}
+
+# table -> [(column, domain)] key shifts
+KEY_SHIFTS = {
+    "region": [("r_regionkey", "regionkey")],
+    "nation": [("n_nationkey", "nationkey"), ("n_regionkey", "regionkey")],
+    "customer": [("c_custkey", "custkey"), ("c_nationkey", "nationkey")],
+    "supplier": [("s_suppkey", "suppkey"), ("s_nationkey", "nationkey")],
+    "part": [("p_partkey", "partkey")],
+    "orders": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "lineitem": [
+        ("l_orderkey", "orderkey"),
+        ("l_partkey", "partkey"),
+        ("l_suppkey", "suppkey"),
+    ],
+    "events": [("event_id", "event"), ("user_id", "user")],
+    "documents": [("doc_id", "doc")],
+    "embeddings": [("vec_id", "vec")],
+}
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+# The probe set: the six standing-adjudication entries + the active
+# watch item + three data-proportional controls whose sf0.1 ratios are
+# already healthy (they pin the harness: controls must come out ~1.0
+# exponent on both sides or the replication itself is broken).
+DEFAULT_ENTRIES = [
+    # standing floor adjudications (README): claim spark_exp << 1
+    "docs_corpus_card",
+    "docs_source_gram_overlap",
+    "docs_selfdedup_text",
+    "docs_selfdup_spans",
+    "docs_bigram_lm_bits",
+    "docs_dsir_resample",
+    # active watch (r12): 2-job floor claim
+    "emb_hard_negatives",
+    # controls: expected ~linear on both sides
+    "q1_pricing_summary",
+    "q9_profit_by_nation_year",
+    "docs_minhash_lsh_neardup",
+]
+
+
+def _offsets(con, base: str) -> dict[str, int]:
+    out = {}
+    for dom, (tab, col) in DOMAINS.items():
+        mx = con.execute(
+            f"SELECT max({col}) FROM read_parquet('{base}/{tab}.parquet')"
+        ).fetchone()[0]
+        out[dom] = int(mx) + 1
+    return out
+
+
+def _copy_expr(table: str, offs: dict[str, int]) -> str:
+    """SELECT-list for one replicated copy; `c` is the copy index."""
+    reps = [
+        f"{col} + c * {offs[dom]} AS {col}"
+        for col, dom in KEY_SHIFTS[table]
+    ]
+    if table == "documents":
+        # rotate lowercase letters by c (mod 26): gram-disjoint copies
+        reps.append(
+            "translate(text, '{a}', substr('{a}', (c % 26)::INT + 1)"
+            " || substr('{a}', 1, (c % 26)::INT)) AS text".format(a=ALPHA)
+        )
+    if table == "embeddings":
+        # cyclic shift by c (mod len): norm-preserving decorrelation
+        reps.append(
+            "(embedding[(c % len(embedding))::INT + 1 :]"
+            " || embedding[1 : (c % len(embedding))::INT]) AS embedding"
+        )
+    return "SELECT * REPLACE (" + ", ".join(reps) + ")"
+
+
+def build_scaled(base: str, out_dir: str, scale: int) -> None:
+    """Replicate every base table `scale`x into out_dir (idempotent:
+    skips tables whose row count already matches scale * base)."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    offs = _offsets(con, base)
+    for t in TABLES:
+        src = f"{base}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
+        n_base = con.execute(
+            f"SELECT count(*) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        if os.path.exists(dst):
+            n_have = con.execute(
+                f"SELECT count(*) FROM read_parquet('{dst}')"
+            ).fetchone()[0]
+            if n_have == n_base * scale:
+                continue
+        rg = min(int(n_base), 122880)
+        con.execute(
+            f"COPY ({_copy_expr(t, offs)} FROM read_parquet('{src}') "
+            f"CROSS JOIN (SELECT range::BIGINT AS c FROM range({scale})))"
+            f" TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
+        )
+
+
+def _fit_exponent(scales: list[int], times: list[float]) -> float:
+    """Least-squares slope of log(time) vs log(scale)."""
+    xs = [math.log(s) for s in scales]
+    ys = [math.log(max(t, 1e-4)) for t in times]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0.0:
+        return float("nan")
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def time_spark(entries, dirs, runs: int):
+    from universal_importer_duckdb_spark import entry_queries as eq
+    from universal_importer_duckdb_spark.caching import release_scoped
+    from universal_importer_duckdb_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    q = eq.queries()
+    out: dict[str, dict[int, float]] = {n: {} for n in entries}
+    for scale, d in dirs.items():
+        for name in entries:
+            release_scoped(spark)
+            spark.catalog.clearCache()
+            fn = q[name]
+            # warm: plan construction + codegen + trained artifacts
+            # (prepared-plan cache) — bench.py's serving shape
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            out[name][scale] = round(statistics.median(samples), 3)
+    return out
+
+
+def time_oracle(entries, dirs, runs: int):
+    import duckdb
+
+    from universal_importer_duckdb_spark import entry_queries as eq
+
+    sqls = eq.oracle_sql()
+    out: dict[str, dict[int, float]] = {n: {} for n in entries}
+    for scale, d in dirs.items():
+        con = duckdb.connect()
+        con.execute(
+            f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}"
+        )
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        for name in entries:
+            sql = sqls.get(name)
+            if sql is None:
+                continue
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                samples.append(time.perf_counter() - t0)
+            out[name][scale] = round(statistics.median(samples), 3)
+        con.close()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("entries", nargs="*", default=None)
+    ap.add_argument("--scales", default="1,4,16")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--work", default="/tmp/scale_probe")
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+    if args.list:
+        print("\n".join(DEFAULT_ENTRIES))
+        return 0
+    entries = args.entries or DEFAULT_ENTRIES
+    scales = sorted({int(s) for s in args.scales.split(",")})
+
+    dirs = {}
+    for s in scales:
+        d = args.base if s == 1 else os.path.join(args.work, f"x{s}")
+        if s != 1:
+            t0 = time.perf_counter()
+            build_scaled(args.base, d, s)
+            print(f"built x{s} in {time.perf_counter() - t0:.1f}s -> {d}",
+                  file=sys.stderr)
+        dirs[s] = d
+
+    spark_t = time_spark(entries, dirs, args.runs)
+    oracle_t = time_oracle(entries, dirs, args.runs)
+
+    # merge into the existing artifact (a partial re-run of one entry
+    # or one scale must not clobber the rest of the board)
+    path = os.path.join(REPO, "SCALE_PROBE.json")
+    prior_entries: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior_entries = json.load(f).get("entries", {})
+        except Exception:
+            prior_entries = {}
+    result = {"scales": scales, "base": args.base, "runs": args.runs,
+              "entries": prior_entries}
+    hdr = (f"{'entry':34s} " +
+           " ".join(f"spark@x{s:<3d}" for s in scales) + " exp  " +
+           " ".join(f"duck@x{s:<4d}" for s in scales) +
+           " exp   ratio@x1 -> x" + str(scales[-1]))
+    print(hdr)
+    for name in entries:
+        prior = prior_entries.get(name, {})
+        # merge per-scale maps with any prior measurements (JSON keys
+        # round-trip as strings), then recompute exponents on the union
+        st = {int(k): v for k, v in prior.get("spark", {}).items()}
+        st.update(spark_t[name])
+        ot = {int(k): v for k, v in prior.get("oracle", {}).items()}
+        ot.update(oracle_t.get(name, {}))
+        ss = sorted(st)
+        se = _fit_exponent(ss, [st[s] for s in ss])
+        row = {"spark": st, "spark_exp": round(se, 2)}
+        line = (f"{name:34s} " +
+                " ".join(f"{st.get(s, float('nan')):9.3f}"
+                         for s in scales) +
+                f" {se:4.2f}  ")
+        if ot:
+            so = sorted(ot)
+            oe = _fit_exponent(so, [ot[s] for s in so])
+            both = sorted(set(st) & set(ot))
+            r1 = st[both[0]] / ot[both[0]]
+            rN = st[both[-1]] / ot[both[-1]]
+            row.update({"oracle": ot, "oracle_exp": round(oe, 2),
+                        "ratio_first": round(r1, 2),
+                        "ratio_last": round(rN, 2)})
+            line += (" ".join(f"{ot.get(s, float('nan')):9.3f}"
+                              for s in scales) +
+                     f" {oe:4.2f}   {r1:5.2f} -> {rN:5.2f}")
+        print(line)
+        result["entries"][name] = row
+
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(f"\nwrote {path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

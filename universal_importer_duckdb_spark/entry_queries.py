@@ -332,11 +332,12 @@ def oracle_sql():
 #     docs_dsir_resample also changed (totals branch folded into the
 #     scoring pass, 9 -> 6 jobs) but is r8-era and sits in the
 #     cohort below.
-#  3. The r8-era staleness cohort fills the remaining 38 slots (the
+#  3. The r8-era staleness cohort fills the remaining slots (the
 #     largest block, last checked r8 — the r11 verdict's named
-#     next-debt). Nine of the 47 r8-era entries are displaced to
-#     make room for the head queue arithmetic and the three
-#     changed-kernel re-certs above; they LEAD the r13 roster — each
+#     next-debt; 35 slots after the late-r12 amendment in item 4).
+#     Twelve of the 47 r8-era entries are displaced to make room for
+#     the head queue arithmetic and the changed-kernel re-certs
+#     above; they LEAD the r13 roster — each
 #     a narrow map or an entry whose kernel stays in-window through
 #     a sibling, all locally parity-green every session via
 #     tests/test_oracle_parity.py:
@@ -349,15 +350,32 @@ def oracle_sql():
 #     (trivial DISTINCT projection), in_subquery_sql (single
 #     IN-subquery; semi_join_open_order_customers in-window pins the
 #     semi-join kernel), union_all_key_space (single UNION ALL;
-#     except_customers_without_orders + intersect_multi_status_
-#     customers in-window pin the set-op kernels), string_functions_
-#     customers (narrow map of string builtins), top_customers
-#     (single orderBy+limit — TakeOrderedAndProject pinned in
-#     test_plans.py; benched at sf0.1 every round), and
-#     rank_customers_by_segment (single window rank;
-#     window_analytics_orders in-window pins the window kernel).
-#     r13 must take these 9 first, then start the r9-era cohort
-#     (42 entries — the next-largest staleness block).
+#     except_customers_without_orders in-window pins the set-op
+#     kernel), string_functions_customers (narrow map of string
+#     builtins), top_customers (single orderBy+limit —
+#     TakeOrderedAndProject pinned in test_plans.py; benched at
+#     sf0.1 every round), and rank_customers_by_segment (single
+#     window rank; window_analytics_orders in-window pins the window
+#     kernel).
+#  4. Late-r12 amendment (the r11 "late-amendment" precedent): the
+#     scale probe falsified docs_bigram_lm_bits's floor adjudication
+#     and found the lambda-capture re-tokenization bug, whose fix
+#     touches lm.py, line_dedup.py, textrank.py, and
+#     text_analysis.char_trigrams. One changed-kernel re-cert per
+#     touched module joins the window — docs_bigram_lm_bits (lm),
+#     docs_segment_line_dedup (line_dedup; covers the intradoc +
+#     cascade siblings), docs_langid_trigram_rank (char_trigrams) —
+#     with docs_top_collocations already in-window covering
+#     textrank.py. Three more r8-era entries are displaced to make
+#     room and join the r13 head with sibling rationale:
+#     cube_revenue (rollup_revenue in-window pins the grouping-sets
+#     kernel), q14_promo_revenue (seven q-class siblings in-window),
+#     and intersect_multi_status_customers
+#     (except_customers_without_orders in-window pins the set-op
+#     kernel). All three locally parity-green at both SFs this
+#     session.
+#     r13 must take these 12 displaced entries first, then start the
+#     r9-era cohort (42 entries — the next-largest staleness block).
 _R12_WINDOW = (
     # ---- the committed r12 head queue (r7-era; staleness burn) ----
     "projection_alias_orders",
@@ -373,10 +391,16 @@ _R12_WINDOW = (
     "docs_hll_vocab",
     "stream_hll_vocab",
     "emb_hard_negatives",
+    # (late-r12 lambda-binding fixes — one in-window cover per touched
+    #  module, the r11 precedent: lm.py / line_dedup.py /
+    #  text_analysis.char_trigrams; textrank.py's cover is
+    #  docs_top_collocations, already in the cohort below)
+    "docs_bigram_lm_bits",
+    "docs_segment_line_dedup",
+    "docs_langid_trigram_rank",
     # ---- the r8-era staleness cohort (last checked r8) ----
     "anti_join_customers_no_orders",
     "cheapest_supplier_per_part",
-    "cube_revenue",
     "docs_contamination_spans",
     "docs_decontaminated_text",
     "docs_dsir_importance",
@@ -393,13 +417,11 @@ _R12_WINDOW = (
     "events_heavy_hitters_cms",
     "except_customers_without_orders",
     "fk_orphan_orders",
-    "intersect_multi_status_customers",
     "monthly_revenue",
     "percentile_order_value",
     "pivot_status_by_segment",
     "q10_returned_items",
     "q11_important_parts",
-    "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_part_count",
     "q19_disjunctive_revenue",

@@ -49,14 +49,23 @@ def word_segments(text: Column, width: int = 10) -> Column:
     tokens [i*width, (i+1)*width) re-joined with spaces. The trailing
     partial segment is kept (slice truncates identically in Spark and
     DuckDB)."""
-    toks = F.split(text, " ")
-    n_seg = F.ceil(F.size(toks) / F.lit(width)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * width + 1, width), " "
-        ),
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        _bind,
     )
+
+    def _segs(toks):
+        n_seg = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * width + 1, width), " "
+            ),
+        )
+
+    # bind the split ONCE per row — captured in the lambda it would
+    # re-split the document once per segment (O(n²/width); the
+    # lm.py::_bigrams bug class, found by the r12 scale probe)
+    return _bind(F.split(text, " "), _segs)
 
 
 def line_level_dedup(

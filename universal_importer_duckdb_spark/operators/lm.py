@@ -63,19 +63,36 @@ def _bigrams(text_col: str) -> Column:
     """``array<struct<w1,w2>>`` of adjacent token pairs over the
     shared lowered/space-split/empty-filtered token stream
     (quality_model.quality_tokens — one tokenization definition
-    across the quality/DSIR/LM tiers)."""
-    toks = quality_tokens(text_col)
-    n = F.size(toks)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
+    across the quality/DSIR/LM tiers).
+
+    The token array is lambda-BOUND (text_analysis._bind) before the
+    per-position lambda: lambda closures sit outside subexpression
+    elimination, so capturing the quality_tokens EXPRESSION directly
+    re-ran the full lower+split+filter once per element_at — twice per
+    bigram, O(n·tokenize) per document. Measured (x16 replicated
+    sf0.1, 80k docs): the bigram map stage was 27.9 s expression-
+    captured vs 0.36 s bound — the entire "map-side explode floor"
+    the r11 decomposition attributed to this entry was re-tokenization
+    waste, found when the r12 scale probe showed the entry scaling
+    data-proportionally (exp 0.77) instead of flat like a floor."""
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        _bind,
     )
-    return F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
-    )
+
+    def body(toks):
+        n = F.size(toks)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+
+    return _bind(quality_tokens(text_col), body)
 
 
 def bigram_lm_artifact(

@@ -476,11 +476,16 @@ def char_trigrams(text_col: str = "text") -> Column:
     (sliding window, step 1). Empty array under 3 chars — the guarded
     sequence avoids Spark's descending-sequence surprise
     (sequence(1, 0) == [1, 0])."""
-    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    idx = F.when(
-        F.length(t) >= 3, F.sequence(F.lit(1), F.length(t) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.substring(t, i, 3))
+    def _grams(t):
+        idx = F.when(
+            F.length(t) >= 3, F.sequence(F.lit(1), F.length(t) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.substring(t, i, 3))
+
+    # bind lower(text) once per row — captured in the lambda it would
+    # re-lowercase the document once per trigram position (the
+    # lm.py::_bigrams bug class, found by the r12 scale probe)
+    return _bind(F.lower(F.coalesce(F.col(text_col), F.lit(""))), _grams)
 
 
 def _bind(value: Column, body) -> Column:

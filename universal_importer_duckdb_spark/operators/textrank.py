@@ -43,18 +43,28 @@ def cooccurrence_edges(
     already-aggregated edge list (vocab² bounded, in practice a few
     edges per vocab word), not the corpus.
     """
-    toks = F.split(F.col(text_col), delimiter)
-    # guard: sequence(1, 0) would step BACKWARD for 1-token docs
-    adj = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("a"),
-                F.element_at(toks, i + 1).alias("b"),
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        _bind,
+    )
+
+    # the token array is lambda-BOUND before the per-position lambda —
+    # capturing the split() EXPRESSION would re-split the document
+    # once per element_at (the lm.py::_bigrams O(n·tokenize) bug,
+    # found by the r12 scale probe)
+    def _adjacent(toks):
+        # guard: sequence(1, 0) would step BACKWARD for 1-token docs
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("a"),
+                    F.element_at(toks, i + 1).alias("b"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    adj = _bind(F.split(F.col(text_col), delimiter), _adjacent)
     pairs = docs.select(
         F.explode(F.filter(adj, lambda s: s["a"] != s["b"])).alias("p")
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -218,11 +228,19 @@ def top_collocations(
     identical rows — tests/test_round7_ops.py); only the 1-row total
     is an explicit broadcast.
     """
-    toks = F.split(F.col(text_col), " ")
-    ext = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.get(toks, i).alias("a"), F.get(toks, i + 1).alias("b")
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        _bind,
+    )
+
+    # bind the split ONCE per row (see _adjacent above for the
+    # O(n·split) capture bug this avoids)
+    ext = _bind(
+        F.split(F.col(text_col), " "),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.get(toks, i).alias("a"), F.get(toks, i + 1).alias("b")
+            ),
         ),
     )
     ab = (
