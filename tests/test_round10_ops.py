@@ -449,3 +449,7 @@ def test_hard_negatives_has_single_exchange_before_topk(spark, sf_dir):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
     assert "TakeOrderedAndProject" in plan
+    # r12 kernel form: the pre-sift is one Arrow-batched per-bucket
+    # BLAS pass fed by that single exchange (the 100 TB mining shape);
+    # the JVM exact re-score runs on survivors only
+    assert "FlatMapGroupsInPandas" in plan
