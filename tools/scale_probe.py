@@ -158,7 +158,9 @@ def _copy_expr(table: str, offs: dict[str, int]) -> str:
             "(embedding[(c % len(embedding))::INT + 1 :]"
             " || embedding[1 : (c % len(embedding))::INT]) AS embedding"
         )
-    return "SELECT * REPLACE (" + ", ".join(reps) + ")"
+    # EXCLUDE (c): the copy index is plumbing, not a table column —
+    # leaking it would widen every scan at the scaled SFs
+    return "SELECT * EXCLUDE (c) REPLACE (" + ", ".join(reps) + ")"
 
 
 def build_scaled(base: str, out_dir: str, scale: int) -> None:
