@@ -374,7 +374,18 @@ def oracle_sql():
 #     (except_customers_without_orders in-window pins the set-op
 #     kernel). All three locally parity-green at both SFs this
 #     session.
-#     r13 must take these 12 displaced entries first, then start the
+#  5. Second late-r12 amendment: quality_model.py changed (the
+#     InSet-prefiltered weight fold measured 2.3x on x16 data, and
+#     the (n_words, raw) pair now evaluates one bound struct instead
+#     of tokenizing twice), so docs_corpus_card (the fused-aggregate
+#     consumer form, its own per-row stage also rebuilt on the bound
+#     bundle) and docs_shipped_quality (the per-doc scorer form; its
+#     streaming twin shares the identical kernel) join the window.
+#     Displaced with sibling rationale: q19_disjunctive_revenue
+#     (eight q-class siblings remain in-window) and fk_orphan_orders
+#     (anti_join_customers_no_orders in-window pins the anti-join
+#     kernel). Both locally parity-green at both SFs this session.
+#     r13 must take these 14 displaced entries first, then start the
 #     r9-era cohort (42 entries — the next-largest staleness block).
 _R12_WINDOW = (
     # ---- the committed r12 head queue (r7-era; staleness burn) ----
@@ -398,6 +409,13 @@ _R12_WINDOW = (
     "docs_bigram_lm_bits",
     "docs_segment_line_dedup",
     "docs_langid_trigram_rank",
+    # (second late-r12 amendment: quality_model.py changed — the
+    #  InSet-prefiltered weight fold + the bound signal struct; one
+    #  re-cert per consumer shape: the card's fused aggregate form
+    #  and the per-doc scorer form, whose streaming twin shares the
+    #  identical kernel)
+    "docs_corpus_card",
+    "docs_shipped_quality",
     # ---- the r8-era staleness cohort (last checked r8) ----
     "anti_join_customers_no_orders",
     "cheapest_supplier_per_part",
@@ -416,7 +434,6 @@ _R12_WINDOW = (
     "emb_pq_codes",
     "events_heavy_hitters_cms",
     "except_customers_without_orders",
-    "fk_orphan_orders",
     "monthly_revenue",
     "percentile_order_value",
     "pivot_status_by_segment",
@@ -424,7 +441,6 @@ _R12_WINDOW = (
     "q11_important_parts",
     "q15_top_supplier",
     "q16_supplier_part_count",
-    "q19_disjunctive_revenue",
     "q20_heavy_shippers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
