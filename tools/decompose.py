@@ -260,65 +260,64 @@ def _dsir(ctx):
 
 @decomposer("emb_hard_negatives")
 def _ehn(ctx):
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
 
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        bucket_pairs,
-    )
     from universal_importer_duckdb_spark.operators.similarity import (
-        _dot_double,
         _hyperplanes,
-        _norm2_double,
         bucket_signature,
     )
 
-    # verdict r12 #2: the board's thinnest adjudication (job count
-    # alone). Stages mirror operators/similarity.py::
-    # hard_negative_pairs — (1) LSH bucket signature + payload struct,
-    # map-only (NO spread since r12: the decomposition found the
-    # pre-shuffle repartition was half the entry — 0.51 -> 0.25 s for
-    # the zero-arithmetic expansion); (2) + bucket_pairs candidate
-    # expansion with the label/cosine sifts (the one groupBy
-    # exchange); (3) the full entry, which adds only the exact
-    # re-score + deterministic top-k (TakeOrderedAndProject).
+    # r12 kernel form (the pre-r12 JVM stages — payload struct +
+    # bucket_pairs expansion + interpreted HOF sifts — were replaced
+    # after the scale probe measured them data-proportional, exp
+    # 0.90). Stages now mirror operators/similarity.py::
+    # hard_negative_pairs: (1) the map-only signature select; (2) +
+    # the one bucket exchange feeding an Arrow-batched per-bucket
+    # BLAS kernel (measured here with a count-only kernel body, so
+    # the stage isolates scan + exchange + Arrow transfer + X@X.T
+    # without survivor serialization); (3) the full entry, adding
+    # survivor output + the order-defined JVM exact re-score +
+    # deterministic top-k (TakeOrderedAndProject).
     planes = _hyperplanes(6, 64, 42)
 
-    def hn_payload(d):
-        vd = F.col("embedding").cast("array<double>")
-        return (
-            ctx.t(d, "embeddings")
-            .withColumn("bucket", bucket_signature("embedding", planes))
-            .withColumn(
-                "__pl",
-                F.struct(
-                    vd.alias("v"),
-                    _norm2_double(vd).alias("n2"),
-                    F.col("label").alias("lab"),
-                ),
-            )
+    def hn_map(d):
+        return ctx.t(d, "embeddings").select(
+            F.col("vec_id").alias("__id"),
+            F.col("label").alias("__lab"),
+            F.col("embedding").cast("array<double>").alias("__v"),
+            bucket_signature("embedding", planes).alias("__bucket"),
         )
 
-    def hn_pairs(d):
-        va, vb = F.col("payload_a.v"), F.col("payload_b.v")
-        dcos = _dot_double(va, vb) / F.greatest(
-            F.sqrt(F.col("payload_a.n2") * F.col("payload_b.n2")),
-            F.lit(1e-300),
-        )
-        return (
-            bucket_pairs(
-                hn_payload(d), ["bucket"], "vec_id", 500, "__pl",
-                unique_buckets=True,
+    def hn_kernel(d):
+        def count_sift(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2 or n > 500:
+                return pd.DataFrame({"n": []}).astype({"n": "int64"})
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
             )
-            .filter(F.col("payload_a.lab") != F.col("payload_b.lab"))
-            .filter(dcos >= 0.3 - 1e-9)
-            .select("id_a", "id_b")
+            norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+            denom = np.outer(norms, norms)
+            denom[denom == 0.0] = np.inf
+            cos = (X @ X.T) / denom
+            ia, ib = np.triu_indices(n, 1)
+            lab = pdf["__lab"].to_numpy()
+            keep = (cos[ia, ib] >= 0.3 - 1e-9) & (lab[ia] != lab[ib])
+            return pd.DataFrame({"n": [int(keep.sum())]})
+
+        return (
+            hn_map(d)
+            .groupBy("__bucket")
+            .applyInPandas(count_sift, "n long")
         )
 
     return {
-        "spread_bucket_payload_map_only": ctx.measure(
-            "hn_payload", hn_payload
+        "signature_map_only": ctx.measure("hn_map", hn_map),
+        "plus_exchange_and_blas_kernel": ctx.measure(
+            "hn_kernel", hn_kernel
         ),
-        "plus_bucket_pair_scoring": ctx.measure("hn_pairs", hn_pairs),
         "full_entry_topk": ctx.measure_entry("emb_hard_negatives", "hn_full"),
     }
 
