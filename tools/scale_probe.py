@@ -123,6 +123,9 @@ DEFAULT_ENTRIES = [
     "docs_dsir_resample",
     # active watch (r12): 2-job floor claim
     "emb_hard_negatives",
+    # probe-adjudicated when the r12 pass-3 bench put them >2x
+    "docs_benchmark_contamination",
+    "events_user_narratives",
     # controls: expected ~linear on both sides
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
