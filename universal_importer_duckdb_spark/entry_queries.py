@@ -387,6 +387,21 @@ def oracle_sql():
 #     kernel). Both locally parity-green at both SFs this session.
 #     r13 must take these 14 displaced entries first, then start the
 #     r9-era cohort (42 entries — the next-largest staleness block).
+#  6. Committed r13 OPTIMIZATION queue (deferred r12 with rationale —
+#     two roster amendments already displace five r8-era entries, and
+#     the staleness burn outranks more churn; each of these is the
+#     r12 finding-class applied to a sibling, mechanical, and needs
+#     its changed-kernel window slot when taken):
+#     (a) port embedding_near_pairs to the shared per-bucket BLAS
+#         pre-sift kernel (hard_negative_pairs r12 precedent) —
+#         re-cert emb_near_dup_pairs + its cluster consumer;
+#     (b) bind the sibling-tokenize expressions in
+#         text_analysis.quality_signals and docs_corpus_prep's final
+#         aggregate (each references its token array in 3-5 sibling
+#         expressions, re-tokenizing per reference; probe rows for
+#         docs_corpus_prep record the current exponents 0.46/0.24) —
+#         re-cert docs_quality_filter_ids, docs_corpus_prep,
+#         docs_training_pipeline.
 _R12_WINDOW = (
     # ---- the committed r12 head queue (r7-era; staleness burn) ----
     "projection_alias_orders",
