@@ -453,3 +453,30 @@ def test_hard_negatives_has_single_exchange_before_topk(spark, sf_dir):
     # BLAS pass fed by that single exchange (the 100 TB mining shape);
     # the JVM exact re-score runs on survivors only
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_hard_negatives_kernel_drops_cross_length_pairs(spark):
+    """r12 kernel contract: the old HOF pre-sift silently dropped
+    pairs of unequal-length vectors (zip_with null-pads, nulling the
+    fold), and the per-bucket BLAS kernel must reproduce that — it
+    groups each bucket by vector length and scores within groups
+    only. Three same-direction vectors (same LSH bucket), one ragged:
+    only the full-width different-label pair comes back, no crash."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    rows = [
+        (1, 0, [1.0] * 64),
+        (2, 1, [1.0] * 64),
+        (3, 0, [1.0] * 32),  # ragged: must pair with nobody
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    out = hard_negative_pairs(df, cosine_floor=0.3, k=10, n_planes=6)
+    res = out.collect()
+    assert len(res) == 1
+    r = res[0]
+    assert (r.id_a, r.id_b, r.label_a, r.label_b) == (1, 2, 0, 1)
+    assert abs(r.cosine - 1.0) < 1e-12
