@@ -111,3 +111,60 @@ def test_textrank_cooccurrence_binds_split_once(spark):
     }
     # pairs: a-b x2, b-a x1 (doc1) + b-a x1 (doc2) -> undirected 4
     assert edges[("a", "b")] == 4 and edges[("b", "a")] == 4
+
+
+def test_quality_signals_binds_tokenize_once(spark):
+    """The r13 fix (committed r12 queue item b): quality_signals
+    carved its 4 token signals + 5 stopword-marker filters from
+    sibling split() expressions — 9 tokenizations per row. The bound
+    struct form must show exactly ONE split in the optimized plan."""
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        quality_signals,
+    )
+
+    df = spark.createDataFrame([("the quick fox",)], ["text"])
+    plan = (
+        quality_signals(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("split(") == 1
+
+
+def test_quality_filter_predicate_binds_tokenize_once(spark):
+    """The pruned-consumer shape (docs_quality_filter_ids): when the
+    q_* columns are dropped, only the pushed-down gate remains — it
+    must contain ONE split, not one per conjunct."""
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        quality_filter,
+    )
+
+    df = spark.createDataFrame([(1, "the quick fox")], ["doc_id", "text"])
+    kept, _ = quality_filter(df)
+    plan = (
+        kept.select("doc_id")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1
+
+
+def test_quality_signals_values_unchanged(spark):
+    """Behavioral twin: the bound form computes the identical signal
+    values (including the NULL-text row) as the definitional
+    per-signal expressions."""
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        quality_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat 99"), (2, None)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in quality_signals(df).collect()}
+    r1 = rows[1]
+    assert r1.q_n_tokens == 6
+    assert r1.q_unique_token_ratio == 5 / 6
+    assert r1.q_stopword_ratio == 3 / 6  # the x2, and
+    assert r1.q_mean_token_len == (22 - 5) / 6
+    assert r1.q_digit_ratio == 2 / 22
+    r2 = rows[2]
+    assert r2.q_n_tokens is None and r2.q_stopword_ratio is None

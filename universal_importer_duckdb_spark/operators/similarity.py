@@ -427,6 +427,96 @@ def matryoshka_recall(
     )
 
 
+def _bucket_presift_kernel(
+    floor_margin: float,
+    max_bucket_size: int,
+    with_labels: bool,
+    drop_acc=None,
+):
+    """Arrow-batched per-bucket BLAS pre-sift for ``applyInPandas``:
+    one numpy ``X @ X.T`` per (length-homogeneous slice of a) bucket,
+    emitting the pairs whose double cosine clears ``floor_margin``
+    together with both raw vectors, so the JVM can re-score the tiny
+    survivor set with the order-defined exact fold. Shared by
+    ``hard_negative_pairs`` (``with_labels=True``: different-label
+    pairs only) and ``embedding_near_pairs`` (all pairs) — the r12
+    finding-class fix (interpreted per-pair HOF dots are
+    data-proportional, exponent ~0.9; the kernel is BLAS-speed and
+    ships only the ~1% floor-crossing tail back to the JVM).
+
+    Contracts mirrored from the old all-JVM candidate path so the
+    surviving pair SET is identical:
+
+    * the bucket-size cap tests the RAW bucket size (null-vector rows
+      carry a real bucket key — the all-zero signature — in both
+      engines, so they count toward the cap exactly as they did in
+      ``bucket_pairs``); capped and singleton buckets are dropped,
+      and ``drop_acc`` (an optional Spark accumulator) counts the
+      capped ones so the drop is observable (corpus-level accounting:
+      ``lsh_bucket_audit``);
+    * null vectors are dropped AFTER the cap check — the old
+      NULL-propagating folds scored such pairs to NULL, which never
+      crossed the floor (r12 advice: ``map(len)`` on None raised);
+    * buckets are scored per vector LENGTH group — ``zip_with``
+      null-padded ragged pairs into a null fold, so cross-length
+      pairs never survived (pinned by
+      tests/test_round10_ops.py::..._drops_cross_length_pairs);
+    * null-label rows are dropped with the null vectors — Column
+      ``!=`` (and the oracle's SQL ``<>``) is null-rejecting, whereas
+      numpy elementwise ``!=`` keeps None-vs-anything (r12 advice).
+    """
+    id_cols = ["id_a", "id_b"]
+    lab_cols = ["label_a", "label_b"] if with_labels else []
+    empty = pd.DataFrame(columns=id_cols + lab_cols + ["va", "vb"])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2 or n > max_bucket_size:
+            if n > max_bucket_size and drop_acc is not None:
+                drop_acc.add(1)
+            return empty
+        pdf = pdf[pdf["__v"].notna()]
+        if with_labels:
+            pdf = pdf[pdf["__lab"].notna()]
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        frames = []
+        lens = pdf["__v"].map(len)
+        for length in lens.unique():
+            sub = pdf[lens == length]
+            m = len(sub)
+            if m < 2:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in sub["__v"]]
+            )
+            norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+            denom = np.outer(norms, norms)
+            denom[denom == 0.0] = np.inf
+            cos = (X @ X.T) / denom
+            ia, ib = np.triu_indices(m, 1)
+            keep = cos[ia, ib] >= floor_margin
+            if with_labels:
+                lab = sub["__lab"].to_numpy()
+                keep = keep & (lab[ia] != lab[ib])
+            if not keep.any():
+                continue
+            ia, ib = ia[keep], ib[keep]
+            ids = sub["__id"].to_numpy()
+            vs = sub["__v"].to_numpy()
+            data = {"id_a": ids[ia], "id_b": ids[ib]}
+            if with_labels:
+                data["label_a"] = lab[ia]
+                data["label_b"] = lab[ib]
+            data["va"] = vs[ia]
+            data["vb"] = vs[ib]
+            frames.append(pd.DataFrame(data))
+        return pd.concat(frames) if frames else empty
+
+    return kernel
+
+
 def hard_negative_pairs(
     df: DataFrame,
     label_col: str = "label",
@@ -438,6 +528,7 @@ def hard_negative_pairs(
     seed: int = 42,
     dim: int = 64,
     max_bucket_size: int = 500,
+    drop_acc=None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: the top-k
     DIFFERENT-label pairs by cosine among LSH-bucket candidates — the
@@ -476,7 +567,20 @@ def hard_negative_pairs(
     tools/decompose.py): the per-ROW work here (signature) is linear
     and stays in the scan stage, while the quadratic per-PAIR work
     distributes through the bucket exchange — a pre-shuffle
-    repartition is a second full exchange that bought nothing."""
+    repartition is a second full exchange that bought nothing.
+
+    Capped-bucket drops are NOT silent (r12 verdict): pass
+    ``drop_acc`` (``spark.sparkContext.accumulator(0)``) to count the
+    buckets dropped for exceeding ``max_bucket_size`` — read it after
+    an action; run ``lsh_bucket_audit`` with the same bucketing
+    params for the full corpus-level accounting (dropped buckets /
+    rows / candidate pairs) as an oracle-checkable DataFrame. When
+    the audit shows mass drops, the bucketing is too coarse for the
+    corpus density: n_planes should scale with log2(n_rows /
+    target_bucket_size) — e.g. ~2^k rows at target bucket ~500 wants
+    ~k-9 planes — so raise ``n_planes`` (finer buckets, lower
+    per-bucket recall cost) rather than raising the cap (quadratic
+    kernel cost)."""
     planes = _hyperplanes(n_planes, dim, seed)
     b = df.select(
         F.col(id_col).alias("__id"),
@@ -490,52 +594,10 @@ def hard_negative_pairs(
         f"id_a {id_t}, id_b {id_t}, label_a {lab_t}, label_b {lab_t}, "
         "va array<double>, vb array<double>"
     )
-    floor_margin = cosine_floor - 1e-9
-    empty = pd.DataFrame(
-        columns=["id_a", "id_b", "label_a", "label_b", "va", "vb"]
+    _presift = _bucket_presift_kernel(
+        cosine_floor - 1e-9, max_bucket_size, with_labels=True,
+        drop_acc=drop_acc,
     )
-
-    def _presift(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2 or n > max_bucket_size:
-            return empty
-        pdf = pdf.sort_values("__id").reset_index(drop=True)
-        frames = []
-        lens = pdf["__v"].map(len)
-        for length in lens.unique():
-            sub = pdf[lens == length]
-            m = len(sub)
-            if m < 2:
-                continue
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in sub["__v"]]
-            )
-            norms = np.sqrt(np.einsum("ij,ij->i", X, X))
-            denom = np.outer(norms, norms)
-            denom[denom == 0.0] = np.inf
-            cos = (X @ X.T) / denom
-            ia, ib = np.triu_indices(m, 1)
-            lab = sub["__lab"].to_numpy()
-            keep = (cos[ia, ib] >= floor_margin) & (lab[ia] != lab[ib])
-            if not keep.any():
-                continue
-            ia, ib = ia[keep], ib[keep]
-            ids = sub["__id"].to_numpy()
-            vs = sub["__v"].to_numpy()
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "id_a": ids[ia],
-                        "id_b": ids[ib],
-                        "label_a": lab[ia],
-                        "label_b": lab[ib],
-                        "va": vs[ia],
-                        "vb": vs[ib],
-                    }
-                )
-            )
-        return pd.concat(frames) if frames else empty
-
     survivors = b.groupBy("__bucket").applyInPandas(_presift, out_schema)
     va, vb = F.col("va"), F.col("vb")
     # exact emitted score: the sequential-fold dot over sqrt(n2a) *
@@ -939,50 +1001,120 @@ def embedding_near_pairs(
     seed: int = 42,
     dim: int = 64,
     max_bucket_size: int = 500,
+    drop_acc=None,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: bucket on the full signature,
-    join within buckets, verify exact cosine. Recall is bounded by the
-    probability that near vectors share all sign bits — raise recall
-    by lowering n_planes or running multiple seeded repetitions.
+    score within buckets, verify exact cosine. Recall is bounded by
+    the probability that near vectors share all sign bits — raise
+    recall by lowering n_planes or running multiple seeded
+    repetitions; see ``hard_negative_pairs`` for the density-adaptive
+    ``n_planes`` sizing rule and ``lsh_bucket_audit`` /``drop_acc``
+    for the capped-bucket accounting.
 
-    Verification is two-tier, mirroring the MinHash σ pre-sift: a
-    cheap double-precision cosine (per-vector squared norms are
-    computed ONCE before pairing and ride in the pair payload, so the
-    pre-sift per pair is one dot product and one division) discards
-    every candidate below ``threshold - 1e-9``, and only survivors pay
-    the order-defined exact fold. The margin dominates the double
-    fold's rounding error (64 unit-scale terms err < 1e-12 relative),
-    so the surviving set — and the emitted exact cosine — is
-    bit-identical to verifying every candidate, which is what the
-    SQL oracle computes. On random-embedding corpora nearly all
-    bucket-mates fall far below threshold, so the decimal work drops
-    from O(candidates) to O(true near-pairs)."""
-    from universal_importer_duckdb_spark.operators.dedup_text import (
-        bucket_pairs,
-        spread_for_compute,
-    )
+    Two-tier verify, r13 kernel form (the r12 ``hard_negative_pairs``
+    precedent ported to the all-pairs shape — the committed r13 queue
+    item (a)): the PRE-SIFT runs as one BLAS ``X @ X.T`` per bucket
+    inside an Arrow-batched ``applyInPandas`` (margin ``1e-9`` below
+    the threshold), and the order-defined JVM fold re-scores the tiny
+    survivor set exactly — the emitted cosine is the same
+    ``dot/(sqrt(n2a)*sqrt(n2b))`` sequential-fold expression the
+    seeded-literal SQL oracle replays, so the surviving pair set AND
+    its scores stay bit-exact cross-engine (the margin dominates the
+    double fold's rounding error: 64 unit-scale terms err < 1e-12
+    relative). The previous shape expanded every in-bucket candidate
+    pair JVM-side (``bucket_pairs``) and ran the interpreted HOF dot
+    on each — data-proportional cost the r12 scale probe measured at
+    exponent 0.90 on the sibling kernel; the per-bucket matrix form
+    does the per-pair arithmetic at BLAS speed and ships only the
+    floor-crossing survivors (a ~1% tail on near-random embeddings)
+    back to the JVM. At 100 TB this is the production near-dup shape:
+    bounded-bucket matrices distributed by the one bucket exchange,
+    no pair materialization outside the kernel.
 
+    Null / ragged contracts (identical to the old NULL-propagating
+    fold path — see ``_bucket_presift_kernel``): null vectors count
+    toward the bucket cap but never pair; cross-length pairs are
+    dropped by per-length grouping.
+
+    Deliberately NOT spread_for_compute'd (the r12 decomposition on
+    the sibling kernel): the linear per-row signature stays in the
+    scan stage and the quadratic per-pair work distributes through
+    the bucket exchange."""
     planes = _hyperplanes(n_planes, dim, seed)
-    vd = F.col(vec_col).cast("array<double>")
-    b = (
-        spread_for_compute(df, id_col)
-        .withColumn("bucket", bucket_signature(vec_col, planes))
-        .withColumn(
-            "__pl", F.struct(vd.alias("v"), _norm2_double(vd).alias("n2"))
-        )
+    b = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        bucket_signature(vec_col, planes).alias("__bucket"),
     )
-    va, vb = F.col("payload_a.v"), F.col("payload_b.v")
-    dcos = _dot_double(va, vb) / F.greatest(
-        F.sqrt(F.col("payload_a.n2") * F.col("payload_b.n2")), F.lit(1e-300)
+    id_t = b.schema["__id"].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, va array<double>, vb array<double>"
+    kernel = _bucket_presift_kernel(
+        cosine_threshold - 1e-9, max_bucket_size, with_labels=False,
+        drop_acc=drop_acc,
     )
+    survivors = b.groupBy("__bucket").applyInPandas(kernel, out_schema)
+    va, vb = F.col("va"), F.col("vb")
     return (
-        bucket_pairs(
-            b, ["bucket"], id_col, max_bucket_size, "__pl",
-            unique_buckets=True,
-        )
-        .filter(dcos >= cosine_threshold - 1e-9)
-        .select("id_a", "id_b", cosine(va, vb).alias("cosine"))
+        survivors.select("id_a", "id_b", cosine(va, vb).alias("cosine"))
         .filter(F.col("cosine") >= cosine_threshold)
+    )
+
+
+def lsh_bucket_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Corpus-level accounting for the LSH bucket-size cap that
+    ``hard_negative_pairs`` / ``embedding_near_pairs`` apply: one row
+    with the bucket count, the largest bucket, and — for buckets over
+    ``max_bucket_size`` — how many buckets, rows, and candidate pairs
+    the cap silently removes from the candidate set. Run it with the
+    SAME (n_planes, seed, dim, max_bucket_size) as the mining query
+    ("no silent caps": the drop becomes a number an operator alerts
+    on, the way SemDeDup's max_cluster_size raises actionably).
+
+    Reading it: ``n_dropped_rows`` near ``n_rows`` means the bucketing
+    is too coarse for the corpus density — raise ``n_planes``
+    (buckets halve per plane; target n_rows / 2^n_planes ≈
+    max_bucket_size/2) rather than the cap, whose kernel cost is
+    quadratic. Cost: one map-side-combinable count per bucket + a
+    one-row reduce — strictly cheaper than the mining query itself,
+    so it can run as a pre-flight on every corpus."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    g = (
+        df.select(bucket_signature(vec_col, planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    over = F.col("n") > max_bucket_size
+    z = F.lit(0).cast("bigint")
+    return g.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("bigint")
+        .alias("n_dropped_buckets"),
+        F.sum(F.when(over, F.col("n")).otherwise(z)).cast("bigint")
+        .alias("n_dropped_rows"),
+        F.sum(
+            F.when(over, (F.col("n") * (F.col("n") - 1)).cast("bigint"))
+            .otherwise(z)
+        ).cast("bigint").alias("n_dropped_candidate_pairs_x2"),
+    ).select(
+        "n_buckets",
+        "n_rows",
+        "max_bucket",
+        "n_dropped_buckets",
+        "n_dropped_rows",
+        # integer DIV: n*(n-1) is always even, and a double division
+        # would lose exactness past 2^53 candidate pairs
+        F.expr("n_dropped_candidate_pairs_x2 DIV 2")
+        .alias("n_dropped_candidate_pairs"),
     )
 
 

@@ -45,13 +45,22 @@ def bpe_ish_token_count(col) -> Column:
     return pieces
 
 
-def marker_hits(col, markers: tuple[str, ...]) -> Column:
-    toks = tokens(col)
+def _marker_hits_over(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Marker-hit count over an ALREADY-BOUND token array — callers
+    that evaluate several token signals per row must pass the same
+    bound ``toks`` (see ``_bind``) so the document tokenizes once,
+    not once per marker."""
     total = None
     for m in markers:
-        h = F.size(F.filter(toks, (lambda mm: (lambda w: w == F.lit(mm)))(m))).cast("bigint")
+        h = F.size(
+            F.filter(toks, (lambda mm: (lambda w: w == F.lit(mm)))(m))
+        ).cast("bigint")
         total = h if total is None else total + h
     return total
+
+
+def marker_hits(col, markers: tuple[str, ...]) -> Column:
+    return _marker_hits_over(tokens(col), markers)
 
 
 def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -73,23 +82,57 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", best["l"])
 
 
+def quality_token_signal_struct(text_col: str = "text") -> Column:
+    """The four token-derived quality signals as ONE struct computed
+    over a single lambda-BOUND evaluation of the token array (the r12
+    ``quality_signal_struct`` idiom — sibling projection expressions
+    and lambda closures sit outside Catalyst's subexpression
+    elimination, so the pre-r13 form re-split every document once per
+    signal and once per stopword marker: 9 tokenizations per row,
+    found by the r12 scale probe on the sibling lm.py class)."""
+    c = F.col(text_col)
+
+    def body(toks: Column) -> Column:
+        n_tok = F.size(toks).cast("bigint")
+        return F.struct(
+            n_tok.alias("n_tok"),
+            (F.size(F.array_distinct(toks)) / n_tok).alias("uniq_ratio"),
+            (_marker_hits_over(toks, LANG_MARKERS["en"]) / n_tok).alias(
+                "stop_ratio"
+            ),
+            ((F.length(c) - (n_tok - F.lit(1))) / n_tok).alias(
+                "mean_tok_len"
+            ),
+        )
+
+    return _bind(tokens(text_col), body)
+
+
 def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Standard quality-filter signals (Gopher/C4-style heuristics):
     length, token stats, alpha/digit/punct ratios, stopword ratio,
-    repetition (unique-token ratio)."""
+    repetition (unique-token ratio).
+
+    The token-derived signals are carved from one materialized bound
+    struct (``quality_token_signal_struct``): the struct column is
+    referenced four times in the outer projection, which blocks
+    CollapseProject from inlining it (the references are non-cheap),
+    so each document tokenizes exactly once per row — the
+    quality_model_scores materialize-then-destructure pattern."""
     c = F.col(text_col)
-    toks = tokens(text_col)
-    n_tok = F.size(toks).cast("bigint")
-    return df.select(
-        "*",
+    staged = df.select(
+        "*", quality_token_signal_struct(text_col).alias("__qsig")
+    )
+    return staged.select(
+        *[F.col(x) for x in df.columns],
         F.length(c).alias("q_n_chars"),
-        n_tok.alias("q_n_tokens"),
+        F.col("__qsig.n_tok").alias("q_n_tokens"),
         (F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.length(c)).alias("q_alpha_ratio"),
         (F.length(F.regexp_replace(c, "[^0-9]", "")) / F.length(c)).alias("q_digit_ratio"),
         (F.length(F.regexp_replace(c, "[^.,;:!?]", "")) / F.length(c)).alias("q_punct_ratio"),
-        (F.size(F.array_distinct(toks)) / n_tok).alias("q_unique_token_ratio"),
-        (marker_hits(text_col, LANG_MARKERS["en"]) / n_tok).alias("q_stopword_ratio"),
-        ((F.length(c) - (n_tok - F.lit(1))) / n_tok).alias("q_mean_token_len"),
+        F.col("__qsig.uniq_ratio").alias("q_unique_token_ratio"),
+        F.col("__qsig.stop_ratio").alias("q_stopword_ratio"),
+        F.col("__qsig.mean_tok_len").alias("q_mean_token_len"),
     )
 
 
@@ -102,14 +145,42 @@ def quality_filter(
     min_unique_token_ratio: float = 0.1,
 ) -> tuple[DataFrame, DataFrame]:
     """(kept, rejected) split on the quality signals — same
-    error-as-data shape as the schema validator (SURVEY.md §7.3)."""
+    error-as-data shape as the schema validator (SURVEY.md §7.3).
+
+    The gate is ONE lambda-bound predicate over the raw text column,
+    not a conjunction over the q_* aliases: most consumers
+    (docs_quality_filter_ids, docs_corpus_prep, the training
+    pipeline) prune the signal columns away, and a predicate built on
+    the aliases gets substituted on pushdown into four independent
+    copies of the tokenize — the same sibling-expression
+    re-tokenization class the r12 scale probe falsified (lambda
+    closures and sibling predicate conjuncts sit outside
+    subexpression elimination). Bound, the whole gate pushes to the
+    scan as one expression that splits each document once. The
+    arithmetic is identical to the q_* definitions, so the split is
+    unchanged."""
+    c = F.col(text_col)
+
+    def gate(toks: Column) -> Column:
+        n_tok = F.size(toks).cast("bigint")
+        return (
+            (n_tok >= min_tokens)
+            & (
+                (F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.length(c))
+                >= min_alpha_ratio
+            )
+            & (
+                (F.length(F.regexp_replace(c, "[^0-9]", "")) / F.length(c))
+                <= max_digit_ratio
+            )
+            & (
+                (F.size(F.array_distinct(toks)) / n_tok)
+                >= min_unique_token_ratio
+            )
+        )
+
+    ok = _bind(tokens(text_col), gate)
     scored = quality_signals(df, text_col)
-    ok = (
-        (F.col("q_n_tokens") >= min_tokens)
-        & (F.col("q_alpha_ratio") >= min_alpha_ratio)
-        & (F.col("q_digit_ratio") <= max_digit_ratio)
-        & (F.col("q_unique_token_ratio") >= min_unique_token_ratio)
-    )
     return scored.filter(ok), scored.filter(~ok)
 
 

@@ -1262,12 +1262,28 @@ def docs_corpus_prep(spark, sf_dir):
         .groupBy("__fp")
         .agg(F.min_by("text", "doc_id").alias("text"))
     )
-    toks = F.split(F.col("text"), " ")
-    return deduped.agg(
+    # token totals over ONE lambda-bound tokenize per surviving doc,
+    # materialized before the aggregate: two sibling agg children
+    # referencing split(text) re-split every document (outside
+    # subexpression elimination — the r12 probe's re-tokenization
+    # class; committed r13 queue item b). The struct column is
+    # referenced twice, which blocks CollapseProject from inlining it
+    # into the agg.
+    from universal_importer_duckdb_spark.operators.text_analysis import _bind
+
+    tsig = _bind(
+        F.split(F.col("text"), " "),
+        lambda t: F.struct(
+            F.size(t).alias("nt"),
+            F.size(F.array_distinct(t)).alias("nu"),
+        ),
+    )
+    staged = deduped.select(F.length("text").alias("__nc"), tsig.alias("__t"))
+    return staged.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
-        F.sum(F.size(F.array_distinct(toks))).cast("bigint").alias("total_unique_tokens"),
-        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum("__t.nt").cast("bigint").alias("total_tokens"),
+        F.sum("__t.nu").cast("bigint").alias("total_unique_tokens"),
+        F.sum("__nc").cast("bigint").alias("total_chars"),
     )
 
 
