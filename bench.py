@@ -250,6 +250,7 @@ def build_summary_line(
     sf: float | None,
     comparable: dict | None = None,
     n_oracle_dropped: int = 0,
+    all_population: dict | None = None,
 ) -> str:
     """The driver-facing FINAL stdout line: compact JSON that must
     stay well inside the driver's 2000-char tail capture at ANY query
@@ -267,6 +268,8 @@ def build_summary_line(
     }
     if comparable is not None:
         summary["comparable"] = comparable
+    if all_population is not None:
+        summary["all_population"] = all_population
     if n_oracle_dropped:
         summary["oracle_budget_dropped"] = n_oracle_dropped
     line = json.dumps(summary)
@@ -442,6 +445,28 @@ def main() -> int:
                     "oracle_sec": round(o_min, 3),
                     "ratio": round(s_min / o_min, 3),
                 }
+        # ALL-POPULATION aggregate (r12 verdict #6): every entry with
+        # an oracle timing, same median estimator — published BESIDE
+        # the comparable aggregate so class migrations (an entry
+        # moving to scheduling-floor or artifact-replay) can never
+        # move the headline silently. This number is NOT
+        # like-for-like (it sums the q-class micro-oracles and the
+        # replay asymmetry) — it exists precisely so the excluded
+        # mass stays visible next to the comparable ratio.
+        allpop = [
+            n for n in BENCH_QUERIES
+            if oracle_med.get(n) and n in timings_med
+        ]
+        if allpop:
+            s_all = sum(timings_med[n] for n in allpop)
+            o_all = sum(oracle_med[n] for n in allpop)
+            out["all_population"] = {
+                "n": len(allpop),
+                "spark_sec": round(s_all, 3),
+                "oracle_sec": round(o_all, 3),
+                "ratio": round(s_all / o_all, 3),
+                "estimator": "median",
+            }
     # Full detail: first stdout line + a file, both outside the
     # driver's 2000-char tail window. The driver parses the LAST line.
     full = json.dumps(out)
@@ -460,6 +485,7 @@ def main() -> int:
             sf,
             comparable=out.get("comparable"),
             n_oracle_dropped=len(out.get("oracle_budget_dropped", [])),
+            all_population=out.get("all_population"),
         )
     )
     return 0

@@ -168,3 +168,15 @@ def test_quality_signals_values_unchanged(spark):
     assert r1.q_digit_ratio == 2 / 22
     r2 = rows[2]
     assert r2.q_n_tokens is None and r2.q_stopword_ratio is None
+
+
+def test_language_scores_binds_tokenize_once(spark):
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        language_scores,
+    )
+
+    df = spark.createDataFrame([("the el le der",)], ["text"])
+    plan = (
+        language_scores(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("split(") == 1

@@ -171,6 +171,37 @@ def build_table(detail: dict, prior: dict[str, str]) -> str:
             f"entries, {est}): Spark {comp['spark_sec']} s vs DuckDB "
             f"{comp['oracle_sec']} s = **{comp['ratio']}x**.",
         ]
+    # ALL-POPULATION aggregate beside the comparable one (r12 verdict
+    # #6): every entry with an oracle timing, same estimator, so a
+    # class migration can never silently improve the headline. Read
+    # from the artifact when recorded; recomputed from the artifact's
+    # own medians for pre-r13 artifacts (same numbers either way —
+    # both derive from queries_median/oracle_median).
+    allpop = detail.get("all_population")
+    if not allpop:
+        o_med_all = detail.get("oracle_median") or detail.get("oracle") or {}
+        pop = [n for n in queries if o_med_all.get(n) and n in q_med]
+        if pop:
+            s_all = sum(q_med[n] for n in pop)
+            o_all = sum(o_med_all[n] for n in pop)
+            allpop = {
+                "n": len(pop),
+                "spark_sec": round(s_all, 3),
+                "oracle_sec": round(o_all, 3),
+                "ratio": round(s_all / o_all, 3),
+                "estimator": "median",
+            }
+    if allpop:
+        lines += [
+            "",
+            f"**All-population aggregate** ({allpop['n']} entries with "
+            f"an oracle timing, {allpop.get('estimator', 'median')} — "
+            "NOT like-for-like: includes the scheduling-floor "
+            "micro-oracles and the artifact-replay asymmetry; "
+            "published so class migration can't move the headline "
+            f"silently): Spark {allpop['spark_sec']} s vs DuckDB "
+            f"{allpop['oracle_sec']} s = **{allpop['ratio']}x**.",
+        ]
     dropped = detail.get("oracle_budget_dropped")
     if dropped:
         lines += ["", f"Oracle timing budget exhausted for: {', '.join(dropped)}."]

@@ -291,21 +291,29 @@ def _ehn(ctx):
         )
 
     def hn_kernel(d):
+        # the PRODUCTION kernel, wrapped to emit only the survivor
+        # count (r12 advice: a hand-rolled copy here lacked the
+        # per-length grouping — ragged buckets raised instead of
+        # mirroring the drop contract — and hard-coded the 500 cap;
+        # inspecting the entry's defaults keeps probe and entry in
+        # lockstep). The stage still isolates scan + exchange +
+        # Arrow transfer + X@X.T without survivor serialization.
+        import inspect
+
+        from universal_importer_duckdb_spark.operators.similarity import (
+            _bucket_presift_kernel,
+            hard_negative_pairs,
+        )
+
+        sig = inspect.signature(hard_negative_pairs).parameters
+        presift = _bucket_presift_kernel(
+            0.3 - 1e-9,
+            sig["max_bucket_size"].default,
+            with_labels=True,
+        )
+
         def count_sift(pdf: pd.DataFrame) -> pd.DataFrame:
-            n = len(pdf)
-            if n < 2 or n > 500:
-                return pd.DataFrame({"n": []}).astype({"n": "int64"})
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
-            )
-            norms = np.sqrt(np.einsum("ij,ij->i", X, X))
-            denom = np.outer(norms, norms)
-            denom[denom == 0.0] = np.inf
-            cos = (X @ X.T) / denom
-            ia, ib = np.triu_indices(n, 1)
-            lab = pdf["__lab"].to_numpy()
-            keep = (cos[ia, ib] >= 0.3 - 1e-9) & (lab[ia] != lab[ib])
-            return pd.DataFrame({"n": [int(keep.sum())]})
+            return pd.DataFrame({"n": [len(presift(pdf))]})
 
         return (
             hn_map(d)

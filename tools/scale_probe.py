@@ -58,6 +58,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import math
 import os
@@ -167,8 +168,13 @@ def _copy_expr(table: str, offs: dict[str, int]) -> str:
 
 
 def build_scaled(base: str, out_dir: str, scale: int) -> None:
-    """Replicate every base table `scale`x into out_dir (idempotent:
-    skips tables whose row count already matches scale * base)."""
+    """Replicate every base table `scale`x into out_dir. Idempotent,
+    but the skip check is NOT row-count-only (r12 advice): a sidecar
+    `<table>.parquet.meta.json` records the md5 of the exact COPY SQL
+    that built the file, so a replica built by an older _copy_expr
+    (same row count, different schema/transform) is rebuilt instead
+    of silently reused — stale replicas would quietly bias every
+    probe number derived from them."""
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
@@ -178,21 +184,34 @@ def build_scaled(base: str, out_dir: str, scale: int) -> None:
     for t in TABLES:
         src = f"{base}/{t}.parquet"
         dst = f"{out_dir}/{t}.parquet"
+        meta_path = dst + ".meta.json"
         n_base = con.execute(
             f"SELECT count(*) FROM read_parquet('{src}')"
         ).fetchone()[0]
-        if os.path.exists(dst):
-            n_have = con.execute(
-                f"SELECT count(*) FROM read_parquet('{dst}')"
-            ).fetchone()[0]
-            if n_have == n_base * scale:
-                continue
         rg = min(int(n_base), 122880)
-        con.execute(
+        copy_sql = (
             f"COPY ({_copy_expr(t, offs)} FROM read_parquet('{src}') "
             f"CROSS JOIN (SELECT range::BIGINT AS c FROM range({scale})))"
             f" TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
         )
+        sql_md5 = hashlib.md5(copy_sql.encode()).hexdigest()
+        if os.path.exists(dst) and os.path.exists(meta_path):
+            try:
+                with open(meta_path) as fh:
+                    meta = json.load(fh)
+            except (OSError, ValueError):
+                meta = {}
+            n_have = con.execute(
+                f"SELECT count(*) FROM read_parquet('{dst}')"
+            ).fetchone()[0]
+            if (
+                n_have == n_base * scale
+                and meta.get("copy_sql_md5") == sql_md5
+            ):
+                continue
+        con.execute(copy_sql)
+        with open(meta_path, "w") as fh:
+            json.dump({"copy_sql_md5": sql_md5, "n_rows": n_base * scale}, fh)
 
 
 def _fit_exponent(scales: list[int], times: list[float]) -> float:

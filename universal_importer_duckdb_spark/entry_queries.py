@@ -402,78 +402,122 @@ def oracle_sql():
 #         docs_corpus_prep record the current exponents 0.46/0.24) —
 #         re-cert docs_quality_filter_ids, docs_corpus_prep,
 #         docs_training_pipeline.
-_R12_WINDOW = (
-    # ---- the committed r12 head queue (r7-era; staleness burn) ----
-    "projection_alias_orders",
-    "like_filter_parts",
-    "sql_passthrough_revenue",
-    "rollup_revenue",
-    "docs_token_stats",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "docs_bpe_token_count",
-    "events_funnel_cohorts",
-    # ---- changed in r12: re-verify ----
-    "docs_hll_vocab",
-    "stream_hll_vocab",
+# Round-13 roster (below) — exactly what the r12 tail comments and
+# VERDICT r12 prescriptions 1-3 committed to:
+#  1. The 14-entry r8-era head queue leads (the twelve + three-minus-
+#     one displaced by the two late-r12 amendments; each was locally
+#     parity-green every session with an in-window sibling pinning
+#     its kernel — see the r12 item-3/4/5 comments above for the
+#     per-entry rationale). After this burn NOTHING on the board is
+#     older than r9.
+#  2. Changed-kernel re-certs for the r13 work, one per consumer
+#     shape:
+#     - emb_near_dup_pairs (embedding_near_pairs ported to the
+#       shared per-bucket BLAS pre-sift kernel — committed queue
+#       item (a); also carries the null-vector/null-label advice
+#       fixes shared with hard_negative_pairs),
+#     - emb_semdedup_clusters (the ported kernel's cluster consumer),
+#     - emb_hard_negatives (shares _bucket_presift_kernel, whose
+#       null handling changed),
+#     - emb_bucket_audit (NEW birth with a day-one oracle: the "no
+#       silent caps" corpus accounting for the LSH bucket cap —
+#       VERDICT r12 prescription 5),
+#     - docs_quality_filter_ids + docs_corpus_prep (queue item (b):
+#       the quality gate is now one lambda-bound predicate and the
+#       corpus totals one bound tokenize; plan-pinned in
+#       tests/test_lambda_binding.py),
+#     - docs_training_pipeline + docs_corpus_assembly_pipeline (the
+#       two composed-pipeline consumers of quality_filter — both
+#       also r9-era, so they double as staleness burn).
+#  3. The r9-era staleness cohort fills the remaining 28 slots (the
+#     next-largest block, 41 entries last checked r9). Eleven are
+#     displaced by the head-queue arithmetic and LEAD the r14
+#     roster, each with an in-window sibling pinning its kernel:
+#     docs_minhash_lsh_neardup + docs_neardup_clusters (both kernels
+#     replayed verbatim inside in-window docs_training_pipeline, and
+#     the clusters machinery again in emb_semdedup_clusters),
+#     docs_chunk_for_training (chunk_documents replayed inside
+#     docs_training_pipeline), emb_semdedup + emb_incremental_
+#     semdedup + stream_semdedup_ingest (the ported near-pairs
+#     kernel is in-window via emb_near_dup_pairs/emb_semdedup_
+#     clusters; the incremental form is also benched at sf0.1 every
+#     round), stream_multisignal_admission (batch twin in-window),
+#     stream_simhash_neardup_dedup (batch twin docs_simhash_neardup
+#     in-window), multimodal_audio_features (shares the decode_media
+#     sniff/codec plumbing with in-window multimodal_image_features),
+#     stream_incremental_upsert_state (events_changelog_state
+#     in-window pins the changelog-state kernel family), and
+#     docs_stratified_sample (the seeded hash-sampling family is
+#     in-window via docs_priority_sample + docs_source_mixture).
+#     All eleven stay locally parity-green at both SFs via
+#     tests/test_oracle_parity.py. r14 must take these first, then
+#     the r10-era cohort (41 entries).
+_R13_WINDOW = (
+    # ---- the committed r13 head queue (r8-era; staleness burn) ----
+    "validate_customer_valid",
+    "stream_heavy_hitters_cms",
+    "stream_dsir_scores",
+    "distinct_segments",
+    "in_subquery_sql",
+    "union_all_key_space",
+    "string_functions_customers",
+    "top_customers",
+    "rank_customers_by_segment",
+    "cube_revenue",
+    "q14_promo_revenue",
+    "intersect_multi_status_customers",
+    "q19_disjunctive_revenue",
+    "fk_orphan_orders",
+    # ---- changed in r13: re-verify ----
+    "emb_near_dup_pairs",
+    "emb_semdedup_clusters",
     "emb_hard_negatives",
-    # (late-r12 lambda-binding fixes — one in-window cover per touched
-    #  module, the r11 precedent: lm.py / line_dedup.py /
-    #  text_analysis.char_trigrams; textrank.py's cover is
-    #  docs_top_collocations, already in the cohort below)
-    "docs_bigram_lm_bits",
-    "docs_segment_line_dedup",
-    "docs_langid_trigram_rank",
-    # (second late-r12 amendment: quality_model.py changed — the
-    #  InSet-prefiltered weight fold + the bound signal struct; one
-    #  re-cert per consumer shape: the card's fused aggregate form
-    #  and the per-doc scorer form, whose streaming twin shares the
-    #  identical kernel)
-    "docs_corpus_card",
-    "docs_shipped_quality",
-    # ---- the r8-era staleness cohort (last checked r8) ----
-    "anti_join_customers_no_orders",
-    "cheapest_supplier_per_part",
-    "docs_contamination_spans",
-    "docs_decontaminated_text",
-    "docs_dsir_importance",
-    "docs_dsir_resample",
-    "docs_fuzzy_benchmark_contamination",
-    "docs_shuffle_shards",
-    "docs_tokenizer_fertility",
-    "docs_top_collocations",
-    "docs_vocab_topk",
-    "emb_ivf_topk",
-    "emb_kmeans_clusters",
-    "emb_pq_adc_topk",
-    "emb_pq_codes",
-    "events_heavy_hitters_cms",
-    "except_customers_without_orders",
-    "monthly_revenue",
-    "percentile_order_value",
-    "pivot_status_by_segment",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q20_heavy_shippers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q8_market_share",
-    "rule_multi_skip_orders",
-    "salted_distinct_suppliers",
-    "semi_join_open_order_customers",
-    "validate_customer_errors",
-    "window_analytics_orders",
+    "emb_bucket_audit",
+    "docs_quality_filter_ids",
+    "docs_corpus_prep",
+    "docs_training_pipeline",
+    "docs_corpus_assembly_pipeline",
+    # ---- the r9-era staleness cohort (last checked r9) ----
+    "approx_distinct_customers_monthly",
+    "docs_char_trigram_familiarity",
+    "docs_cluster_aware_split",
+    "docs_domain_cap",
+    "docs_multisignal_admission",
+    "docs_pii_scrub",
+    "docs_priority_sample",
+    "docs_repetition_signals",
+    "docs_simhash_neardup",
+    "docs_softdedup_weights",
+    "docs_source_mixture",
+    "docs_tokens_udtf",
+    "emb_quantize_int8",
+    "events_changelog_state",
+    "events_resample_interpolate",
+    "events_retention_cohorts",
+    "events_robust_outliers",
+    "events_scd2_history",
+    "events_transition_matrix",
+    "multimodal_image_features",
+    "orders_data_profile",
+    "orders_grouping_sets",
+    "orders_quantile_envelope",
+    "orders_zorder_codes",
+    "part_fuzzy_matches",
+    "pipeline_flagship",
+    "stream_session_windows",
+    "stream_click_purchase_join",
 )
+
+# Full r12 roster text: git show d6b2293:universal_importer_duckdb_
+# spark/entry_queries.py (the _R12_WINDOW tuple).
 
 
 def _finalize_registry() -> None:
-    rank = {n: i for i, n in enumerate(_R12_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R13_WINDOW)}
 
     def key(kv: tuple[str, tuple]) -> int:
         name, _ = kv
-        return rank.get(name, len(_R12_WINDOW))
+        return rank.get(name, len(_R13_WINDOW))
 
     ordered = dict(sorted(REGISTRY.items(), key=key))
     REGISTRY.clear()

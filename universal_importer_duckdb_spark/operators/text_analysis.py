@@ -65,13 +65,34 @@ def marker_hits(col, markers: tuple[str, ...]) -> Column:
 
 def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds one ``score_{lang}`` column per language (marker hits per
-    token) and a ``pred_lang`` argmax column."""
-    out = df
-    toks = token_count(text_col)
-    for lang, markers in LANG_MARKERS.items():
-        out = out.withColumn(
-            f"score_{lang}", marker_hits(text_col, markers) / toks
+    token) and a ``pred_lang`` argmax column.
+
+    All per-language scores are carved from ONE materialized bound
+    struct (the quality_signals r13 pattern): the staged-withColumn
+    form tokenized once per language AND once per marker filter —
+    ~24 splits per row across 4 languages."""
+
+    def body(toks: Column) -> Column:
+        n_tok = F.size(toks).cast("bigint")
+        return F.struct(
+            *[
+                (_marker_hits_over(toks, markers) / n_tok).alias(
+                    f"score_{lang}"
+                )
+                for lang, markers in LANG_MARKERS.items()
+            ]
         )
+
+    staged = df.select(
+        "*", _bind(tokens(text_col), body).alias("__lsc")
+    )
+    out = staged.select(
+        *[F.col(c) for c in df.columns],
+        *[
+            F.col(f"__lsc.score_{lang}").alias(f"score_{lang}")
+            for lang in LANG_MARKERS
+        ],
+    )
     best = None
     for lang in LANG_MARKERS:
         score = F.col(f"score_{lang}")

@@ -1514,6 +1514,57 @@ FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= {threshold}
 EMB_NEAR_DUP_SQL = _emb_near_dup_sql()
 
 
+def emb_bucket_audit(spark, sf_dir):
+    """Corpus-level accounting for the LSH bucket-size cap
+    (operators/similarity.py::lsh_bucket_audit — the r12 verdict's
+    "no silent caps" prescription): one row reporting how many
+    buckets/rows/candidate pairs a cap of 10 would drop under the
+    same seeded 6-plane bucketing the near-dup and hard-negative
+    miners use. Cap 10 (vs the miners' 500) so the drop arithmetic is
+    non-trivially exercised at every SF — at sf0.01 it drops 15 of 64
+    buckets; the production pre-flight runs it with the mining cap."""
+    from universal_importer_duckdb_spark.operators.similarity import (
+        lsh_bucket_audit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_audit(emb, n_planes=6, max_bucket_size=10)
+
+
+def _emb_bucket_audit_sql(n_planes: int = 6, dim: int = 64, seed: int = 42,
+                          max_bucket_size: int = 10) -> str:
+    """DuckDB replica of lsh_bucket_audit: identical seeded plane
+    literals, identical bucket key, identical drop arithmetic
+    (integer n*(n-1) // 2 — exact past 2^53)."""
+    from universal_importer_duckdb_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim, seed)
+    bits = "\n     + ".join(
+        f"(CASE WHEN list_inner_product(e, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    c = max_bucket_size
+    return f"""
+WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT {bits} AS bucket FROM v),
+g AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN n > {c} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_buckets,
+       CAST(SUM(CASE WHEN n > {c} THEN n ELSE 0 END) AS BIGINT)
+         AS n_dropped_rows,
+       CAST(SUM(CASE WHEN n > {c} THEN n*(n-1) ELSE 0 END) AS BIGINT) // 2
+         AS n_dropped_candidate_pairs
+FROM g
+"""
+
+
+EMB_BUCKET_AUDIT_SQL = _emb_bucket_audit_sql()
+
+
 def emb_quantize_int8(spark, sf_dir):
     """Symmetric int8 vector quantization audit — the storage format
     the 100 TB ANN path actually serves from (4x smaller than
@@ -2419,6 +2470,7 @@ REGISTRY.update({
     "emb_ann_lsh_topk": (emb_ann_lsh_topk, EMB_ANN_LSH_SQL),
     "emb_ivf_topk": (emb_ivf_topk, _ivf_topk_oracle()),
     "emb_near_dup_pairs": (emb_near_dup_pairs, EMB_NEAR_DUP_SQL),
+    "emb_bucket_audit": (emb_bucket_audit, EMB_BUCKET_AUDIT_SQL),
     "emb_semdedup_clusters": (emb_semdedup_clusters, EMB_SEMDEDUP_SQL),
     "stream_tumbling_hourly": (stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_dedup_within_watermark": (stream_dedup_within_watermark, STREAM_DEDUP_SQL),
