@@ -330,6 +330,273 @@ def _ehn(ctx):
     }
 
 
+
+@decomposer("docs_bpe_token_counts")
+def _bpetc(ctx):
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.operators.bpe import (
+        learn_bpe,
+        word_frequency_table,
+    )
+    from universal_importer_duckdb_spark.registry.advanced import (
+        N_BPE_MERGES,
+    )
+
+    # r12 watch item (x16 2.39x, exp 0.52): where does the encode
+    # spend — the corpus word stream, the memoized-vocab REPLAY plan
+    # (re-executed per run: the vocab DataFrame embeds the full merge
+    # replay over the corpus frequency table), or the join+agg?
+    def word_stream(d):
+        return (
+            ctx.t(d)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+                ).alias("word"),
+            )
+            .filter(F.col("word") != "")
+        )
+
+    def vocab_plan(d):
+        _, vocab = learn_bpe(
+            word_frequency_table(ctx.t(d)), n_merges=N_BPE_MERGES
+        )
+        return vocab
+
+    return {
+        "word_stream_map_only": ctx.measure("bpetc_words", word_stream),
+        "vocab_replay_plan": ctx.measure("bpetc_vocab", vocab_plan),
+        "full_entry_join_agg": ctx.measure_entry(
+            "docs_bpe_token_counts", "bpetc_full"
+        ),
+    }
+
+
+@decomposer("docs_tokenizer_fertility")
+def _fert(ctx):
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.operators.bpe import (
+        load_merges_file,
+        vocab_symbol_counts,
+    )
+    from universal_importer_duckdb_spark.registry.advanced import (
+        _SHIPPED_MERGES_PATH,
+    )
+
+    # r12 watch item (x16 2.20x, same family as bpe_token_counts):
+    # stage the (source, word) count exchange vs the merge replay on
+    # the distinct-word vocabulary vs the full join+per-source agg.
+    def sw(d):
+        return (
+            ctx.t(d)
+            .select(
+                "source",
+                F.explode(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+                ).alias("word"),
+            )
+            .filter(F.col("word") != "")
+            .groupBy("source", "word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    def replay(d):
+        merges = load_merges_file(_SHIPPED_MERGES_PATH)
+        return vocab_symbol_counts(sw(d).select("word").distinct(), merges)
+
+    return {
+        "source_word_counts_exchange": ctx.measure("fert_sw", sw),
+        "plus_distinct_and_merge_replay": ctx.measure("fert_replay", replay),
+        "full_entry": ctx.measure_entry(
+            "docs_tokenizer_fertility", "fert_full"
+        ),
+    }
+
+
+@decomposer("lineitem_content_checksum")
+def _cksum(ctx):
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        spread_for_compute,
+    )
+
+    # r12 watch item (x16 2.95x; DuckDB's vectorized md5 is flat):
+    # is the cost the pre-hash ROW EXCHANGE (spread_for_compute
+    # repartitions the raw rows because the single-file testdata
+    # parquet arrives as one split), the per-row md5+conv map, or the
+    # final commutative aggregate? The no-spread twin quantifies what
+    # the exchange buys at each scale.
+    def _c(col):
+        return F.coalesce(col.cast("string"), F.lit("\u2400"))
+
+    def canon_h(li):
+        canon = F.concat_ws(
+            "|",
+            _c(F.col("l_orderkey")),
+            _c(F.col("l_partkey")),
+            _c(F.col("l_suppkey")),
+            _c(F.col("l_linenumber")),
+            _c(F.col("l_quantity").cast("decimal(15,2)")),
+            _c(F.col("l_extendedprice").cast("decimal(15,2)")),
+            _c(F.col("l_returnflag")),
+            _c(F.col("l_linestatus")),
+            _c(F.col("l_shipdate")),
+        )
+        return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+
+    def spread_only(d):
+        return spread_for_compute(ctx.t(d, "lineitem")).select("l_orderkey")
+
+    def hash_spread(d):
+        li = spread_for_compute(ctx.t(d, "lineitem"))
+        return li.select(canon_h(li).alias("__h"))
+
+    def hash_no_spread(d):
+        li = ctx.t(d, "lineitem")
+        return li.select(canon_h(li).alias("__h"))
+
+    return {
+        "spread_exchange_only": ctx.measure("ck_spread", spread_only),
+        "plus_md5_map": ctx.measure("ck_hash", hash_spread),
+        "md5_map_no_spread": ctx.measure("ck_hash_nospread", hash_no_spread),
+        "full_entry_agg": ctx.measure_entry(
+            "lineitem_content_checksum", "ck_full"
+        ),
+    }
+
+
+
+@decomposer("q1_pricing_summary")
+def _qclass(ctx):
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.functions.fixed_point import (
+        scaled,
+    )
+    from universal_importer_duckdb_spark.registry.core import (
+        _fx_disc_f4,
+        _fx_ext2,
+        _fx_tax_f4,
+    )
+
+    # r12 verdict #7: the q-class final adjudication — name the Spark
+    # constant at scale. Stages split the entry into (a) pure scan +
+    # pushed filter (scan setup + task scheduling only, zero
+    # arithmetic), (b) + the scaled-int64 measure map (adds the
+    # whole-stage-codegen per-row arithmetic), (c) the full entry
+    # (adds the ONE partial+final agg exchange). All three reuse the
+    # same DataFrame across runs, so codegen compiles once — the
+    # steady-state gap between stages is data work, and stage (a)'s
+    # steady-state time IS the scheduling + scan-setup constant the
+    # floor adjudication names. Job counts recorded per stage.
+    cutoff = F.lit("1998-09-02 00:00:00").cast("timestamp")
+
+    def q1_scan_only(d):
+        return (
+            ctx.t(d, "lineitem")
+            .filter(F.col("l_shipdate") <= cutoff)
+            .select(F.lit(1).alias("one"))
+        )
+
+    def q1_measure_map(d):
+        li = ctx.t(d, "lineitem").filter(F.col("l_shipdate") <= cutoff)
+        return li.select(
+            "l_returnflag",
+            "l_linestatus",
+            scaled("l_quantity", 2).alias("q2"),
+            _fx_ext2().alias("e2"),
+            (_fx_ext2() * _fx_disc_f4()).alias("d6"),
+            (_fx_ext2() * _fx_disc_f4() * _fx_tax_f4()).alias("c10"),
+        )
+
+    return {
+        "q1_scan_filter_only": ctx.measure("q1_scan", q1_scan_only),
+        "q1_plus_measure_map": ctx.measure("q1_map", q1_measure_map),
+        "q1_full_entry_one_exchange": ctx.measure_entry(
+            "q1_pricing_summary", "q1_full"
+        ),
+    }
+
+
+@decomposer("q9_profit_by_nation_year")
+def _q9(ctx):
+    from pyspark.sql import functions as F
+
+    # same adjudication protocol for the join-heavy q-class shape:
+    # (a) bare 4-table join tree with no arithmetic (scan + broadcast
+    # builds + join probes), (b) the full entry (adds measure map +
+    # the one agg exchange).
+    def q9_joins_only(d):
+        li = ctx.t(d, "lineitem")
+        part = ctx.t(d, "part")
+        supp = ctx.t(d, "supplier")
+        nation = ctx.t(d, "nation")
+        return (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(
+                F.broadcast(nation),
+                F.col("s_nationkey") == nation.n_nationkey,
+            )
+            .select(F.lit(1).alias("one"))
+        )
+
+    return {
+        "q9_join_tree_only": ctx.measure("q9_joins", q9_joins_only),
+        "q9_full_entry": ctx.measure_entry(
+            "q9_profit_by_nation_year", "q9_full"
+        ),
+    }
+
+
+
+@decomposer("docs_corpus_prep")
+def _cprep(ctx):
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        quality_filter,
+    )
+
+    # r13: the bound-gate fix cleared docs_quality_filter_ids (probe
+    # 0.39x at x16) but corpus_prep still reads 3.15x — which of the
+    # chain's three stages owns the residual: the gate scan, the
+    # md5-dedup exchange (shuffles the surviving TEXT bytes), or the
+    # final bound-tokenize aggregate?
+    def kept_only(d):
+        kept, _ = quality_filter(
+            ctx.t(d), min_tokens=10, min_alpha_ratio=0.5,
+            max_digit_ratio=0.3, min_unique_token_ratio=0.1,
+        )
+        return kept.select("doc_id")
+
+    def plus_dedup(d):
+        kept, _ = quality_filter(
+            ctx.t(d), min_tokens=10, min_alpha_ratio=0.5,
+            max_digit_ratio=0.3, min_unique_token_ratio=0.1,
+        )
+        return (
+            kept.withColumn("__fp", F.md5(F.lower("text")))
+            .groupBy("__fp")
+            .agg(F.min_by("text", "doc_id").alias("text"))
+            .select(F.length("text").alias("n"))
+        )
+
+    return {
+        "gate_scan_only": ctx.measure("cprep_gate", kept_only),
+        "plus_md5_dedup_exchange": ctx.measure("cprep_dedup", plus_dedup),
+        "full_entry_token_totals": ctx.measure_entry(
+            "docs_corpus_prep", "cprep_full"
+        ),
+    }
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     if "--list" in sys.argv:

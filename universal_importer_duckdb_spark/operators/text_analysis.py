@@ -24,6 +24,28 @@ def tokens(col) -> Column:
     return F.split(c, " ")
 
 
+_ALPHA_CHARS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_DIGIT_CHARS = "0123456789"
+_PUNCT_CHARS = ".,;:!?"
+
+
+def char_class_count(col, chars: str) -> Column:
+    """Count of characters belonging to ``chars`` — computed as
+    ``length(c) - length(translate(c, chars, ''))``, value-identical
+    to ``length(regexp_replace(c, '[^chars]', ''))`` for any text
+    (both count set membership per character). translate is the form
+    the hot paths must use: TWO regexp_replace calls fused into one
+    whole-stage-codegen method push the generated method past the
+    JIT's compilation threshold and the whole stage runs at bytecode-
+    interpreter speed — measured r13 on the quality gate at x16:
+    each regex ratio alone 0.2 s, any two together 1.74 s; the
+    translate form computes both in 0.24 s. The SQL oracles keep
+    regexp_replace (DuckDB's RE2 has no such cliff), which doubles as
+    the cross-engine equivalence check."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.translate(c, chars, ""))
+
+
 def token_count(col) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
@@ -148,9 +170,12 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         *[F.col(x) for x in df.columns],
         F.length(c).alias("q_n_chars"),
         F.col("__qsig.n_tok").alias("q_n_tokens"),
-        (F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.length(c)).alias("q_alpha_ratio"),
-        (F.length(F.regexp_replace(c, "[^0-9]", "")) / F.length(c)).alias("q_digit_ratio"),
-        (F.length(F.regexp_replace(c, "[^.,;:!?]", "")) / F.length(c)).alias("q_punct_ratio"),
+        # translate-based char-class counters, value-identical to the
+        # regex forms the oracle uses (see char_class_count: two
+        # regexes in one codegen method run interpreter-speed)
+        (char_class_count(c, _ALPHA_CHARS) / F.length(c)).alias("q_alpha_ratio"),
+        (char_class_count(c, _DIGIT_CHARS) / F.length(c)).alias("q_digit_ratio"),
+        (char_class_count(c, _PUNCT_CHARS) / F.length(c)).alias("q_punct_ratio"),
         F.col("__qsig.uniq_ratio").alias("q_unique_token_ratio"),
         F.col("__qsig.stop_ratio").alias("q_stopword_ratio"),
         F.col("__qsig.mean_tok_len").alias("q_mean_token_len"),
@@ -187,11 +212,11 @@ def quality_filter(
         return (
             (n_tok >= min_tokens)
             & (
-                (F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.length(c))
+                (char_class_count(c, _ALPHA_CHARS) / F.length(c))
                 >= min_alpha_ratio
             )
             & (
-                (F.length(F.regexp_replace(c, "[^0-9]", "")) / F.length(c))
+                (char_class_count(c, _DIGIT_CHARS) / F.length(c))
                 <= max_digit_ratio
             )
             & (

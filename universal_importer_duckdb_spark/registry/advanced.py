@@ -734,6 +734,10 @@ def docs_bpe_token_counts(spark, sf_dir):
         while len(_BPE_VOCAB_MEMO) >= _BPE_VOCAB_MEMO_CAP:
             _BPE_VOCAB_MEMO.pop(next(iter(_BPE_VOCAB_MEMO)))
         _BPE_VOCAB_MEMO[key] = vocab
+    # NOT spread (r13): scan parallelism for the word-stream explode
+    # comes from byte splitting (openCostInBytes, session.py) — a
+    # pre-spread exchange measured slower than the split-parallel
+    # scan; the vocab replay is memoized and trivial (0.025 s)
     return bpe_token_counts(docs, vocab)
 
 
@@ -1063,14 +1067,23 @@ def lineitem_content_checksum(spark, sf_dir):
     conversion are chosen to be byte-identical cross-engine — this
     query IS the cross-engine verification."""
     from universal_importer_duckdb_spark.operators.dedup_text import (
+        estimated_splits,
         spread_for_compute,
     )
 
-    # Pre-spread: single-row-group testdata parquet pins the md5-per-row
-    # pass to one scan task; a round-robin repartition distributes the
-    # hashing across cores (the aggregates are commutative, so placement
-    # is free). No-op when the scan already arrives in >= cores splits.
-    li = spread_for_compute(_t(spark, sf_dir, "lineitem"))
+    # Pre-spread ONLY when the scan arrives as a single split (the
+    # small testdata parquet): one split pins the md5-per-row pass to
+    # one scan task, and a round-robin repartition distributes it
+    # (the aggregates are commutative, so placement is free). With
+    # MULTIPLE natural splits the raw-row exchange costs more than
+    # the extra cores buy — measured at x16 (r13 decomposition):
+    # spread 1.90 s vs no-spread 1.07 s, because the hash map is
+    # ~110 ns/row while the exchange serializes every row — and at
+    # 100 TB the scan arrives in thousands of byte-ranged splits, so
+    # the production path never exchanges at all.
+    li = _t(spark, sf_dir, "lineitem")
+    if estimated_splits(li) <= 1:
+        li = spread_for_compute(li)
     # NULLs canonicalize to a sentinel BEFORE joining: concat_ws would
     # silently skip them (shifting positions) and DuckDB's || would
     # null the whole row string — explicit coalesce keeps the byte

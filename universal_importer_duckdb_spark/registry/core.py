@@ -918,13 +918,20 @@ FROM s, q WHERE doc_id > 0 ORDER BY jaccard DESC, doc_id LIMIT 10
 
 
 def docs_quality_scores(spark, sf_dir):
-    """Heuristic quality signals: alpha/space ratios + mean token length."""
+    """Heuristic quality signals: alpha/space ratios + mean token
+    length. Char-class ratios via translate (value-identical to the
+    oracle's regexp_replace; two regexes in one codegen method run
+    interpreter-speed — see text_analysis.char_class_count)."""
+    from universal_importer_duckdb_spark.operators.text_analysis import (
+        char_class_count,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     toks = _tokens()
     return docs.select(
         "doc_id",
-        (F.length(F.regexp_replace("text", "[^a-z]", "")) / F.length("text")).alias("alpha_ratio"),
-        (F.length(F.regexp_replace("text", "[^ ]", "")) / F.length("text")).alias("space_ratio"),
+        (char_class_count("text", "abcdefghijklmnopqrstuvwxyz") / F.length("text")).alias("alpha_ratio"),
+        (char_class_count("text", " ") / F.length("text")).alias("space_ratio"),
         (
             (F.length("text") - (F.size(toks) - F.lit(1))) / F.size(toks)
         ).alias("mean_token_len"),
@@ -1096,6 +1103,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 def docs_quality_filter_ids(spark, sf_dir):
     from universal_importer_duckdb_spark.operators.text_analysis import quality_filter
 
+    # NOT spread: the gate is filter-shaped, and Catalyst pushes
+    # filters below Repartition, so a pre-spread buys nothing and
+    # costs an exchange (measured r13). Scan parallelism for the
+    # CPU-bound bound predicate comes from byte splitting instead —
+    # session.py lowers openCostInBytes so multi-row-group files
+    # split to the cores.
     docs = _t(spark, sf_dir, "documents")
     kept, _ = quality_filter(docs, min_tokens=10, min_alpha_ratio=0.5,
                              max_digit_ratio=0.3, min_unique_token_ratio=0.1)
@@ -1254,6 +1267,9 @@ def docs_corpus_prep(spark, sf_dir):
     extra passes over the data."""
     from universal_importer_duckdb_spark.operators.text_analysis import quality_filter
 
+    # NOT spread (r13): the gate pushes below Repartition so a
+    # pre-spread only adds an exchange; byte splitting
+    # (openCostInBytes, session.py) parallelizes the scan instead
     docs = _t(spark, sf_dir, "documents")
     kept, _ = quality_filter(docs, min_tokens=10, min_alpha_ratio=0.5,
                              max_digit_ratio=0.3, min_unique_token_ratio=0.1)

@@ -52,6 +52,19 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             str(int(os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_MB", "16")) * 1024 * 1024),
         )
+        # openCostInBytes is the BINDING split constraint for small
+        # files: maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes/cores)), so the 4 MB default
+        # packs an 8 MB multi-row-group file into 2 tasks and pins
+        # CPU-bound per-row stages (quality gates, tokenize/explode)
+        # to 2 of 32 cores (r13 decomposition). 256 KB lets byte
+        # splitting reach the row-group granularity the replicas and
+        # real multi-row-group parquet have; at 100 TB
+        # totalBytes/cores >> openCost, so the knob is inert there.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            str(int(os.environ.get("SPARK_GRAFT_OPEN_COST_KB", "256")) * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # constraint propagation is combinatorial over wide validation
         # predicates (60-term OR chains x 24 aliased casts -> driver
@@ -77,6 +90,10 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.constraintPropagation.enabled", "false"),
         ("spark.sql.files.maxPartitionBytes", str(mpb)),
         ("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(adv)),
+        (
+            "spark.sql.files.openCostInBytes",
+            str(int(os.environ.get("SPARK_GRAFT_OPEN_COST_KB", "256")) * 1024),
+        ),
     ):
         try:
             spark.conf.set(k, v)
