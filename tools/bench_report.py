@@ -70,11 +70,11 @@ NOTES = {
     "docs_selfdup_spans": "decomposed r11 (tools/decompose.py): tokenize+hash map-only 0.16 s, +gram exchange 0.47 — the one exchange dominates; join-back builds on SHARED grams only since r11 (min!=max holder), AQE broadcasts it: no probe-side exchange",
     "docs_selfdedup_text": "excision adds ~0.10 s over the span pipeline, whose scoped cache it shares (decomposed r11); shared-gram join-back since r11",
     "docs_langid_trigram_rank": "scoring shuffle-free since r10 (map-side bound-lambda profile)",
-    "q1_pricing_summary": "q-class scan/job floor (adjudicated r3)",
-    "q3_top_unshipped": "q-class scan/job floor (adjudicated r3)",
-    "q5_revenue_by_nation": "q-class scan/job floor (adjudicated r3)",
-    "q9_profit_by_nation_year": "q-class scan/job floor (adjudicated r3)",
-    "q18_large_orders": "q-class scan/job floor (adjudicated r3)",
+    "q1_pricing_summary": "q-class floor re-adjudicated r13 at x64 (tools/decompose.py): scan+filter 0.23 s + measure map 0.25 s + one exchange 0.17 s over 38M rows; the r13 guarded-hybrid scaled() removed the per-row Double.toString decimal cast (measure map 1.23 -> 0.48 s, entry 5.4x -> 2.9x at x64) — residual is parquet-decode + scheduling vs DuckDB's 0.21 s",
+    "q3_top_unshipped": "q-class scan/join floor (r3; r13 scaled() hybrid applies)",
+    "q5_revenue_by_nation": "q-class join floor, re-probed r13 through x64: 9.8x @x16 (r12) -> 4.0x @x64 after the scaled() hybrid (spark exp 0.40 vs oracle 0.43 — parallel-converging, gap is the 5-table join's scan+broadcast constants)",
+    "q9_profit_by_nation_year": "re-adjudicated r13 at x64: join tree alone 0.84 s (4 broadcast-build jobs), full 1.54 s after the scaled() hybrid (was 3.14 s); 15.3x @x16 (r12) -> 4.5x @x64 — residual is fact-scan decode + broadcast probe vs DuckDB 0.44 s",
+    "q18_large_orders": "q-class scan/join floor (adjudicated r3)",
     "docs_ingest_novelty": "serves the HELD at-rest gram index since r11 (trained-artifact contract; build ~0.8 s, bench.py note)",
     "docs_incremental_selfdup_spans": "serves the HELD at-rest gram index since r11 (trained-artifact contract; build ~0.8 s, bench.py note)",
     "events_top_journeys": "2-exchange minimum, ~0.1 s/stage scheduling (adjudicated r7, docstring)",
@@ -82,6 +82,11 @@ NOTES = {
     "docs_bigram_lm_bits": "decomposed r11 (tools/decompose.py): the map-only bigram explode alone is 0.33 s of the 0.35 s entry; broadcast lookup + per-doc agg add ~0.03 s — a map-side floor that parallelizes at scale",
     "docs_source_gram_overlap": "decomposed r11 (tools/decompose.py): map-only tokenize+gram explode 0.25 s > the whole 0.16 s oracle; +set-fold exchange 0.47; pair expansion+totals +0.16 over 6 jobs; cache persists across runs; pair expansion reads shared (multi-source) grams only since r11",
     "docs_segment_line_dedup": "decomposed r11 (tools/decompose.py): segment explode alone 0.22 s of the 0.27 s total — map-side fabricate+explode floor; exchanges add ~0.06 s",
+    "lineitem_content_checksum": "decomposed r13: the md5 map IS the entry (1.07 of 1.25 s at x16, no exchange since the split-aware spread skips multi-split scans; was 2.95x with the unconditional raw-row shuffle) — residual 2.3x is JVM MessageDigest-per-row vs DuckDB's vectorized md5, flat at every scale (exp 0.06 vs -0.02)",
+    "docs_bpe_token_counts": "decomposed r13: word-stream explode was single-split-pinned (0.55 -> 0.17 s at x16 once openCostInBytes lets the scan split); x16 ratio 2.39x -> 1.57x, off the weak list",
+    "docs_tokenizer_fertility": "decomposed r13: same single-split pin (sw stage 0.65 -> 0.38 s at x16); x16 ratio 2.20x -> 1.94x — replay + 7-job scheduling floor remains",
+    "docs_corpus_prep": "r13: the JIT regex cliff (two regexp_replace in one codegen method run interpreter-speed) owned the gate — translate() counters + the bound gate push x16 from 3.37x to 0.87x (probe exp 0.01)",
+    "docs_quality_filter_ids": "r13 translate-counter gate: x16 ratio 0.07x (probe exp 0.11 vs oracle 0.97)",
 }
 
 
