@@ -87,6 +87,7 @@ NOTES = {
     "docs_tokenizer_fertility": "decomposed r13: same single-split pin (sw stage 0.65 -> 0.38 s at x16); x16 ratio 2.20x -> 1.94x — replay + 7-job scheduling floor remains",
     "docs_corpus_prep": "r13: the JIT regex cliff (two regexp_replace in one codegen method run interpreter-speed) owned the gate — translate() counters + the bound gate push x16 from 3.37x to 0.87x (probe exp 0.01)",
     "docs_quality_filter_ids": "r13 translate-counter gate: x16 ratio 0.07x (probe exp 0.11 vs oracle 0.97)",
+    "docs_benchmark_contamination": "re-decomposed r13 at x16: the gram build alone is 1.28 s of the 1.97 s entry, and it is the per-window INTERPRETED-HOF floor, not md5 (no-hash variant 1.23 s; one-element-access floor 0.24 s). Alternatives measured and rejected: substring-by-offset windows (O(tokens^2) offset build, 75 s), xxhash64 (r12), lead()-window codegen build (adds a full token-stream exchange — the map-only shape is the 100 TB contract). Standing floor; exp 0.32 vs oracle 0.19.",
 }
 
 

@@ -127,6 +127,14 @@ DEFAULT_ENTRIES = [
     # probe-adjudicated when the r12 pass-3 bench put them >2x
     "docs_benchmark_contamination",
     "events_user_narratives",
+    # r13 changed-kernel / re-adjudicated set (BLAS near-pairs port,
+    # translate-counter gate, split-aware spread, scaled() hybrid)
+    "emb_near_dup_pairs",
+    "docs_quality_filter_ids",
+    "docs_corpus_prep",
+    "docs_bpe_token_counts",
+    "docs_tokenizer_fertility",
+    "lineitem_content_checksum",
     # controls: expected ~linear on both sides
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
