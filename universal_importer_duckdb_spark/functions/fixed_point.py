@@ -79,7 +79,11 @@ def scaled(col: Column | str, decimals: int = 2, int_digits: int = 12) -> Column
     v = c * F.lit(float(10**decimals))
     av = F.abs(v)
     frac = av - F.floor(av)
-    unambiguous = (av < F.lit(4e9)) & (
+    # the cheap path must also stay inside decimal(int_digits, ·)'s
+    # range: out-of-range inputs route to the exact branch so the
+    # ANSI overflow error the decimal cast raises is preserved
+    limit = min(4e9, float(10**int_digits))
+    unambiguous = (av < F.lit(limit)) & (
         F.abs(frac - F.lit(0.5)) > F.lit(1e-6)
     )
     cheap = (F.signum(v) * F.floor(av + F.lit(0.5))).cast("bigint")
