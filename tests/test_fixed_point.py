@@ -89,3 +89,17 @@ def test_fixed_point_extra_aggs_passthrough(spark, mixed_df):
     assert set(out.columns) == {"g", "s", "max_disc"}
     got = {r["g"]: r["max_disc"] for r in out.collect()}
     assert got["a"] == 0.10
+
+
+def test_direct_sum_matches_chunked(spark, mixed_df):
+    """r13: direct=True (plain bigint sum, no DECIMAL(38)
+    reconstruction) must produce the identical rounded output as the
+    chunked default wherever its per-group bound holds."""
+    p2 = scaled("price", 2)
+    a = fixed_point_agg(
+        mixed_df, ["g"], sums=[FixedSum("s", p2, 2)],
+    ).orderBy("g").collect()
+    b = fixed_point_agg(
+        mixed_df, ["g"], sums=[FixedSum("s", p2, 2, direct=True)],
+    ).orderBy("g").collect()
+    assert [(r.g, r.s) for r in a] == [(r.g, r.s) for r in b]

@@ -97,12 +97,25 @@ class FixedSum:
     to double — bit-identical to the oracle's
     ``CAST(round(SUM(<decimal expr>), round_to) AS DOUBLE)``.
     ``round_to=None`` surfaces the exact total as double (caller must
-    stay inside 2^53)."""
+    stay inside 2^53).
+
+    ``direct=True`` opts out of the (hi, mid, lo) chunking: ONE plain
+    bigint sum per measure and pure-int64 rounding, no DECIMAL(38)
+    anywhere. Only valid when the caller can bound the per-GROUP
+    total inside int64 from the data model (e.g. a per-order sum of
+    <= 7 lineitems) — the r13 finding was that on HIGH-CARDINALITY
+    group-bys (q18's 2.4M order groups) the per-group DECIMAL(38)
+    reconstruction, not the row scan, dominates. The chunked default
+    remains the 100 TB-safe path for unbounded groups (its bound is
+    per-group ROW COUNT ~9.2e12); under ANSI mode an overflowing
+    direct sum raises instead of wrapping, so a violated bound is
+    loud, never silent corruption."""
 
     alias: str
     expr: Column
     k: int
     round_to: int | None = 2
+    direct: bool = False
 
 
 def fixed_point_agg(
@@ -128,25 +141,34 @@ def fixed_point_agg(
         "*", *[s.expr.alias(f"__fx{i}") for i, s in enumerate(sums)]
     )
     chunk_aggs: list[Column] = []
-    for i in range(len(sums)):
-        chunk_aggs += [
-            F.sum(F.expr(f"__fx{i} DIV {_MOD * _MOD}")).alias(f"__hi{i}"),
-            F.sum(F.expr(f"(__fx{i} DIV {_MOD}) % {_MOD}")).alias(f"__mi{i}"),
-            F.sum(F.expr(f"__fx{i} % {_MOD}")).alias(f"__lo{i}"),
-        ]
+    for i, s in enumerate(sums):
+        if s.direct:
+            chunk_aggs.append(F.sum(F.col(f"__fx{i}")).alias(f"__dt{i}"))
+        else:
+            chunk_aggs += [
+                F.sum(F.expr(f"__fx{i} DIV {_MOD * _MOD}")).alias(f"__hi{i}"),
+                F.sum(F.expr(f"(__fx{i} DIV {_MOD}) % {_MOD}")).alias(f"__mi{i}"),
+                F.sum(F.expr(f"__fx{i} % {_MOD}")).alias(f"__lo{i}"),
+            ]
     combined = proj.groupBy(*gc).agg(
         *chunk_aggs, F.count(F.lit(1)).alias("__fx_n"), *extra_aggs
     )
-    # exact integer totals in decimal(38,0)
+    # exact integer totals: decimal(38,0) reconstruction for chunked
+    # measures, the bigint sum itself for direct ones (the integer
+    # rounding CASE below works identically on either type)
     totals = combined.select(
         "*",
         *[
             (
-                F.col(f"__hi{i}").cast(_D38) * F.lit(_MOD * _MOD).cast("decimal(13,0)")
-                + F.col(f"__mi{i}").cast(_D38) * F.lit(_MOD).cast("decimal(7,0)")
-                + F.col(f"__lo{i}").cast(_D38)
+                F.col(f"__dt{i}")
+                if s.direct
+                else (
+                    F.col(f"__hi{i}").cast(_D38) * F.lit(_MOD * _MOD).cast("decimal(13,0)")
+                    + F.col(f"__mi{i}").cast(_D38) * F.lit(_MOD).cast("decimal(7,0)")
+                    + F.col(f"__lo{i}").cast(_D38)
+                )
             ).alias(f"__T{i}")
-            for i in range(len(sums))
+            for i, s in enumerate(sums)
         ],
     )
     out_cols: list[Column] = [F.col(c) for c in gc]

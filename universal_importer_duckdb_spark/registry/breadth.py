@@ -275,10 +275,14 @@ def q18_large_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
+    # direct int64 sum: the group key is the ORDER — <= 7 lineitems,
+    # qty2 <= 1e4 per row, so the per-group total is <= 7e4, nowhere
+    # near int64 — and at 2.4M+ groups the chunked path's per-group
+    # DECIMAL(38) reconstruction dominates the entry (r13 decompose)
     big = fixed_point_agg(
         li.select(F.col("l_orderkey").alias("big_okey"), "l_quantity"),
         ["big_okey"],
-        sums=[FixedSum("sum_qty", scaled("l_quantity", 2), 2)],
+        sums=[FixedSum("sum_qty", scaled("l_quantity", 2), 2, direct=True)],
     ).filter(F.col("sum_qty") > 250)
     return (
         orders.join(big, orders.o_orderkey == F.col("big_okey"))

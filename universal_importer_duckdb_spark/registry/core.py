@@ -244,10 +244,14 @@ def q3_top_unshipped(spark, sf_dir):
         cust, orders.o_custkey == cust.c_custkey
     )
     return (
+        # direct int64 sum: per-ORDER group, <= 7 lineitems at
+        # ~1.1e13 max scaled revenue each — total <= 8e13 << int64
+        # (the chunked path's DECIMAL(38) per-group reconstruction
+        # dominates on high-cardinality groupings; r13 q18 decompose)
         fixed_point_agg(
             joined,
             ["l_orderkey", "o_orderdate", "o_orderpriority"],
-            sums=[FixedSum("revenue", _fx_revenue(), 6)],
+            sums=[FixedSum("revenue", _fx_revenue(), 6, direct=True)],
         )
         .select(
             "l_orderkey",
