@@ -71,10 +71,10 @@ NOTES = {
     "docs_selfdedup_text": "excision adds ~0.10 s over the span pipeline, whose scoped cache it shares (decomposed r11); shared-gram join-back since r11",
     "docs_langid_trigram_rank": "scoring shuffle-free since r10 (map-side bound-lambda profile)",
     "q1_pricing_summary": "q-class floor re-adjudicated r13 at x64 (tools/decompose.py): scan+filter 0.23 s + measure map 0.25 s + one exchange 0.17 s over 38M rows; the r13 guarded-hybrid scaled() removed the per-row Double.toString decimal cast (measure map 1.23 -> 0.48 s, entry 5.4x -> 2.9x at x64) — residual is parquet-decode + scheduling vs DuckDB's 0.21 s",
-    "q3_top_unshipped": "q-class scan/join floor (r3; r13 scaled() hybrid applies)",
     "q5_revenue_by_nation": "q-class join floor, re-probed r13 through x64: 9.8x @x16 (r12) -> 4.0x @x64 after the scaled() hybrid (spark exp 0.40 vs oracle 0.43 — parallel-converging, gap is the 5-table join's scan+broadcast constants)",
     "q9_profit_by_nation_year": "re-adjudicated r13 at x64: join tree alone 0.84 s (4 broadcast-build jobs), full 1.54 s after the scaled() hybrid (was 3.14 s); 15.3x @x16 (r12) -> 4.5x @x64 — residual is fact-scan decode + broadcast probe vs DuckDB 0.44 s",
-    "q18_large_orders": "q-class scan/join floor (adjudicated r3)",
+    "q18_large_orders": "decomposed r13 at x16: scan+qty map 0.19 s; the 2.4M-group orderkey agg is 0.76 s of the 1.11 s entry (joins+topk 0.16 s) — ~13M rows/s/core-group hash agg vs DuckDB's 87M rows/s perfect-hash on clustered int keys; the r13 direct int64 sum removed the per-group DECIMAL(38) reconstruction (small gain; the exchange dominates). Engine agg-throughput floor",
+    "q3_top_unshipped": "same class as q18 (order-key grouping): 7.96x at x16 against a 0.11 s flat oracle; scan/join floor",
     "docs_ingest_novelty": "serves the HELD at-rest gram index since r11 (trained-artifact contract; build ~0.8 s, bench.py note)",
     "docs_incremental_selfdup_spans": "serves the HELD at-rest gram index since r11 (trained-artifact contract; build ~0.8 s, bench.py note)",
     "events_top_journeys": "2-exchange minimum, ~0.1 s/stage scheduling (adjudicated r7, docstring)",

@@ -597,6 +597,44 @@ def _cprep(ctx):
     }
 
 
+
+@decomposer("q18_large_orders")
+def _q18(ctx):
+    from pyspark.sql import functions as F
+
+    from universal_importer_duckdb_spark.functions.fixed_point import (
+        FixedSum,
+        fixed_point_agg,
+        scaled,
+    )
+
+    # r13: where do the ~0.9 s at x16 go — the 9.6M-row scan + qty
+    # map, the order-key agg exchange (2.4M groups), or the join-back
+    # + top-k?
+    def q18_scan(d):
+        return ctx.t(d, "lineitem").select(
+            F.col("l_orderkey"), scaled("l_quantity", 2).alias("q2")
+        )
+
+    def q18_agg(d):
+        return fixed_point_agg(
+            ctx.t(d, "lineitem").select(
+                F.col("l_orderkey").alias("big_okey"), "l_quantity"
+            ),
+            ["big_okey"],
+            sums=[FixedSum("sum_qty", scaled("l_quantity", 2), 2,
+                           direct=True)],
+        ).filter(F.col("sum_qty") > 250)
+
+    return {
+        "scan_qty_map_only": ctx.measure("q18_scan", q18_scan),
+        "plus_orderkey_agg_having": ctx.measure("q18_agg", q18_agg),
+        "full_entry_joins_topk": ctx.measure_entry(
+            "q18_large_orders", "q18_full"
+        ),
+    }
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     if "--list" in sys.argv:
