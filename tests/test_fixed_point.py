@@ -103,3 +103,20 @@ def test_direct_sum_matches_chunked(spark, mixed_df):
         mixed_df, ["g"], sums=[FixedSum("s", p2, 2, direct=True)],
     ).orderBy("g").collect()
     assert [(r.g, r.s) for r in a] == [(r.g, r.s) for r in b]
+
+
+def test_scaled_boundary_overflow_routes_to_exact(spark):
+    """r14 (r13 advice): an input within half an ulp-of-the-scale
+    below 10^int_digits rounds UP to exactly 10^int_digits — the
+    cheap double path would return it silently where the decimal cast
+    raises ANSI overflow. The guard band must route such rows to the
+    exact branch so the loud failure mode is preserved."""
+    df = spark.createDataFrame([(9.99996,)], "x double")
+    with pytest.raises(Exception) as ei:
+        df.select(scaled("x", 4, 5).alias("s")).collect()
+    assert "DECIMAL" in str(ei.value).upper() or "OVERFLOW" in str(ei.value).upper()
+    # and the value just BELOW the band still takes a path that
+    # agrees with the decimal cast
+    ok = spark.createDataFrame([(9.99994,)], "x double")
+    got = ok.select(scaled("x", 4, 5).alias("s")).collect()[0]["s"]
+    assert got == 99999

@@ -82,7 +82,12 @@ def scaled(col: Column | str, decimals: int = 2, int_digits: int = 12) -> Column
     # the cheap path must also stay inside decimal(int_digits, ·)'s
     # range: out-of-range inputs route to the exact branch so the
     # ANSI overflow error the decimal cast raises is preserved
-    limit = min(4e9, float(10**int_digits))
+    # the -0.5 closes the half-ulp hole at the range boundary: an
+    # input within 0.5 below 10^int_digits would ROUND UP to exactly
+    # 10^int_digits on the cheap path and return silently, where the
+    # decimal cast raises ANSI overflow — boundary-adjacent rows must
+    # route to the exact branch (r13 advice).
+    limit = min(4e9, float(10**int_digits)) - 0.5
     unambiguous = (av < F.lit(limit)) & (
         F.abs(frac - F.lit(0.5)) > F.lit(1e-6)
     )

@@ -66,7 +66,13 @@ def estimated_splits(df: DataFrame) -> int:
     try:
         jvm = spark.sparkContext._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        sample = files[:64]
+        # stride the sample across the PATH-SORTED listing — a head
+        # slice is not size-representative (date-partitioned layouts
+        # put same-vintage, same-size files together), and a sample
+        # skewed large overestimates splits and skips a spread that
+        # would have helped (r13 advice)
+        stride = max(1, len(files) // 64)
+        sample = files[::stride][:64]
         for f in sample:
             p = jvm.org.apache.hadoop.fs.Path(f)
             fs = p.getFileSystem(hconf)
@@ -75,7 +81,11 @@ def estimated_splits(df: DataFrame) -> int:
             total = total * len(files) // len(sample)
     except Exception:
         return len(files)
-    max_split = min(mpb, max(open_cost, total // max(cores, 1) + 1))
+    # Spark's FilePartition sizing pads every file by openCostInBytes
+    # before computing bytesPerCore — mirror it or maxSplitBytes comes
+    # out too small on many-small-file inputs (r13 advice)
+    padded = total + open_cost * len(files)
+    max_split = min(mpb, max(open_cost, padded // max(cores, 1) + 1))
     byte_splits = max(len(files), -(-total // max_split))
     # Parquet can't split finer than its row groups: a byte-split
     # whose range contains no row-group midpoint reads nothing, so a
@@ -87,10 +97,10 @@ def estimated_splits(df: DataFrame) -> int:
     # byte and row-group granularity coincide).
     local = [
         f[len("file:"):] if f.startswith("file:") else f
-        for f in files[:64]
+        for f in sample
         if f.startswith(("file:", "/"))
     ]
-    if len(local) == min(len(files), 64):
+    if len(local) == len(sample):
         try:
             import pyarrow.parquet as pq
 

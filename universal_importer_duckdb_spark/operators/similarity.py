@@ -452,8 +452,12 @@ def _bucket_presift_kernel(
       engines, so they count toward the cap exactly as they did in
       ``bucket_pairs``); capped and singleton buckets are dropped,
       and ``drop_acc`` (an optional Spark accumulator) counts the
-      capped ones so the drop is observable (corpus-level accounting:
-      ``lsh_bucket_audit``);
+      capped ones so the drop is observable. The count is
+      BEST-EFFORT / at-least-once: accumulators updated inside a
+      transformation are re-applied on task retries and speculative
+      duplicates, so it may over-count under failure or speculation —
+      use the oracle-backed ``lsh_bucket_audit`` entry for exact
+      corpus-level accounting;
     * null vectors are dropped AFTER the cap check — the old
       NULL-propagating folds scored such pairs to NULL, which never
       crossed the floor (r12 advice: ``map(len)`` on None raised);

@@ -66,6 +66,12 @@ def get_spark(
             str(int(os.environ.get("SPARK_GRAFT_OPEN_COST_KB", "256")) * 1024),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ANSI mode is Spark 4's default, but FixedSum(direct=True)'s
+        # "violated bound is loud, never silent corruption" guarantee
+        # DEPENDS on it (an overflowing int64 sum must raise, not
+        # wrap) — pin it so a caller profile that disabled ANSI can't
+        # silently void the contract (r13 advice).
+        .config("spark.sql.ansi.enabled", "true")
         # constraint propagation is combinatorial over wide validation
         # predicates (60-term OR chains x 24 aliased casts -> driver
         # OOM); the inference it buys is marginal for these plans
@@ -87,6 +93,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.ansi.enabled", "true"),
         ("spark.sql.constraintPropagation.enabled", "false"),
         ("spark.sql.files.maxPartitionBytes", str(mpb)),
         ("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(adv)),
