@@ -162,6 +162,83 @@ def word_ngrams_hashed(
     )
 
 
+def word_ngrams_hashed_kernel(
+    frame: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "gram",
+) -> DataFrame:
+    """Arrow-batched twin of ``word_ngrams_hashed`` for the md5-28
+    gram space: identical (id, per-doc-distinct hashed gram) output,
+    built inside a ``mapInPandas`` kernel instead of the interpreted
+    per-window HOF chain.
+
+    Why (r14, closing the r13 contamination floor): higher-order
+    lambdas evaluate INTERPRETED (~1 µs/element, see the r12/r13
+    probes), and the window build runs slice+array_join+md5+transform
+    per window — measured 10.9 µs/window of core time at x16 (the
+    gram build alone was 1.28 s of docs_benchmark_contamination's
+    1.97 s). The same work in CPython — ``str.split``, list-slice
+    join, ``hashlib.md5`` — measures 1.39 µs/window single-core, an
+    ~8x per-core win, and the md5-28 value is BIT-IDENTICAL
+    (``int(md5(gram).hexdigest()[:7], 16)`` ==
+    ``conv(substring(md5(gram), 1, 7), 16, 10)`` == the oracle's
+    ``('0x'||substr(md5(gram),1,7))::BIGINT``), so the shared
+    hash space — which the overlap COUNTS depend on — is preserved
+    exactly; no parity risk.
+
+    Contracts mirrored from the HOF form:
+      * ``split(lower(text), ' ')`` tokenization — Java and Python
+        split-on-single-space agree including empty tokens from
+        consecutive spaces ("" stays a token), and ' '.join over any
+        token window reconstructs the exact original substring, so
+        the gram STRINGS are identical (ASCII certification data;
+        exotic locale-sensitive case folds are out of contract);
+      * per-doc distinct BEFORE the explode (a set per doc);
+      * short docs (< n tokens) and NULL text emit nothing.
+
+    Map-only: ``mapInPandas`` preserves the no-exchange contract the
+    100 TB adjudication demands — parallelism is the input's split
+    count (spread upstream if single-split), and kernel memory is one
+    Arrow batch plus a per-doc gram set, independent of corpus size.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    id_type = frame.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {out} long"
+    width = n - 1
+
+    def kernel(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            grams: list = []
+            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if text is None:
+                    continue
+                toks = text.lower().split(" ")
+                m = len(toks) - width
+                if m <= 0:
+                    continue
+                seen = set()
+                for i in range(m):
+                    seen.add(
+                        int(
+                            md5(" ".join(toks[i:i + n]).encode("utf-8"))
+                            .hexdigest()[:7],
+                            16,
+                        )
+                    )
+                ids.extend([did] * len(seen))
+                grams.extend(seen)
+            yield pd.DataFrame({id_col: ids, out: grams})
+
+    return frame.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
 def benchmark_ngram_overlap(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -179,10 +256,15 @@ def benchmark_ngram_overlap(
     the corpus: eval suites are MBs), and one inner join + count-agg
     per doc yields overlap counts. Catalyst broadcasts the benchmark
     gram set when it fits — the common case — so the corpus side never
-    shuffles at all; flagged docs come back id-only."""
-    doc_grams = word_ngrams_hashed(docs, n, text_col, id_col)
+    shuffles at all; flagged docs come back id-only.
+
+    r14: the gram build runs the Arrow kernel twin
+    (``word_ngrams_hashed_kernel`` — same md5-28 values, same per-doc
+    distinct, ~8x cheaper per core than the interpreted HOF window
+    chain that was 1.28 s of the 1.97 s x16 entry)."""
+    doc_grams = word_ngrams_hashed_kernel(docs, n, text_col, id_col)
     bench_grams = (
-        word_ngrams_hashed(benchmark, n, text_col, id_col)
+        word_ngrams_hashed_kernel(benchmark, n, text_col, id_col)
         .select("gram")
         .distinct()
     )
