@@ -65,7 +65,7 @@ NOTES = {
     "docs_corpus_card": "single-row-group scan floor (decomposed r10)",
     "pipeline_flagship": "multi-action 7-stage pipeline contract; its oracle replays NO training — a >2 s oracle here is host load, not the replay asymmetry the class name implies",
     "docs_dsir_resample": "r12: totals branch folded into the scoring pass (include_wordless explode_outer; the 2nd corpus scan + two-aggregate join removed) — 9 -> 6 jobs/run, 0.53 -> 0.46 s (tools/decompose.py); the 6 are broadcast-build + 3 exchanges + 5-row output sort + AQE floor",
-    "emb_hard_negatives": "decomposed r12 (tools/decompose.py): pair expansion with ZERO arithmetic cost the same as the full entry — exchange/scheduling floor on a 2000-row table, not compute (31.5k candidate pairs; dot eval <0.1 s; an unrolled-codegen dot measured 3x WORSE than the HOF fold). Pre-shuffle spread removed r12: 3 -> 2 jobs, 0.59 -> 0.46 s",
+    "emb_hard_negatives": "r14 x64 probe: BOTH sides get cheaper at x64 than x16 (cyclic-shift bucket geometry) — Spark flat ~1.0 s floor vs oracle 0.245 s, so the largest-scale ratio reads 3.93x where x16 reads 0.51x; on the generated weak list by rule, not by a throughput gap. Decomposed r12 (tools/decompose.py): pair expansion with ZERO arithmetic cost the same as the full entry — exchange/scheduling floor on a 2000-row table, not compute (31.5k candidate pairs; dot eval <0.1 s; an unrolled-codegen dot measured 3x WORSE than the HOF fold). Pre-shuffle spread removed r12: 3 -> 2 jobs, 0.59 -> 0.46 s",
     "docs_bpe_learn_merges": "Python-literal serving floor REMOVED r11 (VALUES LocalRelation, 0.30 -> 0.04 s; the old 2.26x was applySchemaToPythonRDD re-serialization, 1 job, zero compute)",
     "docs_selfdup_spans": "decomposed r11 (tools/decompose.py): tokenize+hash map-only 0.16 s, +gram exchange 0.47 — the one exchange dominates; join-back builds on SHARED grams only since r11 (min!=max holder), AQE broadcasts it: no probe-side exchange",
     "docs_selfdedup_text": "excision adds ~0.10 s over the span pipeline, whose scoped cache it shares (decomposed r11); shared-gram join-back since r11",
@@ -237,6 +237,80 @@ def main() -> int:
         fh.write(text)
     print("README.md bench table regenerated "
           f"({len(detail.get('queries', {}))} entries)")
+    regenerate_weak_list()
+    return 0
+
+
+# ----------------------------------------------------------------------
+# Canonical weak list (r14, verdict #3): ONE generated number, one
+# stated rule, emitted identically into README.md and SURVEY.md so the
+# two documents can never disagree again (r13 published 7 vs 9).
+#
+# Rule: an entry is WEAK iff its latest recorded scale-probe row has
+# ratio_last > 2.0 — Spark median / DuckDB-oracle median at the
+# LARGEST measured scale, both sides timed on the same host in the
+# same pass (tools/scale_probe.py). No straddler judgment calls: the
+# rule reads the latest recorded pass verbatim; an entry near the bar
+# enters and leaves as passes are recorded, and the re-probe itself
+# is the watch process. Entries without a probe row are covered by
+# the bench-scale table above (every bench-comparable entry over 2x
+# has a probe row — checked r14).
+
+WEAK_START = "<!-- WEAK-LIST:START (generated by tools/bench_report.py) -->"
+WEAK_END = "<!-- WEAK-LIST:END -->"
+PROBE = os.path.join(ROOT, "SCALE_PROBE.json")
+SURVEY = os.path.join(ROOT, "SURVEY.md")
+
+
+def weak_block(probe: dict) -> str:
+    rows = [
+        (n, e["ratio_last"], e.get("spark_exp"), e.get("oracle_exp"),
+         max(e.get("spark", {}), key=lambda s: int(s)))
+        for n, e in probe["entries"].items()
+        if e.get("ratio_last") is not None and e["ratio_last"] > 2.0
+    ]
+    rows.sort(key=lambda r: -r[1])
+    lines = [
+        WEAK_START,
+        "",
+        f"**Canonical weak count: {len(rows)}** (rule: scale-probe "
+        "`ratio_last` > 2.0 — Spark median / oracle median at the "
+        "largest measured scale, same host, same pass; regenerate "
+        "with `python tools/bench_report.py`).",
+        "",
+        "| entry | ratio @largest scale | spark exp | oracle exp |",
+        "| --- | ---: | ---: | ---: |",
+    ]
+    for n, rl, se, oe, sc in rows:
+        lines.append(f"| {n} | {rl:.2f}x @x{sc} | {se} | {oe} |")
+    lines += ["", WEAK_END]
+    return "\n".join(lines)
+
+
+def _splice(path: str, block: str, anchor: str) -> None:
+    try:
+        with open(path) as fh:
+            text = fh.read()
+    except OSError:
+        return
+    if WEAK_START in text and WEAK_END in text:
+        pre = text[: text.index(WEAK_START)]
+        post = text[text.index(WEAK_END) + len(WEAK_END):]
+        text = pre + block + post
+    else:
+        text = text.rstrip() + f"\n\n{anchor}\n\n" + block + "\n"
+    with open(path, "w") as fh:
+        fh.write(text)
+
+
+def regenerate_weak_list() -> int:
+    with open(PROBE) as fh:
+        probe = json.load(fh)
+    block = weak_block(probe)
+    _splice(README, block, "## Weak list (generated)")
+    _splice(SURVEY, block, "## Weak list (generated)")
+    n = block.count("x @x")
+    print(f"weak list regenerated into README.md + SURVEY.md ({n} entries)")
     return 0
 
 
