@@ -86,7 +86,7 @@ NOTES = {
     "docs_segment_line_dedup": "decomposed r11 (tools/decompose.py): segment explode alone 0.22 s of the 0.27 s total — map-side fabricate+explode floor; exchanges add ~0.06 s",
     "lineitem_content_checksum": "r14 regression adjudication: the 2.14 s driver-pass median was HOST NOISE — interleaved re-runs at calibration 0.111 (committed pass 0.121) give med 0.98 s / min 0.89 s with one-sided outliers (single 2.59 s run in 7). Decomposed r13: the md5 map IS the entry (1.07 of 1.25 s at x16, no exchange since the split-aware spread skips multi-split scans; was 2.95x with the unconditional raw-row shuffle) — residual 2.3x is JVM MessageDigest-per-row vs DuckDB's vectorized md5, flat at every scale (exp 0.06 vs -0.02)",
     "docs_bpe_token_counts": "decomposed r13: word-stream explode was single-split-pinned (0.55 -> 0.17 s at x16 once openCostInBytes lets the scan split); x16 ratio 2.39x -> 1.57x, off the weak list",
-    "docs_tokenizer_fertility": "decomposed r13: same single-split pin (sw stage 0.65 -> 0.38 s at x16); x16 ratio 2.20x -> 1.94x — replay + 7-job scheduling floor remains",
+    "docs_tokenizer_fertility": "re-decomposed r14 at x16 (this host): the (source,word) count exchange is 0.40 s med of the 0.79 s entry (the q-class hash-agg/exchange constant family), and the 2-job prefix -> 7-job full entry doubles it — broadcast builds + the chars aggregate + final join are pure ~0.1 s/job scheduling, flat at scale; 2.88x on this host (1.83x on the r13 host) is the host's scheduling jitter, not a plan change",
     "docs_corpus_prep": "r13: the JIT regex cliff (two regexp_replace in one codegen method run interpreter-speed) owned the gate — translate() counters + the bound gate push x16 from 3.37x to 0.87x (probe exp 0.01)",
     "docs_quality_filter_ids": "r13 translate-counter gate: x16 ratio 0.07x (probe exp 0.11 vs oracle 0.97)",
     "docs_benchmark_contamination": "re-decomposed r13 at x16: the gram build alone is 1.28 s of the 1.97 s entry, and it is the per-window INTERPRETED-HOF floor, not md5 (no-hash variant 1.23 s; one-element-access floor 0.24 s). Alternatives measured and rejected: substring-by-offset windows (O(tokens^2) offset build, 75 s), xxhash64 (r12), lead()-window codegen build (adds a full token-stream exchange — the map-only shape is the 100 TB contract). Standing floor; exp 0.32 vs oracle 0.19.",
