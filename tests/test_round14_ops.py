@@ -59,3 +59,57 @@ def test_q3_joins_pruned_side_first(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # the narrow payload projection exists (scaled revenue pre-join)
     assert "__rev" in plan
+
+
+def test_corpus_card_kernel_matches_expression(spark, sf_dir):
+    """The Arrow signal kernel must reproduce the bound-expression
+    form's per-row values EXACTLY (integer sums, marker counts, md5
+    fingerprint) — the card aggregates are hash-compared downstream."""
+    from universal_importer_duckdb_spark.operators.quality_model import (
+        corpus_card_signals_kernel,
+        load_quality_weights,
+        quality_raw_fold,
+        quality_tokens,
+    )
+    from universal_importer_duckdb_spark.operators.text_analysis import _bind
+    from universal_importer_duckdb_spark.registry.core import (
+        _EN_MARKERS,
+        _NON_EN_MARKERS,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "n_chars", "text"
+    )
+    edge = spark.createDataFrame(
+        [("web", 0, None), ("web", 5, ""), ("lit", 9, "the  el  THE x")],
+        "source string, n_chars bigint, text string",
+    )
+    for frame in (docs, edge):
+        weights = load_quality_weights()
+
+        def _signals(toks):
+            return F.struct(
+                F.size(toks).cast("bigint").alias("nw"),
+                quality_raw_fold(weights, toks).cast("bigint").alias("raw"),
+                F.size(F.filter(toks, lambda w: w.isin(*_EN_MARKERS)))
+                .cast("bigint").alias("en"),
+                F.size(F.filter(toks, lambda w: w.isin(*_NON_EN_MARKERS)))
+                .cast("bigint").alias("non"),
+            )
+
+        expr = frame.select(
+            "source", "n_chars",
+            _bind(quality_tokens("text"), _signals).alias("__s"),
+            F.md5(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("__fp"),
+        ).select(
+            "source", "n_chars",
+            F.col("__s.nw").alias("__nw"), F.col("__s.raw").alias("__raw"),
+            F.col("__s.en").alias("__en"), F.col("__s.non").alias("__non"),
+            "__fp",
+        )
+        kern = corpus_card_signals_kernel(
+            frame, weights, _EN_MARKERS, _NON_EN_MARKERS
+        )
+        a = sorted(map(tuple, expr.collect()))
+        b = sorted(map(tuple, kern.collect()))
+        assert a == b

@@ -62,7 +62,7 @@ README = os.path.join(ROOT, "README.md")
 # Standing per-entry adjudication notes — the argument lives in the
 # README prose; the NUMBERS come only from the artifact.
 NOTES = {
-    "docs_corpus_card": "single-row-group scan floor (decomposed r10)",
+    "docs_corpus_card": "r14: the four per-row token signals + md5 fingerprint moved to ONE Arrow kernel (corpus_card_signals_kernel, the gram-kernel precedent — the bound-expression form still paid 4 interpreted HOF passes): full x64 entry 2.84 -> 1.74 s median, probe 3.78x -> 2.85x with spark exp 0.08 vs oracle 0.26 — the residual is exchange/scheduling floor that the oracle's data-proportional growth overtakes (projected under-2x by ~x256). Previously: single-row-group scan floor (decomposed r10)",
     "pipeline_flagship": "multi-action 7-stage pipeline contract; its oracle replays NO training — a >2 s oracle here is host load, not the replay asymmetry the class name implies",
     "docs_dsir_resample": "r12: totals branch folded into the scoring pass (include_wordless explode_outer; the 2nd corpus scan + two-aggregate join removed) — 9 -> 6 jobs/run, 0.53 -> 0.46 s (tools/decompose.py); the 6 are broadcast-build + 3 exchanges + 5-row output sort + AQE floor",
     "emb_hard_negatives": "r14 x64 probe: BOTH sides get cheaper at x64 than x16 (cyclic-shift bucket geometry) — Spark flat ~1.0 s floor vs oracle 0.245 s, so the largest-scale ratio reads 3.93x where x16 reads 0.51x; on the generated weak list by rule, not by a throughput gap. Decomposed r12 (tools/decompose.py): pair expansion with ZERO arithmetic cost the same as the full entry — exchange/scheduling floor on a 2000-row table, not compute (31.5k candidate pairs; dot eval <0.1 s; an unrolled-codegen dot measured 3x WORSE than the HOF fold). Pre-shuffle spread removed r12: 3 -> 2 jobs, 0.59 -> 0.46 s",

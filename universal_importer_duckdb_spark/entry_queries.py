@@ -491,6 +491,18 @@ def oracle_sql():
 #     All four stay locally parity-green at both SFs via
 #     tests/test_oracle_parity.py. r15 must take these first, then
 #     the r11-era cohort (47 entries by the same recount).
+#  Late-r14 amendment: docs_corpus_card's per-row stage moved to the
+#  Arrow signal kernel (corpus_card_signals_kernel — the gram-kernel
+#  precedent applied to the card's four interpreted HOF passes;
+#  2.84 -> 1.74 s median on the full x64 entry, value-identical with
+#  kernel==expression pinned in tests/test_round14_ops.py), so it
+#  takes a changed-kernel slot. It displaces docs_hash_split, which
+#  is SAFE to demote: the seeded md5-28 hash-threshold family it
+#  exercises is in-window via docs_temperature_mixture and
+#  docs_budget_selection (both read the same _md5_28 salt:id space),
+#  the split rule itself is pinned by unit tests, and it stays
+#  locally parity-green at both SFs. docs_hash_split joins the four
+#  displacements at the r15 head (making five).
 _R14_WINDOW = (
     # ---- the committed 11 r9-era displacements (staleness burn) ----
     "docs_minhash_lsh_neardup",
@@ -518,7 +530,7 @@ _R14_WINDOW = (
     "docs_cross_doc_ngram_dup",
     "docs_curriculum_stages",
     "docs_fingerprint_exact_dedup",
-    "docs_hash_split",
+    "docs_corpus_card",
     "docs_hybrid_search_rrf",
     "docs_ngram_topk_similar",
     "docs_pack_sequences",

