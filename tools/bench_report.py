@@ -75,6 +75,8 @@ NOTES = {
     "q9_profit_by_nation_year": "r14 x64 re-decomposition (this host): join tree alone 1.09 s med of the 1.96 s entry (4 broadcast-build jobs — ALL THREE dims broadcast even at x64, plan verified), measure+chunked-agg ~0.9 s; exponents parallel (0.39 vs 0.36); the 7.29x probe row was a load-contaminated pass, re-probed clean at 5.20x. direct=True is INVALID here (nation-year groups are row-unbounded at 100 TB). Previously r13: join tree alone 0.84 s (4 broadcast-build jobs), full 1.54 s after the scaled() hybrid (was 3.14 s); 15.3x @x16 (r12) -> 4.5x @x64 — residual is fact-scan decode + broadcast probe vs DuckDB 0.44 s",
     "q18_large_orders": "FINAL adjudication r14 at x64: the high-cardinality orderkey agg is pure groupBy infrastructure — count-only == sum-of-scaled (1.175 vs 1.185 s at x16), so the arithmetic is free and the cost is partial-hash + 9.3M-row exchange + final-hash (partial agg reduces nothing on a randomly-spread key: 9.6M -> 9.3M). Alternatives measured and rejected: Arrow/numpy grouped-sum kernel (2.44 vs 1.71 s agg-only); codegen fast-map knobs (vectorized map, two-level-final, coalesce-off, 4MB advisory — all within host noise). The r13 'diverging exponent' was the ORACLE's fixed-cost floor: at x16->x64 DuckDB leaves it (0.143 -> 0.591 s, exp ~1.0) while Spark scales in parallel (1.39 -> 5.06 s, exp ~0.93) — a flat engine constant (8.6x ad-hoc / 5.73x canonical probe at x64; shuffle materialization + two-phase UnsafeRow hash agg vs in-process perfect-hash), the per-row price of the partitioned execution that scales out past one node",
     "q3_top_unshipped": "same agg class as q18; r14 rewrite: pruned orders><customer (10% qualify) builds first, lineitem carries only (okey, scaled-revenue int64) through ONE exchange, agg rides the join partitioning — x64 4.07 -> 3.55 s median (3.93 -> 2.96 clean); residual is the same flat agg/exchange constant as q18 (oracle x16->x64 exp ~0.85 once off its floor)",
+    "emb_ingest_drift": "r14 drift adjudication: bench-pass medians 1.11-1.66 s vs r13's 0.38 on the jitterier r14 host; a quiet same-session re-run reads 0.69 s / 3 jobs — multi-job artifact serving is host-jitter-sensitive, code untouched this round",
+    "emb_incremental_semdedup": "r14 drift adjudication: bench-pass medians 1.78-1.87 s vs r13's 1.00; quiet same-session re-run 1.04 s / 4 jobs — host jitter, code untouched this round",
     "emb_ivf_topk": "r14 regression adjudication: the 0.87 s driver-pass median was host noise — interleaved re-runs give med 0.40 s / min 0.32 s (committed 0.30-0.38 band), one 2.47 s outlier in 7 runs",
     "docs_hybrid_search_rrf": "r14 regression adjudication: the 0.63 s driver-pass median was host noise — interleaved re-runs give med 0.31 s / min 0.28 s (committed 0.25 band), one 1.64 s outlier in 7 runs",
     "docs_ingest_novelty": "serves the HELD at-rest gram index since r11 (trained-artifact contract; build ~0.8 s, bench.py note)",
