@@ -3032,9 +3032,13 @@ def docs_corpus_card(spark, sf_dir):
 
     The r8 shape was 3.7x its oracle; decomposition showed the cost
     was STAGES, not CPU (each exchange ~0.1 s scheduling floor at
-    bench scale, per-row folds ~0.1 s total). Now: (1) markers fold
-    over one shared lowered token array (one isin-filter per family,
-    not one filter per marker word); (2) dup surplus via a
+    bench scale, per-row folds ~0.1 s total). Now: (1) ALL per-row
+    signals (word count, weight fold, both marker counts, md5
+    fingerprint) come from ONE Arrow kernel pass
+    (quality_model.corpus_card_signals_kernel, r14 — the r13
+    bound-expression form still paid four interpreted HOF passes;
+    value-identical, pinned by tests/test_round14_ops.py);
+    (2) dup surplus via a
     (source, fp) pre-aggregation whose map-side combine collapses
     duplicate fingerprints before the rollup — no countDistinct
     expand, and the second shuffle is |distinct fp| rows; (3) no
