@@ -86,7 +86,7 @@ NOTES = {
     "docs_bigram_lm_bits": "decomposed r11 (tools/decompose.py): the map-only bigram explode alone is 0.33 s of the 0.35 s entry; broadcast lookup + per-doc agg add ~0.03 s — a map-side floor that parallelizes at scale",
     "docs_source_gram_overlap": "decomposed r11 (tools/decompose.py): map-only tokenize+gram explode 0.25 s > the whole 0.16 s oracle; +set-fold exchange 0.47; pair expansion+totals +0.16 over 6 jobs; cache persists across runs; pair expansion reads shared (multi-source) grams only since r11",
     "docs_segment_line_dedup": "decomposed r11 (tools/decompose.py): segment explode alone 0.22 s of the 0.27 s total — map-side fabricate+explode floor; exchanges add ~0.06 s",
-    "lineitem_content_checksum": "r14 regression adjudication: the 2.14 s driver-pass median was HOST NOISE — interleaved re-runs at calibration 0.111 (committed pass 0.121) give med 0.98 s / min 0.89 s with one-sided outliers (single 2.59 s run in 7). Decomposed r13: the md5 map IS the entry (1.07 of 1.25 s at x16, no exchange since the split-aware spread skips multi-split scans; was 2.95x with the unconditional raw-row shuffle) — residual 2.3x is JVM MessageDigest-per-row vs DuckDB's vectorized md5, flat at every scale (exp 0.06 vs -0.02)",
+    "lineitem_content_checksum": "r14: the Arrow-kernel alternative (codegen canonical strings -> hashlib md5 + in-kernel commutative reduce, one partial row/partition) was MEASURED AND REJECTED — 10.33 vs 4.80 s median at x64, value-identical: shipping 38M ~100 B canonical strings across the Arrow boundary plus per-row Python iteration costs ~2x more than the JVM MessageDigest map it replaced; the md5-throughput floor stands as final. Regression adjudication: the 2.14 s driver-pass median was HOST NOISE — interleaved re-runs at calibration 0.111 (committed pass 0.121) give med 0.98 s / min 0.89 s with one-sided outliers (single 2.59 s run in 7). Decomposed r13: the md5 map IS the entry (1.07 of 1.25 s at x16, no exchange since the split-aware spread skips multi-split scans; was 2.95x with the unconditional raw-row shuffle) — residual 2.3x is JVM MessageDigest-per-row vs DuckDB's vectorized md5, flat at every scale (exp 0.06 vs -0.02)",
     "docs_bpe_token_counts": "decomposed r13: word-stream explode was single-split-pinned (0.55 -> 0.17 s at x16 once openCostInBytes lets the scan split); x16 ratio 2.39x -> 1.57x, off the weak list",
     "docs_tokenizer_fertility": "re-decomposed r14 at x16 (this host): the (source,word) count exchange is 0.40 s med of the 0.79 s entry (the q-class hash-agg/exchange constant family), and the 2-job prefix -> 7-job full entry doubles it — broadcast builds + the chars aggregate + final join are pure ~0.1 s/job scheduling, flat at scale; 2.88x on this host (1.83x on the r13 host) is the host's scheduling jitter, not a plan change",
     "docs_corpus_prep": "r13: the JIT regex cliff (two regexp_replace in one codegen method run interpreter-speed) owned the gate — translate() counters + the bound gate push x16 from 3.37x to 0.87x (probe exp 0.01)",
