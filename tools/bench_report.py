@@ -65,7 +65,7 @@ NOTES = {
     "docs_corpus_card": "r14: the four per-row token signals + md5 fingerprint moved to ONE Arrow kernel (corpus_card_signals_kernel, the gram-kernel precedent — the bound-expression form still paid 4 interpreted HOF passes): full x64 entry 2.84 -> 1.74 s median, probe 3.78x -> 2.85x with spark exp 0.08 vs oracle 0.26 — the residual is exchange/scheduling floor that the oracle's data-proportional growth overtakes (projected under-2x by ~x256). Previously: single-row-group scan floor (decomposed r10)",
     "pipeline_flagship": "multi-action 7-stage pipeline contract; its oracle replays NO training — a >2 s oracle here is host load, not the replay asymmetry the class name implies",
     "docs_dsir_resample": "r12: totals branch folded into the scoring pass (include_wordless explode_outer; the 2nd corpus scan + two-aggregate join removed) — 9 -> 6 jobs/run, 0.53 -> 0.46 s (tools/decompose.py); the 6 are broadcast-build + 3 exchanges + 5-row output sort + AQE floor",
-    "emb_hard_negatives": "r14 x64 probe: BOTH sides get cheaper at x64 than x16 (cyclic-shift bucket geometry) — Spark flat ~1.0 s floor vs oracle 0.245 s, so the largest-scale ratio reads 3.93x where x16 reads 0.51x; on the generated weak list by rule, not by a throughput gap. Decomposed r12 (tools/decompose.py): pair expansion with ZERO arithmetic cost the same as the full entry — exchange/scheduling floor on a 2000-row table, not compute (31.5k candidate pairs; dot eval <0.1 s; an unrolled-codegen dot measured 3x WORSE than the HOF fold). Pre-shuffle spread removed r12: 3 -> 2 jobs, 0.59 -> 0.46 s",
+    "emb_hard_negatives": "r14 x64 probe: BOTH sides get cheaper at x64 than x16 (cyclic-shift bucket geometry) — Spark flat ~1.0 s floor vs oracle 0.245 s, so the largest-scale ratio reads 3.93x where x16 reads 0.51x; on the generated weak list by rule, not by a throughput gap. Adjudication FINAL: exponent 0.14 (fixed stage/exchange floor on a 2000-row-per-copy table) vs an oracle whose cost tracks bucket geometry. Decomposed r12 (tools/decompose.py): pair expansion with ZERO arithmetic cost the same as the full entry — exchange/scheduling floor on a 2000-row table, not compute (31.5k candidate pairs; dot eval <0.1 s; an unrolled-codegen dot measured 3x WORSE than the HOF fold). Pre-shuffle spread removed r12: 3 -> 2 jobs, 0.59 -> 0.46 s",
     "docs_bpe_learn_merges": "Python-literal serving floor REMOVED r11 (VALUES LocalRelation, 0.30 -> 0.04 s; the old 2.26x was applySchemaToPythonRDD re-serialization, 1 job, zero compute)",
     "docs_selfdup_spans": "decomposed r11 (tools/decompose.py): tokenize+hash map-only 0.16 s, +gram exchange 0.47 — the one exchange dominates; join-back builds on SHARED grams only since r11 (min!=max holder), AQE broadcasts it: no probe-side exchange",
     "docs_selfdedup_text": "excision adds ~0.10 s over the span pipeline, whose scoped cache it shares (decomposed r11); shared-gram join-back since r11",
@@ -88,7 +88,7 @@ NOTES = {
     "docs_segment_line_dedup": "decomposed r11 (tools/decompose.py): segment explode alone 0.22 s of the 0.27 s total — map-side fabricate+explode floor; exchanges add ~0.06 s",
     "lineitem_content_checksum": "r14: the Arrow-kernel alternative (codegen canonical strings -> hashlib md5 + in-kernel commutative reduce, one partial row/partition) was MEASURED AND REJECTED — 10.33 vs 4.80 s median at x64, value-identical: shipping 38M ~100 B canonical strings across the Arrow boundary plus per-row Python iteration costs ~2x more than the JVM MessageDigest map it replaced; the md5-throughput floor stands as final. Regression adjudication: the 2.14 s driver-pass median was HOST NOISE — interleaved re-runs at calibration 0.111 (committed pass 0.121) give med 0.98 s / min 0.89 s with one-sided outliers (single 2.59 s run in 7). Decomposed r13: the md5 map IS the entry (1.07 of 1.25 s at x16, no exchange since the split-aware spread skips multi-split scans; was 2.95x with the unconditional raw-row shuffle) — residual 2.3x is JVM MessageDigest-per-row vs DuckDB's vectorized md5, flat at every scale (exp 0.06 vs -0.02)",
     "docs_bpe_token_counts": "decomposed r13: word-stream explode was single-split-pinned (0.55 -> 0.17 s at x16 once openCostInBytes lets the scan split); x16 ratio 2.39x -> 1.57x, off the weak list",
-    "docs_tokenizer_fertility": "re-decomposed r14 at x16 (this host): the (source,word) count exchange is 0.40 s med of the 0.79 s entry (the q-class hash-agg/exchange constant family), and the 2-job prefix -> 7-job full entry doubles it — broadcast builds + the chars aggregate + final join are pure ~0.1 s/job scheduling, flat at scale; 2.88x on this host (1.83x on the r13 host) is the host's scheduling jitter, not a plan change",
+    "docs_tokenizer_fertility": "re-decomposed r14 at x16 (this host): the (source,word) count exchange is 0.40 s med of the 0.79 s entry (the q-class hash-agg/exchange constant family), and the 2-job prefix -> 7-job full entry doubles it — broadcast builds + the chars aggregate + final join are pure ~0.1 s/job scheduling, flat at scale; 2.88x on this host (1.83x on the r13 host) is the host's scheduling jitter, not a plan change. Adjudication FINAL: the residual is the word-count exchange (the q-class hash-agg/exchange constant family) plus ~0.1 s/job scheduling on 7 jobs — no plan shape cuts either without caching the corpus scan",
     "docs_corpus_prep": "r13: the JIT regex cliff (two regexp_replace in one codegen method run interpreter-speed) owned the gate — translate() counters + the bound gate push x16 from 3.37x to 0.87x (probe exp 0.01)",
     "docs_quality_filter_ids": "r13 translate-counter gate: x16 ratio 0.07x (probe exp 0.11 vs oracle 0.97)",
     "docs_benchmark_contamination": "re-decomposed r13 at x16: the gram build alone is 1.28 s of the 1.97 s entry, and it is the per-window INTERPRETED-HOF floor, not md5 (no-hash variant 1.23 s; one-element-access floor 0.24 s). Alternatives measured and rejected: substring-by-offset windows (O(tokens^2) offset build, 75 s), xxhash64 (r12), lead()-window codegen build (adds a full token-stream exchange — the map-only shape is the 100 TB contract). Standing floor; exp 0.32 vs oracle 0.19.",
