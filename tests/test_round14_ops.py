@@ -113,3 +113,38 @@ def test_corpus_card_kernel_matches_expression(spark, sf_dir):
         a = sorted(map(tuple, expr.collect()))
         b = sorted(map(tuple, kern.collect()))
         assert a == b
+
+
+def test_session_pins_ansi(spark):
+    """r14 advice: FixedSum(direct=True)'s loud-overflow contract
+    requires ANSI; both session paths must pin it."""
+    from universal_importer_duckdb_spark.session import tune_existing
+
+    tune_existing(spark)
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_estimated_splits_tracks_spark_partitioning(spark, tmp_path):
+    """r14 advice fix contract: on a many-small-files layout the
+    estimate must mirror Spark's own FilePartition packing (openCost
+    padding included) — the old unpadded form underestimated
+    maxSplitBytes and overestimated splits. Ground truth is the scan's
+    actual partition count."""
+    from universal_importer_duckdb_spark.operators.dedup_text import (
+        estimated_splits,
+    )
+
+    base = tmp_path / "many"
+    for i in range(80):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(base))
+    df = spark.read.parquet(str(base))
+    actual = df.rdd.getNumPartitions()
+    est = estimated_splits(df)
+    # small files never split below one-per-file, and Spark packs
+    # multiple files per partition — the estimate is an upper proxy
+    # bounded by the file count, and must land within a small factor
+    # of the true packing (it gates a spread decision, not a plan)
+    assert est >= actual
+    assert est <= 80
