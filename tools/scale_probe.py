@@ -139,6 +139,13 @@ DEFAULT_ENTRIES = [
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
     "docs_minhash_lsh_neardup",
+    # r14 additions: the rest of the generated weak list (q3 join
+    # rewrite + q18 final adjudication live at x64) and the x64
+    # crossover pair that fell OFF the list there (q5, dsir_resample
+    # — re-probing is the watch process in both directions)
+    "q3_top_unshipped",
+    "q18_large_orders",
+    "q5_revenue_by_nation",
 ]
 
 
