@@ -240,9 +240,12 @@ def q3_top_unshipped(spark, sf_dir):
     side joins against it once, carrying only (l_orderkey, scaled
     revenue int64) through its exchange — 16 B/row instead of the
     full measure columns, and one big-side exchange instead of two.
-    The group-by then rides the join's l_orderkey hash partitioning
+    When the join plans as a shuffle join (the at-scale shape) the
+    group-by rides its l_orderkey hash partitioning
     (HashPartitioning(okey) satisfies ClusteredDistribution(okey,
-    date, priority)) — no aggregation exchange at all. Measured x64:
+    date, priority)) — no aggregation exchange; when AQE broadcasts
+    the small side at test scale, the one remaining exchange carries
+    PARTIALLY-AGGREGATED rows, not the fact stream. Measured x64:
     4.07 s -> 3.55 s median, 3.93 -> 2.96 on clean runs. Computing
     the scaled revenue pre-join is bit-safe: scaled()'s domain bound
     is the decimal(15,2) data model, independent of join survival."""
