@@ -187,3 +187,33 @@ def test_build_table_renders_recorded_classes():
     table = br.build_table(detail, {"a": "scheduling-floor"})
     row = next(ln for ln in table.splitlines() if ln.startswith("| a |"))
     assert "| comparable |" in row
+
+
+def test_weak_block_skips_entry_without_cells():
+    # r14 advice: a hand-recorded row carrying ratio_last but no
+    # per-scale spark map must not abort README/SURVEY regeneration
+    probe = {"entries": {
+        "handrow": {"ratio_last": 3.5},
+        "real": {"ratio_last": 2.5, "spark": {"1": 1.0, "64": 2.0},
+                 "spark_passes": {"64": [1.9, 2.0, 2.1]},
+                 "spark_exp": 0.2, "oracle_exp": 0.4},
+    }}
+    block = br.weak_block(probe)
+    assert "handrow | 3.50x @x? |" in block
+    assert "real | 2.50x @x64 |" in block
+    assert "Canonical weak count: 2" in block
+
+
+def test_weak_block_reports_pass_depth():
+    probe = {"entries": {
+        "real": {"ratio_last": 2.5, "spark": {"64": 2.0},
+                 "spark_passes": {"64": [1.9, 2.0, 2.1]},
+                 "spark_exp": 0.2, "oracle_exp": 0.4},
+        "legacy": {"ratio_last": 2.2, "spark": {"16": 2.0},
+                   "spark_exp": 0.1, "oracle_exp": 0.3},
+    }}
+    block = br.weak_block(probe)
+    real = next(ln for ln in block.splitlines() if ln.startswith("| real"))
+    legacy = next(ln for ln in block.splitlines() if ln.startswith("| legacy"))
+    assert real.rstrip().endswith("| 3 |")    # 3 recorded passes
+    assert legacy.rstrip().endswith("| 1 |")  # legacy scalar = 1 pass

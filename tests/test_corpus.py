@@ -257,3 +257,40 @@ def test_char_trigram_familiarity_bounds_and_edges(spark):
     for r in out.values():
         assert 0.0 <= r.familiarity <= 1.0
     assert out[1].familiarity == out[2].familiarity
+
+
+def test_casefold_contract_boundary(spark):
+    """Pin the ASCII-only casefold contract the Arrow gram/fingerprint
+    kernels rely on (operators/corpus.py, operators/quality_model.py:
+    Python str.lower() must agree with Spark's lower() AND the
+    DuckDB oracle's lower(), or the md5 gram spaces silently diverge).
+
+    The contract holds on ASCII — asserted exhaustively here. It is
+    KNOWN to break outside ASCII: U+0130 ('İ') lowers to 'i̇' (i +
+    combining dot, full SpecialCasing) in Python and the JVM but to
+    plain 'i' (simple casemap) in DuckDB — so the boundary is pinned
+    by asserting the divergence EXISTS, the xfail-style marker the
+    r14 advice asked for. Non-ASCII corpora need an explicit shared
+    fold before the kernels' hashes can be compared cross-engine.
+    """
+    import duckdb
+
+    ascii_cps = [chr(c) for c in range(0x20, 0x7F)]
+    probe = ascii_cps + ["İ", "ß", "Σ", "µ"]
+    sdf = spark.createDataFrame([(s,) for s in probe], "s string")
+    spark_low = {
+        r["s"]: r["low"]
+        for r in sdf.select("s", F.lower("s").alias("low")).collect()
+    }
+    con = duckdb.connect()
+    duck_low = {
+        s: con.execute("SELECT lower(?)", [s]).fetchone()[0] for s in probe
+    }
+    # 1) ASCII: all three engines agree exhaustively
+    for s in ascii_cps:
+        assert spark_low[s] == duck_low[s] == s.lower(), hex(ord(s))
+    # 2) the boundary is real: U+0130 diverges Python/JVM vs DuckDB
+    assert "İ".lower() == "i̇"
+    assert duck_low["İ"] == "i", "DuckDB changed its İ casemap — " \
+        "re-evaluate the ASCII-only contract in the Arrow kernels"
+    assert spark_low["İ"] != duck_low["İ"]

@@ -81,7 +81,12 @@ def test_corpus_card_kernel_matches_expression(spark, sf_dir):
         "source", "n_chars", "text"
     )
     edge = spark.createDataFrame(
-        [("web", 0, None), ("web", 5, ""), ("lit", 9, "the  el  THE x")],
+        # the (None, "has words") row pins the r15 advice fix: a null
+        # n_chars must survive the Arrow boundary as NULL (nullable
+        # Int64), not arrive as float64+NaN and decay to garbage int64
+        # under convertToArrowArraySafely=false
+        [("web", 0, None), ("web", 5, ""), ("lit", 9, "the  el  THE x"),
+         ("web", None, "null chars still has words")],
         "source string, n_chars bigint, text string",
     )
     for frame in (docs, edge):
@@ -110,8 +115,11 @@ def test_corpus_card_kernel_matches_expression(spark, sf_dir):
         kern = corpus_card_signals_kernel(
             frame, weights, _EN_MARKERS, _NON_EN_MARKERS
         )
-        a = sorted(map(tuple, expr.collect()))
-        b = sorted(map(tuple, kern.collect()))
+        def _key(t):  # None-safe total order for the null-n_chars row
+            return tuple((v is None, v) for v in t)
+
+        a = sorted(map(tuple, expr.collect()), key=_key)
+        b = sorted(map(tuple, kern.collect()), key=_key)
         assert a == b
 
 

@@ -91,3 +91,49 @@ def test_default_entries_are_registered():
 
     for name in DEFAULT_ENTRIES:
         assert name in REGISTRY, name
+
+# ---------------------------------------------------------------------------
+# r15 pass-median regime (VERDICT r14 #1): cells are medians of the
+# last PASS_KEEP recorded passes, legacy scalars seed the history, and
+# a single hot pass can no longer flip ratio_last across the 2.0x bar.
+
+from scale_probe import PASS_KEEP, merge_passes  # noqa: E402
+
+
+def test_merge_passes_seeds_from_legacy_scalar():
+    prior = {"spark": {"1": 0.5, "16": 1.2}}
+    passes, cells = merge_passes(prior, "spark", {16: 1.4})
+    assert passes[1] == [0.5]          # untouched cell keeps its seed
+    assert passes[16] == [1.2, 1.4]    # scalar seeded, new pass appended
+    assert cells[1] == 0.5
+    assert cells[16] == round((1.2 + 1.4) / 2, 3)
+
+
+def test_merge_passes_prefers_history_over_scalar():
+    # once a history exists, the derived scalar cell must NOT re-seed
+    prior = {"spark": {"4": 9.9}, "spark_passes": {"4": [0.4, 0.6]}}
+    passes, cells = merge_passes(prior, "spark", {4: 0.5})
+    assert passes[4] == [0.4, 0.6, 0.5]
+    assert cells[4] == 0.5
+
+
+def test_merge_passes_truncates_to_keep():
+    prior = {"spark_passes": {"1": [1.0] * PASS_KEEP}}
+    passes, _ = merge_passes(prior, "spark", {1: 2.0})
+    assert len(passes[1]) == PASS_KEEP
+    assert passes[1][-1] == 2.0
+
+
+def test_merge_passes_median_damps_one_hot_pass():
+    # the q5 scenario: oracle read 0.71, 0.71, then one hot 2.37 pass —
+    # the cell must stay at the quiet majority, not jump 3x
+    prior = {"oracle_passes": {"64": [0.71, 0.71]}}
+    _, cells = merge_passes(prior, "oracle", {64: 2.37})
+    assert cells[64] == 0.71
+
+
+def test_merge_passes_empty_new_times_is_identity_on_cells():
+    prior = {"oracle": {"1": 0.3}, "oracle_passes": {"1": [0.3, 0.4]}}
+    passes, cells = merge_passes(prior, "oracle", {})
+    assert passes[1] == [0.3, 0.4]
+    assert cells[1] == round((0.3 + 0.4) / 2, 3)

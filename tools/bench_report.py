@@ -267,26 +267,34 @@ SURVEY = os.path.join(ROOT, "SURVEY.md")
 
 
 def weak_block(probe: dict) -> str:
-    rows = [
-        (n, e["ratio_last"], e.get("spark_exp"), e.get("oracle_exp"),
-         max(e.get("spark", {}), key=lambda s: int(s)))
-        for n, e in probe["entries"].items()
-        if e.get("ratio_last") is not None and e["ratio_last"] > 2.0
-    ]
+    rows = []
+    for n, e in probe["entries"].items():
+        if e.get("ratio_last") is None or e["ratio_last"] <= 2.0:
+            continue
+        # guard: a hand-recorded probe row could carry ratio_last
+        # without per-scale cells; skip-and-annotate rather than
+        # aborting the whole README/SURVEY regeneration (r14 advice)
+        cells = e.get("spark") or {}
+        scale = max(cells, key=lambda s: int(s)) if cells else "?"
+        npass = len((e.get("spark_passes") or {}).get(str(scale), []) or [None])
+        rows.append((n, e["ratio_last"], e.get("spark_exp"),
+                     e.get("oracle_exp"), scale, npass))
     rows.sort(key=lambda r: -r[1])
     lines = [
         WEAK_START,
         "",
         f"**Canonical weak count: {len(rows)}** (rule: scale-probe "
-        "`ratio_last` > 2.0 — Spark median / oracle median at the "
-        "largest measured scale, same host, same pass; regenerate "
-        "with `python tools/bench_report.py`).",
+        "`ratio_last` > 2.0 — Spark cell median / oracle cell median "
+        "at the largest measured scale, where each cell is the "
+        "median of its last recorded passes (r15 pass-median regime, "
+        "tools/scale_probe.py:merge_passes); regenerate with "
+        "`python tools/bench_report.py`).",
         "",
-        "| entry | ratio @largest scale | spark exp | oracle exp |",
-        "| --- | ---: | ---: | ---: |",
+        "| entry | ratio @largest scale | spark exp | oracle exp | passes |",
+        "| --- | ---: | ---: | ---: | ---: |",
     ]
-    for n, rl, se, oe, sc in rows:
-        lines.append(f"| {n} | {rl:.2f}x @x{sc} | {se} | {oe} |")
+    for n, rl, se, oe, sc, np_ in rows:
+        lines.append(f"| {n} | {rl:.2f}x @x{sc} | {se} | {oe} | {np_} |")
     lines += ["", WEAK_END]
     return "\n".join(lines)
 

@@ -49,6 +49,15 @@ shape), then median of --runs timed noop-sink actions; DuckDB oracle
 median of --runs on views over the same scaled parquet. Results go to
 SCALE_PROBE.json at the repo root and a human table on stdout.
 
+Pass-median cells (r15, the committed r14 follow-up): each
+(entry, scale, side) cell stores the last PASS_KEEP invocation
+medians (``spark_passes`` / ``oracle_passes``), and the published
+cell value — what the exponent fit, ratio_first/ratio_last and the
+canonical weak list consume — is the MEDIAN of that history. One hot
+oracle pass can no longer flip an entry across the 2.0x bar; it takes
+a majority of recorded passes. Re-running the probe IS the watch
+process: each invocation appends one pass per touched cell.
+
 Usage:
   python tools/scale_probe.py                    # default entries
   python tools/scale_probe.py --scales 1,4,16 --runs 3 name...
@@ -229,6 +238,41 @@ def build_scaled(base: str, out_dir: str, scale: int) -> None:
             json.dump({"copy_sql_md5": sql_md5, "n_rows": n_base * scale}, fh)
 
 
+PASS_KEEP = 5  # last N passes retained per (entry, scale, side) cell
+
+
+def merge_passes(
+    prior: dict, side: str, new_times: dict[int, float], keep: int = PASS_KEEP
+) -> tuple[dict[int, list[float]], dict[int, float]]:
+    """Fold one invocation's per-scale timings into the stored pass
+    history for one side ('spark' | 'oracle') of one entry.
+
+    r15 (the committed r14 follow-up, VERDICT r14 #1): a probe CELL is
+    no longer the last invocation's scalar — it is the MEDIAN of the
+    last ``keep`` recorded passes, so the canonical weak rule
+    (ratio_last > 2.0) stops breathing ±30-50% with single oracle
+    passes (q5's x64 oracle read 2.37 s in one pass, 0.71 s in the
+    next). A pre-r15 scalar cell seeds a one-element history, so old
+    artifacts upgrade in place and a partial re-run still merges.
+
+    Returns (passes, cells): passes[scale] = last-N list (oldest
+    first), cells[scale] = median of that list — the value every
+    downstream consumer (exponent fit, ratio_last, weak list) reads.
+    """
+    passes: dict[int, list[float]] = {
+        int(k): list(v)
+        for k, v in (prior.get(f"{side}_passes") or {}).items()
+    }
+    # seed from a legacy scalar cell when no history exists yet
+    for k, v in (prior.get(side) or {}).items():
+        passes.setdefault(int(k), [v])
+    for s, t in new_times.items():
+        passes.setdefault(int(s), []).append(t)
+        passes[int(s)] = passes[int(s)][-keep:]
+    cells = {s: round(statistics.median(p), 3) for s, p in passes.items()}
+    return passes, cells
+
+
 def _fit_exponent(scales: list[int], times: list[float]) -> float:
     """Least-squares slope of log(time) vs log(scale)."""
     xs = [math.log(s) for s in scales]
@@ -346,15 +390,14 @@ def main() -> int:
     print(hdr)
     for name in entries:
         prior = prior_entries.get(name, {})
-        # merge per-scale maps with any prior measurements (JSON keys
-        # round-trip as strings), then recompute exponents on the union
-        st = {int(k): v for k, v in prior.get("spark", {}).items()}
-        st.update(spark_t[name])
-        ot = {int(k): v for k, v in prior.get("oracle", {}).items()}
-        ot.update(oracle_t.get(name, {}))
+        # fold this invocation into the per-cell pass histories
+        # (r15 pass-median regime — see merge_passes); exponents and
+        # ratios recompute on the per-cell MEDIANS' union
+        sp, st = merge_passes(prior, "spark", spark_t[name])
+        op, ot = merge_passes(prior, "oracle", oracle_t.get(name, {}))
         ss = sorted(st)
         se = _fit_exponent(ss, [st[s] for s in ss])
-        row = {"spark": st, "spark_exp": round(se, 2)}
+        row = {"spark": st, "spark_passes": sp, "spark_exp": round(se, 2)}
         line = (f"{name:34s} " +
                 " ".join(f"{st.get(s, float('nan')):9.3f}"
                          for s in scales) +
@@ -365,7 +408,8 @@ def main() -> int:
             both = sorted(set(st) & set(ot))
             r1 = st[both[0]] / ot[both[0]]
             rN = st[both[-1]] / ot[both[-1]]
-            row.update({"oracle": ot, "oracle_exp": round(oe, 2),
+            row.update({"oracle": ot, "oracle_passes": op,
+                        "oracle_exp": round(oe, 2),
                         "ratio_first": round(r1, 2),
                         "ratio_last": round(rN, 2)})
             line += (" ".join(f"{ot.get(s, float('nan')):9.3f}"

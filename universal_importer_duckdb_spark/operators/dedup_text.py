@@ -70,8 +70,10 @@ def estimated_splits(df: DataFrame) -> int:
         # slice is not size-representative (date-partitioned layouts
         # put same-vintage, same-size files together), and a sample
         # skewed large overestimates splits and skips a spread that
-        # would have helped (r13 advice)
-        stride = max(1, len(files) // 64)
+        # would have helped (r13 advice). Ceiling division: floor
+        # gave stride=1 for 65-127 files, degenerating back into the
+        # head slice the comment promises to avoid (r14 advice).
+        stride = -(-len(files) // 64)
         sample = files[::stride][:64]
         for f in sample:
             p = jvm.org.apache.hadoop.fs.Path(f)

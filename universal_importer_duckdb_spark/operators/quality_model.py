@@ -292,7 +292,13 @@ def corpus_card_signals_kernel(
             yield pd.DataFrame(
                 {
                     "source": pdf["source"].values,
-                    "n_chars": pdf["n_chars"].values,
+                    # nullable Int64, not .values: a null n_chars
+                    # arrives as float64+NaN, and with
+                    # convertToArrowArraySafely=false (the default)
+                    # NaN->int64 is garbage, not null — the expression
+                    # form this kernel replaced preserved nulls
+                    # exactly (r14 advice)
+                    "n_chars": pdf["n_chars"].astype("Int64"),
                     "__nw": nw,
                     "__raw": raw,
                     "__en": en,
