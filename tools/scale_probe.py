@@ -191,7 +191,9 @@ def _copy_expr(table: str, offs: dict[str, int]) -> str:
     return "SELECT * EXCLUDE (c) REPLACE (" + ", ".join(reps) + ")"
 
 
-def build_scaled(base: str, out_dir: str, scale: int) -> None:
+def build_scaled(
+    base: str, out_dir: str, scale: int, tables: list[str] | None = None
+) -> None:
     """Replicate every base table `scale`x into out_dir. Idempotent,
     but the skip check is NOT row-count-only (r12 advice): a sidecar
     `<table>.parquet.meta.json` records the md5 of the exact COPY SQL
@@ -205,7 +207,7 @@ def build_scaled(base: str, out_dir: str, scale: int) -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     offs = _offsets(con, base)
-    for t in TABLES:
+    for t in tables or TABLES:
         src = f"{base}/{t}.parquet"
         dst = f"{out_dir}/{t}.parquet"
         meta_path = dst + ".meta.json"
@@ -325,6 +327,10 @@ def time_oracle(entries, dirs, runs: int):
             f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}"
         )
         for t in TABLES:
+            # partial replicas (--tables) only materialize the tables
+            # the probed entries read; skip views over missing files
+            if not os.path.exists(f"{d}/{t}.parquet"):
+                continue
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{d}/{t}.parquet')"
@@ -351,6 +357,11 @@ def main() -> int:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--work", default="/tmp/scale_probe")
     ap.add_argument("--list", action="store_true")
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset of tables to replicate (for very "
+        "large scales where the probed entries read few tables; the "
+        "oracle only registers views over files that exist)")
     args = ap.parse_args()
     if args.list:
         print("\n".join(DEFAULT_ENTRIES))
@@ -363,7 +374,8 @@ def main() -> int:
         d = args.base if s == 1 else os.path.join(args.work, f"x{s}")
         if s != 1:
             t0 = time.perf_counter()
-            build_scaled(args.base, d, s)
+            build_scaled(args.base, d, s,
+                         args.tables.split(",") if args.tables else None)
             print(f"built x{s} in {time.perf_counter() - t0:.1f}s -> {d}",
                   file=sys.stderr)
         dirs[s] = d
