@@ -362,6 +362,13 @@ def main() -> int:
         help="comma-separated subset of tables to replicate (for very "
         "large scales where the probed entries read few tables; the "
         "oracle only registers views over files that exist)")
+    ap.add_argument(
+        "--reset-spark", action="store_true",
+        help="drop the named entries' stored Spark pass histories "
+        "before merging — REQUIRED etiquette when an entry's kernel "
+        "changed this round, or its cell medians silently mix old- "
+        "and new-kernel passes (oracle histories are kept: the SQL "
+        "twin didn't change)")
     args = ap.parse_args()
     if args.list:
         print("\n".join(DEFAULT_ENTRIES))
@@ -393,6 +400,12 @@ def main() -> int:
                 prior_entries = json.load(f).get("entries", {})
         except Exception:
             prior_entries = {}
+    if args.reset_spark:
+        for name in entries:
+            row = prior_entries.get(name)
+            if row:
+                row.pop("spark", None)
+                row.pop("spark_passes", None)
     result = {"scales": scales, "base": args.base, "runs": args.runs,
               "entries": prior_entries}
     hdr = (f"{'entry':34s} " +

@@ -533,6 +533,19 @@ def oracle_sql():
 #     — no displacements this round, and after r15 nothing on the
 #     board is older than r12. r16 takes the r12-era cohort next
 #     (48 entries by the same recount).
+#  Late-r15 amendment: q5_revenue_by_nation was REWRITTEN this round
+#  (fact aggregates below the join tree: per-order direct-int64
+#  partial + orders-side custkey join — the second at-scale fact
+#  exchange is now impossible by construction; x128 7.32 -> 6.25 s,
+#  value-identical at sf0.01), so it takes a changed-kernel slot.
+#  It displaces dedup_last_lineitem, which is SAFE to demote: the
+#  declared-order dedup window kernel it exercises is in-window
+#  three ways (dedup_first_lineitem at the head, plus
+#  dedup_duplicates_lineitem and dedup_exclude_all_lineitem in the
+#  cohort — all four share operators/dedup.py's one window kernel),
+#  and it stays locally parity-green at both SFs via
+#  tests/test_oracle_parity.py. dedup_last_lineitem leads the r16
+#  roster ahead of the r12-era cohort.
 _R15_WINDOW = (
     # ---- the committed 5 r10-era displacements (staleness burn) ----
     "dedup_first_lineitem",
@@ -543,10 +556,10 @@ _R15_WINDOW = (
     # ---- changed in r15: re-verify ----
     "docs_corpus_card",
     "lineitem_content_checksum",
+    "q5_revenue_by_nation",
     # ---- the r11-era staleness cohort (last checked r11) ----
     "dedup_duplicates_lineitem",
     "dedup_exclude_all_lineitem",
-    "dedup_last_lineitem",
     "docs_bloom_incremental_dedup",
     "docs_bpe_learn_merges",
     "docs_bpe_token_counts",

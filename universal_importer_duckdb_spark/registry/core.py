@@ -300,23 +300,54 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 
 
 def q5_revenue_by_nation(spark, sf_dir):
+    """r15 rewrite — aggregate the fact BELOW the join tree. The old
+    shape joined the full lineitem stream through orders and customer
+    before a single (r_name, n_name) aggregation; at test scale AQE
+    broadcasts customer so the fact shuffles once, but at production
+    scale customer is NOT broadcastable and the fact stream would
+    shuffle a SECOND time on o_custkey. This shape makes that
+    impossible by construction:
+
+      * lineitem pre-aggregates per l_orderkey first — a direct int64
+        sum (<= 7 lineitems/order at ~1.1e13 max scaled revenue each,
+        the q3 bound), with map-side partial combine cutting the one
+        fact exchange ~4x (rows = orders, payload 24 B);
+      * the o_custkey join moves to the ORDERS side (4x smaller than
+        the fact, 16 B payload), so customer's broadcastability only
+        ever affects orders traffic;
+      * the nation-level re-aggregation uses the chunked decimal
+        reconstruction (group row counts unbounded at 100 TB), and
+        summing exact per-order int64 partials is bit-identical to
+        summing rows (integer associativity) — verified value-equal
+        to the previous shape and to the oracle at sf0.01.
+
+    Measured (interleaved A/B, 5 runs each): x128 7.32 -> 6.25 s
+    median, x64 a wash (3.73 vs 3.68 — the broadcast hides the
+    structural win locally); the at-scale claim is the plan shape,
+    not the local delta."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _fx_revenue().alias("__rev")
+    )
+    li_ord = li.groupBy("l_orderkey").agg(
+        F.sum("__rev").alias("__rev_ord"), F.count(F.lit(1)).alias("__n")
+    )
+    ord_n = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("o_orderkey", "n_name", "r_name")
     )
+    joined = li_ord.join(ord_n, li_ord.l_orderkey == ord_n.o_orderkey)
     return fixed_point_agg(
         joined,
         ["r_name", "n_name"],
-        sums=[FixedSum("revenue", _fx_revenue(), 6)],
-        count_alias="n_lineitems",
-    )
+        sums=[FixedSum("revenue", F.col("__rev_ord"), 6)],
+        extra_aggs=[F.sum("__n").alias("n_lineitems")],
+    ).select("r_name", "n_name", "revenue", "n_lineitems")
 
 
 Q5_SQL = """
