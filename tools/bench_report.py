@@ -72,7 +72,7 @@ NOTES = {
     "docs_langid_trigram_rank": "scoring shuffle-free since r10 (map-side bound-lambda profile)",
     "q1_pricing_summary": "q-class floor re-adjudicated r13 at x64 (tools/decompose.py): scan+filter 0.23 s + measure map 0.25 s + one exchange 0.17 s over 38M rows; the r13 guarded-hybrid scaled() removed the per-row Double.toString decimal cast (measure map 1.23 -> 0.48 s, entry 5.4x -> 2.9x at x64) — residual is parquet-decode + scheduling vs DuckDB's 0.21 s. r14 knob sweep REJECTED at x64: wholeStage=false 1.88 vs 1.38 s default (codegen is JIT-healthy — no huge-method cliff), columnarReaderBatchSize 16384 1.68, methodSplitThreshold 8192 1.89 — the floor stands final",
     "q5_revenue_by_nation": "r15 REWRITE — fact aggregates below the join tree: lineitem pre-sums per order (direct int64, <=7 rows/order, map-side combine cuts the one fact exchange ~4x) and the custkey join moves to the orders side, so the at-scale second fact exchange (hidden locally by AQE broadcasting customer) is impossible by construction. Measured: x128 7.32 -> 6.25 s interleaved A/B, then 5.38 s stable over 3 fresh probe passes (history reset via --reset-spark, kernel-change etiquette) = 4.06x at x128 with spark exp 0.38 vs oracle 0.52 — converging. Value-identical to the old shape and the oracle at sf0.01 (integer associativity of the exact scaled partials). Previously r13: 9.8x @x16 -> 4.0x @x64 after the scaled() hybrid",
-    "q9_profit_by_nation_year": "r14 x64 re-decomposition (this host): join tree alone 1.09 s med of the 1.96 s entry (4 broadcast-build jobs — ALL THREE dims broadcast even at x64, plan verified), measure+chunked-agg ~0.9 s; exponents parallel (0.39 vs 0.36); the 7.29x probe row was a load-contaminated pass, re-probed clean at 5.20x. direct=True is INVALID here (nation-year groups are row-unbounded at 100 TB). Previously r13: join tree alone 0.84 s (4 broadcast-build jobs), full 1.54 s after the scaled() hybrid (was 3.14 s); 15.3x @x16 (r12) -> 4.5x @x64 — residual is fact-scan decode + broadcast probe vs DuckDB 0.44 s",
+    "q9_profit_by_nation_year": "r15 REWRITE — fact slimmed to five int64s BEFORE the join tree (l_partkey, l_suppkey, o_year, rev k=6, qty k=2: measures and year() evaluated once at the scan, 40 B/row through both dim joins when part/supplier stop being broadcastable at scale) and the nation lookup moved dim-side (supplier >< broadcast nation builds the s_suppkey -> n_name map, so the fact probes TWICE, not three times). Measured: x64 1.908 -> 1.737 s and x128 4.352 -> 4.137 s interleaved A/B medians, then fresh-history probe cells (--reset-spark, kernel-change etiquette) x64 1.99 / x128 3.36 (3 passes) / x256 11.9 (5 passes; saturation-equal to the old kernel's 11.75 — the x256 GC regime, see q18's boundary note) with spark exp 0.52 -> 0.44 vs oracle 0.60 — converging. Value-identical to the old shape at x64+x128 and to the oracle at sf0.01. A (l_suppkey, o_year) pre-agg below the supplier join was measured and REJECTED (2.94 s vs 1.74 at x64): cell domain |supplier| x years makes map-side combine weak (q18's random-key lesson) and the extra hash-agg pass outcosts the slimmer second shuffle. direct=True stays INVALID for the final agg (nation-year groups are row-unbounded at 100 TB). Previously r14: join tree alone 1.09 s of the 1.96 s entry, all three dims broadcast at x64; r13: scaled() hybrid 3.14 -> 1.54 s",
     "q18_large_orders": "FINAL adjudication r14 at x64: the high-cardinality orderkey agg is pure groupBy infrastructure — count-only == sum-of-scaled (1.175 vs 1.185 s at x16), so the arithmetic is free and the cost is partial-hash + 9.3M-row exchange + final-hash (partial agg reduces nothing on a randomly-spread key: 9.6M -> 9.3M). Alternatives measured and rejected: Arrow/numpy grouped-sum kernel (2.44 vs 1.71 s agg-only); codegen fast-map knobs (vectorized map, two-level-final, coalesce-off, 4MB advisory — all within host noise). The r13 'diverging exponent' was the ORACLE's fixed-cost floor: at x16->x64 DuckDB leaves it (0.143 -> 0.591 s, exp ~1.0) while Spark scales in parallel (1.39 -> 5.06 s, exp ~0.93) — a flat engine constant (8.6x ad-hoc / 5.73x canonical probe at x64; shuffle materialization + two-phase UnsafeRow hash agg vs in-process perfect-hash), the per-row price of the partitioned execution that scales out past one node. r15 x256 boundary note (applies to the whole q-class): x256 (154M-row fact) is the single-JVM SATURATION segment — Spark's x128->x256 per-doubling exponent exceeds 1 while the oracle stays ~0.9, and the segment is NOT a plan defect: shuffle.partitions 32->128->256 measured flat, heap 8g->32g measured WORSE with 2-3x run variance under a quiet calibration bracket (GC regime on one 32-thread JVM; GCLocker allocation-retry warnings in-pass). A cluster holds per-executor volume at the x64-x128 operating point and scales the saturated machinery out; the x1-x128 segment carries the named per-row constants",
     "q3_top_unshipped": "same agg class as q18; r14 rewrite: pruned orders><customer (10% qualify) builds first, lineitem carries only (okey, scaled-revenue int64) through ONE exchange, agg rides the join partitioning — x64 4.07 -> 3.55 s median. r15 x128 check: the first x128 pass read 9.8 s (3.9x the x64 cell — a plan-flip suspect), but the EXECUTED PLANS at x64 and x128 are identical (SMJ on orderkey + broadcast customer, verified side by side) and quiet interleaved runs read 4.07-4.83 s (med 4.25); the pass-median settled the cell at 3.7-4.2 s = 5.2x — pass noise, not a flip; the r14 7.0x single-pass cell is superseded",
     "emb_ingest_drift": "r14 drift adjudication: bench-pass medians 1.11-1.66 s vs r13's 0.38 on the jitterier r14 host; a quiet same-session re-run reads 0.69 s / 3 jobs — multi-job artifact serving is host-jitter-sensitive, code untouched this round",

@@ -531,7 +531,10 @@ def _q9(ctx):
     # same adjudication protocol for the join-heavy q-class shape:
     # (a) bare 4-table join tree with no arithmetic (scan + broadcast
     # builds + join probes), (b) the full entry (adds measure map +
-    # the one agg exchange).
+    # the one agg exchange). NOTE: the joins-only tree is kept at the
+    # r14 topology (fact probes nation directly) so historical
+    # decomposition rows stay comparable; the r15 entry pre-joins
+    # nation dim-side and probes only twice (registry/breadth.py).
     def q9_joins_only(d):
         li = ctx.t(d, "lineitem")
         part = ctx.t(d, "part")

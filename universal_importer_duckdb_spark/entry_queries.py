@@ -546,6 +546,26 @@ def oracle_sql():
 #  and it stays locally parity-green at both SFs via
 #  tests/test_oracle_parity.py. dedup_last_lineitem leads the r16
 #  roster ahead of the r12-era cohort.
+#  Second late-r15 amendment: q9_profit_by_nation_year was REWRITTEN
+#  this round (fact slimmed to five int64s BEFORE the join tree —
+#  measures/year evaluated at the scan, 40 B shuffle payload when
+#  part/supplier stop being broadcastable at scale — and the nation
+#  lookup moved dim-side so the fact probes twice, not three times;
+#  x64 1.908 -> 1.737 s, x128 4.352 -> 4.137 s interleaved medians,
+#  value-identical at both replica scales and at sf0.01; the
+#  (l_suppkey, o_year) pre-agg variant measured and rejected at
+#  2.94 s — registry/breadth.py docstring). It takes a changed-
+#  kernel slot, displacing events_tumbling_hourly, which is SAFE to
+#  demote: its hour-bucket windowed-agg kernel is pinned in-window
+#  by its streaming twin stream_tumbling_hourly (head slot, same
+#  bucket arithmetic over the same events scan), the events scan is
+#  additionally in-window via events_asof_last_click/
+#  events_json_extract/events_range_join_error_windows/
+#  events_top_journeys, and the _msum decimal-agg family via
+#  q7_volume_shipping and q12_priority_shipmode in the cohort. It
+#  stays locally parity-green at both SFs via
+#  tests/test_oracle_parity.py and joins dedup_last_lineitem at the
+#  head of the r16 roster. Arithmetic: 5 + 4 + 41 = 50.
 _R15_WINDOW = (
     # ---- the committed 5 r10-era displacements (staleness burn) ----
     "dedup_first_lineitem",
@@ -557,6 +577,7 @@ _R15_WINDOW = (
     "docs_corpus_card",
     "lineitem_content_checksum",
     "q5_revenue_by_nation",
+    "q9_profit_by_nation_year",
     # ---- the r11-era staleness cohort (last checked r11) ----
     "dedup_duplicates_lineitem",
     "dedup_exclude_all_lineitem",
@@ -582,7 +603,6 @@ _R15_WINDOW = (
     "events_json_extract",
     "events_range_join_error_windows",
     "events_top_journeys",
-    "events_tumbling_hourly",
     "multimodal_audio_energy",
     "multimodal_image_tiles",
     "orders_expectation_suite",

@@ -121,25 +121,69 @@ GROUP BY 1, 2, 3
 
 def q9_profit_by_nation_year(spark, sf_dir):
     """Profit rollup (q9 shape; p_retailprice*quantity stands in for
-    the absent partsupp supplycost)."""
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    part = _t(spark, sf_dir, "part")
+    the absent partsupp supplycost).
+
+    r15 rewrite — slim the fact BEFORE the join tree. The old shape
+    dragged raw l_shipdate/l_quantity/l_extendedprice/l_discount
+    through both dimension joins and evaluated the measures after
+    them; at test scale AQE broadcasts part and supplier so only the
+    probe order changes, but at production scale NEITHER dim is
+    broadcastable (part and supplier are data-proportional in TPC-H)
+    and both joins shuffle the fact — so the payload width of the
+    fact stream is the at-scale cost. This shape:
+
+      * projects the fact to five int64s at the scan — (l_partkey,
+        l_suppkey, o_year, scaled revenue k=6, scaled quantity k=2),
+        40 B/row vs the raw timestamp+3 doubles the old shape
+        shuffled — and evaluates year()/scaled() exactly once per
+        fact row, before any join;
+      * joins part pre-projected to (p_partkey, scaled retail k=2),
+        so the profit expression after the join is pure int64;
+      * moves the nation lookup OFF the fact: supplier joins the
+        25-row broadcast nation dim-side (|supplier| rows), and the
+        fact probes the combined (s_suppkey -> n_name) map — two
+        probes per fact row instead of three.
+
+    Measured (interleaved A/B, 5 passes, quiet host): x64 1.908 ->
+    1.737 s median, x128 4.352 -> 4.137 s median (min 3.995 -> 3.497
+    — at test scale the broadcasts hide the payload win, so the
+    local delta is modest; the at-scale claim is the 40 B shuffle
+    payload and the third probe removed); value-identical to
+    the old shape at both replica scales and to the oracle at sf0.01
+    (exact int64 fixed-point both ways). A (l_suppkey, o_year)
+    pre-aggregation below the supplier join was measured and
+    REJECTED (2.94 s at x64): the cell domain is |supplier| x years,
+    so map-side combine reduces little (the q18 random-key lesson)
+    and the extra hash-agg pass costs more than the slimmer second
+    shuffle saves."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("bigint").alias("o_year"),
+        _fx_revenue().alias("__rev6"),
+        scaled("l_quantity", 2).alias("__qty2"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", scaled("p_retailprice", 2).alias("__retail2")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation")
-    # cost = retailprice(2dp) * quantity(2dp): k=4, lifted to k=6 so
-    # the subtraction shares the revenue scale
-    cost6 = scaled("p_retailprice", 2) * scaled("l_quantity", 2) * F.lit(100).cast("bigint")
-    joined = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
-        .withColumn("nation", F.col("n_name"))
-        .withColumn("o_year", F.year("l_shipdate").cast("bigint"))
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    joined = li.join(part, li.l_partkey == part.p_partkey).join(
+        supp_n, li.l_suppkey == supp_n.s_suppkey
+    )
+    # cost = retail(2dp) * quantity(2dp): k=4, lifted to k=6 so the
+    # subtraction shares the revenue scale
+    profit6 = (
+        F.col("__rev6")
+        - F.col("__retail2") * F.col("__qty2") * F.lit(100).cast("bigint")
     )
     return fixed_point_agg(
         joined,
         ["nation", "o_year"],
-        sums=[FixedSum("sum_profit", _fx_revenue() - cost6, 6)],
+        sums=[FixedSum("sum_profit", profit6, 6)],
     )
 
 
