@@ -140,6 +140,24 @@ def test_q9_star_joins_all_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan  # fact table never shuffled for a join
 
 
+def test_q9_fact_scan_pruned_to_measure_inputs(spark, sf_dir):
+    # r15 slim-fact contract: the lineitem scan reads ONLY the six
+    # source columns the five pre-join int64s derive from — a wider
+    # scan would mean the pre-join projection regressed and the fact
+    # stream is dragging raw columns through the join shuffles again
+    plan = _plan(eq.q9_profit_by_nation_year(spark, sf_dir))
+    li_schema = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "l_partkey" in l
+    ][0]
+    for col in ("l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+                "l_extendedprice", "l_discount"):
+        assert col in li_schema
+    for col in ("l_orderkey", "l_tax", "l_returnflag", "l_linestatus",
+                "l_commitdate", "l_receiptdate"):
+        assert col not in li_schema
+
+
 def test_q4_exists_is_broadcast_semi_join(spark, sf_dir):
     plan = _plan(eq.q4_order_priority(spark, sf_dir))
     assert "LeftSemi" in plan
