@@ -566,6 +566,23 @@ def oracle_sql():
 #  stays locally parity-green at both SFs via
 #  tests/test_oracle_parity.py and joins dedup_last_lineitem at the
 #  head of the r16 roster. Arithmetic: 5 + 4 + 41 = 50.
+#  Third late-r15 amendment: q3_top_unshipped's big join now carries
+#  a SHUFFLE_HASH hint on the pruned qual side (skips the fact-side
+#  SMJ sort; agg still rides the join's HashPartitioning, now as ONE
+#  complete pass — x256 6.02 -> 4.14 s ABBA median, sf0.1 0.475 ->
+#  0.354 s, value-identical at sf0.01 and x256; the same hint
+#  measured and REJECTED on q5 — build-side OOM at x256, |orders|-
+#  proportional build — and on q9 — forces two fact exchanges AQE's
+#  broadcasts make unnecessary; registry/core.py docstring). It
+#  takes a changed-kernel slot, displacing q17_small_quantity_
+#  revenue, which is SAFE to demote: its decimal _msum agg family is
+#  in-window via q7_volume_shipping and q12_priority_shipmode, the
+#  part scan via q9_profit_by_nation_year and q2_min_cost_supplier,
+#  and the per-group-threshold subquery shape via q2's correlated
+#  min-cost form — and it stays locally parity-green at both SFs via
+#  tests/test_oracle_parity.py. q17 joins dedup_last_lineitem and
+#  events_tumbling_hourly at the r16 head (making three), ahead of
+#  the r12-era cohort. Final r15 arithmetic: 5 + 5 + 40 = 50.
 _R15_WINDOW = (
     # ---- the committed 5 r10-era displacements (staleness burn) ----
     "dedup_first_lineitem",
@@ -578,6 +595,7 @@ _R15_WINDOW = (
     "lineitem_content_checksum",
     "q5_revenue_by_nation",
     "q9_profit_by_nation_year",
+    "q3_top_unshipped",
     # ---- the r11-era staleness cohort (last checked r11) ----
     "dedup_duplicates_lineitem",
     "dedup_exclude_all_lineitem",
@@ -610,7 +628,6 @@ _R15_WINDOW = (
     "pipeline_summary_observed_lineitem",
     "q12_priority_shipmode",
     "q13_customer_distribution",
-    "q17_small_quantity_revenue",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "rolling_customer_spend",

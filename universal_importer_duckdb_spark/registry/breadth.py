@@ -155,7 +155,12 @@ def q9_profit_by_nation_year(spark, sf_dir):
     REJECTED (2.94 s at x64): the cell domain is |supplier| x years,
     so map-side combine reduces little (the q18 random-key lesson)
     and the extra hash-agg pass costs more than the slimmer second
-    shuffle saves."""
+    shuffle saves. A SHUFFLE_HASH hint on part/supp_n was likewise
+    measured and REJECTED (r15): AQE broadcasts both dims at every
+    testable scale, so the hint would only FORCE two fact exchanges
+    that do not exist today — 2.05 -> 4.47 s at x64; at true 100 TB,
+    where the dims stop broadcasting, the SMJ-vs-SHJ choice is
+    AQE's to make per partition, not a planning-time pin."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",

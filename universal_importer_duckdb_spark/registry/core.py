@@ -248,7 +248,29 @@ def q3_top_unshipped(spark, sf_dir):
     PARTIALLY-AGGREGATED rows, not the fact stream. Measured x64:
     4.07 s -> 3.55 s median, 3.93 -> 2.96 on clean runs. Computing
     the scaled revenue pre-join is bit-safe: scaled()'s domain bound
-    is the decimal(15,2) data model, independent of join survival."""
+    is the decimal(15,2) data model, independent of join survival.
+
+    r15: the qual side carries a SHUFFLE_HASH hint. Without it the
+    big join plans as sort-merge (preferSortMergeJoin default), which
+    SORTS the filtered fact stream — the largest single component of
+    the row's named engine constant; as shuffled-hash the fact
+    streams unsorted against a per-partition hash build of qual, and
+    the aggregation STILL rides the join's HashPartitioning, now in
+    one complete pass (no partial/final split around an exchange).
+    Measured (ABBA-ordered interleave, value-identical both scales):
+    x256 6.02 -> 4.14 s median with non-overlapping pass
+    distributions, sf0.1 0.475 -> 0.354 s. Memory story at 100 TB:
+    unlike a broadcast, the SHJ build is |qual|/numShufflePartitions
+    per task — qual is the pruned ~10%-of-orders side at ~24 B/row,
+    and AQE's advisory sizing splits the build exchange so per-task
+    build memory stays at the advisory target regardless of SF; AQE
+    skew-join handles SHJ stream-side skew (Spark 3.2+). The same
+    hint was measured and REJECTED on q5 (its candidate build side
+    is |orders|-proportional at a wider payload — build OOM'd at
+    x256 on 32 partitions, the honest boundary) and on q9 (AQE
+    broadcasts part/supplier at every testable scale; the hint
+    forced two fact exchanges that did not exist: 2.05 -> 4.47 s at
+    x64)."""
     cust = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -260,6 +282,10 @@ def q3_top_unshipped(spark, sf_dir):
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .drop("c_custkey", "o_custkey")
+        # shuffled-hash build side for the big join: skips the fact
+        # sort; per-task build memory = |qual|/numShufflePartitions,
+        # which AQE's advisory sizing bounds at any SF (docstring)
+        .hint("shuffle_hash")
     )
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -324,7 +350,15 @@ def q5_revenue_by_nation(spark, sf_dir):
     Measured (interleaved A/B, 5 runs each): x128 7.32 -> 6.25 s
     median, x64 a wash (3.73 vs 3.68 — the broadcast hides the
     structural win locally); the at-scale claim is the plan shape,
-    not the local delta."""
+    not the local delta.
+
+    r15: q3's SHUFFLE_HASH hint was measured and REJECTED here. The
+    candidate build side (ord_n) is |orders|-proportional at a wider
+    payload than q3's pruned qual — the build OOM'd outright at x256
+    on 32 partitions, and the x64 delta was inside host noise. SMJ's
+    sort-spill robustness is the right default when the build side
+    is full-table-proportional; the hint is reserved for provably
+    pruned builds (see q3_top_unshipped)."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
