@@ -352,13 +352,40 @@ def q5_revenue_by_nation(spark, sf_dir):
     structural win locally); the at-scale claim is the plan shape,
     not the local delta.
 
-    r15: q3's SHUFFLE_HASH hint was measured and REJECTED here. The
-    candidate build side (ord_n) is |orders|-proportional at a wider
-    payload than q3's pruned qual — the build OOM'd outright at x256
-    on 32 partitions, and the x64 delta was inside host noise. SMJ's
-    sort-spill robustness is the right default when the build side
-    is full-table-proportional; the hint is reserved for provably
-    pruned builds (see q3_top_unshipped)."""
+    r15 (second step) — aggregate per CUSTOMER before touching the
+    customer table. The first rewrite still streamed |orders| rows
+    into the customer join; this one joins the per-order partials to
+    BARE orders (16 B payload, just orderkey -> custkey) and reduces
+    to one row per customer before any dimension join, so customer
+    joins a |customer|-sized aggregate, never an |orders| stream:
+
+      * per-custkey revenue stays a direct int64 sum — bounded by the
+        data model (<= ~41 orders/customer x <= 7 lineitems x ~1.1e13
+        max scaled revenue ~= 3e15, ~2900x under int64; ANSI pinned,
+        so a violated bound raises, never wraps);
+      * the 25-cell nation/region rollup keeps the chunked decimal
+        reconstruction (customers per nation IS data-proportional).
+
+    Measured (ABBA interleave, value-identical at x64/x256/sf0.01):
+    x256 14.28 -> 13.18 s median (customer no longer broadcastable —
+    the steady-state regime at 100 TB), x64 2.69 -> 3.10 s (the
+    broadcast-hidden regime: AQE still broadcasts customer, so the
+    extra per-custkey exchange buys nothing locally). The weak rule
+    reads the largest scale, and at production scale customer never
+    broadcasts — the x64/sf0.1 delta is the named, bounded local
+    cost of a 24 B-payload partial-agg exchange.
+
+    r15: q3's SHUFFLE_HASH hint was measured and REJECTED here,
+    twice. On the first-rewrite shape the candidate build (ord_n,
+    |orders|-proportional, ~34 B/row) crashed the x256 build; on
+    this shape, hinting bare orders (16 B/row) and customer died
+    with the exact boundary named: "Can't acquire 67108864 bytes
+    memory to build hash relation" — 32 concurrent SHJ builds of a
+    full-|orders| side exceed the per-task execution-memory grant.
+    SMJ's sort-spill robustness is the right default when the build
+    side is full-table-proportional; the hint is reserved for
+    provably pruned builds (q3's qual is ~3 MB/task at x256, two
+    orders of magnitude under that failure point)."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -369,18 +396,24 @@ def q5_revenue_by_nation(spark, sf_dir):
     li_ord = li.groupBy("l_orderkey").agg(
         F.sum("__rev").alias("__rev_ord"), F.count(F.lit(1)).alias("__n")
     )
-    ord_n = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
+    per_cust = (
+        li_ord.join(orders, li_ord.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("__rev_ord").alias("__rev_cust"),
+            F.sum("__n").alias("__n_cust"),
+        )
+    )
+    enriched = (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("o_orderkey", "n_name", "r_name")
     )
-    joined = li_ord.join(ord_n, li_ord.l_orderkey == ord_n.o_orderkey)
     return fixed_point_agg(
-        joined,
+        enriched,
         ["r_name", "n_name"],
-        sums=[FixedSum("revenue", F.col("__rev_ord"), 6)],
-        extra_aggs=[F.sum("__n").alias("n_lineitems")],
+        sums=[FixedSum("revenue", F.col("__rev_cust"), 6)],
+        extra_aggs=[F.sum("__n_cust").alias("n_lineitems")],
     ).select("r_name", "n_name", "revenue", "n_lineitems")
 
 
