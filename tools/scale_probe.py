@@ -363,6 +363,14 @@ def main() -> int:
         "large scales where the probed entries read few tables; the "
         "oracle only registers views over files that exist)")
     ap.add_argument(
+        "--side", choices=("both", "spark", "oracle"), default="both",
+        help="time only one side this invocation; the other side's "
+        "stored pass history is carried through unchanged. The "
+        "kernel-change etiquette pairs --side spark with "
+        "--reset-spark: Spark cells re-measure against the new "
+        "kernel without paying (or double-recording) another oracle "
+        "replay — the SQL twin didn't change")
+    ap.add_argument(
         "--reset-spark", action="store_true",
         help="drop the named entries' stored Spark pass histories "
         "before merging — REQUIRED etiquette when an entry's kernel "
@@ -387,8 +395,16 @@ def main() -> int:
                   file=sys.stderr)
         dirs[s] = d
 
-    spark_t = time_spark(entries, dirs, args.runs)
-    oracle_t = time_oracle(entries, dirs, args.runs)
+    spark_t = (
+        time_spark(entries, dirs, args.runs)
+        if args.side in ("both", "spark")
+        else {n: {} for n in entries}
+    )
+    oracle_t = (
+        time_oracle(entries, dirs, args.runs)
+        if args.side in ("both", "oracle")
+        else {n: {} for n in entries}
+    )
 
     # merge into the existing artifact (a partial re-run of one entry
     # or one scale must not clobber the rest of the board)

@@ -124,6 +124,33 @@ def init_indices(ids: list[int], k: int) -> list[int]:
     return order[: min(k, len(ids))]
 
 
+# float64 BLAS is EXACT for GEMMs over quantized coordinates: every
+# operand is an integer in (0, 2^22) (the quantize_np contract;
+# centroids are floor-means of such points, so they inherit it), so
+# each pairwise product is an integer < 2^44 and any non-negative
+# partial sum over <= 512 dimensions is an integer < 2^53 — and every
+# IEEE-754 double operation whose operands AND result are exactly
+# representable integers is exact, independent of accumulation order,
+# blocking, or FMA. numpy has no BLAS integer kernel (int64 matmul is
+# a scalar C gufunc loop); routing the same math through dgemm
+# measured ~4x faster at prune-kernel cluster sizes (7000x7000x64)
+# under load and more when BLAS threads are free. Beyond the provable
+# dimension bound the helper falls back to the int64 loop — exactness
+# is never traded for speed.
+_F64_EXACT_MAX_DIM = 512  # d * (2^22)^2 <= 2^53
+
+
+def int_gemm_exact(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``a @ b.T`` (int64 result) for quantized-coordinate matrices —
+    bit-exact float64 BLAS within the provable dimension bound (see
+    the proof note above), the int64 matmul loop beyond it."""
+    if a.shape[1] <= _F64_EXACT_MAX_DIM:
+        return (
+            a.astype(np.float64) @ b.astype(np.float64).T
+        ).astype(np.int64)
+    return a @ b.T
+
+
 def int_lloyds(
     xq: np.ndarray, k: int, iters: int, init_idx: list[int]
 ) -> np.ndarray:
@@ -152,16 +179,24 @@ def int_argmin_dists(xq: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.n
     batch in row chunks so the (rows, k, d) broadcast intermediate
     stays ~16 MB regardless of Arrow batch size (a 10k-row batch at
     k=16, d=64 would otherwise materialize ~80 MB of int64 diffs per
-    executor thread)."""
+    executor thread).
+
+    r15: distances via the norm expansion ``|x|^2 + |c|^2 - 2x.c``
+    with the dot through :func:`int_gemm_exact` (bit-exact float64
+    BLAS under the quantize_np range contract) instead of the
+    (rows, k, d) int64 broadcast-subtract — same exact integers, same
+    first-minimum argmin, and the chunk intermediate shrinks from
+    (rows, k, d) to (rows, k), so the chunk grows d-fold at the same
+    memory bound."""
     k, d = cent.shape
-    chunk = max(1, 2_000_000 // max(1, k * d))
+    nc = np.einsum("ij,ij->i", cent, cent)
+    chunk = max(1, 2_000_000 // max(1, k))
     a = np.empty(len(xq), dtype=np.int64)
     dd = np.empty(len(xq), dtype=np.int64)
     for lo in range(0, len(xq), chunk):
         part = xq[lo : lo + chunk]
-        dist = ((part[:, None, :] - cent[None, :, :]) ** 2).sum(
-            axis=2, dtype=np.int64
-        )
+        npart = np.einsum("ij,ij->i", part, part)
+        dist = npart[:, None] + nc[None, :] - 2 * int_gemm_exact(part, cent)
         ai = dist.argmin(axis=1)
         a[lo : lo + chunk] = ai
         dd[lo : lo + chunk] = dist[np.arange(len(part)), ai]
