@@ -280,6 +280,11 @@ def _fit_exponent(scales: list[int], times: list[float]) -> float:
     xs = [math.log(s) for s in scales]
     ys = [math.log(max(t, 1e-4)) for t in times]
     n = len(xs)
+    if n == 0:
+        # --side oracle on an entry with no stored Spark history
+        # reaches here with an empty series (r15 advice): nan, like
+        # the single-scale case below, instead of ZeroDivisionError
+        return float("nan")
     mx, my = sum(xs) / n, sum(ys) / n
     denom = sum((x - mx) ** 2 for x in xs)
     if denom == 0.0:
@@ -446,16 +451,18 @@ def main() -> int:
         if ot:
             so = sorted(ot)
             oe = _fit_exponent(so, [ot[s] for s in so])
-            both = sorted(set(st) & set(ot))
-            r1 = st[both[0]] / ot[both[0]]
-            rN = st[both[-1]] / ot[both[-1]]
             row.update({"oracle": ot, "oracle_passes": op,
-                        "oracle_exp": round(oe, 2),
-                        "ratio_first": round(r1, 2),
-                        "ratio_last": round(rN, 2)})
+                        "oracle_exp": round(oe, 2)})
             line += (" ".join(f"{ot.get(s, float('nan')):9.3f}"
                               for s in scales) +
-                     f" {oe:4.2f}   {r1:5.2f} -> {rN:5.2f}")
+                     f" {oe:4.2f}")
+            both = sorted(set(st) & set(ot))
+            if both:  # st can be empty under --side oracle (r15 advice)
+                r1 = st[both[0]] / ot[both[0]]
+                rN = st[both[-1]] / ot[both[-1]]
+                row.update({"ratio_first": round(r1, 2),
+                            "ratio_last": round(rN, 2)})
+                line += f"   {r1:5.2f} -> {rN:5.2f}"
         print(line)
         result["entries"][name] = row
 

