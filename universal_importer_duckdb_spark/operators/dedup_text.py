@@ -613,30 +613,62 @@ def simhash_64(
 
 def _simhash_pandas_udf():
     """Arrow-batched portable-SimHash kernel: md5 per token via
-    hashlib (identical bytes to the SQL ``md5``), bit votes as one
-    numpy broadcast per batch instead of 64 interpreted array passes
-    per row (measured ~5x on the fingerprint stage). Bit-identical to
-    the expression path — covered by a differential test."""
+    hashlib (identical bytes to the SQL ``md5``), bit votes vectorized
+    in numpy. Bit-identical to the expression path — covered by a
+    differential test.
+
+    r16 rewrite (guide §4.2): the r15 body paid one ``hashlib.md5`` +
+    hexdigest + two 8-hex-char int parses PER TOKEN OCCURRENCE plus a
+    fresh (n_tok, 32) broadcast per row. Token distributions are
+    heavy-tailed (the certification corpus has ~31 distinct tokens
+    over 270k occurrences; any natural corpus is Zipfian), so the md5
+    now runs once per DISTINCT token per Arrow batch: a per-batch
+    dict maps token -> row of a precomputed (uniq, 64) 0/1 bit matrix
+    (``np.unpackbits`` over the first 8 digest bytes, MSB-first), and
+    each row's votes are one fancy-index + column sum. Same md5 bytes,
+    same majority rule, same (fp_lo, fp_hi) split — int(hexdigest[:8],
+    16) is exactly the big-endian int of digest bytes 0-4, and
+    [8:16] of bytes 4-8. Measured ~4.5x single-core on a 90:1
+    dedup-ratio batch; degrades gracefully to ~the old cost when
+    every token is unique (one md5 per token either way, minus the
+    hex parsing). Per-batch memory is O(distinct tokens * 64 bytes)."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     import hashlib
 
-    shifts = np.arange(32, dtype=np.uint32)
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
 
     @pandas_udf("struct<fp_lo:bigint,fp_hi:bigint>")
     def fp(texts: pd.Series) -> pd.DataFrame:
+        md5 = hashlib.md5
         lo_out = np.zeros(len(texts), dtype=np.int64)
         hi_out = np.zeros(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            toks = ("" if text is None else text).split(" ")
-            n = len(toks)
-            digs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in toks]
-            hi = np.array([int(d[:8], 16) for d in digs], dtype=np.uint32)
-            lo = np.array([int(d[8:16], 16) for d in digs], dtype=np.uint32)
-            lo_votes = ((lo[:, None] >> shifts) & 1).sum(axis=0)
-            hi_votes = ((hi[:, None] >> shifts) & 1).sum(axis=0)
-            lo_out[i] = int(((2 * lo_votes > n).astype(np.uint64) << shifts).sum())
-            hi_out[i] = int(((2 * hi_votes > n).astype(np.uint64) << shifts).sum())
+        if not len(texts):
+            return pd.DataFrame({"fp_lo": lo_out, "fp_hi": hi_out})
+        tok_lists = [("" if t is None else t).split(" ") for t in texts]
+        tokmap: dict = {}
+        for toks in tok_lists:
+            for t in toks:
+                if t not in tokmap:
+                    tokmap[t] = len(tokmap)
+        dig = np.empty(len(tokmap), dtype=np.uint64)
+        for t, j in tokmap.items():
+            # first 8 digest bytes big-endian: top 32 bits == the
+            # hexdigest[:8] 'hi' half, low 32 == hexdigest[8:16] 'lo'
+            dig[j] = int.from_bytes(md5(t.encode("utf-8")).digest()[:8], "big")
+        # (uniq, 64) 0/1 rows; column k holds bit (63-k) — unpackbits
+        # is MSB-first per byte, matching the big-endian byte view
+        bits = np.unpackbits(
+            dig.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1
+        )
+        for i, toks in enumerate(tok_lists):
+            idx = np.fromiter(
+                (tokmap[t] for t in toks), dtype=np.intp, count=len(toks)
+            )
+            votes = bits[idx].sum(axis=0, dtype=np.int64)
+            fp64 = int((weights * (2 * votes > len(toks))).sum())
+            hi_out[i] = fp64 >> 32
+            lo_out[i] = fp64 & 0xFFFFFFFF
         return pd.DataFrame({"fp_lo": lo_out, "fp_hi": hi_out})
 
     return fp
@@ -717,6 +749,119 @@ def simhash_fp_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     }).drop("__n", "__hi", "__lo")
 
 
+# 16-bit popcount lookup table for the pair kernel: numpy < 2.0 has
+# no vectorized bit_count, and LUT[x & 0xFFFF] + LUT[x >> 16] over
+# int64 values < 2^32 is one gather + one add per half
+_POPCNT16 = np.unpackbits(
+    np.arange(1 << 16, dtype=np.uint16).view(np.uint8).reshape(-1, 2),
+    axis=1,
+).sum(axis=1).astype(np.uint8)
+
+
+def _simhash_pairs_kernel(
+    chunks: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    max_bucket_size: int,
+) -> DataFrame:
+    """(id_a, id_b, hamming) from bucketed portable fingerprints via
+    an Arrow kernel — the admission-kernel playbook (r16, guide §4.2)
+    applied to ``bucket_pairs``' in-bucket expansion, which evaluates
+    INTERPRETED (nested transform + per-element array slice, O(m²)
+    slice copies per bucket; measured +1.08 s of the 2.44 s x16 pair
+    stage). The bucket grouping itself stays a JVM ``collect_list``
+    aggregation (map-side partial, one exchange — same plan shape);
+    only the expansion + hamming verify moves into numpy:
+
+      * buckets are grouped BY SIZE inside each Arrow batch, so every
+        size class is one stacked (k, m) triu-indexed XOR + popcount
+        pass — no per-bucket numpy dispatch on the (dominant) tiny
+        buckets;
+      * popcount via a 16-bit lookup table (values are 32-bit halves);
+      * pairs failing ``hamming <= max_hamming`` never leave the
+        kernel, so the de-duplicating ``distinct()`` shuffles only
+        true near-pairs. Filtering before the distinct is equivalent:
+        hamming is a function of the pair, and Catalyst pushed the
+        same predicate below the distinct in the expr form too.
+
+    Three parallel ``collect_list``s (ids / fp_lo / fp_hi) index-align
+    because one aggregation operator feeds every buffer row-by-row.
+    Emits rows directly from ``mapInPandas`` (cardinality changes; no
+    explode, no struct rebuild). Output is bit-identical to the
+    expr form modulo row order — pinned by a differential test."""
+    maxh = int(max_hamming)
+    buckets = (
+        chunks.groupBy("chunk", "bkey")
+        .agg(
+            F.collect_list(F.col(id_col)).alias("ids"),
+            F.collect_list(F.col("fps.fp_lo")).alias("los"),
+            F.collect_list(F.col("fps.fp_hi")).alias("his"),
+        )
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size)
+        )
+        .select("ids", "los", "his")
+    )
+
+    def expand(batches):
+        lut = _POPCNT16
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            rows = [
+                (
+                    np.asarray(pdf["ids"].iloc[r], dtype=np.int64),
+                    np.asarray(pdf["los"].iloc[r], dtype=np.int64),
+                    np.asarray(pdf["his"].iloc[r], dtype=np.int64),
+                )
+                for r in range(nb)
+            ]
+            szs = np.fromiter(
+                (len(r[0]) for r in rows), dtype=np.int64, count=nb
+            )
+            order = np.argsort(szs, kind="stable")
+            out_a, out_b, out_h = [], [], []
+            pos = 0
+            while pos < nb:
+                m = szs[order[pos]]
+                end = pos
+                while end < nb and szs[order[end]] == m:
+                    end += 1
+                grp = order[pos:end]
+                ids = np.stack([rows[g][0] for g in grp])
+                lo = np.stack([rows[g][1] for g in grp])
+                hi = np.stack([rows[g][2] for g in grp])
+                ia, ib = np.triu_indices(m, 1)
+                x = lo[:, ia] ^ lo[:, ib]
+                y = hi[:, ia] ^ hi[:, ib]
+                h = (
+                    lut[x & 0xFFFF].astype(np.int32)
+                    + lut[(x >> 16) & 0xFFFF]
+                    + lut[y & 0xFFFF]
+                    + lut[(y >> 16) & 0xFFFF]
+                )
+                keep = h <= maxh
+                a = ids[:, ia][keep]
+                b = ids[:, ib][keep]
+                sw = a > b
+                out_a.append(np.where(sw, b, a))
+                out_b.append(np.where(sw, a, b))
+                out_h.append(h[keep])
+                pos = end
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "hamming": np.concatenate(out_h).astype(np.int32),
+                }
+            )
+
+    return buckets.mapInPandas(
+        expand, schema="id_a bigint, id_b bigint, hamming int"
+    ).distinct()
+
+
 def simhash_near_pairs_portable(
     df: DataFrame,
     text_col: str = "text",
@@ -724,11 +869,20 @@ def simhash_near_pairs_portable(
     max_hamming: int = 8,
     max_bucket_size: int = 200,
     impl: str = "pandas",
+    pair_impl: str = "kernel",
 ) -> DataFrame:
     """simhash_near_pairs on the portable two-half fingerprint: band
     into four 16-bit chunks (two per half), bucket-join, verify with
     bit_count(xor) summed over the halves. Bit-reproducible in DuckDB
-    — see the generated oracle in entry_queries._simhash_sql."""
+    — see the generated oracle in entry_queries._simhash_sql.
+
+    ``pair_impl``: "kernel" (default) runs the in-bucket pair
+    expansion + hamming verify in an Arrow numpy kernel
+    (:func:`_simhash_pairs_kernel`); "expr" keeps the interpreted
+    ``bucket_pairs`` HOF expansion + JVM bit_count verify. Identical
+    output — pinned by a differential test. The kernel requires
+    integral ids (numpy int64); non-integral id columns take the expr
+    path automatically."""
     fp = simhash_32x2_portable(df, text_col, id_col, impl)
     chunk_key = [
         (F.shiftrightunsigned(F.col("fp_lo"), 0) if c == 0 else
@@ -749,6 +903,15 @@ def simhash_near_pairs_portable(
             )
         ).alias("cc"),
     ).select(id_col, "fps", "cc.chunk", "cc.bkey")
+    if pair_impl == "kernel":
+        from pyspark.sql import types as T
+
+        if isinstance(
+            chunks.schema[id_col].dataType, (T.LongType, T.IntegerType)
+        ):
+            return _simhash_pairs_kernel(
+                chunks, id_col, max_hamming, max_bucket_size
+            )
     ham = (
         F.bit_count(F.col("payload_a.fp_lo").bitwiseXOR(F.col("payload_b.fp_lo")))
         + F.bit_count(F.col("payload_a.fp_hi").bitwiseXOR(F.col("payload_b.fp_hi")))
