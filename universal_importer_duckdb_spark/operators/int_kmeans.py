@@ -186,11 +186,16 @@ def int_argmin_dists(xq: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.n
     BLAS under the quantize_np range contract) instead of the
     (rows, k, d) int64 broadcast-subtract — same exact integers, same
     first-minimum argmin, and the chunk intermediate shrinks from
-    (rows, k, d) to (rows, k), so the chunk grows d-fold at the same
-    memory bound."""
+    (rows, k, d) to (rows, k).
+
+    r16 (advice): the chunk bound divides by max(k, d), not k alone —
+    int_gemm_exact materializes a float64 copy of the (chunk, d)
+    operand, so when d > k that copy, not the (chunk, k) distance
+    matrix, is the largest per-chunk intermediate. Both now stay
+    ~16 MB per executor thread."""
     k, d = cent.shape
     nc = np.einsum("ij,ij->i", cent, cent)
-    chunk = max(1, 2_000_000 // max(1, k))
+    chunk = max(1, 2_000_000 // max(1, k, d))
     a = np.empty(len(xq), dtype=np.int64)
     dd = np.empty(len(xq), dtype=np.int64)
     for lo in range(0, len(xq), chunk):

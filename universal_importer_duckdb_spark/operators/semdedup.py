@@ -237,11 +237,15 @@ def incremental_semdedup(
 
     Scale shape: the at-rest side (train + semdedup verdicts + the
     kept-member join) is the stored artifact of a prior corpus pass —
-    in production it is read, not recomputed, and only the
-    stream-static join on ``cluster`` runs per batch. The per-pair
-    distance is a JVM zip_with/aggregate fold (the IVF probe
-    pattern: an arriving vector only meets its own cluster's kept
-    members, never the corpus).
+    in production it is read, not recomputed, and only the per-batch
+    admission runs per ingest. Since r15 the BATCH path routes
+    through :func:`_admit_against_kept_kernel` (per-cluster integer
+    GEMM via a cogrouped Arrow kernel — an arriving vector only meets
+    its own cluster's kept members, never the corpus); the JVM
+    zip_with/aggregate fold (:func:`_admit_against_kept`) remains the
+    STREAMING twins' stream-static shape (a cogroup cannot be
+    stream-static) and the kernel's live differential oracle in
+    tests.
     """
     C, kept_q = at_rest_artifacts(
         at_rest, n_clusters, eps2, vec_col, id_col, sample_size, iters,
@@ -395,7 +399,18 @@ def _admit_against_kept_kernel(
     same cluster-size contract as the prune (``max_cluster_size``
     guards BOTH sides; cluster size, not corpus size, is the memory
     unit). Streaming callers keep the join form — a cogroup cannot be
-    stream-static."""
+    stream-static.
+
+    Preconditions vs the join form (r15 advice, documented):
+
+    * arrivals must carry UNIQUE vec_ids — the kernel emits one row
+      per arrival row, while the join form's groupBy(vec_id, cluster,
+      d2) collapses duplicated ids; every caller here feeds ids from
+      a primary-key column, so the forms coincide on in-contract
+      input;
+    * an over-cap cluster RAISES here (fail-loud, see above) where
+      the join form would compute it — the upstream prune enforces
+      the same cap, so only out-of-contract arrival batches differ."""
     eps2_i = int(eps2)
     cap = None if max_cluster_size is None else int(max_cluster_size)
 
