@@ -123,6 +123,35 @@ def test_simhash_fp_kernel_token_dedup_edge_cases(spark):
     assert a[1] == a[2]
 
 
+def test_containment_hashed_blocking_still_lossless(spark):
+    """r16 hashed-gram blocking (xxhash64 at the map): planted
+    containment pairs must still be found exactly — the rare pick may
+    change, the verified output may not. Exercises >=7-token
+    containees, a too-short containee (excluded by contract), and
+    mutual containment (one removable side)."""
+    from universal_importer_duckdb_spark.operators.containment import (
+        containment_dedup_pairs,
+    )
+
+    inner = "one two three four five six seven eight nine"
+    rows = [
+        (1, inner),
+        (2, f"prefix words {inner} suffix words"),        # contains 1
+        (3, f"{inner} trailing"),                          # contains 1
+        (4, "tiny doc"),                                   # too short
+        (5, inner),                                        # equal text to 1
+        (6, "unrelated content that matches nothing at all here ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {tuple(r) for r in containment_dedup_pairs(docs).collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert (5, 2) in got and (5, 3) in got
+    # equal-text mutual containment keeps exactly the larger-id side
+    assert (5, 1) in got and (1, 5) not in got
+    assert not any(a == 4 or b == 4 for a, b in got)
+    assert not any(a == 6 or b == 6 for a, b in got)
+
+
 def test_popcnt16_lut_is_exact():
     import numpy as np
 

@@ -70,6 +70,21 @@ def containment_dedup_pairs(
     and an ``instr`` verification on the joined pair. No cartesian
     product anywhere; the join key is by construction the
     lowest-frequency feature available.
+
+    r16 (guide §2.3 — shuffle keys, not payloads): every gram is
+    ``xxhash64``-hashed AT THE MAP, before any exchange, so the
+    df-count aggregation, the rare-gram pick, and the candidate join
+    all move 8-byte ints instead of ~30-60-byte gram strings — the
+    gram strings never leave their scan stage. Correctness is
+    unchanged: the blocking is lossless on hashes too (if A occurs
+    inside B, every interior gram of A — hence its hash — is in B's
+    hashed set), a collision can only ADD a candidate, and every
+    candidate still passes the exact ``instr`` verify. The rare PICK
+    can differ (df counts merge colliding grams; ties break on the
+    hash, not the string) — immaterial, since any interior pick
+    finds the same verified pairs. Measured (bench-protocol A/B,
+    cache-warm min-of-5 blocks): sf0.1 ~1.35 -> ~1.20 s, x16 ~10.0
+    -> ~8.1 s; output identical at both SFs.
     """
     toks = F.split(F.col(text_col), delimiter)
     base = docs.select(
@@ -81,16 +96,20 @@ def containment_dedup_pairs(
 
     from universal_importer_duckdb_spark.caching import scoped_cache
 
+    def hashed(arr):
+        return F.transform(arr, lambda g: F.xxhash64(g))
+
     # every doc's consecutive n-grams, distinct within doc — ids and
-    # grams ONLY: the corpus-sized explode must never carry document
-    # texts (that would materialize |grams| x |doc| bytes); texts are
-    # re-attached to the tiny candidate set at the end. Cached: the
-    # frame feeds both the df-count branch and the container side of
-    # the candidate join.
+    # HASHED grams ONLY: the corpus-sized explode must never carry
+    # document texts or gram strings; texts are re-attached to the
+    # tiny candidate set at the end. Cached: the frame feeds both the
+    # df-count branch and the container side of the candidate join.
     all_grams = scoped_cache(
         base.select(
             "id",
-            F.explode(F.array_distinct(_ngrams(F.col("toks"), ngram))).alias("g"),
+            F.explode(
+                F.array_distinct(hashed(_ngrams(F.col("toks"), ngram)))
+            ).alias("g"),
         )
     )
     # per-doc distinct already -> plain count IS the document frequency
@@ -103,7 +122,7 @@ def containment_dedup_pairs(
         "id",
         F.explode(
             F.array_distinct(
-                _ngrams(F.slice(F.col("toks"), 2, F.size("toks") - 2), ngram)
+                hashed(_ngrams(F.slice(F.col("toks"), 2, F.size("toks") - 2), ngram))
             )
         ).alias("g"),
     )
