@@ -56,45 +56,64 @@ def multisignal_admission(
     weights: dict[str, int],
     n_clusters: int = 16,
     eps2: int = EPS2_DEFAULT,
+    held: bool = False,
 ) -> DataFrame:
     """Admission verdicts for ``doc_batch`` against the at-rest corpus
     (``doc_index`` + ``emb_at_rest``). Returns one row per batch
     document: ``(doc_id, exact_dup, n_words, is_quality,
     has_embedding, nn_d2, sem_dup, admitted)`` — every gate's raw
     verdict is emitted (not just the conjunction) so the driver hash
-    pins each signal independently.
+    pins each signal independently. ``held=True`` materializes the
+    semantic gate's at-rest artifacts once at plan construction
+    (operators/semdedup.py::at_rest_artifacts — the serving shape).
     """
     from universal_importer_duckdb_spark.operators.quality_model import (
         quality_model_scores,
     )
 
+    # r16 (guide §5 driver costs / §2.4): the exact and quality gates
+    # both derive from the SAME batch scan, so they are computed in
+    # ONE pass — the quality fold runs as a stateless projection with
+    # the fingerprint riding as a carry column (exactly the streaming
+    # twin's shape, streaming/docs.py::streaming_multisignal_admission)
+    # and the first-occurrence window + index join run over the scored
+    # frame. The old shape built them as two frames and joined on
+    # doc_id: one extra scan of the batch, one extra join, and one
+    # extra broadcast-build driver job per run (the entry measured 11
+    # jobs/run — the most on the bench board).
     fp = corpus_fingerprint()
-    firsts = doc_batch.select(
-        "doc_id", fp.alias("fingerprint")
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("fingerprint").orderBy("doc_id")
-        ),
-    )
     idx = (
         doc_index.select(fp.alias("fingerprint"))
         .distinct()
         .withColumn("__in_idx", F.lit(True))
     )
-    exact = firsts.join(idx, "fingerprint", "left").select(
-        "doc_id",
-        ((F.col("rn") > 1) | F.col("__in_idx").isNotNull()).alias(
-            "exact_dup"
-        ),
-    )
-
-    quality = quality_model_scores(doc_batch, weights).select(
-        "doc_id", "n_words", "is_quality"
+    gated = (
+        quality_model_scores(
+            doc_batch.withColumn("fingerprint", fp),
+            weights,
+            carry_cols=("fingerprint",),
+        )
+        .select("doc_id", "fingerprint", "n_words", "is_quality")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fingerprint").orderBy("doc_id")
+            ),
+        )
+        .join(idx, "fingerprint", "left")
+        .select(
+            "doc_id",
+            ((F.col("rn") > 1) | F.col("__in_idx").isNotNull()).alias(
+                "exact_dup"
+            ),
+            "n_words",
+            "is_quality",
+        )
     )
 
     sem = incremental_semdedup(
-        emb_at_rest, emb_arriving, n_clusters=n_clusters, eps2=eps2
+        emb_at_rest, emb_arriving, n_clusters=n_clusters, eps2=eps2,
+        held=held,
     ).select(
         F.col("vec_id").alias("doc_id"),
         F.col("nn_d2").alias("__nn"),
@@ -103,8 +122,7 @@ def multisignal_admission(
 
     sem_ok = F.coalesce(F.col("__sem_adm"), F.lit(True))
     return (
-        exact.join(quality, "doc_id")
-        .join(sem, "doc_id", "left")
+        gated.join(sem, "doc_id", "left")
         .select(
             "doc_id",
             "exact_dup",
